@@ -1,0 +1,219 @@
+package graft
+
+/** DuckDB oracle SQL for each oracle-expressible query in [[Queries]].
+  * Column aliases match the Spark side exactly (the driver sorts columns
+  * by name and hashes values). Queries whose semantics rely on
+  * Spark-specific hashes (xxhash64-based MinHash/SimHash/LSH signatures,
+  * fingerprints) have no SQL equivalent and are deliberately absent →
+  * rows-only check.
+  */
+object Oracles {
+
+  val all: Map[String, String] = Map(
+
+    "q01_global_agg" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(max(l_extendedprice), 4) AS max_price,
+        |  round(min(l_discount), 4) AS min_disc,
+        |  round(avg(l_tax), 4) AS avg_tax
+        |FROM lineitem""".stripMargin,
+
+    "q02_groupby_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(min(l_discount), 4) AS min_disc,
+        |  round(max(l_tax), 4) AS max_tax
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q04_join_left" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q05_join_multikey" ->
+      """WITH rev AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_date, l_returnflag,
+        |    round(sum(l_extendedprice), 2) AS revenue
+        |  FROM lineitem GROUP BY 1, 2),
+        |qty AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_date, l_returnflag,
+        |    round(sum(l_quantity), 2) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT rev.ship_date, rev.l_returnflag, rev.revenue, qty.qty
+        |FROM rev LEFT JOIN qty
+        |  ON rev.ship_date = qty.ship_date
+        | AND rev.l_returnflag = qty.l_returnflag
+        |ORDER BY rev.ship_date, rev.l_returnflag""".stripMargin,
+
+    "q06_join_inner" ->
+      """SELECT p_brand, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_join_semi" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q10_topn_group" ->
+      """SELECT event_type, event_id, value, rn FROM (
+        |  SELECT event_type, event_id, value, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY value DESC, event_id)
+        |    AS INTEGER) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY event_type, rn""".stripMargin,
+
+    "q11_dense_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice, CAST(dense_rank() OVER (
+        |    PARTITION BY p_brand ORDER BY p_retailprice DESC)
+        |    AS INTEGER) AS rnk
+        |  FROM part) WHERE rnk <= 3
+        |ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+
+    "q12_toplimit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q13_distinct_union" ->
+      """SELECT DISTINCT c_mktsegment AS v FROM customer
+        |UNION
+        |SELECT DISTINCT o_orderstatus AS v FROM orders
+        |ORDER BY v""".stripMargin,
+
+    "q14_filters" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(coalesce(l_discount, 0.0)), 4) AS sum_disc
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_quantity BETWEEN 10 AND 30
+        |  AND l_shipdate IS NOT NULL
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q15_case_map" ->
+      """SELECT o_orderkey,
+        |  CAST(CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 1.5 WHEN '2-HIGH' THEN 1.2
+        |    WHEN '3-MEDIUM' THEN 1.0 ELSE 0.8 END AS DOUBLE)
+        |    AS priority_factor,
+        |  round(o_totalprice * CAST(CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 1.5 WHEN '2-HIGH' THEN 1.2
+        |    WHEN '3-MEDIUM' THEN 1.0 ELSE 0.8 END AS DOUBLE), 4)
+        |    AS weighted_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q16_datetime" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_date, event_hour""".stripMargin,
+
+    "q17_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 minute', ts) AS w_start,
+        |  event_type, count(*) AS n_readings,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(max(value), 4) AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    "q18_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  count(*) AS n_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q19_dq_duplicates" ->
+      """SELECT user_id, CAST(ts AS DATE) AS event_date,
+        |  count(*) AS n_dup
+        |FROM events
+        |GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY user_id, event_date""".stripMargin,
+
+    "q20_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS BIGINT) AS n_units,
+        |  round(CAST(len(regexp_extract_all(text, '[[:punct:]]'))
+        |    AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 4)
+        |    AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q28_ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qv, cv) AS cs
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |      AS INTEGER) AS rn
+        |  FROM s)
+        |SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+
+    "q29_embedding_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x))), 4) AS l2_norm,
+        |  label
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
+}

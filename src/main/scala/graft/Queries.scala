@@ -1,0 +1,342 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{DedupOps, SimilarityOps}
+import graft.ops.{ConditionalCounts, DataQuality, DedupLatest, TopNPerGroup}
+
+/** The operator catalog: one named query per SURVEY.md §2 operator (plus
+  * the training-data-pipeline operators), each expressed on the driver's
+  * star schema with a DuckDB oracle in [[Oracles]].
+  *
+  * Conventions that keep the oracle hash-compare stable:
+  *  - every aggregate / computed column is aliased identically here and in
+  *    the SQL;
+  *  - doubles are rounded (2 decimals for large sums, 4 elsewhere);
+  *  - integral aggregates are BIGINT on both sides;
+  *  - every result has a deterministic total order.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation (SURVEY §2.5) ------------------------------------
+    "q01_global_agg" -> ((s, d) => {
+      // A1: global aggregate, no grouping (ref: 02_ingest_smartpool.py:74)
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(max(col("l_extendedprice")), 4).as("max_price"),
+        round(min(col("l_discount")), 4).as("min_disc"),
+        round(avg(col("l_tax")), 4).as("avg_tax"))
+    }),
+
+    "q02_groupby_stats" -> ((s, d) => {
+      // A2/A4: multi-key hash agg w/ count/avg/min/max/sum
+      // (ref: 06_gold_electricity_enrichment.py:31-40)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          round(min(col("l_discount")), 4).as("min_disc"),
+          round(max(col("l_tax")), 4).as("max_tax"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q03_conditional_agg" -> ((s, d) => {
+      // A3: pivot-like sum(when) counts (ref: 04_gold_smartpool.ipynb §3)
+      ConditionalCounts(t(s, d, "orders"), Seq("o_orderstatus"),
+        "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        extraAggs = Seq(count(lit(1)).as("n")))
+        .withColumnsRenamed(Map(
+          "n_1-URGENT" -> "n_urgent", "n_2-HIGH" -> "n_high",
+          "n_3-MEDIUM" -> "n_medium", "n_4-NOT SPECIFIED" -> "n_notspec",
+          "n_5-LOW" -> "n_low"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- joins (SURVEY §2.4) ------------------------------------------
+    "q04_join_left" -> ((s, d) => {
+      // J1/J2: left equi join, row level (ref: 04_gold_smartpool.py:22-28)
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .select(o("o_orderkey"), o("o_totalprice"), c("c_name"),
+          c("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q05_join_multikey" -> ((s, d) => {
+      // J3: multi-key equi join of two aggregates
+      // (ref: 06_gold_electricity_enrichment.ipynb §4)
+      val li = t(s, d, "lineitem")
+      val rev = li.groupBy(to_date(col("l_shipdate")).as("ship_date"),
+          col("l_returnflag"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+      val qty = li.groupBy(to_date(col("l_shipdate")).as("ship_date"),
+          col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      rev.join(qty, Seq("ship_date", "l_returnflag"), "left")
+        .orderBy(col("ship_date"), col("l_returnflag"))
+    }),
+
+    "q06_join_inner" -> ((s, d) => {
+      // J4: inner join as referential-integrity filter
+      // (ref: 03_silver_smartpool.ipynb §4)
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      li.join(p, li("l_partkey") === p("p_partkey"), "inner")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q07_join_anti" -> ((s, d) => {
+      // J5: left-anti orphan check (ref: 03_silver_smartpool.ipynb §6);
+      // anti against the P-status subset so the result is non-trivial
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q08_join_semi" -> ((s, d) => {
+      // J4-as-semi: EXISTS via left_semi (cleaner form of the reference's
+      // inner-join RI filter, SURVEY §2.4 J4 note)
+      t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- windows (SURVEY §2.6) ----------------------------------------
+    "q09_dedup_latest" -> ((s, d) => {
+      // W1: latest-wins dedup w/ tie-breaker
+      // (ref: 03_silver_smartpool.py:14-20)
+      DedupLatest(t(s, d, "events"), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q10_topn_group" -> ((s, d) => {
+      // W2: top-N per group via row_number
+      // (ref: 06_gold_electricity_enrichment.ipynb §3)
+      TopNPerGroup.rowNumber(
+        t(s, d, "events").select(col("event_type"), col("event_id"),
+          col("value")),
+        Seq("event_type"), Seq(col("value").desc, col("event_id")), 3)
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
+    "q11_dense_rank" -> ((s, d) => {
+      // W3: top-N with ties via dense_rank
+      // (ref: 06_gold_electricity_enrichment.py:51-54)
+      TopNPerGroup.denseRank(
+        t(s, d, "part").select(col("p_brand"), col("p_partkey"),
+          col("p_retailprice")),
+        Seq("p_brand"), Seq(col("p_retailprice").desc), 3)
+        .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+    }),
+
+    // ---- sort / limit / set ops (SURVEY §2.7) -------------------------
+    "q12_toplimit" -> ((s, d) => {
+      // O2: orderBy+limit → TakeOrderedAndProject
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q13_distinct_union" -> ((s, d) => {
+      // O4/O5: union + distinct (ref: spark_job.py:51;
+      // 03_silver_smartpool.ipynb §6)
+      t(s, d, "customer").select(col("c_mktsegment").as("v")).distinct()
+        .union(t(s, d, "orders").select(col("o_orderstatus").as("v"))
+          .distinct())
+        .distinct()
+        .orderBy(col("v"))
+    }),
+
+    // ---- filters / projection (SURVEY §2.3) ---------------------------
+    "q14_filters" -> ((s, d) => {
+      // P5/P6/P7: isin + between + isNotNull + coalesce
+      // (ref: 03_silver_smartpool.ipynb §4; 07_kafka….ipynb §5)
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(10, 30) &&
+          col("l_shipdate").isNotNull &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .withColumn("disc", coalesce(col("l_discount"), lit(0.0)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("disc")), 4)
+          .as("sum_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q15_case_map" -> ((s, d) => {
+      // CASE chain + map-literal cost model
+      // (ref: 04_gold_smartpool.py:41-46; 06_gold….ipynb §5)
+      val factor = typedlit(Map(
+        "1-URGENT" -> 1.5, "2-HIGH" -> 1.2, "3-MEDIUM" -> 1.0))
+      t(s, d, "orders")
+        .withColumn("priority_factor",
+          coalesce(element_at(factor, col("o_orderpriority")), lit(0.8)))
+        .withColumn("weighted_price",
+          round(col("o_totalprice") * col("priority_factor"), 4))
+        .select(col("o_orderkey"), col("priority_factor"),
+          col("weighted_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- datetime functions (SURVEY §2.8) -----------------------------
+    "q16_datetime" -> ((s, d) => {
+      // to_date / hour / group (ref: 06_gold_electricity_enrichment.py:29)
+      t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("event_date"),
+          hour(col("ts")).as("event_hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2)
+          .as("sum_value"))
+        .orderBy(col("event_date"), col("event_hour"))
+    }),
+
+    "q17_window_tumbling" -> ((s, d) => {
+      // A6 batch form: 1-minute tumbling window agg
+      // (ref: 07_kafka_smartpool_sensors.py:103-132)
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n_readings"),
+          round(avg(col("value")), 4).as("avg_value"),
+          round(max(col("value")), 4).as("max_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n_readings"), col("avg_value"), col("max_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    "q18_json_extract" -> ((s, d) => {
+      // from_json + getField (ref: 07_kafka_smartpool_sensors.py:87-88)
+      t(s, d, "events")
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy(col("event_type"))
+        .agg(sum(col("j.k").cast("long")).as("sum_k"),
+          count(col("j.k")).as("n_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q19_dq_duplicates" -> ((s, d) => {
+      // A5: duplicate detection agg (ref: 03_silver_smartpool.ipynb §6)
+      DataQuality.duplicateKeys(
+        t(s, d, "events").withColumn("event_date", to_date(col("ts"))),
+        Seq("user_id", "event_date"))
+        .orderBy(col("user_id"), col("event_date"))
+    }),
+
+    // ---- text analysis (training-data pipeline) -----------------------
+    "q20_text_stats" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select(
+        col("doc_id"),
+        TextFunctions.charCount(col("text")).cast("long").as("n_chars_m"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.bpeishCount(col("text")).cast("long").as("n_units"),
+        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q21_quality_score" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q22_langid" -> ((s, d) => {
+      // language-ID heuristic scored against the labeled lang column
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q23_exact_dedup" -> ((s, d) => {
+      DedupOps.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q24_minhash_neardups" -> ((s, d) => {
+      DedupOps.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q25_simhash_neardups" -> ((s, d) => {
+      DedupOps.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q26_ngram_jaccard" -> ((s, d) => {
+      // exact 3-gram Jaccard over a bounded candidate set
+      val doc = t(s, d, "documents").filter(col("doc_id") < 50)
+        .withColumn("sh", DedupOps.shingles(col("text"), 3))
+      val a = doc.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = doc.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          round(DedupOps.jaccard(col("sh_a"), col("sh_b")), 4))
+        .filter(col("jaccard") >= 0.05)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q27_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- similarity search (training-data pipeline) -------------------
+    "q28_ann_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      SimilarityOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    "q29_embedding_norms" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          round(SimilarityOps.l2Norm(col("embedding")
+            .cast("array<double>")), 4).as("l2_norm"),
+          col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q30_embedding_neardups" -> ((s, d) => {
+      // synthetic embeddings are near-orthogonal (max pair cos ≈ 0.4),
+      // so the "near-dup" threshold is set low to exercise the operator
+      SimilarityOps.embeddingNearDups(t(s, d, "embeddings"), "vec_id",
+        "embedding", threshold = 0.2, bits = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }))
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exactness baseline. The query set is
+  *    broadcast (it is small by construction); the corpus streams through
+  *    a single scan, so the cost is one pass over the data and a
+  *    TakeOrdered per query — no corpus shuffle at all.
+  *  - LSH-bucketed (random-hyperplane signs → bucket id) — the scale
+  *    path: corpus and queries are bucketed by an h-bit signature and
+  *    joined bucket-to-bucket, turning the N×Q cross product into
+  *    per-bucket joins. Recall is tunable via number of probe tables.
+  *
+  * All vector math is `zip_with`/`aggregate` built-ins (codegen'd).
+  */
+object SimilarityOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (broadcast); corpus of any size. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        cosine(col("__qv").cast("array<double>"),
+          col("__cv").cast("array<double>")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  /** h-bit random-hyperplane signature via the native
+    * [[graft.functions.HyperplaneLsh]] expression — seeded, deterministic
+    * across executors, hyperplane matrix cached per JVM (the builtin
+    * formulation re-derived the matrix per row). */
+  def hyperplaneSig(vec: Column, bits: Int, seed: Int = 42): Column =
+    graft.functions.HyperplaneLsh.column(vec, bits, seed)
+
+  /** ANN via LSH buckets: join corpus and queries on an h-bit signature,
+    * rank within bucket. Trades recall for turning the cross join into a
+    * bucket equi-join — the shape that scales. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, bits: Int = 8)
+      : DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("bucket", hyperplaneSig(col("__cv"), bits))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("bucket", hyperplaneSig(col("__qv"), bits))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>")
+        .as("__v"))
+      .withColumn("bucket", hyperplaneSig(col("__v"), bits))
+    val a = v.select(col("bucket"), col(idCol).as("id_a"),
+      col("__v").as("va"))
+    val b = v.select(col("bucket"), col(idCol).as("id_b"),
+      col("__v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4)
+        .as("cos_sim"))
+      .distinct()
+  }
+}
