@@ -43,17 +43,17 @@ object TextFunctions {
     "that", "for", "on", "with", "as", "was", "at", "by", "be")
 
   /** Composite quality score in [0,1]: rewards mid-length docs, penalizes
-    * extreme punctuation density and degenerate repetition. Deterministic,
-    * fully expression-based. */
+    * extreme punctuation density and degenerate repetition (sqrt of
+    * type/token ratio, so pure repetition collapses the score).
+    * Deterministic, fully expression-based. */
   def qualityScore(text: Column): Column = {
     val len = length(text).cast("double")
     val lenScore = least(len / lit(500.0), lit(1.0))
     val punctPenalty = least(punctRatio(text) * lit(4.0), lit(1.0))
     val distinctToks = size(array_distinct(tokens(lower(text)))).cast("double")
     val total = greatest(tokenCount(text).cast("double"), lit(1.0))
-    val diversity = distinctToks / total
-    round(lenScore * (lit(1.0) - punctPenalty * lit(0.5)) *
-      (lit(0.5) + diversity * lit(0.5)), 4)
+    val diversity = sqrt(distinctToks / total)
+    round(lenScore * (lit(1.0) - punctPenalty * lit(0.5)) * diversity, 4)
   }
 
   /** Stopword-profile language ID over {en, es, de, fr} + a CJK

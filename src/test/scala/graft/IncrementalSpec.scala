@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{IncrementalFiles, IncrementalJdbc, JdbcWatermark}
+
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("jdbc incremental predicate replicates the reference tie-breaker") {
+    val wm = JdbcWatermark("2026-01-15T10:30:00.1234567", 42L)
+    val p = IncrementalJdbc.incrementalPredicate(wm, "updated_at", "id")
+    assert(p ==
+      "(updated_at > '2026-01-15T10:30:00.1234567' OR " +
+        "(updated_at = '2026-01-15T10:30:00.1234567' AND id > 42))")
+  }
+
+  test("jdbc pushdown query embeds CONVERT and predicate") {
+    val q = IncrementalJdbc.pushdownQuery("dbo.maintenance_events",
+      "updated_at", "id", Some(JdbcWatermark("2026-01-01T00:00:00", 5)))
+    assert(q.contains("CONVERT(varchar(33), updated_at, 126)"))
+    assert(q.contains("WHERE"))
+    assert(IncrementalJdbc.pushdownQuery("t", "u", "p", None)
+      .startsWith("SELECT *, CONVERT"))
+  }
+
+  test("predicate escapes single quotes (no SQL injection via state)") {
+    val wm = JdbcWatermark("2026-01-01' OR '1'='1", 1L)
+    val p = IncrementalJdbc.incrementalPredicate(wm, "u", "pk")
+    assert(p.contains("2026-01-01'' OR ''1''=''1"))
+  }
+
+  test("nextWatermark picks max (ts,pk) lexicographically") {
+    val batch = Seq(
+      ("2026-01-01T05:00:00.0000001", 3L),
+      ("2026-01-01T05:00:00.0000001", 9L), // pk tie-break
+      ("2026-01-01T04:59:59.9999999", 100L))
+      .toDF("updated_at_str", "id")
+    val wm = IncrementalJdbc.nextWatermark(batch, "updated_at_str", "id",
+      None)
+    assert(wm.contains(JdbcWatermark("2026-01-01T05:00:00.0000001", 9L)))
+  }
+
+  test("nextWatermark on empty batch keeps current state") {
+    val empty = Seq.empty[(String, Long)].toDF("u", "id")
+    val cur = Some(JdbcWatermark("2026-01-01T00:00:00", 7L))
+    assert(IncrementalJdbc.nextWatermark(empty, "u", "id", cur) == cur)
+  }
+
+  test("file-ingest state roundtrip + date-partition pruned resume") {
+    val tmp = Files.createTempDirectory("graft-incr").toString
+    val landing = s"$tmp/landing"
+    // two hive-style date partitions
+    Seq(("2026-01-01 00:00:00", "50.0"))
+      .toDF("ts", "price_eur_mwh")
+      .write.option("header", "true").csv(s"$landing/date=2026-01-01")
+    Seq(("2026-01-02 00:00:00", "60.0"))
+      .toDF("ts", "price_eur_mwh")
+      .write.option("header", "true").csv(s"$landing/date=2026-01-02")
+
+    val statePath = s"$tmp/state"
+    assert(IncrementalFiles.readState(spark, statePath).isEmpty)
+    val all = IncrementalFiles.readNew(spark, landing, None)
+    assert(all.count() == 2)
+
+    IncrementalFiles.writeState(spark, statePath, "2026-01-01")
+    assert(IncrementalFiles.readState(spark, statePath)
+      .contains("2026-01-01"))
+    val onlyNew = IncrementalFiles.readNew(spark, landing,
+      Some("2026-01-01"))
+    assert(onlyNew.count() == 1)
+    assert(onlyNew.select("date").as[String].head() == "2026-01-02")
+
+    // resume past everything → empty, no loss/dup across the protocol
+    IncrementalFiles.writeState(spark, statePath, "2026-01-02")
+    assert(IncrementalFiles.readNew(spark, landing, Some("2026-01-02"))
+      .isEmpty)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+/** Every catalog query runs on sf0.001 and returns a stable schema;
+  * value correctness is the DuckDB oracle's job (tools/check_oracle.py
+  * replicates the driver's compare). */
+class QueriesSmokeSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and has oracle-aligned columns") {
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(n >= 0)
+      // queries with an oracle must produce rows at this SF (empty
+      // results would make the correctness gate vacuous)
+      if (Oracles.all.contains(name)) assert(n > 0, s"$name is empty")
+    }
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = Oracles.all.keySet -- Queries.all.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}
