@@ -210,6 +210,50 @@ object Oracles {
         |SELECT query_id, neighbor_id, cos_sim, rn FROM r WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin,
 
+    "q31_upsert" ->
+      """WITH target AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+        |  WHERE c_custkey <= 100),
+        |src AS (
+        |  SELECT o_custkey AS c_custkey, round(max(o_totalprice), 2)
+        |    AS bal
+        |  FROM orders GROUP BY 1)
+        |SELECT c_custkey, bal FROM src
+        |UNION ALL
+        |SELECT t.c_custkey, t.bal FROM target t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q32_multiformat_ts" ->
+      """SELECT event_id, ts AS parsed_ts FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q33_approx_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  (CAST(abs(approx_count_distinct(user_id)
+        |      - count(DISTINCT user_id)) AS DOUBLE)
+        |    / count(DISTINCT user_id) < 0.05) AS approx_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q34_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin,
+
+    "q35_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin,
+
     "q29_embedding_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

@@ -332,6 +332,74 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- upsert / merge semantics as a query (K4, SURVEY §2.2) -------
+    "q31_upsert" -> ((s, d) => {
+      // merge: per-customer latest order value upserts a target balance
+      // table — updates for existing keys, inserts for new ones
+      // (ref: 03_silver_smartpool.ipynb §4 MERGE; non-Delta fallback)
+      val target = t(s, d, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+      val source = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(round(max(col("o_totalprice")), 2).as("bal"))
+      graft.ops.Upsert(target, source, Seq("c_custkey"),
+        Seq(col("bal").desc))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q32_multiformat_ts" -> ((s, d) => {
+      // multi-format timestamp parse chain (ref: 07_kafka….ipynb §5):
+      // format each event ts three different ways, parse back, output
+      // must round-trip to the original value
+      val e = t(s, d, "events")
+      val asStr = e.withColumn("ts_str",
+        when(col("event_id") % 3 === 0,
+          concat(date_format(col("ts"),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("Z")))
+          .when(col("event_id") % 3 === 1,
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .otherwise(concat(date_format(col("ts"),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("+00:00"))))
+      asStr.select(col("event_id"),
+        graft.functions.TimeParse.parseTimestamp(col("ts_str"))
+          .as("parsed_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q33_approx_distinct" -> ((s, d) => {
+      // approx_count_distinct (HLL) vs exact, as a tolerance flag —
+      // the sketch itself is impl-specific, the 5% envelope is not
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast("double") /
+            col("n_exact") < 0.05).as("approx_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q34_rollup" -> ((s, d) => {
+      // rollup with subtotal rows (engine-completeness beyond the
+      // reference's flat groupBy)
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q35_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     "q30_embedding_neardups" -> ((s, d) => {
       // synthetic embeddings are near-orthogonal (max pair cos ≈ 0.4),
       // so the "near-dup" threshold is set low to exercise the operator

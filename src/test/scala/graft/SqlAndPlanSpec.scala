@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+import graft.sql.GraftSql
+
+class SqlAndPlanSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("SQL entry point: tables + custom functions usable from SQL") {
+    val out = GraftSql.sql(spark, sfDir,
+      """SELECT doc_id,
+        |  simhash64(split(lower(text), '\\s+')) AS sh,
+        |  size(minhash_signature(
+        |    word_shingles(split(lower(text), '\\s+'), 3), 16)) AS klen
+        |FROM documents WHERE doc_id < 5""".stripMargin).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getInt(2) == 16))
+    val ann = GraftSql.sql(spark, sfDir,
+      """SELECT vec_id,
+        |  hyperplane_lsh(embedding, 8) AS bucket,
+        |  hyperplane_lsh(embedding, 8, 7) AS bucket_seed7
+        |FROM embeddings WHERE vec_id < 3""".stripMargin).collect()
+    assert(ann.forall(r => r.getLong(1) != r.getLong(2)))
+  }
+
+  test("SQL relational query over registered views matches catalog") {
+    val viaSql = GraftSql.sql(spark, sfDir,
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql.values.sum == 6000)
+  }
+
+  // ---- plan assertions: the scale contract ---------------------------
+
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
+    // AQE hides subtrees outside `children`: descend into the adaptive
+    // plan, materialized query stages, and reused exchanges
+    val next: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case _ => p.children
+    }
+    p +: next.flatMap(collectPlan)
+  }
+
+  private def executedNodes(name: String): Seq[SparkPlan] = {
+    val df = Queries.all(name)(spark, sfDir)
+    df.collect() // force AQE to finalize
+    collectPlan(df.queryExecution.executedPlan)
+  }
+
+  test("no accidental cartesian products in the catalog") {
+    // q26/q28 are deliberate bounded cross joins (50-doc / 10-query
+    // candidate sets); everything else must plan an equi-join
+    val allowed = Set("q26_ngram_jaccard", "q28_ann_bruteforce")
+    Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
+      val cartesian = executedNodes(name).exists {
+        case _: CartesianProductExec => true
+        case b: org.apache.spark.sql.execution.joins
+            .BroadcastNestedLoopJoinExec => true
+        case _ => false
+      }
+      assert(!cartesian, s"$name planned a cartesian/nested-loop join")
+    }
+  }
+
+  test("dimension joins broadcast the small side") {
+    val joins = executedNodes("q06_join_inner").collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "part-side join should be broadcast")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val scans = executedNodes("q20_text_stats").collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    // only doc_id + text needed; lang/source/n_chars must be pruned
+    assert(readCols == Set("doc_id", "text"), s"read $readCols")
+  }
+
+  test("filter pushdown reaches the scan for q14") {
+    val scans = executedNodes("q14_filters").collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("In(l_returnflag"), s"pushed=$pushed")
+    assert(pushed.contains("l_quantity"), s"pushed=$pushed")
+  }
+
+  test("dedup-latest plans a single shuffle") {
+    val exchanges = executedNodes("q09_dedup_latest").collect {
+      case e: Exchange => e
+    }
+    // one hash exchange for the window; the final orderBy adds a range
+    // exchange — anything more means the plan regressed
+    assert(exchanges.length <= 2,
+      s"expected ≤2 exchanges, got ${exchanges.length}")
+  }
+}

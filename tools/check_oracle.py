@@ -19,17 +19,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(v):
+    # every cell becomes a (tag, str) pair so rows sort across NULLs
+    # and mixed types (rollup/cube emit NULL subtotal keys)
     if v is None:
-        return None
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return (1, "NaN")
+        return (1, repr(round(v, 9)))
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return (2, v.isoformat())
     if isinstance(v, list):
-        return tuple(canon(x) for x in v)
-    return v
+        return (3, repr([canon(x) for x in v]))
+    return (4, str(v))
 
 
 def main():
