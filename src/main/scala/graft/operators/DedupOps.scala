@@ -59,10 +59,14 @@ object DedupOps {
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
+    // cached: the signature subtree feeds the band explode AND both
+    // sides of the candidate-verification join — without the persist the
+    // text corpus would be scanned and re-shingled three times
     val withSig = df
       .select(col(idCol), col(textCol))
       .withColumn("__sh", shingles(col(textCol), shingleN))
       .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = lshBands(withSig, idCol, "__sig", bands, rowsPerBand)
     val a = banded.select(col("band"), col("band_hash"),
       col(idCol).as("id_a"))

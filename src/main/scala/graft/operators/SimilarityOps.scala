@@ -27,10 +27,11 @@ object SimilarityOps {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
 
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+  /** Cosine via the native fused-loop [[graft.functions.CosineSim]]
+    * expression (one vector walk instead of three zip_with/aggregate
+    * passes with an intermediate array per pair). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.column(a, b)
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (broadcast); corpus of any size. */
