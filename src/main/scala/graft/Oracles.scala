@@ -254,6 +254,50 @@ object Oracles {
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
         .stripMargin,
 
+    "q36_session_window" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        >= INTERVAL '10 minutes'
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM w)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '10 minutes' AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q37_sliding_window" ->
+      """SELECT w_start, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT unnest([
+        |      time_bucket(INTERVAL '5 minutes', ts),
+        |      time_bucket(INTERVAL '5 minutes', ts)
+        |        - INTERVAL '5 minutes']) AS w_start,
+        |    value
+        |  FROM events)
+        |GROUP BY w_start
+        |ORDER BY w_start""".stripMargin,
+
+    "q38_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT user_id,
+        |    'u' || CAST(user_id AS VARCHAR) AS user_tag
+        |  FROM events)
+        |SELECT e.user_id, d.user_tag, count(*) AS n,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.user_id, d.user_tag
+        |ORDER BY e.user_id""".stripMargin,
+
     "q29_embedding_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

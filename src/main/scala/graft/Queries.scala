@@ -401,6 +401,57 @@ object Queries {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    "q36_session_window" -> ((s, d) => {
+      // session windows (gap-based) — streaming-engine completeness
+      // beyond the reference's tumbling windows; oracle is a
+      // gaps-and-islands SQL formulation
+      t(s, d, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    "q37_sliding_window" -> ((s, d) => {
+      // sliding windows: 10-minute windows every 5 minutes — each event
+      // lands in exactly two windows
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("n"),
+          col("sum_value"))
+        .orderBy(col("w_start"))
+    }),
+
+    "q38_salted_join" -> ((s, d) => {
+      // salted skew join must be result-identical to the plain join
+      val events = t(s, d, "events")
+      val dim = t(s, d, "events").select(col("user_id")).distinct()
+        .withColumn("user_tag",
+          concat(lit("u"), col("user_id").cast("string")))
+      graft.ops.SaltedJoin(events, dim, Seq("user_id"), salt = 8)
+        .groupBy(col("user_id"), col("user_tag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q39_multimodal_features" -> ((s, d) => {
+      // multimodal plumbing surface (synthetic binary assets; decode is
+      // a deterministic stub — rows-only check)
+      graft.multimodal.MultimodalOps.extractFeatures(
+        graft.multimodal.MultimodalOps.syntheticAssets(s, 300),
+        dim = 16, partitions = 8)
+        .select(col("asset_id"), col("modality"), col("n_bytes"))
+        .orderBy(col("asset_id"))
+    }),
+
     "q30_embedding_neardups" -> ((s, d) => {
       // synthetic embeddings are near-orthogonal (max pair cos ≈ 0.4),
       // so the "near-dup" threshold is set low to exercise the operator
