@@ -452,6 +452,16 @@ object Queries {
         .orderBy(col("asset_id"))
     }),
 
+    "q40_ann_ivf" -> ((s, d) => {
+      // IVF-style cell-probed ANN (approximate — rows-only check; the
+      // exactness baseline is q28)
+      val emb = t(s, d, "embeddings")
+      graft.operators.SimilarityOps.ivfTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "vec_id", k = 5, cells = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     "q30_embedding_neardups" -> ((s, d) => {
       // synthetic embeddings are near-orthogonal (max pair cos ≈ 0.4),
       // so the "near-dup" threshold is set low to exercise the operator

@@ -84,6 +84,54 @@ object SimilarityOps {
         round(col("cos_sim"), 4).as("cos_sim"), col("rn"))
   }
 
+  /** IVF-style ANN: corpus partitioned into C coarse cells by nearest
+    * centroid; queries probe their `nprobe` nearest cells only. The
+    * scale shape: the centroid table is tiny and broadcast twice; the
+    * corpus is scanned once to assign cells (one narrow shuffle on
+    * cell id), and each query touches ~nprobe/C of the corpus.
+    * Centroids here are a deterministic strided sample (ids ≡ 0 mod
+    * stride) — a production build would train k-means and pass the
+    * centroid table in; the query path is identical.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, cells: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val centroids = broadcast(
+      c.withColumn("__rn", row_number().over(
+          Window.orderBy(col("neighbor_id"))))
+        .filter(col("__rn") <= cells)
+        .select(col("__rn").as("cell"), col("__cv").as("__cent")))
+    // assign every corpus vector to its nearest centroid cell
+    val assigned = c.crossJoin(centroids)
+      .withColumn("__sim", cosine(col("__cv"), col("__cent")))
+      .withColumn("__r", row_number().over(Window
+        .partitionBy(col("neighbor_id"))
+        .orderBy(col("__sim").desc, col("cell"))))
+      .filter(col("__r") === 1)
+      .select(col("cell"), col("neighbor_id"), col("__cv"))
+    // queries probe their nprobe nearest cells
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val probes = q.crossJoin(centroids)
+      .withColumn("__sim", cosine(col("__qv"), col("__cent")))
+      .withColumn("__r", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__sim").desc, col("cell"))))
+      .filter(col("__r") <= nprobe)
+      .select(col("cell"), col("query_id"), col("__qv"))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 8): DataFrame = {

@@ -27,14 +27,25 @@ object IncrementalJdbc {
     s"($updatedCol > '$ts' OR ($updatedCol = '$ts' AND $pkCol > ${wm.lastPk}))"
   }
 
-  /** Pushdown query for the JDBC `query` option; the CONVERT keeps the
-    * watermark round-trip lossless as a string on SQL Server
-    * (reference: 02_ingest_smartpool.ipynb §1, CONVERT(varchar(33),…,126)).
-    */
+  /** How a dialect renders "timestamp column → lossless ISO string".
+    * SQL Server is the reference dialect (CONVERT(varchar(33),…,126),
+    * 02_ingest_smartpool.ipynb §1); Derby/ANSI uses a plain VARCHAR
+    * cast. The string is what the watermark stores, so it must carry
+    * the column's full native precision. */
+  type TimestampToString = String => String
+  val SqlServerDialect: TimestampToString =
+    c => s"CONVERT(varchar(33), $c, 126)"
+  val AnsiCastDialect: TimestampToString =
+    c => s"CAST($c AS VARCHAR(29))"
+
+  /** Pushdown query for the JDBC `query` option: the remote engine
+    * evaluates both the watermark predicate and the lossless string
+    * conversion at native precision. */
   def pushdownQuery(table: String, updatedCol: String, pkCol: String,
-      wm: Option[JdbcWatermark]): String = {
-    val base = s"SELECT *, CONVERT(varchar(33), $updatedCol, 126) AS " +
-      s"${updatedCol}_str FROM $table"
+      wm: Option[JdbcWatermark],
+      dialect: TimestampToString = SqlServerDialect): String = {
+    val base = s"SELECT t.*, ${dialect(updatedCol)} AS " +
+      s"${updatedCol}_str FROM $table t"
     wm.fold(base)(w =>
       s"$base WHERE ${incrementalPredicate(w, updatedCol, pkCol)}")
   }

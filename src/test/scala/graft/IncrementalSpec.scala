@@ -21,7 +21,7 @@ class IncrementalSpec extends SparkTestBase {
     assert(q.contains("CONVERT(varchar(33), updated_at, 126)"))
     assert(q.contains("WHERE"))
     assert(IncrementalJdbc.pushdownQuery("t", "u", "p", None)
-      .startsWith("SELECT *, CONVERT"))
+      .startsWith("SELECT t.*, CONVERT"))
   }
 
   test("predicate escapes single quotes (no SQL injection via state)") {

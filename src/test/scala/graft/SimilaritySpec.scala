@@ -64,6 +64,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head.getAs[Double]("cos_sim") > 0.999)
   }
 
+  test("ivfTopK finds the planted near-duplicate through cell probing") {
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(d =>
+        math.cos(i * 29.0 + d * 11.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probe = Seq((777L, Seq.tabulate(8)(d =>
+      (math.cos(13 * 29.0 + d * 11.0) * 1.001).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfTopK(corpus.union(probe), probe,
+      "vec_id", "embedding", "vec_id", k = 1, cells = 8, nprobe = 3)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("neighbor_id") == 13L)
+    assert(out.head.getAs[Double]("cos_sim") > 0.999)
+  }
+
   test("embeddingNearDups reports exact duplicates with cos 1.0") {
     val df = Seq(
       (1L, Seq(0.5f, 0.5f, 0.1f)),
