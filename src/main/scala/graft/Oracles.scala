@@ -298,6 +298,14 @@ object Oracles {
         |GROUP BY e.user_id, d.user_tag
         |ORDER BY e.user_id""".stripMargin,
 
+    "q41_string_funcs" ->
+      """SELECT event_id,
+        |  concat_ws('-', event_type,
+        |    lpad(CAST(user_id AS VARCHAR), 4, '0')) AS tag,
+        |  regexp_replace(props, '[0-9]+', 'N', 'g') AS props_norm,
+        |  strftime(ts, '%Y-%m-%d %H') AS hour_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q29_embedding_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

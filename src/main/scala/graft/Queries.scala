@@ -452,6 +452,19 @@ object Queries {
         .orderBy(col("asset_id"))
     }),
 
+    "q41_string_funcs" -> ((s, d) => {
+      // §2.8 string surface: concat_ws, lpad, regexp_replace,
+      // date_format (ref: 05_ingest_electricity_csv.py:41,61;
+      // 07_kafka….ipynb §5)
+      t(s, d, "events")
+        .select(col("event_id"),
+          concat_ws("-", col("event_type"),
+            lpad(col("user_id").cast("string"), 4, "0")).as("tag"),
+          regexp_replace(col("props"), "[0-9]+", "N").as("props_norm"),
+          date_format(col("ts"), "yyyy-MM-dd HH").as("hour_str"))
+        .orderBy(col("event_id"))
+    }),
+
     "q40_ann_ivf" -> ((s, d) => {
       // IVF-style cell-probed ANN (approximate — rows-only check; the
       // exactness baseline is q28)

@@ -45,6 +45,77 @@ object TableIO {
       .save(path)
   }
 
+  // ---- table-maintenance / metadata ops (SURVEY §2.10) --------------
+  // Delta's history / DESCRIBE DETAIL degrade to a version-log sidecar
+  // and filesystem introspection in parquet mode (SURVEY §7.4 risk 2).
+
+  private def logPath(path: String) = s"$path/_graft_log"
+
+  /** Append one version record per write — the parquet-mode stand-in
+    * for `DeltaTable.history` (03_silver_smartpool.ipynb §6). */
+  def logVersion(spark: SparkSession, path: String, op: String,
+      rows: Long): Unit = {
+    import spark.implicits._
+    val entry = Seq((System.currentTimeMillis(), op, rows))
+      .toDF("ts_millis", "operation", "num_rows")
+    entry.coalesce(1).write.mode(SaveMode.Append)
+      .json(logPath(path))
+  }
+
+  /** Version history, newest first (empty if never logged). */
+  def history(spark: SparkSession, path: String, limit: Int = 10)
+      : DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "ts_millis BIGINT, operation STRING, num_rows BIGINT"))
+    if (!exists(spark, logPath(path))) empty
+    else spark.read.schema(empty.schema).json(logPath(path))
+      .orderBy(org.apache.spark.sql.functions.col("ts_millis").desc)
+      .limit(limit)
+  }
+
+  /** DESCRIBE DETAIL-ish physical introspection: format, file count,
+    * bytes, partition columns inferred from hive-style dirs
+    * (03_silver_smartpool.ipynb §6's partition-layout assertion). */
+  def describe(spark: SparkSession, path: String): Map[String, Any] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.hadoop.fs.FileStatus]
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(d: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(d).foreach { st =>
+        if (hidden(st.getPath.getName)) ()
+        else if (st.isDirectory) walk(st.getPath)
+        else files += st
+      }
+    walk(p)
+    val partCols = files.map(_.getPath.getParent.toString
+        .stripPrefix(p.toString))
+      .flatMap(_.split("/").filter(_.contains("=")).map(_.split("=")(0)))
+      .distinct.toSeq
+    Map(
+      "numFiles" -> files.length,
+      "sizeInBytes" -> files.map(_.getLen).sum,
+      "partitionColumns" -> partCols)
+  }
+
+  /** Small-file compaction — at 100 TB the streaming sinks and
+    * per-batch appends fragment tables; rewrite to ~targetMB files.
+    * Coalesce (no shuffle) is enough because we only merge. */
+  def compact(spark: SparkSession, layout: LakeLayout, path: String,
+      targetMB: Int = 128): Unit = {
+    val bytes = describe(spark, path)("sizeInBytes")
+      .asInstanceOf[Long]
+    val targetFiles = math.max(1,
+      (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
+    val df = read(spark, layout, path).coalesce(targetFiles)
+      .localCheckpoint(true)
+    overwrite(df, layout, path)
+    logVersion(spark, path, s"COMPACT($targetFiles files)", df.count())
+  }
+
   /** Pre-create an empty table to fix the schema before streams start
     * (reference `ensure_delta`, 07_kafka….ipynb §3). */
   def ensureTable(spark: SparkSession, layout: LakeLayout, path: String,

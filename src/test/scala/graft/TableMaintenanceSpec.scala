@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{LakeLayout, TableIO}
+
+class TableMaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("version log, describe and compact") {
+    val root = Files.createTempDirectory("graft-maint").toString
+    val layout = LakeLayout(root)
+    val path = s"$root/t"
+    // fragment the table: 8 single-row appends → ≥8 files
+    for (i <- 1 to 8) {
+      TableIO.append(Seq((i, s"row$i")).toDF("id", "v"), layout, path)
+      TableIO.logVersion(spark, path, "APPEND", 1L)
+    }
+    val d1 = TableIO.describe(spark, path)
+    assert(d1("numFiles").asInstanceOf[Int] >= 8)
+
+    val hist = TableIO.history(spark, path).collect()
+    assert(hist.length == 8)
+    assert(hist.head.getAs[String]("operation") == "APPEND")
+
+    TableIO.compact(spark, layout, path, targetMB = 128)
+    val d2 = TableIO.describe(spark, path)
+    assert(d2("numFiles").asInstanceOf[Int] == 1)
+    assert(spark.read.parquet(path).count() == 8) // no rows lost
+    assert(TableIO.history(spark, path).collect()
+      .head.getAs[String]("operation").startsWith("COMPACT"))
+  }
+
+  test("describe reports hive partition columns") {
+    val root = Files.createTempDirectory("graft-maint2").toString
+    val layout = LakeLayout(root)
+    val path = s"$root/p"
+    TableIO.overwrite(
+      Seq((1, "2026-01-01"), (2, "2026-01-02")).toDF("id", "d"),
+      layout, path, partitionCols = Seq("d"))
+    val d = TableIO.describe(spark, path)
+    assert(d("partitionColumns") == Seq("d"))
+  }
+}
