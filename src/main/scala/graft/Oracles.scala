@@ -234,7 +234,7 @@ object Oracles {
         |  count(DISTINCT user_id) AS n_exact,
         |  (CAST(abs(approx_count_distinct(user_id)
         |      - count(DISTINCT user_id)) AS DOUBLE)
-        |    / count(DISTINCT user_id) < 0.05) AS approx_ok
+        |    / count(DISTINCT user_id) < 0.10) AS approx_ok
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
@@ -305,6 +305,24 @@ object Oracles {
         |  regexp_replace(props, '[0-9]+', 'N', 'g') AS props_norm,
         |  strftime(ts, '%Y-%m-%d %H') AS hour_str
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q42_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q43_stats" ->
+      """SELECT l_linestatus,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4)
+        |    AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
 
     "q29_embedding_norms" ->
       """SELECT vec_id,

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.LakeLayout
+
+/** EP3 production wiring (SURVEY.md §2.9): Kafka source → the
+  * [[SensorPipeline]] stages → checkpointed parquet sinks, with the
+  * reference's parameter surface (--bootstrap/--topic/--run-seconds/
+  * --trigger-seconds/--watermark; 07_kafka_smartpool_sensors.py:16-23).
+  *
+  * The Kafka connector (spark-sql-kafka) is a spark-submit --packages
+  * dependency exactly as in the reference's DAG
+  * (dags/dag_30_sensors_streaming.py:25-35); this offline environment
+  * has no broker, so [[kafkaSource]] is exercised in production and the
+  * stages are covered by MemoryStream tests.
+  */
+object SensorStreamJob {
+
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+      maxOffsetsPerTrigger: Long = 2000L,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** The notebook topology (the architecturally-correct variant,
+    * SURVEY §2.9): 4 queries — bronze raw, silver parsed, gold 1-min
+    * agg, gold enriched — each with its own checkpoint dir. */
+  def start(spark: SparkSession, layout: LakeLayout, kafka: DataFrame,
+      pools: DataFrame, prices: DataFrame,
+      triggerSeconds: Int = 10, watermark: String = "2 minutes")
+      : Seq[StreamingQuery] = {
+    val trigger = Trigger.ProcessingTime(s"$triggerSeconds seconds")
+    def sink(df: DataFrame, name: String, partitionCol: String) =
+      df.writeStream.format(layout.format)
+        .option("checkpointLocation", layout.checkpoints(name))
+        .option("path", layout.gold(name))
+        .partitionBy(partitionCol)
+        .outputMode("append")
+        .trigger(trigger)
+        .queryName(name)
+        .start()
+
+    val bronze = SensorPipeline.bronze(kafka)
+    val qBronze = bronze.writeStream.format(layout.format)
+      .option("checkpointLocation", layout.checkpoints("bronze_sensors"))
+      .option("path", layout.bronze("sensors"))
+      .partitionBy("ingest_date")
+      .outputMode("append").trigger(trigger)
+      .queryName("bronze_sensors").start()
+
+    val silver = SensorPipeline.silver(bronze, watermark)
+    val qSilver = silver.writeStream.format(layout.format)
+      .option("checkpointLocation", layout.checkpoints("silver_sensors"))
+      .option("path", layout.silver("sensors"))
+      .partitionBy("event_date")
+      .outputMode("append").trigger(trigger)
+      .queryName("silver_sensors").start()
+
+    val agg = SensorPipeline.goldMinuteAgg(silver)
+    val qAgg = sink(agg, "sensors_minute_agg", "calc_date")
+    val enriched = SensorPipeline.goldEnriched(agg, pools, prices)
+    val qEnriched = sink(enriched, "sensors_enriched", "calc_date")
+
+    Seq(qBronze, qSilver, qAgg, qEnriched)
+  }
+
+  /** Bounded run + graceful reverse-order stop (07:…py:163-171). */
+  def runBounded(queries: Seq[StreamingQuery], runSeconds: Int): Unit = {
+    Thread.sleep(runSeconds * 1000L)
+    queries.reverse.foreach(_.stop())
+  }
+}
