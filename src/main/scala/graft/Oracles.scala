@@ -158,8 +158,8 @@ object Oracles {
 
     "q18_json_extract" ->
       """SELECT event_type,
-        |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT))
-        |    AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(NULLIF(regexp_extract(props, '[0-9]+'), '')
+        |    AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n_k
         |FROM events
         |GROUP BY event_type

@@ -237,7 +237,7 @@ object Queries {
           org.apache.spark.sql.types.StructType.fromDDL("k INT")))
         .groupBy(col("event_type"))
         .agg(sum(col("j.k").cast("long")).as("sum_k"),
-          count(col("j.k")).as("n_k"))
+          count(lit(1)).as("n_k"))
         .orderBy(col("event_type"))
     }),
 

@@ -63,7 +63,9 @@ object ElectricityBatchJob {
     val newRaw = IncrementalFiles.readNew(spark, landingRoot, lastDate)
     if (newRaw.isEmpty) return
 
-    val bronze = toBronze(newRaw.drop("date"))
+    // keep the landing `date` partition column: variant-C CSVs
+    // (date+hour, no ts) depend on it for timestamp reconstruction
+    val bronze = toBronze(newRaw)
     TableIO.append(bronze, layout, layout.bronze("electricity_prices"),
       partitionCols = Seq("ingest_date"))
 

@@ -121,9 +121,8 @@ object StructuredBatchJob {
         Upsert(target, sp, Seq("pool_id"), Seq(col("updated_at").desc),
           broadcastSource = true)
       } else sp
-    // materialize before overwriting the path being read
-    TableIO.overwrite(mergedPools.localCheckpoint(true), layout,
-      silverPoolsPath)
+    // tmp-write + swap: mergedPools reads the path being replaced
+    TableIO.replaceContents(spark, layout, mergedPools, silverPoolsPath)
 
     val poolsFinal = TableIO.read(spark, layout, silverPoolsPath)
     DataQuality.assertEmpty("pools pk unique",

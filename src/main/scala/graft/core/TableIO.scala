@@ -79,8 +79,9 @@ object TableIO {
     * bytes, partition columns inferred from hive-style dirs
     * (03_silver_smartpool.ipynb §6's partition-layout assertion). */
   def describe(spark: SparkSession, path: String): Map[String, Any] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = fs.makeQualified(p0) // listStatus returns qualified paths
     val files = scala.collection.mutable.ArrayBuffer.empty[
       org.apache.hadoop.fs.FileStatus]
     def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
@@ -101,6 +102,27 @@ object TableIO {
       "partitionColumns" -> partCols)
   }
 
+  /** Overwrite `path` with a DataFrame that READS FROM `path`: write
+    * to a sibling tmp dir first, then swap via delete+rename. (A
+    * localCheckpoint-then-overwrite would lose the table if an
+    * executor holding checkpoint blocks died after the delete — the
+    * source files would already be gone.) A crash mid-swap leaves the
+    * tmp dir intact for manual recovery. */
+  def replaceContents(spark: SparkSession, layout: LakeLayout,
+      df: DataFrame, path: String, partitionCols: Seq[String] = Nil)
+      : Unit = {
+    val tmp = s"$path.__tmp_${System.currentTimeMillis()}"
+    val w = df.write.format(layout.format).mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .save(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    if (!fs.rename(t, p))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+  }
+
   /** Small-file compaction — at 100 TB the streaming sinks and
     * per-batch appends fragment tables; rewrite to ~targetMB files.
     * Coalesce (no shuffle) is enough because we only merge. */
@@ -111,9 +133,9 @@ object TableIO {
     val targetFiles = math.max(1,
       (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
     val df = read(spark, layout, path).coalesce(targetFiles)
-      .localCheckpoint(true)
-    overwrite(df, layout, path)
-    logVersion(spark, path, s"COMPACT($targetFiles files)", df.count())
+    replaceContents(spark, layout, df, path)
+    logVersion(spark, path, s"COMPACT($targetFiles files)",
+      read(spark, layout, path).count())
   }
 
   /** Pre-create an empty table to fix the schema before streams start

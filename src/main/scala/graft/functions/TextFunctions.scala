@@ -83,5 +83,5 @@ object TextFunctions {
     * that is whitespace-normalization-invariant (unlike hashing the raw
     * string) and never shuffles the text itself. */
   def fingerprint(text: Column): Column =
-    xxhash64(concat_ws("", tokens(text)))
+    xxhash64(concat_ws("\u0001", tokens(text)))
 }

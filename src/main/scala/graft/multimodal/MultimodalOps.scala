@@ -86,7 +86,7 @@ object MultimodalOps {
   def sampleFramePlan(assets: DataFrame, everyMs: Long = 1000L)
       : DataFrame =
     assets.filter(col("modality") === "video" &&
-        col("duration_ms").isNotNull)
+        col("duration_ms").isNotNull && col("duration_ms") > 0)
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms") - 1,
           lit(everyMs))))

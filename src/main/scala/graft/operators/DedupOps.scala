@@ -76,12 +76,18 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val sh = withSig.select(col(idCol), col("__sh"))
-    candidates
+    val result = candidates
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    // materialize the (small) pair set eagerly so the signature cache
+    // can be released — otherwise every call pins the corpus in
+    // executor storage for the session lifetime
+    val out = result.localCheckpoint(true)
+    withSig.unpersist(blocking = false)
+    out
   }
 
   /** Exact Jaccard over two shingle arrays. */

@@ -89,20 +89,21 @@ object SimilarityOps {
     * scale shape: the centroid table is tiny and broadcast twice; the
     * corpus is scanned once to assign cells (one narrow shuffle on
     * cell id), and each query touches ~nprobe/C of the corpus.
-    * Centroids here are a deterministic strided sample (ids ≡ 0 mod
-    * stride) — a production build would train k-means and pass the
-    * centroid table in; the query path is identical.
+    * Centroids here are a deterministic sample (the first `cells`
+    * vectors by id) — a production build would train k-means and pass
+    * the centroid table in; the query path is identical.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, cells: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
+    // TakeOrdered of the first `cells` ids — NOT a global window, which
+    // would sort the whole corpus in one task
     val centroids = broadcast(
-      c.withColumn("__rn", row_number().over(
-          Window.orderBy(col("neighbor_id"))))
-        .filter(col("__rn") <= cells)
-        .select(col("__rn").as("cell"), col("__cv").as("__cent")))
+      c.orderBy(col("neighbor_id")).limit(cells)
+        .withColumn("cell", monotonically_increasing_id())
+        .select(col("cell"), col("__cv").as("__cent")))
     // assign every corpus vector to its nearest centroid cell
     val assigned = c.crossJoin(centroids)
       .withColumn("__sim", cosine(col("__cv"), col("__cent")))

@@ -17,9 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  private val SaltSafeJoins =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+
   def apply(large: DataFrame, small: DataFrame, keys: Seq[String],
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
+    // right/full outer would emit one null-padded row PER SALT for
+    // unmatched small-side keys — only large-side-preserving joins
+    // are salt-safe
+    require(SaltSafeJoins.contains(joinType.toLowerCase),
+      s"joinType '$joinType' is not salt-safe (small side is replicated)")
     val saltedLarge = large.withColumn("__salt",
       pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*),
         lit(salt.toLong)).cast("int"))

@@ -92,8 +92,12 @@ object IncrementalFiles {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statePath)
   }
 
-  /** Read only partitions strictly newer than the state. The `date`
-    * partition column comparison prunes directories at planning time
+  /** Read partitions at-or-after the state date. `>=` (not `>`): files
+    * can keep landing into the current date's partition after a run has
+    * ingested it — a strict comparison would skip them forever. The
+    * boundary partition is re-read instead, and silver's latest-wins
+    * dedup makes the re-ingest idempotent. The partition-column
+    * comparison prunes directories at planning time
     * (PruneFileSourcePartitions) — no data files behind older `date=`
     * dirs are opened, which is what keeps this O(new-data) at 100 TB. */
   def readNew(spark: SparkSession, landingRoot: String,
@@ -103,6 +107,6 @@ object IncrementalFiles {
       .option("basePath", landingRoot)
       .format(format)
       .load(landingRoot)
-    lastDate.fold(base)(d => base.filter(col("date") > lit(d)))
+    lastDate.fold(base)(d => base.filter(col("date") >= lit(d)))
   }
 }

@@ -66,14 +66,25 @@ class IncrementalSpec extends SparkTestBase {
     IncrementalFiles.writeState(spark, statePath, "2026-01-01")
     assert(IncrementalFiles.readState(spark, statePath)
       .contains("2026-01-01"))
+    // >= semantics: the boundary partition is re-read (files can keep
+    // landing into it after ingestion; silver dedup makes it idempotent)
     val onlyNew = IncrementalFiles.readNew(spark, landing,
       Some("2026-01-01"))
-    assert(onlyNew.count() == 1)
-    assert(onlyNew.select("date").as[String].head() == "2026-01-02")
+    assert(onlyNew.count() == 2)
 
-    // resume past everything → empty, no loss/dup across the protocol
     IncrementalFiles.writeState(spark, statePath, "2026-01-02")
+    val boundary = IncrementalFiles.readNew(spark, landing,
+      Some("2026-01-02"))
+    assert(boundary.count() == 1)
+    assert(boundary.select("date").as[String].head() == "2026-01-02")
+
+    // a late file landing into the already-ingested boundary partition
+    // IS picked up on the next run — the bug the `>` protocol had
+    Seq(("2026-01-02 01:00:00", "61.0"))
+      .toDF("ts", "price_eur_mwh")
+      .write.option("header", "true").mode("append")
+      .csv(s"$landing/date=2026-01-02")
     assert(IncrementalFiles.readNew(spark, landing, Some("2026-01-02"))
-      .isEmpty)
+      .count() == 2)
   }
 }
