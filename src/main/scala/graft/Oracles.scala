@@ -324,6 +324,53 @@ object Oracles {
         |FROM lineitem GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
 
+    "q44_curation" ->
+      """WITH ann AS (
+        |  SELECT doc_id, text,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS BIGINT)
+        |      AS n_units,
+        |    round(
+        |      (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |       * (1.0 - least(
+        |           (CAST(len(regexp_extract_all(text, '[[:punct:]]'))
+        |              AS DOUBLE)
+        |            / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |           * 4.0, 1.0) * 0.5))
+        |      * sqrt(
+        |          CAST(len(list_distinct(CASE WHEN trim(text) = ''
+        |            THEN [] ELSE string_split_regex(
+        |              trim(lower(text)), '\s+') END)) AS DOUBLE)
+        |          / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+        |            ELSE len(string_split_regex(trim(text), '\s+'))
+        |            END AS DOUBLE), 1.0)), 4) AS quality
+        |  FROM documents),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |neardup_drops AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    >= 0.95)
+        |SELECT a.doc_id, a.n_tokens, a.n_units, a.quality
+        |FROM ann a JOIN keepers k ON a.doc_id = k.doc_id
+        |WHERE a.doc_id NOT IN (SELECT doc_id FROM neardup_drops)
+        |  AND a.n_tokens >= 10 AND a.quality >= 0.05
+        |ORDER BY a.doc_id""".stripMargin,
+
     "q29_embedding_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

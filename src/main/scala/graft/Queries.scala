@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.Rounding.dround
 import graft.functions.TextFunctions
 import graft.operators.{DedupOps, SimilarityOps}
 import graft.ops.{ConditionalCounts, DataQuality, DedupLatest, TopNPerGroup}
@@ -32,10 +33,10 @@ object Queries {
       // A1: global aggregate, no grouping (ref: 02_ingest_smartpool.py:74)
       t(s, d, "lineitem").agg(
         count(lit(1)).as("n_rows"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(max(col("l_extendedprice")), 4).as("max_price"),
-        round(min(col("l_discount")), 4).as("min_disc"),
-        round(avg(col("l_tax")), 4).as("avg_tax"))
+        dround(sum(col("l_quantity")), 2).as("sum_qty"),
+        dround(max(col("l_extendedprice")), 4).as("max_price"),
+        dround(min(col("l_discount")), 4).as("min_disc"),
+        dround(avg(col("l_tax")), 4).as("avg_tax"))
     }),
 
     "q02_groupby_stats" -> ((s, d) => {
@@ -45,12 +46,12 @@ object Queries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          dround(sum(col("l_quantity")), 2).as("sum_qty"),
+          dround(avg(col("l_extendedprice")), 4).as("avg_price"),
+          dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"),
-          round(min(col("l_discount")), 4).as("min_disc"),
-          round(max(col("l_tax")), 4).as("max_tax"))
+          dround(min(col("l_discount")), 4).as("min_disc"),
+          dround(max(col("l_tax")), 4).as("max_tax"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -84,10 +85,10 @@ object Queries {
       val li = t(s, d, "lineitem")
       val rev = li.groupBy(to_date(col("l_shipdate")).as("ship_date"),
           col("l_returnflag"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .agg(dround(sum(col("l_extendedprice")), 2).as("revenue"))
       val qty = li.groupBy(to_date(col("l_shipdate")).as("ship_date"),
           col("l_returnflag"))
-        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+        .agg(dround(sum(col("l_quantity")), 2).as("qty"))
       rev.join(qty, Seq("ship_date", "l_returnflag"), "left")
         .orderBy(col("ship_date"), col("l_returnflag"))
     }),
@@ -100,7 +101,7 @@ object Queries {
       li.join(p, li("l_partkey") === p("p_partkey"), "inner")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"))
+          dround(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("p_brand"))
     }),
 
@@ -186,7 +187,7 @@ object Queries {
           col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
         .withColumn("disc", coalesce(col("l_discount"), lit(0.0)))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), round(sum(col("disc")), 4)
+        .agg(count(lit(1)).as("n"), dround(sum(col("disc")), 4)
           .as("sum_disc"))
         .orderBy(col("l_returnflag"))
     }),
@@ -200,7 +201,7 @@ object Queries {
         .withColumn("priority_factor",
           coalesce(element_at(factor, col("o_orderpriority")), lit(0.8)))
         .withColumn("weighted_price",
-          round(col("o_totalprice") * col("priority_factor"), 4))
+          dround(col("o_totalprice") * col("priority_factor"), 4))
         .select(col("o_orderkey"), col("priority_factor"),
           col("weighted_price"))
         .orderBy(col("o_orderkey"))
@@ -212,7 +213,7 @@ object Queries {
       t(s, d, "events")
         .groupBy(to_date(col("ts")).as("event_date"),
           hour(col("ts")).as("event_hour"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2)
+        .agg(count(lit(1)).as("n"), dround(sum(col("value")), 2)
           .as("sum_value"))
         .orderBy(col("event_date"), col("event_hour"))
     }),
@@ -223,8 +224,8 @@ object Queries {
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 minute"), col("event_type"))
         .agg(count(lit(1)).as("n_readings"),
-          round(avg(col("value")), 4).as("avg_value"),
-          round(max(col("value")), 4).as("max_value"))
+          dround(avg(col("value")), 4).as("avg_value"),
+          dround(max(col("value")), 4).as("max_value"))
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n_readings"), col("avg_value"), col("max_value"))
         .orderBy(col("w_start"), col("event_type"))
@@ -257,7 +258,7 @@ object Queries {
         TextFunctions.charCount(col("text")).cast("long").as("n_chars_m"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextFunctions.bpeishCount(col("text")).cast("long").as("n_units"),
-        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"))
+        dround(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -302,7 +303,7 @@ object Queries {
       val b = doc.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .withColumn("jaccard",
-          round(DedupOps.jaccard(col("sh_a"), col("sh_b")), 4))
+          dround(DedupOps.jaccard(col("sh_a"), col("sh_b")), 4))
         .filter(col("jaccard") >= 0.01)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -327,7 +328,7 @@ object Queries {
     "q29_embedding_norms" -> ((s, d) => {
       t(s, d, "embeddings")
         .select(col("vec_id"),
-          round(SimilarityOps.l2Norm(col("embedding")
+          dround(SimilarityOps.l2Norm(col("embedding")
             .cast("array<double>")), 4).as("l2_norm"),
           col("label"))
         .orderBy(col("vec_id"))
@@ -340,10 +341,10 @@ object Queries {
       // (ref: 03_silver_smartpool.ipynb §4 MERGE; non-Delta fallback)
       val target = t(s, d, "customer")
         .filter(col("c_custkey") <= 100)
-        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .select(col("c_custkey"), dround(col("c_acctbal"), 2).as("bal"))
       val source = t(s, d, "orders")
         .groupBy(col("o_custkey").as("c_custkey"))
-        .agg(round(max(col("o_totalprice")), 2).as("bal"))
+        .agg(dround(max(col("o_totalprice")), 2).as("bal"))
       graft.ops.Upsert(target, source, Seq("c_custkey"),
         Seq(col("bal").desc))
         .orderBy(col("c_custkey"))
@@ -389,7 +390,7 @@ object Queries {
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"))
+          dround(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
@@ -398,7 +399,7 @@ object Queries {
       t(s, d, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
+          dround(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     }),
@@ -411,7 +412,7 @@ object Queries {
         .groupBy(col("user_id"),
           session_window(col("ts"), "10 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
+          dround(sum(col("value")), 2).as("sum_value"))
         .select(col("user_id"),
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
@@ -425,7 +426,7 @@ object Queries {
       t(s, d, "events")
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 2).as("sum_value"))
+          dround(sum(col("value")), 2).as("sum_value"))
         .select(col("window.start").as("w_start"), col("n"),
           col("sum_value"))
         .orderBy(col("w_start"))
@@ -440,7 +441,7 @@ object Queries {
       graft.ops.SaltedJoin(events, dim, Seq("user_id"), salt = 8)
         .groupBy(col("user_id"), col("user_tag"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 2).as("sum_value"))
+          dround(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("user_id"))
     }),
 
@@ -473,11 +474,11 @@ object Queries {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4)
+          dround(expr("percentile(l_extendedprice, 0.5)"), 4)
             .as("p50_price"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4)
+          dround(expr("percentile(l_extendedprice, 0.9)"), 4)
             .as("p90_price"),
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+          dround(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -486,13 +487,29 @@ object Queries {
       t(s, d, "lineitem")
         .groupBy(col("l_linestatus"))
         .agg(
-          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
-          round(var_samp(col("l_quantity")), 4).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          dround(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          dround(var_samp(col("l_quantity")), 4).as("var_qty"),
+          dround(corr(col("l_quantity"), col("l_extendedprice")), 4)
             .as("corr_qty_price"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6)
+          dround(covar_samp(col("l_discount"), col("l_tax")), 6)
             .as("cov_disc_tax"))
         .orderBy(col("l_linestatus"))
+    }),
+
+    "q44_curation" -> ((s, d) => {
+      // end-to-end curation pipeline (annotate → exact dedup →
+      // near-dup drop → quality gates). The corpus contains planted
+      // near-duplicates (24 pairs with jaccard ≥ 0.95 at sf0.01); the
+      // oracle replicates the near-dup stage with exact shingle
+      // jaccard in SQL — LSH recall at j ≥ 0.95 with 16×4 bands is
+      // 1 - 4e-12, so the sets agree
+      graft.batch.CurationJob.curate(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        minTokens = 10, minQuality = 0.05,
+        nearDupThreshold = 0.95)
+        .select(col("doc_id"), col("n_tokens"), col("n_units"),
+          col("quality"))
+        .orderBy(col("doc_id"))
     }),
 
     "q40_ann_ivf" -> ((s, d) => {

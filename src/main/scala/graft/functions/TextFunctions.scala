@@ -53,7 +53,7 @@ object TextFunctions {
     val distinctToks = size(array_distinct(tokens(lower(text)))).cast("double")
     val total = greatest(tokenCount(text).cast("double"), lit(1.0))
     val diversity = sqrt(distinctToks / total)
-    round(lenScore * (lit(1.0) - punctPenalty * lit(0.5)) * diversity, 4)
+    Rounding.dround(lenScore * (lit(1.0) - punctPenalty * lit(0.5)) * diversity, 4)
   }
 
   /** Stopword-profile language ID over {en, es, de, fr} + a CJK

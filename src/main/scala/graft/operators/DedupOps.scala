@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Rounding.dround
 import graft.functions.TextFunctions
 
 /** Document deduplication for training-data pipelines: exact (content
@@ -81,7 +82,7 @@ object DedupOps {
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), dround(col("jaccard"), 4).as("jaccard"))
     // materialize the (small) pair set eagerly so the signature cache
     // can be released — otherwise every call pins the corpus in
     // executor storage for the session lifetime

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Rounding.dround
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -51,7 +52,7 @@ object SimilarityOps {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_sim"), 4).as("cos_sim"), col("rn"))
+        dround(col("cos_sim"), 4).as("cos_sim"), col("rn"))
   }
 
   /** h-bit random-hyperplane signature via the native
@@ -81,7 +82,7 @@ object SimilarityOps {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_sim"), 4).as("cos_sim"), col("rn"))
+        dround(col("cos_sim"), 4).as("cos_sim"), col("rn"))
   }
 
   /** IVF-style ANN: corpus partitioned into C coarse cells by nearest
@@ -130,7 +131,7 @@ object SimilarityOps {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_sim"), 4).as("cos_sim"), col("rn"))
+        dround(col("cos_sim"), 4).as("cos_sim"), col("rn"))
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets. */
@@ -147,7 +148,7 @@ object SimilarityOps {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4)
+      .select(col("id_a"), col("id_b"), dround(col("cos_sim"), 4)
         .as("cos_sim"))
       .distinct()
   }

@@ -123,6 +123,29 @@ class TextDedupSpec extends SparkTestBase {
     assert(ham(m(1L), m(2L)) <= 8)
   }
 
+  test("minhash signature agreement estimates jaccard (the estimator " +
+    "property the linear-probe scheme violated)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.MinHashSignature
+    def sig(ss: Seq[String]) = {
+      val a = new GenericArrayData(
+        ss.map(UTF8String.fromString).toArray[Any])
+      val s = MinHashSignature.signature(a, 256)
+      (0 until 256).map(s.getLong)
+    }
+    // across several disjoint vocabularies: |A∩B|=87, |A∪B|=90 →
+    // expected per-position agreement = 87/90 ≈ 0.967
+    for (seed <- 1 to 5) {
+      val shared = (1 to 87).map(i => s"s$seed-shared-$i")
+      val a = shared ++ Seq(s"s$seed-ua1", s"s$seed-ua2")
+      val b = shared ++ Seq(s"s$seed-ub1")
+      val agree = sig(a).zip(sig(b)).count(t => t._1 == t._2) / 256.0
+      assert(agree > 0.85 && agree <= 1.0,
+        s"seed $seed: agreement $agree far from jaccard 0.967")
+    }
+  }
+
   test("shingles native expression matches expected n-grams") {
     val df = Seq("a b c d", "a b", "x").toDF("text")
       .select(DedupOps.shingles(col("text"), 3).as("sh"))
