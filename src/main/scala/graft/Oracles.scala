@@ -371,6 +371,46 @@ object Oracles {
         |  AND a.n_tokens >= 10 AND a.quality >= 0.05
         |ORDER BY a.doc_id""".stripMargin,
 
+    "q45_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT')
+        |    AS BIGINT) AS n_urgent,
+        |  CAST(count(*) FILTER (o_orderpriority = '2-HIGH')
+        |    AS BIGINT) AS n_high,
+        |  CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM')
+        |    AS BIGINT) AS n_medium,
+        |  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+        |    AS BIGINT) AS n_notspec,
+        |  CAST(count(*) FILTER (o_orderpriority = '5-LOW')
+        |    AS BIGINT) AS n_low
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q46_token_freq" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(CASE WHEN trim(text) = '' THEN []
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |    AS token
+        |  FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q47_collect_set" ->
+      """SELECT lang, list_sort(list(DISTINCT source)) AS sources,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q48_setops" ->
+      """WITH wo AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+        |ac AS (SELECT c_custkey FROM customer)
+        |SELECT c_custkey, 'no_orders' AS kind FROM
+        |  (SELECT c_custkey FROM ac EXCEPT SELECT c_custkey FROM wo)
+        |UNION ALL
+        |SELECT c_custkey, 'has_orders' AS kind FROM
+        |  (SELECT c_custkey FROM ac INTERSECT SELECT c_custkey FROM wo)
+        |ORDER BY kind, c_custkey""".stripMargin,
+
     "q29_embedding_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

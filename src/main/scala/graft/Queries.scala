@@ -512,6 +512,56 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "q45_pivot" -> ((s, d) => {
+      // relational pivot via the DataFrame pivot API (the reference
+      // hand-rolls this with sum(when) — A3; this is the operator form)
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+            "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high",
+          "3-MEDIUM" -> "n_medium", "4-NOT SPECIFIED" -> "n_notspec",
+          "5-LOW" -> "n_low"))
+        .na.fill(0L)
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q46_token_freq" -> ((s, d) => {
+      // generator/explode surface: corpus token frequencies, top 50
+      t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(lower(col("text"))))
+          .as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }),
+
+    "q47_collect_set" -> ((s, d) => {
+      // array aggregation: sorted distinct set per group
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(sort_array(collect_set(col("source"))).as("sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    "q48_setops" -> ((s, d) => {
+      // except/intersect (absent from the reference; engine
+      // completeness per SURVEY §2.7 note)
+      val withOrders = t(s, d, "orders")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val allCust = t(s, d, "customer").select(col("c_custkey"))
+      val noOrders = allCust.except(withOrders)
+        .withColumn("kind", lit("no_orders"))
+      val both = allCust.intersect(withOrders)
+        .withColumn("kind", lit("has_orders"))
+      noOrders.union(both).orderBy(col("kind"), col("c_custkey"))
+    }),
+
     "q40_ann_ivf" -> ((s, d) => {
       // IVF-style cell-probed ANN (approximate — rows-only check; the
       // exactness baseline is q28)

@@ -58,7 +58,8 @@ object TextFunctions {
 
   /** Stopword-profile language ID over {en, es, de, fr} + a CJK
     * char-range check for zh. Scores are per-language stopword hit
-    * counts; ties break by the fixed language order. */
+    * counts; `greatest` over (score, lang) structs breaks score ties
+    * by the lexicographically largest language code. */
   private val LangStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
     "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "una"),
