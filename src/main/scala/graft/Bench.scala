@@ -33,8 +33,11 @@ object Bench {
         coldTotal += cold
         val warm = if (ok) {
           val t1 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          (System.nanoTime() - t1) / 1e9
+          val okWarm =
+            try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          // a failed warm run must read as a failure, not a fast time
+          if (okWarm) (System.nanoTime() - t1) / 1e9 else -1.0
         } else -1.0
         name -> warm
     }

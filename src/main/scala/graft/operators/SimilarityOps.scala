@@ -62,20 +62,37 @@ object SimilarityOps {
   def hyperplaneSig(vec: Column, bits: Int, seed: Int = 42): Column =
     graft.functions.HyperplaneLsh.column(vec, bits, seed)
 
-  /** ANN via LSH buckets: join corpus and queries on an h-bit signature,
-    * rank within bucket. Trades recall for turning the cross join into a
-    * bucket equi-join — the shape that scales. */
+  /** (table, bucket) signature pairs for `tables` independent
+    * hyperplane tables (seeds 42, 43, …) — the banding structure of
+    * MinHash-LSH transplanted to hyperplane LSH: a pair is a candidate
+    * if it collides in ANY table. Single-table LSH forces an impossible
+    * trade at scale — few bits ⇒ O(N²/2^bits) within-bucket pairs,
+    * many bits ⇒ recall collapse; b tables of h bits keep buckets small
+    * AND recall high (1-(1-p^h)^b). */
+  def lshTables(vec: Column, bits: Int, tables: Int): Column =
+    posexplode(array((0 until tables).map(t =>
+      hyperplaneSig(vec, bits, seed = 42 + t)): _*))
+
+  /** ANN via banded LSH: candidates collide in any of `tables`
+    * sign-tables, deduped, then verified by exact cosine and ranked.
+    * Signatures are computed scan-side; the only shuffles are the
+    * (table, bucket) candidate equi-join and the id-keyed vector
+    * re-joins. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, queryIdCol: String, k: Int, bits: Int = 8)
-      : DataFrame = {
+      vecCol: String, queryIdCol: String, k: Int, bits: Int = 8,
+      tables: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("bucket", hyperplaneSig(col("__cv"), bits))
+      col(vecCol).cast("array<double>").as("__cv"))
     val q = queries.select(col(queryIdCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("bucket", hyperplaneSig(col("__qv"), bits))
-    val scored = c.join(q, Seq("bucket"))
+      col(vecCol).cast("array<double>").as("__qv"))
+    val cSig = c.select(col("neighbor_id"),
+      lshTables(col("__cv"), bits, tables).as(Seq("tbl", "bucket")))
+    val qSig = q.select(col("query_id"),
+      lshTables(col("__qv"), bits, tables).as(Seq("tbl", "bucket")))
+    val cand = cSig.join(qSig, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -99,29 +116,23 @@ object SimilarityOps {
       nprobe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
-    // TakeOrdered of the first `cells` ids — NOT a global window, which
-    // would sort the whole corpus in one task
-    val centroids = broadcast(
-      c.orderBy(col("neighbor_id")).limit(cells)
-        .withColumn("cell", monotonically_increasing_id())
-        .select(col("cell"), col("__cv").as("__cent")))
-    // assign every corpus vector to its nearest centroid cell
-    val assigned = c.crossJoin(centroids)
-      .withColumn("__sim", cosine(col("__cv"), col("__cent")))
-      .withColumn("__r", row_number().over(Window
-        .partitionBy(col("neighbor_id"))
-        .orderBy(col("__sim").desc, col("cell"))))
-      .filter(col("__r") === 1)
+    // the codebook: first `cells` vectors by id — a bounded TakeOrdered
+    // collected to the driver (model metadata, like trained k-means
+    // centroids). It then ships INSIDE the NearestCells expression, so
+    // assignment is a narrow map — the previous formulation crossJoined
+    // the whole corpus against the centroid table and ran an argmax
+    // window (a full C×N-row shuffle just to pick nearest-of-16).
+    val codebook: Array[Array[Double]] =
+      c.orderBy(col("neighbor_id")).limit(cells).select(col("__cv"))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val assigned = assignCells(c, "__cv", codebook)
       .select(col("cell"), col("neighbor_id"), col("__cv"))
-    // queries probe their nprobe nearest cells
+    // queries probe their nprobe nearest cells (same fused expression)
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-    val probes = q.crossJoin(centroids)
-      .withColumn("__sim", cosine(col("__qv"), col("__cent")))
-      .withColumn("__r", row_number().over(Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("__sim").desc, col("cell"))))
-      .filter(col("__r") <= nprobe)
+    val probes = q.withColumn("cell",
+        explode(graft.functions.NearestCells.column(col("__qv"),
+          codebook, nprobe)))
       .select(col("cell"), col("query_id"), col("__qv"))
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -134,22 +145,37 @@ object SimilarityOps {
         dround(col("cos_sim"), 4).as("cos_sim"), col("rn"))
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets. */
+  /** Nearest-codebook-cell assignment as a NARROW map (no join, no
+    * window, no Exchange): the codebook rides inside the fused
+    * [[graft.functions.NearestCells]] expression. This is the stage
+    * that touches every corpus row, so it must not shuffle. */
+  def assignCells(df: DataFrame, vecCol: String,
+      codebook: Array[Array[Double]]): DataFrame =
+    df.withColumn("cell", element_at(
+      graft.functions.NearestCells.column(col(vecCol), codebook, 1), 1))
+
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
+    * candidates collide in any of `tables` sign-tables (union), then
+    * exact-cosine verification. Only (table, bucket, id) rows shuffle
+    * for candidate generation — vectors re-join by id afterward. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 8, tables: Int = 8)
+      : DataFrame = {
     val v = df.select(col(idCol), col(vecCol).cast("array<double>")
-        .as("__v"))
-      .withColumn("bucket", hyperplaneSig(col("__v"), bits))
-    val a = v.select(col("bucket"), col(idCol).as("id_a"),
-      col("__v").as("va"))
-    val b = v.select(col("bucket"), col(idCol).as("id_b"),
-      col("__v").as("vb"))
-    a.join(b, Seq("bucket"))
+      .as("__v"))
+    val sig = v.select(col(idCol),
+      lshTables(col("__v"), bits, tables).as(Seq("tbl", "bucket")))
+    val a = sig.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    val b = sig.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(v.select(col(idCol).as("id_a"), col("__v").as("va")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("__v").as("vb")), "id_b")
       .withColumn("cos_sim", cosine(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), dround(col("cos_sim"), 4)
         .as("cos_sim"))
-      .distinct()
   }
 }

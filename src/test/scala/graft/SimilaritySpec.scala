@@ -80,6 +80,65 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head.getAs[Double]("cos_sim") > 0.999)
   }
 
+  test("NearestCells matches brute-force argmax ranking") {
+    val codebook = Array.tabulate(6, 8)((j, d) =>
+      math.cos(j * 17.0 + d * 5.0))
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 3.0 + d))))
+    val df = vecs.toDF("id", "v")
+    val got = df.select(col("id"),
+      graft.functions.NearestCells.column(col("v"), codebook, 3).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def cos(a: Seq[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    vecs.foreach { case (id, v) =>
+      val want = codebook.indices
+        .sortBy(j => (-cos(v, codebook(j)), j)).take(3)
+      assert(got(id) == want, s"vec $id: got ${got(id)}, want $want")
+    }
+  }
+
+  test("banded LSH recovers all planted near-parallel pairs") {
+    // 60 random base vectors + a near-parallel twin for 12 of them
+    // (tiny noise → cos > 0.99). With 8 tables × 8 bits the per-pair
+    // miss probability at cos 0.99 is ~1e-7 — all twins must surface.
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(32)(rnd.nextGaussian().toFloat)))
+    val twins = (0 until 12).map { i =>
+      (1000L + i, base(i)._2.map(x =>
+        x + (rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val out = SimilarityOps.embeddingNearDups(df, "vec_id", "embedding",
+      threshold = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 12).foreach { i =>
+      assert(out.contains((i.toLong, 1000L + i)),
+        s"planted pair ($i, ${1000 + i}) missed")
+    }
+  }
+
+  test("LSH table buckets stay bounded on real embeddings") {
+    val emb = core.Tables.load(spark, "/root/testdata/sf0.01",
+      "embeddings")
+    val n = emb.count()
+    val maxBucket = emb
+      .select(SimilarityOps.lshTables(col("embedding")
+        .cast("array<double>"), 8, 8).as(Seq("tbl", "bucket")))
+      .groupBy("tbl", "bucket").count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    // 2^8 buckets/table over near-uniform sign bits: the biggest
+    // bucket must stay a small fraction of the corpus, or within-
+    // bucket pair generation reverts to quadratic
+    assert(maxBucket < n / 8,
+      s"max bucket $maxBucket of $n rows — too skewed")
+  }
+
   test("embeddingNearDups reports exact duplicates with cos 1.0") {
     val df = Seq(
       (1L, Seq(0.5f, 0.5f, 0.1f)),

@@ -59,10 +59,10 @@ class SqlAndPlanSpec extends SparkTestBase {
 
   test("no accidental cartesian products in the catalog") {
     // q26/q28 are deliberate bounded cross joins (100-doc / 10-query
-    // candidate sets); q40's centroid assignment broadcasts a 16-row
-    // centroid table; everything else must plan an equi-join
-    val allowed = Set("q26_ngram_jaccard", "q28_ann_bruteforce",
-      "q40_ann_ivf")
+    // candidate sets); everything else must plan an equi-join — q40's
+    // cell assignment is now a narrow map (NearestCells), so it is
+    // held to the same bar
+    val allowed = Set("q26_ngram_jaccard", "q28_ann_bruteforce")
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
@@ -99,6 +99,24 @@ class SqlAndPlanSpec extends SparkTestBase {
     val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
     assert(pushed.contains("In(l_returnflag"), s"pushed=$pushed")
     assert(pushed.contains("l_quantity"), s"pushed=$pushed")
+  }
+
+  test("IVF cell assignment plans zero exchanges (narrow map)") {
+    // the stage that touches every corpus row must not shuffle: the
+    // codebook rides inside the fused NearestCells expression
+    val emb = core.Tables.load(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>").as("v"))
+    val codebook = Array.tabulate(8, 16)((j, d) =>
+      math.sin(j * 31.0 + d * 7.0))
+    val assigned = graft.operators.SimilarityOps
+      .assignCells(emb, "v", codebook)
+    assigned.collect()
+    val exchanges = collectPlan(assigned.queryExecution.executedPlan)
+      .collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"cell assignment shuffled: ${exchanges.length} exchanges")
   }
 
   test("dedup-latest plans a single shuffle") {
