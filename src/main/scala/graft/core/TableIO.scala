@@ -27,19 +27,65 @@ object TableIO {
     fs.exists(p)
   }
 
-  def read(spark: SparkSession, layout: LakeLayout, path: String)
-      : DataFrame =
-    spark.read.format(layout.format).load(path)
+  /** `mergeSchema = true` reconstructs the UNION schema across files
+    * written at different schema versions (rows from files missing a
+    * column read as null) — the read half of additive schema evolution
+    * (reference mergeSchema, 05_ingest_electricity_csv.ipynb §4). */
+  def read(spark: SparkSession, layout: LakeLayout, path: String,
+      mergeSchema: Boolean = false): DataFrame = {
+    val r = spark.read.format(layout.format)
+    (if (mergeSchema) r.option("mergeSchema", "true") else r).load(path)
+  }
 
+  private def fieldNames(s: StructType): Set[String] =
+    s.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+
+  /** Existing-table schema for the evolution guards; None when the
+    * path holds nothing readable (e.g. an empty dir from an aborted
+    * write) — then there is no schema to enforce against. */
+  private def existingSchema(spark: SparkSession, layout: LakeLayout,
+      path: String): Option[StructType] =
+    if (!exists(spark, path)) None
+    else scala.util.Try(read(spark, layout, path).schema).toOption
+
+  /** Append with Delta-style schema enforcement: writing NEW columns
+    * into an existing table is refused unless `mergeSchema = true`
+    * (the reference's `.option("mergeSchema", "true")` append,
+    * 05_ingest_electricity_csv.ipynb §4). With it, the new files carry
+    * the wider schema and `read(…, mergeSchema = true)` reconstructs
+    * the union. */
   def append(df: DataFrame, layout: LakeLayout, path: String,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil, mergeSchema: Boolean = false)
+      : Unit = {
+    if (!mergeSchema) existingSchema(df.sparkSession, layout, path)
+      .foreach { s =>
+        val added = fieldNames(df.schema) -- fieldNames(s)
+        require(added.isEmpty,
+          s"append to $path adds columns ${added.mkString(", ")}; " +
+            "pass mergeSchema = true to evolve the schema")
+      }
     val w = df.write.format(layout.format).mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .save(path)
   }
 
+  /** Overwrite with Delta-style schema enforcement: replacing an
+    * existing table with a DIFFERENT column set is refused unless
+    * `overwriteSchema = true` (the reference's
+    * `.option("overwriteSchema", "true")`, 03_silver_smartpool.py:33) —
+    * a snapshot job that silently changes the schema is usually a bug
+    * upstream, not an intended migration. */
   def overwrite(df: DataFrame, layout: LakeLayout, path: String,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil, overwriteSchema: Boolean = false)
+      : Unit = {
+    if (!overwriteSchema) existingSchema(df.sparkSession, layout, path)
+      .foreach { s =>
+        val existing = fieldNames(s)
+        val next = fieldNames(df.schema)
+        require(existing == next,
+          s"overwrite of $path changes schema ($existing -> $next); " +
+            "pass overwriteSchema = true to replace it")
+      }
     val w = df.write.format(layout.format).mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .save(path)
@@ -106,8 +152,11 @@ object TableIO {
     * to a sibling tmp dir first, then swap via delete+rename. (A
     * localCheckpoint-then-overwrite would lose the table if an
     * executor holding checkpoint blocks died after the delete — the
-    * source files would already be gone.) A crash mid-swap leaves the
-    * tmp dir intact for manual recovery. */
+    * source files would already be gone.) The `_graft_log` version
+    * sidecar lives INSIDE the table dir, so it is moved into the tmp
+    * dir before the swap — otherwise every compaction would wipe the
+    * table's history. A crash mid-swap leaves the tmp dir (log
+    * included) intact for manual recovery. */
   def replaceContents(spark: SparkSession, layout: LakeLayout,
       df: DataFrame, path: String, partitionCols: Seq[String] = Nil)
       : Unit = {
@@ -118,6 +167,9 @@ object TableIO {
     val p = new org.apache.hadoop.fs.Path(path)
     val t = new org.apache.hadoop.fs.Path(tmp)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(logPath(path))
+    if (fs.exists(log))
+      fs.rename(log, new org.apache.hadoop.fs.Path(logPath(tmp)))
     fs.delete(p, true)
     if (!fs.rename(t, p))
       throw new java.io.IOException(s"rename $tmp -> $path failed")

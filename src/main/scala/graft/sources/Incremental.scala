@@ -71,6 +71,47 @@ object IncrementalJdbc {
       .option("query", query)
     props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
+
+  /** N disjoint stride predicates over the PK, covering ALL of the key
+    * space (first/last clauses are open-ended, so keys outside the
+    * sampled [minPk, maxPk] are not lost), each optionally ANDed with
+    * an extra predicate (the watermark clause). */
+  def partitionPredicates(pkCol: String, minPk: Long, maxPk: Long,
+      numPartitions: Int, extra: Option[String] = None): Array[String] = {
+    require(numPartitions >= 1, "numPartitions must be >= 1")
+    val span = math.max(1L, maxPk - minPk + 1)
+    val step = math.max(1L, (span + numPartitions - 1) / numPartitions)
+    val parts = (0 until numPartitions).map { i =>
+      val lo = minPk + i * step
+      val hi = lo + step
+      if (numPartitions == 1) "1=1"
+      else if (i == 0) s"$pkCol < $hi"
+      else if (i == numPartitions - 1) s"$pkCol >= $lo"
+      else s"$pkCol >= $lo AND $pkCol < $hi"
+    }
+    parts.map(p => extra.fold(p)(e => s"($p) AND $e")).toArray
+  }
+
+  /** Partitioned parallel ingest (reference 02_ingest_smartpool.py:30-31):
+    * same pushdown subquery as [[read]] — lossless timestamp string and
+    * all — but split into per-partition WHERE clauses on the PK via the
+    * `predicates` JDBC API, so the read fans out over `numPartitions`
+    * concurrent connections instead of serializing through one task.
+    * `minPk`/`maxPk` only set the stride layout; rows outside the range
+    * still land in the edge partitions. */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+      updatedCol: String, pkCol: String, wm: Option[JdbcWatermark],
+      minPk: Long, maxPk: Long, numPartitions: Int,
+      dialect: TimestampToString = SqlServerDialect,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val sub = s"(SELECT t.*, ${dialect(updatedCol)} AS " +
+      s"${updatedCol}_str FROM $table t) AS g"
+    val preds = partitionPredicates(pkCol, minPk, maxPk, numPartitions,
+      wm.map(w => incrementalPredicate(w, updatedCol, pkCol)))
+    val jprops = new java.util.Properties()
+    props.foreach { case (k, v) => jprops.setProperty(k, v) }
+    spark.read.jdbc(url, sub, preds, jprops)
+  }
 }
 
 /** File-ingest incremental state — protocol (c): a `last_date` string in a
@@ -99,7 +140,14 @@ object IncrementalFiles {
     * dedup makes the re-ingest idempotent. The partition-column
     * comparison prunes directories at planning time
     * (PruneFileSourcePartitions) — no data files behind older `date=`
-    * dirs are opened, which is what keeps this O(new-data) at 100 TB. */
+    * dirs are opened, which is what keeps this O(new-data) at 100 TB.
+    *
+    * LIMIT OF THE DATE WATERMARK: once `last_date` advances, partitions
+    * strictly older than it are FROZEN — a file backfilled into an old
+    * `date=` dir is never picked up. That is the protocol's contract
+    * (partition == arrival date). For out-of-band backfills, use
+    * [[readNewByModTime]], which watermarks on file modification time
+    * instead of the partition value. */
   def readNew(spark: SparkSession, landingRoot: String,
       lastDate: Option[String], format: String = "csv"): DataFrame = {
     val base = spark.read
@@ -108,5 +156,41 @@ object IncrementalFiles {
       .format(format)
       .load(landingRoot)
     lastDate.fold(base)(d => base.filter(col("date") >= lit(d)))
+  }
+
+  /** Modification-time incremental pickup — the late-backfill
+    * complement to [[readNew]]: lists the landing root and reads every
+    * data file with mtime strictly greater than `sinceMtime`, wherever
+    * its partition sits. Catches files backfilled into partitions the
+    * date watermark has frozen. Cost: one recursive listing, O(#files)
+    * on the driver — fine into the millions of files; beyond that, a
+    * manifest or storage-notification source is the right tool.
+    * Returns the batch (None when nothing new) and the max mtime seen
+    * across ALL files, which is the next watermark to persist. */
+  def readNewByModTime(spark: SparkSession, landingRoot: String,
+      sinceMtime: Long, format: String = "csv")
+      : (Option[DataFrame], Long) = {
+    val root = new org.apache.hadoop.fs.Path(landingRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (!hidden(st.getPath.getName))
+        files += ((st.getPath.toString, st.getModificationTime))
+    }
+    val maxMtime = if (files.isEmpty) sinceMtime
+      else math.max(sinceMtime, files.map(_._2).max)
+    val fresh = files.collect { case (p, m) if m > sinceMtime => p }
+    if (fresh.isEmpty) (None, maxMtime)
+    else {
+      val df = spark.read
+        .option("header", "true")
+        .option("basePath", landingRoot)
+        .format(format)
+        .load(fresh.toSeq: _*)
+      (Some(df), maxMtime)
+    }
   }
 }

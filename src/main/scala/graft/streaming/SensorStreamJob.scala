@@ -76,4 +76,38 @@ object SensorStreamJob {
     Thread.sleep(runSeconds * 1000L)
     queries.reverse.foreach(_.stop())
   }
+
+  /** K6: console debug sink (reference 07_kafka….ipynb §9) — prints
+    * each micro-batch to stdout; never a production sink. */
+  def consoleSink(df: DataFrame, numRows: Int = 20,
+      truncate: Boolean = false, triggerSeconds: Int = 10)
+      : StreamingQuery =
+    df.writeStream.format("console")
+      .option("numRows", numRows.toString)
+      .option("truncate", truncate.toString)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$triggerSeconds seconds"))
+      .start()
+
+  /** Stream-static join with a PER-BATCH dim refresh (SURVEY §7.4 risk
+    * 4): a plain stream-static join against a parquet dim resolves the
+    * static side's file listing once at query start, so dim updates
+    * made while the stream runs are invisible until restart. foreachBatch
+    * re-reads the dim table at every micro-batch — an update lands in
+    * the NEXT batch. The dim is broadcast (it is small by contract). */
+  def startWithDimRefresh(stream: DataFrame, layout: LakeLayout,
+      dimPath: String, joinKeys: Seq[String], outPath: String,
+      checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dim = batch.sparkSession.read.format(layout.format)
+          .load(dimPath)
+        batch.join(org.apache.spark.sql.functions.broadcast(dim),
+            joinKeys, "left")
+          .write.format(layout.format)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(outPath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .queryName("dim_refresh_sink")
+      .start()
 }

@@ -37,6 +37,34 @@ class FormatsSpec extends SparkTestBase {
     }
   }
 
+  test("additive schema evolution: guarded append + mergeSchema read") {
+    val root = Files.createTempDirectory("graft-evolve").toString
+    val layout = LakeLayout(root)
+    val path = s"$root/t"
+    TableIO.overwrite(Seq((1L, "a")).toDF("id", "s"), layout, path)
+    // a new column is refused by default (Delta-style enforcement)…
+    intercept[IllegalArgumentException] {
+      TableIO.append(Seq((2L, "b", 9.9)).toDF("id", "s", "extra"),
+        layout, path)
+    }
+    // …and admitted with mergeSchema; the union schema reads back with
+    // nulls for pre-evolution rows
+    TableIO.append(Seq((2L, "b", 9.9)).toDF("id", "s", "extra"),
+      layout, path, mergeSchema = true)
+    val back = TableIO.read(spark, layout, path, mergeSchema = true)
+    assert(back.columns.toSet == Set("id", "s", "extra"))
+    assert(back.count() == 2)
+    assert(back.filter(col("extra").isNull).count() == 1)
+    // snapshot overwrite with a DIFFERENT schema needs overwriteSchema
+    intercept[IllegalArgumentException] {
+      TableIO.overwrite(Seq((1L, 2.0)).toDF("id", "x"), layout, path)
+    }
+    TableIO.overwrite(Seq((1L, 2.0)).toDF("id", "x"), layout, path,
+      overwriteSchema = true)
+    assert(TableIO.read(spark, layout, path).columns.toSet
+      == Set("id", "x"))
+  }
+
   test("spark-submit arg surface parses like the reference CLIs") {
     val a = graft.batch.JobMains.parseArgs(Array(
       "--lake-root", "/tmp/x", "--ingest-date", "2026-01-15",

@@ -87,4 +87,33 @@ class IncrementalSpec extends SparkTestBase {
     assert(IncrementalFiles.readNew(spark, landing, Some("2026-01-02"))
       .count() == 2)
   }
+
+  test("mod-time pickup catches backfills into frozen partitions") {
+    val tmp = Files.createTempDirectory("graft-mtime").toString
+    val landing = s"$tmp/landing"
+    Seq(("2026-01-01 00:00:00", "50.0")).toDF("ts", "price_eur_mwh")
+      .write.option("header", "true").csv(s"$landing/date=2026-01-01")
+    Seq(("2026-01-02 00:00:00", "60.0")).toDF("ts", "price_eur_mwh")
+      .write.option("header", "true").csv(s"$landing/date=2026-01-02")
+
+    val (b1, m1) = IncrementalFiles.readNewByModTime(spark, landing, 0L)
+    assert(b1.exists(_.count() == 2))
+    // converged: nothing new, watermark stable
+    val (b2, m2) = IncrementalFiles.readNewByModTime(spark, landing, m1)
+    assert(b2.isEmpty && m2 == m1)
+
+    // a file backfilled into the OLD date=2026-01-01 partition — the
+    // date watermark at 2026-01-02 would never see it; mtime does
+    Thread.sleep(100)
+    Seq(("2026-01-01 12:00:00", "51.0")).toDF("ts", "price_eur_mwh")
+      .write.option("header", "true").mode("append")
+      .csv(s"$landing/date=2026-01-01")
+    val (b3, m3) = IncrementalFiles.readNewByModTime(spark, landing, m1)
+    assert(m3 > m1)
+    val rows = b3.get.withColumn("date",
+      org.apache.spark.sql.functions.col("date").cast("string")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("date") == "2026-01-01")
+    assert(rows.head.getAs[String]("price_eur_mwh") == "51.0")
+  }
 }

@@ -75,4 +75,44 @@ class JdbcIngestSpec extends SparkTestBase {
     // round 4: converged again
     assert(ingest(wm3).isEmpty)
   }
+
+  test("partitioned read fans out over N connections, same results") {
+    exec("""CREATE TABLE pool_readings (
+      id INT PRIMARY KEY, v INT NOT NULL, updated_at TIMESTAMP NOT NULL)""")
+    val values = (1 to 97).map(i =>
+      s"($i, ${i * 10}, TIMESTAMP('2026-02-01 10:00:00'))")
+    exec("INSERT INTO pool_readings VALUES " + values.mkString(","))
+
+    def readPart(wm: Option[JdbcWatermark], n: Int) =
+      IncrementalJdbc.readPartitioned(spark, dbUrl, "pool_readings",
+        "updated_at", "id", wm, minPk = 1L, maxPk = 97L,
+        numPartitions = n, IncrementalJdbc.AnsiCastDialect)
+
+    val part = readPart(None, 4)
+    // genuinely 4 JDBC partitions, not one serialized task
+    assert(part.rdd.getNumPartitions == 4)
+    val ids = part.select("id").collect().map(_.getInt(0)).sorted.toSeq
+    // disjoint (no id read twice) AND complete (all 97 present) —
+    // matches the single-connection pushdown read exactly
+    assert(ids == (1 to 97))
+    val single = IncrementalJdbc.read(spark, dbUrl,
+      IncrementalJdbc.pushdownQuery("pool_readings", "updated_at", "id",
+        None, IncrementalJdbc.AnsiCastDialect))
+    assert(single.count() == 97)
+
+    // watermark protocol composes with the stride predicates
+    val wm = IncrementalJdbc.nextWatermark(part, "updated_at_str", "id",
+      None)
+    assert(wm.exists(_.lastPk == 97L))
+    assert(readPart(wm, 4).isEmpty)
+    // delta: one update + one insert OUTSIDE the sampled pk range —
+    // the open-ended edge partition must still catch it
+    exec("UPDATE pool_readings SET v=999, " +
+      "updated_at=TIMESTAMP('2026-02-02 08:00:00') WHERE id=5")
+    exec("INSERT INTO pool_readings VALUES " +
+      "(150, 1500, TIMESTAMP('2026-02-02 09:00:00'))")
+    val delta = readPart(wm, 4)
+    assert(delta.select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(5, 150))
+  }
 }

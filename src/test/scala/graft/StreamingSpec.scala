@@ -76,6 +76,47 @@ class StreamingSpec extends SparkTestBase {
     assert(!r.getAs[Boolean]("ph_out_of_range"))
   }
 
+  test("foreachBatch dim refresh sees a dim update in the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dimrefresh").toString
+    val layout = graft.core.LakeLayout(root)
+    val dimPath = s"$root/dim"
+    val outPath = s"$root/out"
+    Seq((1, "v1")).toDF("user_id", "tag")
+      .write.parquet(dimPath)
+
+    val mem = MemoryStream[(Int, Double)]
+    val stream = mem.toDF().toDF("user_id", "value")
+    val q = graft.streaming.SensorStreamJob.startWithDimRefresh(
+      stream, layout, dimPath, Seq("user_id"), outPath,
+      s"$root/_chk")
+    mem.addData((1, 10.0))
+    q.processAllAvailable()
+    // update the dim WHILE the query runs — next batch must see it
+    Seq((1, "v2")).toDF("user_id", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    mem.addData((1, 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outPath)
+      .orderBy("value").collect()
+      .map(r => (r.getAs[Double]("value"), r.getAs[String]("tag")))
+    assert(out.toSeq == Seq((10.0, "v1"), (20.0, "v2")))
+  }
+
+  test("console sink runs as a debug tap on a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Double)]
+    val q = graft.streaming.SensorStreamJob.consoleSink(
+      mem.toDF().toDF("user_id", "value"), numRows = 5,
+      triggerSeconds = 1)
+    mem.addData((1, 1.0), (2, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(q.recentProgress.nonEmpty)
+  }
+
   test("stream-static enrichment joins dims and prices, computes cost") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[KafkaLike]

@@ -27,8 +27,11 @@ class TableMaintenanceSpec extends SparkTestBase {
     val d2 = TableIO.describe(spark, path)
     assert(d2("numFiles").asInstanceOf[Int] == 1)
     assert(spark.read.parquet(path).count() == 8) // no rows lost
-    assert(TableIO.history(spark, path).collect()
-      .head.getAs[String]("operation").startsWith("COMPACT"))
+    val histAfter = TableIO.history(spark, path, limit = 20).collect()
+    assert(histAfter.head.getAs[String]("operation").startsWith("COMPACT"))
+    // the pre-compaction history SURVIVES the delete+rename swap
+    assert(histAfter.length == 9,
+      s"expected 8 APPENDs + COMPACT, got ${histAfter.length}")
   }
 
   test("describe reports hive partition columns") {
