@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Focused benchmark: time just the named queries (cold + warm), in the
+  * given order, same session config as [[Bench]] — for isolating
+  * cross-query interference that the full run can't attribute. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val cold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val warm = (System.nanoTime() - t1) / 1e9
+      println(f"[benchone] $name cold=$cold%.2f warm=$warm%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -471,5 +471,189 @@ object Oracles {
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> x * x))), 4) AS l2_norm,
         |  label
-        |FROM embeddings ORDER BY vec_id""".stripMargin)
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // DuckDB has native ASOF JOIN — ideal oracle for our union+window
+    // formulation (inclusive backward match, right side pre-deduped).
+    "q49_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    round(value, 4) AS purchase_value
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, ts ORDER BY event_id DESC) AS drn
+        |    FROM events WHERE event_type = 'purchase')
+        |  WHERE drn = 1),
+        |clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  p.purchase_id, p.purchase_value, p.ts AS purchase_ts
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q50_range_join" ->
+      """WITH ranges AS (
+        |  SELECT o_orderkey, o_orderdate AS lo,
+        |    o_orderdate + INTERVAL 30 DAY AS hi
+        |  FROM orders WHERE o_orderkey < 1000)
+        |SELECT o_orderkey, count(*) AS n_ship,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN ranges
+        |  ON l_shipdate >= lo AND l_shipdate <= hi
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q51_det_sample" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <
+        |  (CASE o_orderstatus WHEN 'O' THEN '20' WHEN 'F' THEN '10'
+        |    WHEN 'P' THEN '80' ELSE '00' END)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q52_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |    AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4)
+        |      AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token)
+        |    AS INTEGER) AS rn
+        |  FROM scored)
+        |SELECT doc_id, token, tf, tfidf, rn FROM ranked
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q53_text_scrub" ->
+      """WITH noisy AS (
+        |  SELECT doc_id, text || ' see https://ex.com/d/'
+        |    || CAST(doc_id AS VARCHAR) || ' or  mail user'
+        |    || CAST(doc_id AS VARCHAR) || '@ex.com .' AS noisy
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN trim(noisy) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(noisy), '\s+')) END
+        |    AS BIGINT) AS n_tokens_noisy,
+        |  CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+        |    noisy,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\s+', ' ', 'g'))) AS BIGINT) AS len_clean,
+        |  CAST(len(regexp_extract_all(noisy, 'https?://[^\s]+'))
+        |    AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(noisy,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_emails
+        |FROM noisy ORDER BY doc_id""".stripMargin,
+
+    // oracle for the bucketed join is the plain join — bucketing must
+    // not change results, only the physical plan
+    "q54_bucketed_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(max(o_totalprice), 4) AS o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q55_lag_lead" ->
+      """SELECT user_id, event_id, round(value, 4) AS value,
+        |  round(lag(value, 1) OVER w, 4) AS prev_value,
+        |  round(lead(value, 1) OVER w, 4) AS next_value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q56_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST, n""".stripMargin,
+
+    "q57_window_frames" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_sum,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+        |    AS moving_avg3
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q58_group_sample" ->
+      """SELECT event_type, event_id, rn FROM (
+        |  SELECT event_type, event_id, CAST(row_number() OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY md5(CAST(event_id AS VARCHAR))) AS INTEGER) AS rn
+        |  FROM events) WHERE rn <= 5
+        |ORDER BY event_type, rn""".stripMargin,
+
+    // exact-jaccard edge set (same formulation q44 hash-matched) +
+    // transitive closure via recursive CTE = the clustering oracle
+    "q59_dedup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    >= 0.95),
+        |sym AS (SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT s.src AS doc_id, r.r FROM sym s
+        |    JOIN reach r ON s.dst = r.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach
+        |  GROUP BY doc_id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // floor(x/s + 0.5) on both sides — engine-identical tie-break
+    "q60_embedding_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, x,
+        |  greatest(list_max(list_transform(x, a -> abs(a))), 1e-12)
+        |    / 127.0 AS sc FROM v)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  round(list_sum(list_transform(x, a ->
+        |    pow(a - least(greatest(floor(a / sc + 0.5), -127.0), 127.0)
+        |      * sc, 2))) / len(x), 8) AS mse
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    // bit-interleave generated to mirror ZOrder.zvalue exactly
+    "q61_zorder_code" -> {
+      val terms = for {
+        (c, i) <- Seq("(o_custkey % 256)", "(o_orderkey % 256)").zipWithIndex
+        b <- 0 until 8
+      } yield s"((($c >> $b) & 1) << ${b * 2 + i})"
+      s"""SELECT o_orderkey,
+         |  CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+         |FROM orders ORDER BY o_orderkey""".stripMargin
+    })
 }

@@ -587,5 +587,180 @@ object Queries {
       SimilarityOps.embeddingNearDups(t(s, d, "embeddings"), "vec_id",
         "embedding", threshold = 0.2, bits = 8, tables = 8)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- temporal joins (beyond the reference; SURVEY §2.4 note) ------
+    "q49_asof_join" -> ((s, d) => {
+      // event attribution: each click gets the most recent preceding
+      // purchase by the same user (inclusive, no tolerance). The right
+      // side is deduped to one purchase per (user, ts) so the as-of
+      // choice is deterministic on both sides.
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = DedupLatest(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          dround(col("value"), 4).as("purchase_value"))
+      graft.ops.AsofJoin.backward(clicks, purchases,
+        Seq("user_id"), Seq("user_id"), "ts", "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        matchedTimeAs = Some("purchase_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q50_range_join" -> ((s, d) => {
+      // point-in-interval join via bucketed equi-join (no nested loop):
+      // lineitem shipments falling in each order's 30-day window
+      val ranges = t(s, d, "orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_orderdate").as("lo"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("hi"))
+      val points = t(s, d, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"))
+      graft.ops.RangeJoin.pointInInterval(
+        points, "l_shipdate", ranges, "lo", "hi",
+        bucketWidthSeconds = 30L * 86400)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_ship"),
+          dround(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- deterministic sampling (training-data curation) --------------
+    "q51_det_sample" -> ((s, d) => {
+      // stratified hash sample: different keep-rates per order status —
+      // reproducible across engines/partitionings (md5-keyed, no RNG)
+      graft.ops.DeterministicSample.stratifiedByHash(
+        t(s, d, "orders"), col("o_orderkey"), col("o_orderstatus"),
+        Map("O" -> 32, "F" -> 16, "P" -> 128))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q58_group_sample" -> ((s, d) => {
+      // deterministic k-per-group sample (reservoir without the RNG):
+      // 5 smallest-md5 events per event_type
+      graft.ops.DeterministicSample.perGroupTopK(
+        t(s, d, "events"), Seq("event_type"), col("event_id"), k = 5)
+        .select(col("event_type"), col("event_id"), col("rn"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
+    // ---- text analysis extensions -------------------------------------
+    "q52_tfidf" -> ((s, d) => {
+      // top-3 characteristic terms per document by smoothed TF-IDF
+      graft.operators.TfIdf.topTerms(
+        t(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("tfidf"),
+          col("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    "q53_text_scrub" -> ((s, d) => {
+      // URL/email scrubbing + whitespace normalization; the corpus is
+      // clean, so deterministic noise is injected first to make the
+      // scrub observable, then removed again
+      val noisy = t(s, d, "documents").withColumn("noisy",
+        concat(col("text"), lit(" see https://ex.com/d/"),
+          col("doc_id").cast("string"), lit(" or  mail user"),
+          col("doc_id").cast("string"), lit("@ex.com .")))
+      noisy.select(col("doc_id"),
+        TextFunctions.tokenCount(col("noisy")).cast("long")
+          .as("n_tokens_noisy"),
+        length(TextFunctions.normalizeWhitespace(
+          TextFunctions.scrubEmails(TextFunctions.scrubUrls(
+            col("noisy"))))).cast("long").as("len_clean"),
+        regexp_count(col("noisy"), lit(TextFunctions.UrlPattern))
+          .cast("long").as("n_urls"),
+        regexp_count(col("noisy"), lit(TextFunctions.EmailPattern))
+          .cast("long").as("n_emails"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- analytic window functions (beyond the reference, §2.6 note) --
+    "q55_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+        dround(col("value"), 4).as("value"),
+        dround(lag(col("value"), 1).over(w), 4).as("prev_value"),
+        dround(lead(col("value"), 1).over(w), 4).as("next_value"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q57_window_frames" -> ((s, d) => {
+      // explicit rowsBetween frames: running sum + centered moving avg
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+        dround(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_sum"),
+        dround(avg(col("value")).over(w.rowsBetween(-2, 0)), 4)
+          .as("moving_avg3"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- SQL entry point: GROUPING SETS (§2.10 SQL surface) -----------
+    "q56_grouping_sets" -> ((s, d) => {
+      graft.sql.GraftSql.sql(s, d,
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST,
+          |  l_linestatus ASC NULLS FIRST, n""".stripMargin)
+    }),
+
+    // ---- bucketed co-located join (shuffle paid once at write) --------
+    "q54_bucketed_join" -> ((s, d) => {
+      import graft.ops.BucketedJoin
+      val li = BucketedJoin.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "graft_li_bucketed", buckets = 8, key = "l_orderkey")
+      val ord = BucketedJoin.writeBucketed(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "graft_ord_bucketed", buckets = 8, key = "o_orderkey")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dround(sum(col("l_quantity")), 2).as("sum_qty"),
+          dround(max(col("o_totalprice")), 4).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- dedup clustering (transitive closure of near-dup pairs) ------
+    "q59_dedup_clusters" -> ((s, d) => {
+      // near-dup pairs at 0.95 (q44-proven recall at these LSH params)
+      // → connected components → every doc labeled with its cluster min
+      val docs = t(s, d, "documents")
+      val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.95)
+      graft.operators.DedupClusters.clusters(
+        docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- embedding int8 quantization ----------------------------------
+    "q60_embedding_quantize" -> ((s, d) => {
+      graft.operators.Quantization.summary(
+        t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- z-order clustering (multi-column data skipping) --------------
+    "q61_zorder_code" -> ((s, d) => {
+      // the Morton code itself is the verifiable part of the layout op;
+      // the file-skipping effect of ZOrder.layout is pinned in ZOrderSpec
+      t(s, d, "orders").select(col("o_orderkey"),
+        graft.ops.ZOrder.zvalue(
+          Seq(col("o_custkey") % 256, col("o_orderkey") % 256), 8)
+          .as("z"))
+        .orderBy(col("o_orderkey"))
     }))
 }

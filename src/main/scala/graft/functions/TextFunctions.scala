@@ -85,4 +85,22 @@ object TextFunctions {
     * string) and never shuffles the text itself. */
   def fingerprint(text: Column): Column =
     xxhash64(concat_ws("\u0001", tokens(text)))
+
+  // --- text scrubbing (PII/noise removal for training corpora) --------
+  // Patterns deliberately avoid Java-only regex features (backrefs,
+  // possessive quantifiers) so the same pattern runs under RE2-family
+  // engines — scrub rules must be auditable outside Spark.
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def scrubUrls(text: Column, repl: String = "<URL>"): Column =
+    regexp_replace(text, UrlPattern, repl)
+
+  def scrubEmails(text: Column, repl: String = "<EMAIL>"): Column =
+    regexp_replace(text, EmailPattern, repl)
+
+  /** Collapse whitespace runs and trim — the standard post-scrub
+    * normalization pass. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
 }

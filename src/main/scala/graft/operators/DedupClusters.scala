@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a duplicate-pair graph — the step AFTER
+  * pair detection in a dedup pipeline: near-dup pairs (from MinHash /
+  * SimHash / exact digests) form chains and cliques, and the curation
+  * decision ("keep one doc per group") needs the transitive closure,
+  * not the raw pairs (A~B, B~C must collapse to one {A,B,C} cluster
+  * even though A and C were never directly paired).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * shuffle-native formulation that converges in O(log n) rounds on any
+  * graph, vs O(diameter) for naive label propagation. Each round is two
+  * hash aggregations + two equi-joins on node ids; nothing is ever
+  * collected to the driver and no adjacency lists are materialized (the
+  * per-node neighbor min comes from a groupBy, not a collect_list, so a
+  * celebrity node with 10^8 duplicate neighbors is a large GROUP, not a
+  * giant row). At 100 TB the edge set after banding is orders of
+  * magnitude smaller than the corpus, so the rounds run on hash-sized
+  * rows only.
+  */
+object DedupClusters {
+
+  /** Resolve each node that appears in `edges` to the minimum node id
+    * of its connected component. Returns (`node`, `component`) with one
+    * row per distinct node in the edge set.
+    *
+    * `maxIter` bounds the rounds (safety valve: log2 of the largest
+    * plausible component count; 16 covers 64k-hop chains). Convergence
+    * is detected via a fixpoint check on the canonical edge set.
+    */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 16): DataFrame = {
+    // canonical down-orientation: (src > dst), no self-loops, distinct.
+    // Each iteration is MATERIALIZED (scratch write+read): star rounds
+    // reference their input several times, so an unmaterialized loop
+    // grows the logical plan ~4^rounds (driver OOM on plan strings long
+    // before the data is big) and recomputes the whole chain each
+    // action. Write+read resets lineage to a scan AND keeps every round
+    // durable — executor loss mid-algorithm recomputes one round, not
+    // the whole history.
+    var cur = graft.core.Scratch.materialize(
+      edges
+        .select(greatest(col(srcCol), col(dstCol)).as("src"),
+          least(col(srcCol), col(dstCol)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct(),
+      "cc_input")
+    var converged = cur.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = graft.core.Scratch.materialize(
+        smallStar(largeStar(cur)), s"cc_round$iter")
+      // fixpoint: both set-differences empty (both sides are distinct)
+      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      cur = next
+      iter += 1
+    }
+    // converged star graph: every non-min node points at its component
+    // min; the min nodes themselves appear only as dst
+    val nonMin = cur.select(col("src").as("node"), col("dst").as("component"))
+    val mins = cur.select(col("dst").as("node"))
+      .distinct()
+      .join(nonMin.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("component", col("node"))
+    nonMin.unionByName(mins)
+  }
+
+  /** Large-star: connect every strictly-larger neighbor of u to the
+    * minimum of Γ(u) ∪ {u}. Output stays down-oriented (src > dst). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src").as("u"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("u"), least(col("nmin"), col("u")).as("m"))
+    sym.join(mins, sym("src") === mins("u"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: connect every smaller-or-equal neighbor (and u itself)
+    * to the minimum of Γ⁻(u) ∪ {u}. Input and output down-oriented. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("src").as("u"))
+      .agg(min(col("dst")).as("m"))
+    val relinked = edges.join(mins, edges("src") === mins("u"))
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val self = mins.select(col("u").as("src"), col("m").as("dst"))
+    relinked.unionByName(self)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Cluster assignment for EVERY id in `ids`: nodes in `pairs` get
+    * their component min, untouched ids are singleton clusters of
+    * themselves. Output: (`idCol`, cluster_id). */
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("component").as("cluster_id"))
+    ids.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data curation.
+  *
+  * `df.sample()` draws from a partition-seeded RNG: the result changes
+  * with partitioning, Spark version, and row order — unacceptable for a
+  * 100 TB curation pipeline that must be re-runnable (and auditable from
+  * any SQL engine) with identical output. These samplers instead key
+  * every decision on `md5(key)`: stable across runs, cluster layouts,
+  * and engines, and expressible in plain SQL for the oracle/audit side.
+  *
+  * All paths are narrow maps or single-shuffle windows — no RNG state,
+  * no driver round-trips, nothing that breaks at scale.
+  */
+object DeterministicSample {
+
+  /** Keep rows whose md5(key) first byte < `frac256`/256 — a narrow
+    * map-side filter (zero shuffle). `frac256` of 64 ≈ 25 % sample. */
+  def byHash(df: DataFrame, key: Column, frac256: Int): DataFrame = {
+    require(frac256 >= 0 && frac256 <= 256, "frac256 in [0,256]")
+    df.filter(hashPrefix(key) < lit(thresholdHex(frac256)))
+  }
+
+  /** Stratified variant: per-stratum sampling rates (in 256ths), e.g.
+    * downsample the over-represented stratum, keep all of the rare one.
+    * Unlisted strata are dropped (rate 0). */
+  def stratifiedByHash(df: DataFrame, key: Column, stratum: Column,
+      frac256: Map[String, Int]): DataFrame = {
+    val threshold = frac256.foldLeft(lit("00")) {
+      case (acc, (s, f)) =>
+        when(stratum === s, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(hashPrefix(key) < threshold)
+  }
+
+  /** Threshold string for `f`/256: two lowercase hex chars, except 256
+    * ("keep all") → "zz", which every hex prefix sorts below. A plain
+    * `%02x` of 256 would give the 3-char "100", which most 2-char
+    * prefixes sort ABOVE — silently sampling ~6 % instead of 100 %. */
+  private def thresholdHex(f: Int): String =
+    if (f >= 256) "zz" else f"$f%02x"
+
+  /** Deterministic k-per-group sample ("reservoir" without the RNG): the
+    * k rows with the smallest md5(key) per group. One hash shuffle on
+    * the group columns; md5 ordering is uniform, so the draw is unbiased.
+    */
+  def perGroupTopK(df: DataFrame, groups: Seq[String], key: Column,
+      k: Int, rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(groups.map(col): _*)
+      .orderBy(md5(key.cast("string")))
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** First two hex chars of md5(key) — lowercase hex compares correctly
+    * as a string ('0'..'9' < 'a'..'f'), matching SQL `substr(md5(x),1,2)`
+    * in any engine. */
+  private def hashPrefix(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 2)
+}

@@ -46,6 +46,18 @@ object SensorPipeline {
       .withWatermark("sensor_ts", watermark)
   }
 
+  /** Streaming dedup with BOUNDED state: at-least-once sources (Kafka
+    * redelivery, replayed producers) re-emit readings, and a plain
+    * `dropDuplicates` would hold every key seen since stream start —
+    * state grows forever. `dropDuplicatesWithinWatermark` evicts seen
+    * keys once the watermark passes them, so state is O(traffic within
+    * the watermark window): the only dedup shape that survives an
+    * unbounded stream. Requires the event-time watermark set upstream
+    * ([[silver]] sets it on sensor_ts). */
+  def dedupWithinWatermark(silver: DataFrame,
+      keys: Seq[String] = Seq("pool_id", "sensor_ts")): DataFrame =
+    silver.dropDuplicatesWithinWatermark(keys)
+
   /** Silver → gold: tumbling 1-minute agg per pool with range flags
     * (07:…py:103-132). Emits on watermark passage in append mode. */
   def goldMinuteAgg(silver: DataFrame, window_ : String = "1 minute")

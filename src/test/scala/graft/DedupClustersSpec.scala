@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupClusters
+
+class DedupClustersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("components resolves chains transitively (A~B, B~C => one cluster)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = DedupClusters.components(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("components handles a long chain (worst case for label prop)") {
+    val n = 200L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val out = DedupClusters.components(pairs, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(out.length == n)
+    assert(out.forall(_._2 == 0L), "every node must resolve to the min")
+  }
+
+  test("components is orientation- and duplicate-insensitive") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (2L, 3L))
+      .toDF("a", "b")
+    val out = DedupClusters.components(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("components on a star graph and a clique") {
+    val star = (2L to 6L).map(i => (7L, i)).toDF("a", "b") // hub 7
+    val clique = (for { i <- 20L to 23L; j <- 20L to 23L if i < j }
+      yield (i, j)).toDF("a", "b")
+    val out = DedupClusters.components(star.unionByName(clique), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((2L to 7L).forall(out(_) == 2L))
+    assert((20L to 23L).forall(out(_) == 20L))
+  }
+
+  test("clusters assigns singletons to themselves") {
+    val ids = (1L to 8L).toDF("id")
+    val pairs = Seq((3L, 5L)).toDF("a", "b")
+    val out = DedupClusters.clusters(ids, "id", pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out(3L) == 3L && out(5L) == 3L)
+    assert(Seq(1L, 2L, 4L, 6L, 7L, 8L).forall(i => out(i) == i))
+  }
+
+  test("clusters with no pairs at all is the identity") {
+    val ids = (1L to 5L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = DedupClusters.clusters(ids, "id", pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == (1L to 5L).map(i => i -> i).toMap)
+  }
+}

@@ -62,7 +62,10 @@ class SqlAndPlanSpec extends SparkTestBase {
     // candidate sets); everything else must plan an equi-join — q40's
     // cell assignment is now a narrow map (NearestCells), so it is
     // held to the same bar
-    val allowed = Set("q26_ngram_jaccard", "q28_ann_bruteforce")
+    // q52's single-row broadcast (corpus size N attached to every tf
+    // row) is the scale-correct scalar-attach plan, not an accident
+    val allowed = Set("q26_ngram_jaccard", "q28_ann_bruteforce",
+      "q52_tfidf")
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
