@@ -655,5 +655,54 @@ object Oracles {
       s"""SELECT o_orderkey,
          |  CAST(${terms.mkString(" | ")} AS BIGINT) AS z
          |FROM orders ORDER BY o_orderkey""".stripMargin
-    })
+    },
+
+    "q62_chunking" ->
+      """WITH tk AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, len(toks), 48)) AS s
+        |  FROM tk WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, s + 1, s + 64), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(toks, s + 1, s + 64)) AS INT)
+        |    AS n_chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q63_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS INT) AS shard
+        |  FROM documents),
+        |o AS (
+        |  SELECT *, COALESCE(sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS stream_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard, stream_offset,
+        |  CAST(shard AS BIGINT) * 1099511627776
+        |    + CAST(floor(stream_offset / 512) AS BIGINT) AS pack_id,
+        |  stream_offset % 512 AS offset_in_pack,
+        |  (stream_offset % 512) + n_tokens > 512 AS spans_boundary
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q64_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus,
+        |    CAST(count(*) FILTER (o_orderpriority = '1-URGENT')
+        |      AS BIGINT) AS n_urgent,
+        |    CAST(count(*) FILTER (o_orderpriority = '5-LOW')
+        |      AS BIGINT) AS n_low
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, priority, n
+        |FROM wide UNPIVOT (n FOR priority IN (n_urgent, n_low))
+        |ORDER BY o_orderstatus, priority""".stripMargin)
 }

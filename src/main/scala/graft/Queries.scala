@@ -762,5 +762,37 @@ object Queries {
           Seq(col("o_custkey") % 256, col("o_orderkey") % 256), 8)
           .as("z"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- training-sequence layout: chunking + packing -----------------
+    "q62_chunking" -> ((s, d) => {
+      // 64-token chunks with 16-token overlap (step 48); narrow explode
+      graft.operators.Chunking.chunkTokens(
+        t(s, d, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    "q63_sequence_pack" -> ((s, d) => {
+      // concat-then-cut packing into 512-token training sequences,
+      // 8 independent shards (per-shard cumsum — no global ordering)
+      graft.operators.Chunking.packSequences(
+        t(s, d, "documents"), "doc_id", "text",
+        budget = 512, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- unpivot / melt (wide → long reshaping) -----------------------
+    "q64_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+          .otherwise(0L)).as("n_urgent"),
+        sum(when(col("o_orderpriority") === "5-LOW", 1L)
+          .otherwise(0L)).as("n_low"))
+      wide.unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("n_urgent"), col("n_low")),
+        "priority", "n")
+        .orderBy(col("o_orderstatus"), col("priority"))
     }))
 }

@@ -49,14 +49,19 @@ object DedupClusters {
         .filter(col("src") =!= col("dst"))
         .distinct(),
       "cc_input")
-    var converged = cur.isEmpty
+    var curCount = cur.count()
+    var converged = curCount == 0
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = graft.core.Scratch.materialize(
         smallStar(largeStar(cur)), s"cc_round$iter")
-      // fixpoint: both set-differences empty (both sides are distinct)
-      converged = next.except(cur).isEmpty && cur.except(next).isEmpty
+      // both sides are distinct sets, so equal cardinality + empty
+      // one-way difference ⇒ set equality; the count (a cheap scan of
+      // the just-written round) usually short-circuits the except join
+      val nextCount = next.count()
+      converged = nextCount == curCount && next.except(cur).isEmpty
       cur = next
+      curCount = nextCount
       iter += 1
     }
     // converged star graph: every non-min node points at its component
