@@ -704,5 +704,127 @@ object Oracles {
         |  FROM orders GROUP BY o_orderstatus)
         |SELECT o_orderstatus, priority, n
         |FROM wide UNPIVOT (n FOR priority IN (n_urgent, n_low))
-        |ORDER BY o_orderstatus, priority""".stripMargin)
+        |ORDER BY o_orderstatus, priority""".stripMargin,
+
+    "q65_decontam" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |bench AS (
+        |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |corpus AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+        |ov AS (
+        |  SELECT doc_id, count(*) AS n_overlap
+        |  FROM corpus JOIN bench USING (g) GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(len(s) AS BIGINT) AS n_ngrams
+        |  FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT t.doc_id, t.n_ngrams,
+        |  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  round(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+        |    / greatest(t.n_ngrams, 1), 4) AS contamination_ratio,
+        |  COALESCE(o.n_overlap, 0) > 0 AS contaminated
+        |FROM tot t LEFT JOIN ov o USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q66_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, n_tokens, toks AS g1,
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END AS g2,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END AS g3
+        |  FROM tk)
+        |SELECT doc_id, n_tokens,
+        |  round(CASE WHEN len(g1) > 0 THEN
+        |    CAST(len(g1) - len(list_distinct(g1)) AS DOUBLE) / len(g1)
+        |    ELSE 0.0 END, 4) AS dup_unigram_frac,
+        |  round(CASE WHEN len(g2) > 0 THEN
+        |    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+        |    ELSE 0.0 END, 4) AS dup_bigram_frac,
+        |  round(CASE WHEN len(g3) > 0 THEN
+        |    CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+        |    ELSE 0.0 END, 4) AS dup_trigram_frac
+        |FROM ng ORDER BY doc_id""".stripMargin,
+
+    "q67_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM o),
+        |c AS (
+        |  SELECT user_id, run, min(event_type) AS event_type,
+        |    min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY user_id, run)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER v AS valid_to, n_events,
+        |  lead(valid_from) OVER v IS NULL AS is_current
+        |FROM c
+        |WINDOW v AS (PARTITION BY user_id ORDER BY valid_from, run)
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    "q68_corpus_mix" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS DOUBLE) AS ntok
+        |  FROM documents),
+        |tgt AS (SELECT * FROM (VALUES
+        |  ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |  ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)))
+        |  t(source, share)),
+        |st AS (
+        |  SELECT source, sum(ntok) AS toks, min(share) AS share
+        |  FROM tk JOIN tgt USING (source) GROUP BY source),
+        |f AS (SELECT min(toks / share) AS tt FROM st),
+        |r AS (
+        |  SELECT source,
+        |    least(CAST(1 AS DOUBLE), share * tt / toks) AS rate
+        |  FROM st, f),
+        |rt AS (
+        |  SELECT source, CASE WHEN rate >= 1.0 THEN 'zzzz'
+        |    ELSE printf('%04x', CAST(floor(rate * 65536) AS BIGINT))
+        |    END AS thresh
+        |  FROM r)
+        |SELECT tk.doc_id, tk.source, CAST(tk.ntok AS BIGINT) AS n_tokens
+        |FROM tk JOIN rt USING (source)
+        |WHERE substr(md5(CAST(tk.doc_id AS VARCHAR)), 1, 4) < thresh
+        |ORDER BY doc_id""".stripMargin,
+
+    "q69_rolling_time" ->
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_10m,
+        |  round(sum(value) OVER w, 2) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)
 }

@@ -782,6 +782,60 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- benchmark decontamination ------------------------------------
+    "q65_decontam" -> ((s, d) => {
+      // every 97th document plays the quarantined eval set; the rest is
+      // the training corpus probed against its broadcast n-gram hashes
+      val docs = t(s, d, "documents")
+      graft.operators.Decontam.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- repetition signals (Gopher-style quality filter) -------------
+    "q66_repetition" -> ((s, d) => {
+      import graft.functions.TextFunctions.{dupNgramFrac, tokenCount}
+      t(s, d, "documents").select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        dround(dupNgramFrac(col("text"), 1), 4).as("dup_unigram_frac"),
+        dround(dupNgramFrac(col("text"), 2), 4).as("dup_bigram_frac"),
+        dround(dupNgramFrac(col("text"), 3), 4).as("dup_trigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- SCD2 dimension history from an event log ---------------------
+    "q67_scd2" -> ((s, d) => {
+      graft.ops.Scd2.fromEventLog(
+        t(s, d, "events"), "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    }),
+
+    // ---- static corpus mixing (token-share rebalancing) ---------------
+    "q68_corpus_mix" -> ((s, d) => {
+      // rebalance four sources to a 40/30/20/10 token split; the rest
+      // of the corpus is out of scope for this mixture
+      graft.ops.CorpusMix.mixToTokenTargets(
+        t(s, d, "documents"), "doc_id", "text", "source",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- time-range rolling window ------------------------------------
+    "q69_rolling_time" -> ((s, d) => {
+      // trailing 10-minute per-user metrics via a RANGE frame over
+      // exact epoch microseconds (integer range frames are
+      // engine-portable where timestamp INTERVAL frames are not)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-600000000L, 0L)
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_10m"),
+        dround(sum(col("value")).over(w), 2).as("sum_10m"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

@@ -103,4 +103,20 @@ object TextFunctions {
     * normalization pass. */
   def normalizeWhitespace(text: Column): Column =
     trim(regexp_replace(text, "\\s+", " "))
+
+  /** Fraction of word n-gram occurrences that are repeats of an
+    * earlier occurrence within the same document — the Gopher-style
+    * repetition signal (high values ⇒ boilerplate/generated text).
+    * `(count - distinct) / count`, 0.0 for empty docs; a narrow
+    * array expression, no shuffle at any n. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val ngs =
+      if (n == 1) tokens(lower(text))
+      else WordShingles.column(tokens(lower(text)), n)
+    val total = size(ngs)
+    when(total > 0,
+      (total - size(array_distinct(ngs))).cast("double") /
+        total.cast("double"))
+      .otherwise(lit(0.0))
+  }
 }

@@ -63,9 +63,11 @@ class SqlAndPlanSpec extends SparkTestBase {
     // cell assignment is now a narrow map (NearestCells), so it is
     // held to the same bar
     // q52's single-row broadcast (corpus size N attached to every tf
-    // row) is the scale-correct scalar-attach plan, not an accident
+    // row) is the scale-correct scalar-attach plan, not an accident;
+    // q68 attaches the single-row feasible corpus size T to the
+    // |sources|-row rate table the same way
     val allowed = Set("q26_ngram_jaccard", "q28_ann_bruteforce",
-      "q52_tfidf")
+      "q52_tfidf", "q68_corpus_mix")
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
