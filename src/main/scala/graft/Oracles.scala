@@ -243,6 +243,28 @@ object Oracles {
         |FROM documents GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin,
 
+    "q26_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents WHERE doc_id < 100)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CASE
+        |      WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+        |      THEN CAST(1 AS DOUBLE)
+        |      ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |      END, 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q28_ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
