@@ -1,0 +1,48 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{HyperplaneLsh, MinHashSignature, SimHash64, WordShingles}
+
+/** Cluster-wide installer for the graft SQL function surface:
+  *
+  * {{{ spark.sql.extensions=graft.sql.GraftExtensions }}}
+  *
+  * makes `simhash64`, `minhash_signature`, `word_shingles` and
+  * `hyperplane_lsh` resolve in every session of the cluster — plain
+  * SQL users (notebooks, JDBC gateways) get the dedup/ANN expressions
+  * without any Scala entry point. The per-session alternative remains
+  * [[GraftSql.registerFunctions]]; both share one builder table so the
+  * two registration paths cannot drift.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(builder.getClass.getName, name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name → expression builder; the single source of truth for both
+    * the extensions path and [[GraftSql.registerFunctions]]. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "minhash_signature" -> (exprs =>
+      MinHashSignature(exprs(0), intArg(exprs(1), "k"))),
+    "word_shingles" -> (exprs =>
+      WordShingles(exprs(0), intArg(exprs(1), "n"))),
+    "hyperplane_lsh" -> (exprs =>
+      HyperplaneLsh(exprs(0), intArg(exprs(1), "bits"),
+        if (exprs.length > 2) intArg(exprs(2), "seed") else 42)))
+}

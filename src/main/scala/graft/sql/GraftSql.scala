@@ -1,10 +1,8 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
 import graft.core.Tables
-import graft.functions.{HyperplaneLsh, MinHashSignature, SimHash64, WordShingles}
 
 /** Thin SQL surface (SURVEY.md §2.10: the reference's only `spark.sql`
   * call is DESCRIBE DETAIL — our engine exposes a real SQL entry point):
@@ -24,26 +22,11 @@ object GraftSql {
     Tables.all.foreach(name =>
       Tables.load(spark, sfDir, name).createOrReplaceTempView(name))
 
-  private def intArg(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
-  }
-
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs(0), intArg(exprs(1), "k")),
-      "built-in")
-    reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs(0), intArg(exprs(1), "n")),
-      "built-in")
-    reg.createOrReplaceTempFunction("hyperplane_lsh",
-      exprs => HyperplaneLsh(exprs(0), intArg(exprs(1), "bits"),
-        if (exprs.length > 2) intArg(exprs(2), "seed") else 42),
-      "built-in")
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** One-call setup + passthrough. */

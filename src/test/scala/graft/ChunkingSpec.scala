@@ -21,6 +21,13 @@ class ChunkingSpec extends SparkTestBase {
     assert(out(4) == ((4, "t9 t10", 2))) // short tail chunk
   }
 
+  test("chunkTokens plans zero shuffles (pure explode)") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val df = Chunking.chunkTokens(docs, "doc_id", "text", 4, 2)
+    assert(PlanAsserts.countShuffles(df) == 0,
+      s"chunking must stay narrow:\n${df.queryExecution.executedPlan}")
+  }
+
   test("chunkTokens: empty docs yield no chunks, short docs one chunk") {
     val docs = Seq((1L, ""), (2L, "   "), (3L, "only two"))
       .toDF("doc_id", "text")

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The `spark.sql.extensions` registration path: a session configured
+  * with GraftExtensions resolves the custom functions in plain SQL with
+  * no Scala entry point.
+  *
+  * Extensions only apply when the session is BUILT, and getOrCreate
+  * reuses any live session, so this spec stops the shared one first
+  * and stops its own after — suites run sequentially in the forked
+  * test JVM, and every other suite's lazy session re-creates on
+  * demand. */
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("spark.sql.extensions installs graft functions cluster-wide") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-test")
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        """SELECT simhash64(array('a','b')) AS sh,
+          |  size(minhash_signature(array('a','b'), 8)) AS k,
+          |  size(word_shingles(array('a','b','c'), 2)) AS ns,
+          |  hyperplane_lsh(array(CAST(0.5 AS FLOAT)), 4) AS hb
+          |""".stripMargin).collect().head
+      assert(row.getLong(0) != 0L)
+      assert(row.getInt(1) == 8)
+      assert(row.getInt(2) == 2)
+      assert(row.getLong(3) >= 0L)
+    } finally spark.stop()
+  }
+}
