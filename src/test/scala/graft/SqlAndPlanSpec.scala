@@ -96,6 +96,25 @@ class SqlAndPlanSpec extends SparkTestBase {
     assert(readCols == Set("doc_id", "text"), s"read $readCols")
   }
 
+  test("column pruning holds for the round-2 pipeline queries") {
+    // q67 must not read events.props/value; q65/q66 only doc_id+text
+    val byQuery = Map(
+      "q65_decontam" -> Set("doc_id", "text"),
+      "q66_repetition" -> Set("doc_id", "text"),
+      "q67_scd2" -> Set("event_id", "ts", "user_id", "event_type"))
+    for ((name, expected) <- byQuery) {
+      val scans = executedNodes(name).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, s"$name: no parquet scan found")
+      scans.foreach { s =>
+        val readCols = s.requiredSchema.fieldNames.toSet
+        assert(readCols.subsetOf(expected),
+          s"$name reads unpruned columns: $readCols")
+      }
+    }
+  }
+
   test("filter pushdown reaches the scan for q14") {
     val scans = executedNodes("q14_filters").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
