@@ -114,6 +114,26 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("contaminationReport: empty benchmark set flags nothing") {
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val corpus = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val out = Decontam.contaminationReport(corpus, bench, "doc_id",
+      "text", 3).select("n_overlap", "contaminated")
+      .as[(Long, Boolean)].collect()
+    assert(out.toSeq == Seq((0L, false)))
+  }
+
+  test("corpus mix: targets naming an absent source still work") {
+    import graft.ops.CorpusMix
+    val docs = Seq((1L, "w w w", "a"), (2L, "w w", "a"))
+      .toDF("doc_id", "text", "source")
+    // "ghost" has no rows: rates derive from the present sources only
+    val out = CorpusMix.mixToTokenTargets(docs, "doc_id", "text",
+      "source", Map("a" -> 0.7, "ghost" -> 0.3))
+      .select("doc_id").as[Long].collect()
+    assert(out.sorted.toSeq == Seq(1L, 2L)) // "a" binds → all kept
+  }
+
   test("dupNgramFrac: repeats detected, clean text scores zero") {
     import graft.functions.TextFunctions.dupNgramFrac
     val docs = Seq(
