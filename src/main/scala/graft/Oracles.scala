@@ -841,6 +841,26 @@ object Oracles {
         |WHERE substr(md5(CAST(tk.doc_id AS VARCHAR)), 1, 4) < thresh
         |ORDER BY doc_id""".stripMargin,
 
+    "q70_top_ngram" ->
+      """WITH tk AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |    AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+        |  FROM tk),
+        |c AS (
+        |  SELECT doc_id, gram, count(*) AS c
+        |  FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |  CAST(max(c) AS BIGINT) AS top_ngram_count,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_ngram_share
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q69_rolling_time" ->
       """SELECT user_id, event_id,
         |  CAST(count(*) OVER w AS BIGINT) AS n_10m,

@@ -836,6 +836,13 @@ object Queries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ---- top n-gram share (boilerplate detector) ----------------------
+    "q70_top_ngram" -> ((s, d) => {
+      graft.operators.TextProfile.topNgramShare(
+        t(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(
