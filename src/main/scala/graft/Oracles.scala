@@ -841,6 +841,92 @@ object Oracles {
         |WHERE substr(md5(CAST(tk.doc_id AS VARCHAR)), 1, 4) < thresh
         |ORDER BY doc_id""".stripMargin,
 
+    "q71_curation_v2" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |benchd AS (
+        |  SELECT * FROM documents WHERE doc_id % 97 = 0),
+        |ann AS (
+        |  SELECT doc_id, text,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS BIGINT)
+        |      AS n_units,
+        |    round(
+        |      (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |       * (1.0 - least(
+        |           (CAST(len(regexp_extract_all(text, '[[:punct:]]'))
+        |              AS DOUBLE)
+        |            / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |           * 4.0, 1.0) * 0.5))
+        |      * sqrt(
+        |          CAST(len(list_distinct(CASE WHEN trim(text) = ''
+        |            THEN [] ELSE string_split_regex(
+        |              trim(lower(text)), '\s+') END)) AS DOUBLE)
+        |          / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+        |            ELSE len(string_split_regex(trim(text), '\s+'))
+        |            END AS DOUBLE), 1.0)), 4) AS quality
+        |  FROM corpus),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM corpus)),
+        |shb AS (
+        |  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END)) AS g
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM benchd)),
+        |neardup_drops AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    >= 0.95),
+        |ov AS (
+        |  SELECT cs.doc_id, count(*) AS n_overlap
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) cs
+        |  JOIN shb USING (g) GROUP BY cs.doc_id),
+        |contam_drops AS (
+        |  SELECT sh.doc_id FROM sh LEFT JOIN ov USING (doc_id)
+        |  WHERE round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+        |    / greatest(len(sh.s), 1), 4) > 0.05),
+        |rep AS (
+        |  SELECT doc_id,
+        |    round(CASE WHEN len(g3) > 0 THEN
+        |      CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+        |        / len(g3) ELSE 0.0 END, 4) AS dup_trigram_frac
+        |  FROM (SELECT doc_id, CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END AS g3
+        |    FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |        ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |        AS toks FROM corpus)))
+        |SELECT a.doc_id, a.n_tokens, a.n_units, a.quality,
+        |  r.dup_trigram_frac
+        |FROM ann a
+        |JOIN keepers k ON a.doc_id = k.doc_id
+        |JOIN rep r ON a.doc_id = r.doc_id
+        |WHERE a.doc_id NOT IN (SELECT doc_id FROM neardup_drops)
+        |  AND a.doc_id NOT IN (SELECT doc_id FROM contam_drops)
+        |  AND a.n_tokens >= 10 AND a.quality >= 0.05
+        |  AND r.dup_trigram_frac <= 0.2
+        |ORDER BY a.doc_id""".stripMargin,
+
     "q70_top_ngram" ->
       """WITH tk AS (
         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []

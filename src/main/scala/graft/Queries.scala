@@ -843,6 +843,15 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- curation v2: + decontamination + repetition gates ------------
+    "q71_curation_v2" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      graft.batch.CurationJob.curateV2(
+        all.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        bench = all.filter(col("doc_id") % 97 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

@@ -41,6 +41,34 @@ object CurationJob {
       threshold = threshold)
       .select(col("id_b").as(idCol)).distinct()
 
+  /** v2 pipeline: v1's stages plus the two gates a pretraining corpus
+    * adds before tokenization — benchmark decontamination (drop docs
+    * sharing more than `maxContamRatio` of their n-grams with the
+    * quarantined eval set) and the Gopher-style repetition gate (drop
+    * docs whose duplicate-trigram fraction exceeds `maxDupTrigram`).
+    * Same scale contract as v1: the new stages add one broadcast of
+    * bench n-gram hashes and one narrow expression — no new shuffle of
+    * document text.
+    */
+  def curateV2(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, minTokens: Long = 10,
+      minQuality: Double = 0.05, nearDupThreshold: Double = 0.95,
+      maxContamRatio: Double = 0.05, maxDupTrigram: Double = 0.2)
+      : DataFrame = {
+    val contamDrops = graft.operators.Decontam
+      .contaminationReport(docs, bench, idCol, textCol, n = 3)
+      .filter(col("contamination_ratio") > maxContamRatio)
+      .select(col(idCol))
+    curate(docs, idCol, textCol, minTokens, minQuality, Nil,
+      nearDupThreshold)
+      .join(contamDrops, Seq(idCol), "left_anti")
+      .withColumn("dup_trigram_frac", graft.functions.Rounding.dround(
+        TextFunctions.dupNgramFrac(col(textCol), 3), 4))
+      .filter(col("dup_trigram_frac") <= maxDupTrigram)
+      .select(col(idCol), col("n_tokens"), col("n_units"),
+        col("quality"), col("dup_trigram_frac"))
+  }
+
   def curate(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minTokens: Long = 10,
       minQuality: Double = 0.05, keepLangs: Seq[String] = Nil,
