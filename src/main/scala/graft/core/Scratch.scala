@@ -11,8 +11,32 @@ import org.apache.spark.sql.DataFrame
   * the wrong default for a 100 TB pipeline stage. Writing to the scratch
   * filesystem and reading back keeps the result durable (any executor
   * can re-read it) while still letting upstream caches be released.
+  *
+  * Lifecycle: every materialized path is registered for deletion at JVM
+  * exit, and iterative callers ([[graft.operators.DedupClusters]]) drop
+  * superseded rounds eagerly via [[drop]] — a long-lived session never
+  * accumulates unbounded scratch.
   */
 object Scratch {
+
+  private val created =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.forEach(p => deleteQuietly(p))))
+  }
+
+  private def deleteQuietly(path: String): Unit =
+    try {
+      val p = new java.io.File(path)
+      if (p.exists) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(p)
+      }
+    } catch { case _: Throwable => () }
 
   /** Root for scratch tables: `spark.graft.scratch.dir` if set (point it
     * at a shared filesystem on a real cluster), else the JVM temp dir
@@ -24,11 +48,30 @@ object Scratch {
         .stripSuffix("/") + "/graft-scratch")
 
   /** Write `df` to a unique scratch path and return a fresh reader over
-    * it. The caller may then unpersist/release whatever produced `df`.
+    * it plus the path (for eager [[drop]] once superseded). The caller
+    * may then unpersist/release whatever produced `df`.
     */
-  def materialize(df: DataFrame, tag: String): DataFrame = {
+  def materializeWithPath(df: DataFrame, tag: String)
+      : (DataFrame, String) = {
+    hookInstalled
     val path = s"${root(df)}/${tag}_${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    created.add(path)
+    (df.sparkSession.read.parquet(path), path)
+  }
+
+  def materialize(df: DataFrame, tag: String): DataFrame =
+    materializeWithPath(df, tag)._1
+
+  /** Delete a scratch table that is no longer referenced. The caller
+    * must not hold live DataFrames over it. */
+  def drop(spark: org.apache.spark.sql.SparkSession, path: String)
+      : Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try { fs.delete(p, true); () }
+    catch { case _: java.io.IOException => () }
+    created.remove(path)
+    ()
   }
 }

@@ -60,8 +60,15 @@ object TableIO {
     if (!mergeSchema) existingSchema(df.sparkSession, layout, path)
       .foreach { s =>
         val added = fieldNames(df.schema) -- fieldNames(s)
-        require(added.isEmpty,
-          s"append to $path adds columns ${added.mkString(", ")}; " +
+        val missing = fieldNames(s) -- fieldNames(df.schema)
+        // a missing column is as dangerous as an added one: the table
+        // would mix footers and a default (non-mergeSchema) read can
+        // resolve its schema from the narrow file, silently dropping
+        // the column for every row
+        require(added.isEmpty && missing.isEmpty,
+          s"append to $path changes columns (added: " +
+            s"${added.mkString(", ")}; missing: " +
+            s"${missing.mkString(", ")}); " +
             "pass mergeSchema = true to evolve the schema")
       }
     val w = df.write.format(layout.format).mode(SaveMode.Append)
@@ -80,8 +87,12 @@ object TableIO {
       : Unit = {
     if (!overwriteSchema) existingSchema(df.sparkSession, layout, path)
       .foreach { s =>
-        val existing = fieldNames(s)
-        val next = fieldNames(df.schema)
+        // names AND types: a same-named column changing type is the
+        // classic silent upstream bug this guard exists to refuse
+        def shape(t: org.apache.spark.sql.types.StructType) =
+          t.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+        val existing = shape(s)
+        val next = shape(df.schema)
         require(existing == next,
           s"overwrite of $path changes schema ($existing -> $next); " +
             "pass overwriteSchema = true to replace it")
@@ -168,8 +179,12 @@ object TableIO {
     val t = new org.apache.hadoop.fs.Path(tmp)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = new org.apache.hadoop.fs.Path(logPath(path))
-    if (fs.exists(log))
-      fs.rename(log, new org.apache.hadoop.fs.Path(logPath(tmp)))
+    if (fs.exists(log) &&
+        !fs.rename(log, new org.apache.hadoop.fs.Path(logPath(tmp))))
+      // some FS impls signal failure by returning false, not throwing;
+      // proceeding would let the delete below wipe the version history
+      throw new java.io.IOException(
+        s"rename $log -> ${logPath(tmp)} failed; aborting swap")
     fs.delete(p, true)
     if (!fs.rename(t, p))
       throw new java.io.IOException(s"rename $tmp -> $path failed")

@@ -62,6 +62,15 @@ object Chunking {
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budget: Int, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0)
+    // shard = id mod shards must be integral arithmetic: a string id
+    // would cast to null and collapse every row into one window
+    // partition — a single global cumsum through one task
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(docs.schema(idCol).dataType)
+    }, s"packSequences needs an integral id column, got " +
+      s"${docs.schema(idCol).dataType.simpleString}")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     docs.select(col(idCol),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),

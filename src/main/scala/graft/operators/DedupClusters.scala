@@ -42,7 +42,7 @@ object DedupClusters {
     // action. Write+read resets lineage to a scan AND keeps every round
     // durable — executor loss mid-algorithm recomputes one round, not
     // the whole history.
-    var cur = graft.core.Scratch.materialize(
+    var (cur, curPath) = graft.core.Scratch.materializeWithPath(
       edges
         .select(greatest(col(srcCol), col(dstCol)).as("src"),
           least(col(srcCol), col(dstCol)).as("dst"))
@@ -53,17 +53,27 @@ object DedupClusters {
     var converged = curCount == 0
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = graft.core.Scratch.materialize(
+      val (next, nextPath) = graft.core.Scratch.materializeWithPath(
         smallStar(largeStar(cur)), s"cc_round$iter")
       // both sides are distinct sets, so equal cardinality + empty
       // one-way difference ⇒ set equality; the count (a cheap scan of
       // the just-written round) usually short-circuits the except join
       val nextCount = next.count()
       converged = nextCount == curCount && next.except(cur).isEmpty
+      // the superseded round was last read by the except above — drop
+      // its files eagerly so long chains don't accumulate scratch
+      graft.core.Scratch.drop(cur.sparkSession, curPath)
       cur = next
+      curPath = nextPath
       curCount = nextCount
       iter += 1
     }
+    if (!converged)
+      // emitting labels from a non-star edge set would silently split
+      // clusters; O(log n) rounds converge in practice — a hit bound
+      // means maxIter was set far too low for the graph
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
     // converged star graph: every non-min node points at its component
     // min; the min nodes themselves appear only as dst
     val nonMin = cur.select(col("src").as("node"), col("dst").as("component"))

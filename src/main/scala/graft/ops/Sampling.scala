@@ -30,6 +30,10 @@ object DeterministicSample {
     * Unlisted strata are dropped (rate 0). */
   def stratifiedByHash(df: DataFrame, key: Column, stratum: Column,
       frac256: Map[String, Int]): DataFrame = {
+    // same domain check as byHash: %02x of an out-of-range rate builds
+    // a >2-char threshold that string-compares to ~keep-everything
+    require(frac256.values.forall(f => f >= 0 && f <= 256),
+      "stratum rates must be in [0,256]")
     val threshold = frac256.foldLeft(lit("00")) {
       case (acc, (s, f)) =>
         when(stratum === s, lit(thresholdHex(f))).otherwise(acc)

@@ -165,32 +165,51 @@ object IncrementalFiles {
     * date watermark has frozen. Cost: one recursive listing, O(#files)
     * on the driver — fine into the millions of files; beyond that, a
     * manifest or storage-notification source is the right tool.
-    * Returns the batch (None when nothing new) and the max mtime seen
-    * across ALL files, which is the next watermark to persist. */
+    *
+    * Two boundary protections:
+    *   - files under a hidden directory ANYWHERE below the root
+    *     (`_temporary`, `.staging`, …) are skipped, not just hidden
+    *     leaf names — in-flight Spark/MR writers must never be read;
+    *   - only files with mtime at or below `now - graceMs` are
+    *     ingested, and the returned watermark advances only over what
+    *     was ingested. A file committed with an mtime equal to the
+    *     previous max (same filesystem timestamp tick) therefore still
+    *     lands in the next batch instead of being skipped forever.
+    *     Caveat that no mtime watermark can fix: a rename-in of a file
+    *     PRESERVING an old mtime is invisible — backfills must copy
+    *     (fresh mtime) or use the manifest path.
+    *
+    * Returns the batch (None when nothing new) and the next watermark
+    * to persist. */
   def readNewByModTime(spark: SparkSession, landingRoot: String,
-      sinceMtime: Long, format: String = "csv")
-      : (Option[DataFrame], Long) = {
+      sinceMtime: Long, format: String = "csv",
+      graceMs: Long = 2000L): (Option[DataFrame], Long) = {
     val root = new org.apache.hadoop.fs.Path(landingRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toUri
     def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def underHiddenDir(p: org.apache.hadoop.fs.Path): Boolean = {
+      val rel = rootUri.relativize(p.toUri).getPath
+      rel.split("/").exists(hidden)
+    }
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
-      if (!hidden(st.getPath.getName))
+      if (!underHiddenDir(fs.makeQualified(st.getPath)))
         files += ((st.getPath.toString, st.getModificationTime))
     }
-    val maxMtime = if (files.isEmpty) sinceMtime
-      else math.max(sinceMtime, files.map(_._2).max)
-    val fresh = files.collect { case (p, m) if m > sinceMtime => p }
-    if (fresh.isEmpty) (None, maxMtime)
+    val horizon = System.currentTimeMillis() - graceMs
+    val fresh = files.filter { case (_, m) =>
+      m > sinceMtime && m <= horizon }
+    if (fresh.isEmpty) (None, sinceMtime)
     else {
       val df = spark.read
         .option("header", "true")
         .option("basePath", landingRoot)
         .format(format)
-        .load(fresh.toSeq: _*)
-      (Some(df), maxMtime)
+        .load(fresh.map(_._1).toSeq: _*)
+      (Some(df), fresh.map(_._2).max)
     }
   }
 }

@@ -94,18 +94,33 @@ object SensorStreamJob {
     * static side's file listing once at query start, so dim updates
     * made while the stream runs are invisible until restart. foreachBatch
     * re-reads the dim table at every micro-batch — an update lands in
-    * the NEXT batch. The dim is broadcast (it is small by contract). */
+    * the NEXT batch. The dim is broadcast (it is small by contract).
+    *
+    * Replay idempotence: Structured Streaming re-runs a micro-batch
+    * whose write finished but whose checkpoint commit didn't, and a
+    * blind append would then duplicate it. A `_graft_batch_commits/<id>`
+    * marker written AFTER the append makes the replay a no-op. The
+    * residual window (crash between append and marker) duplicates at
+    * most one batch — closing it entirely needs a transactional table
+    * format, which parquet-mode deliberately doesn't assume. */
   def startWithDimRefresh(stream: DataFrame, layout: LakeLayout,
       dimPath: String, joinKeys: Seq[String], outPath: String,
       checkpointPath: String): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dim = batch.sparkSession.read.format(layout.format)
-          .load(dimPath)
-        batch.join(org.apache.spark.sql.functions.broadcast(dim),
-            joinKeys, "left")
-          .write.format(layout.format)
-          .mode(org.apache.spark.sql.SaveMode.Append).save(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$outPath/_graft_batch_commits/$batchId")
+        val fs = marker.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val dim = spark.read.format(layout.format).load(dimPath)
+          batch.join(org.apache.spark.sql.functions.broadcast(dim),
+              joinKeys, "left")
+            .write.format(layout.format)
+            .mode(org.apache.spark.sql.SaveMode.Append).save(outPath)
+          fs.create(marker, true).close()
+        }
       }
       .option("checkpointLocation", checkpointPath)
       .queryName("dim_refresh_sink")

@@ -36,6 +36,14 @@ class ChunkingSpec extends SparkTestBase {
     assert(out.toSeq == Seq((3L, 2)))
   }
 
+  test("packSequences rejects non-integral id columns") {
+    val docs = Seq(("doc-a", "w w w")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Chunking.packSequences(docs, "doc_id", "text", 10, 4)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("packSequences: offsets are contiguous per shard, packs respect budget") {
     val docs = (1L to 40L)
       .map(i => (i, (1 to (i % 7 + 3).toInt).map(_ => "w").mkString(" ")))

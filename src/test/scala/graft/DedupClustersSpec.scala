@@ -7,6 +7,14 @@ import graft.operators.DedupClusters
 class DedupClustersSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("components refuses to emit labels when maxIter preempts convergence") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      DedupClusters.components(pairs, "a", "b", maxIter = 1)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("components resolves chains transitively (A~B, B~C => one cluster)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val out = DedupClusters.components(pairs, "a", "b")

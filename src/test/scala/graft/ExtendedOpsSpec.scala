@@ -118,6 +118,13 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(DeterministicSample.byHash(ids, col("id"), 256).count() == 2000)
   }
 
+  test("stratifiedByHash rejects out-of-range rates") {
+    intercept[IllegalArgumentException] {
+      DeterministicSample.stratifiedByHash(ids, col("id"),
+        col("id").cast("string"), Map("1" -> -1))
+    }
+  }
+
   test("stratifiedByHash applies per-stratum rates, drops unlisted") {
     val df = ids.withColumn("s",
       when(col("id") % 3 === 0, "keep_all")

@@ -65,6 +65,25 @@ class FormatsSpec extends SparkTestBase {
       == Set("id", "x"))
   }
 
+  test("schema guards: missing-column append and type-change overwrite refused") {
+    val root = Files.createTempDirectory("graft-guards").toString
+    val layout = LakeLayout(root)
+    val path = s"$root/t"
+    TableIO.overwrite(Seq((1L, "a")).toDF("id", "s"), layout, path)
+    // appending a frame MISSING a column would mix footers and let a
+    // default read silently drop the column
+    intercept[IllegalArgumentException] {
+      TableIO.append(Seq(Tuple1(2L)).toDF("id"), layout, path)
+    }
+    // same names, different type: still a schema change
+    intercept[IllegalArgumentException] {
+      TableIO.overwrite(Seq((1L, 7)).toDF("id", "s"), layout, path)
+    }
+    // unchanged schema still appends/overwrites freely
+    TableIO.append(Seq((3L, "c")).toDF("id", "s"), layout, path)
+    assert(TableIO.read(spark, layout, path).count() == 2)
+  }
+
   test("spark-submit arg surface parses like the reference CLIs") {
     val a = graft.batch.JobMains.parseArgs(Array(
       "--lake-root", "/tmp/x", "--ingest-date", "2026-01-15",

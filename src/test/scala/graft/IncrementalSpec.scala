@@ -96,10 +96,14 @@ class IncrementalSpec extends SparkTestBase {
     Seq(("2026-01-02 00:00:00", "60.0")).toDF("ts", "price_eur_mwh")
       .write.option("header", "true").csv(s"$landing/date=2026-01-02")
 
-    val (b1, m1) = IncrementalFiles.readNewByModTime(spark, landing, 0L)
+    // graceMs = 0: tests ingest immediately; production keeps the
+    // default safety horizon against same-tick commits
+    val (b1, m1) = IncrementalFiles.readNewByModTime(spark, landing, 0L,
+      graceMs = 0L)
     assert(b1.exists(_.count() == 2))
     // converged: nothing new, watermark stable
-    val (b2, m2) = IncrementalFiles.readNewByModTime(spark, landing, m1)
+    val (b2, m2) = IncrementalFiles.readNewByModTime(spark, landing, m1,
+      graceMs = 0L)
     assert(b2.isEmpty && m2 == m1)
 
     // a file backfilled into the OLD date=2026-01-01 partition — the
@@ -108,12 +112,39 @@ class IncrementalSpec extends SparkTestBase {
     Seq(("2026-01-01 12:00:00", "51.0")).toDF("ts", "price_eur_mwh")
       .write.option("header", "true").mode("append")
       .csv(s"$landing/date=2026-01-01")
-    val (b3, m3) = IncrementalFiles.readNewByModTime(spark, landing, m1)
+    val (b3, m3) = IncrementalFiles.readNewByModTime(spark, landing, m1,
+      graceMs = 0L)
     assert(m3 > m1)
     val rows = b3.get.withColumn("date",
       org.apache.spark.sql.functions.col("date").cast("string")).collect()
     assert(rows.length == 1)
     assert(rows.head.getAs[String]("date") == "2026-01-01")
     assert(rows.head.getAs[String]("price_eur_mwh") == "51.0")
+  }
+
+  test("mod-time pickup skips in-flight writer dirs and honors the grace horizon") {
+    val tmp = Files.createTempDirectory("graft-mtime2").toString
+    val landing = s"$tmp/landing"
+    Seq(("2026-01-01 00:00:00", "50.0")).toDF("ts", "price_eur_mwh")
+      .write.option("header", "true").csv(s"$landing/date=2026-01-01")
+    // a non-hidden file under a hidden ancestor: an uncommitted
+    // Spark/MR task attempt must never be ingested
+    val staging = new java.io.File(
+      s"$landing/date=2026-01-01/_temporary/0")
+    staging.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$staging/part-000.csv"),
+      "ts,price_eur_mwh\n2026-01-01 09:00:00,99.0\n".getBytes)
+
+    val (b1, _) = IncrementalFiles.readNewByModTime(spark, landing, 0L,
+      graceMs = 0L)
+    assert(b1.exists(_.count() == 1), "staging file leaked into batch")
+
+    // grace horizon: a file committed within the last graceMs is held
+    // back AND the watermark does not advance past it — it lands in
+    // the next round instead of being skipped forever
+    val (b2, m2) = IncrementalFiles.readNewByModTime(spark, landing, 0L,
+      graceMs = 3600000L)
+    assert(b2.isEmpty && m2 == 0L)
   }
 }
