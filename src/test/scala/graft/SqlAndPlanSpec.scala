@@ -125,6 +125,30 @@ class SqlAndPlanSpec extends SparkTestBase {
     assert(pushed.contains("l_quantity"), s"pushed=$pushed")
   }
 
+  test("partition filters prune a hive-partitioned table at the scan") {
+    import graft.core.{LakeLayout, TableIO}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-prune").toString
+    val layout = LakeLayout(root)
+    val df = spark.range(0, 100)
+      .selectExpr("id", "CAST(id % 5 AS STRING) AS part")
+    TableIO.overwrite(df, layout, s"$root/t", partitionCols = Seq("part"))
+    val q = TableIO.read(spark, layout, s"$root/t")
+      .filter(org.apache.spark.sql.functions.col("part") === "3")
+    q.collect()
+    val scans = collectPlan(q.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // the partition predicate must prune at listing time (1 of 5
+    // directories read), not as a post-scan filter
+    assert(scans.head.partitionFilters.nonEmpty,
+      "partition filter not pushed to the scan")
+    assert(scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, Nil).length == 1,
+      "scan did not prune to a single partition")
+  }
+
   test("IVF cell assignment plans zero exchanges (narrow map)") {
     // the stage that touches every corpus row must not shuffle: the
     // codebook rides inside the fused NearestCells expression
