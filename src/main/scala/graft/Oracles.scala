@@ -954,5 +954,49 @@ object Oracles {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // bloom pruning is transparent to the result: the oracle is the
+    // plain inner join the operator must be indistinguishable from
+    "q72_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q73_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice, rn
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q74_stratified_split" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    (position(substring(md5('graft:' || CAST(doc_id AS VARCHAR)),
+        |        1, 1) IN '0123456789abcdef') - 1) * 16
+        |    + position(substring(md5('graft:' || CAST(doc_id AS VARCHAR)),
+        |        2, 1) IN '0123456789abcdef') - 1 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 205 THEN 'train'
+        |       WHEN bucket < 230 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    // like q33: the sketch is impl-specific, so the oracle checks the
+    // exact counts plus the same 5% envelope with ITS OWN estimator
+    "q75_sketch_rollup" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  (CAST(abs(approx_count_distinct(user_id)
+        |      - count(DISTINCT user_id)) AS DOUBLE)
+        |    / count(DISTINCT user_id) < 0.05) AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

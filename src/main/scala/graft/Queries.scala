@@ -852,6 +852,71 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- bloom-filter join pruning ------------------------------------
+    "q72_bloom_join" -> ((s, d) => {
+      // dim keys → broadcast bloom sketch → fact pruned AT THE SCAN,
+      // before the join exchange; the join keeps the result exact
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.BloomJoin.join(
+          t(s, d, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          dround(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- generic bounded-heap top-k per group -------------------------
+    "q73_topk_per_group" -> ((s, d) => {
+      // the same O(k)-state aggregate that ranks the ANN paths, on a
+      // relational group-by: top-3 orders by price per priority with
+      // map-side partials (groups×k rows cross the exchange, not the
+      // full orders set as a window shuffle would)
+      t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKByScore.column(
+          col("o_totalprice"), col("o_orderkey"), 3).as("__top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("__top")).as(Seq("__p", "__e")))
+        .select(col("o_orderpriority"), col("__e.id").as("o_orderkey"),
+          dround(col("__e.score"), 2).as("o_totalprice"),
+          (col("__p") + 1).cast("int").as("rn"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    // ---- deterministic stratified split -------------------------------
+    "q74_stratified_split" -> ((s, d) => {
+      // pure-function-of-(seed,id) assignment — stable across runs,
+      // partitionings, and engines (oracle derives the SAME split)
+      graft.ops.Splits.assign(t(s, d, "documents"), col("doc_id"), "graft")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // ---- mergeable distinct-count sketch rollup ------------------------
+    "q75_sketch_rollup" -> ((s, d) => {
+      // daily HLL partials → monthly union → estimate: the incremental
+      // rollup pattern (persist daily sketches once; month/quarter/year
+      // re-aggregations touch sketches, never the raw 100 TB again).
+      // Envelope-checked against exact like q33 — the sketch itself is
+      // impl-specific.
+      val ev = t(s, d, "events")
+      val daily = ev.groupBy(
+          date_trunc("month", col("ts")).cast("date").as("month"),
+          to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("__sk"))
+      val monthly = daily.groupBy(col("month"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__approx"))
+      val exact = ev.groupBy(
+          date_trunc("month", col("ts")).cast("date").as("month"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      monthly.join(exact, Seq("month"))
+        .select(col("month"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")).cast("double") /
+            col("n_exact") < 0.05).as("approx_ok"))
+        .orderBy(col("month"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Rounding.dround
 
@@ -47,13 +46,27 @@ object SimilarityOps {
       .withColumn("cos_sim",
         cosine(col("__qv").cast("array<double>"),
           col("__cv").cast("array<double>")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        dround(col("cos_sim"), 4).as("cos_sim"), col("rn"))
+    rankTopK(scored, k)
   }
+
+  /** Top-k per query over scored (query_id, neighbor_id, cos_sim) rows
+    * via the bounded-heap [[graft.functions.TopKByScore]] aggregate.
+    * The previous `row_number().over(Window.partitionBy(query_id))`
+    * hash-shuffled and sorted EVERY scored row just to discard all but
+    * k of them — at corpus scale the window shuffle is the whole query
+    * cost. The aggregate partial-aggregates map-side: each task ships
+    * one O(k) heap per query, so the exchange carries queries×k rows
+    * regardless of corpus size. Ordering (score desc, id asc) matches
+    * the window formulation exactly, ties included. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.column(
+        col("cos_sim"), col("neighbor_id").cast("long"), k).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        dround(col("__e.score"), 4).as("cos_sim"),
+        (col("__pos") + 1).cast("int").as("rn"))
 
   /** h-bit random-hyperplane signature via the native
     * [[graft.functions.HyperplaneLsh]] expression — seeded, deterministic
@@ -94,12 +107,7 @@ object SimilarityOps {
       .select("query_id", "neighbor_id").distinct()
     val scored = cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        dround(col("cos_sim"), 4).as("cos_sim"), col("rn"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN: corpus partitioned into C coarse cells by nearest
@@ -137,12 +145,7 @@ object SimilarityOps {
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        dround(col("cos_sim"), 4).as("cos_sim"), col("rn"))
+    rankTopK(scored, k)
   }
 
   /** Nearest-codebook-cell assignment as a NARROW map (no join, no

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/val/test split assignment — the reproducibility
+  * primitive of a training-data pipeline. The split of a document must
+  * be a PURE FUNCTION of (seed, id): stable across runs, cluster sizes,
+  * partitionings, and engines (so an oracle in another SQL engine
+  * derives the identical assignment). `rand(seed)` fails all of these —
+  * its value depends on partition layout — and modulo-on-id fails
+  * whenever ids carry structure (every 97th doc is an eval doc, etc.).
+  *
+  * Bucket = first two hex chars of md5("seed:id") → 0..255, mapped to
+  * train/val/test at 205/25/26 (~80/10/10). Pure projection: no
+  * shuffle, no state, codegen'd string ops.
+  */
+object Splits {
+
+  /** 0..255 bucket from the first two hex nibbles of md5(seed:id).
+    * Engine-portable: md5 hex + POSITION over the hex alphabet exist
+    * everywhere (Spark `conv` does the same job but has no DuckDB
+    * twin). */
+  def bucket256(id: Column, seed: String): Column = {
+    val h = md5(concat_ws(":", lit(seed), id.cast("string")))
+    def nibble(i: Int): Column =
+      call_function("position", substring(h, i, 1),
+        lit("0123456789abcdef")) - 1
+    nibble(1) * 16 + nibble(2)
+  }
+
+  /** Adds a `split` column ∈ {train, val, test}. Fractions are fixed at
+    * 205/25/26 of 256 (~80/10/10). */
+  def assign(df: DataFrame, id: Column, seed: String): DataFrame = {
+    val b = bucket256(id, seed)
+    df.withColumn("split",
+      when(b < 205, "train").when(b < 230, "val").otherwise("test"))
+  }
+}
