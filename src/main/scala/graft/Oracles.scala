@@ -990,6 +990,41 @@ object Oracles {
         |  count(*) AS n_docs
         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
 
+    // exact shingle-jaccard over (batch×corpus ∪ batch×batch) pairs —
+    // same exhaustive formulation as q44's near-dup stage, so a hash
+    // match certifies the incremental path's recall end-to-end
+    "q76_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT n.doc_id AS id_new, o.doc_id AS id_dup,
+        |    CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+        |      / (len(n.s) + len(o.s) - len(list_intersect(n.s, o.s)))
+        |      AS j,
+        |    'corpus' AS match_in
+        |  FROM sh n JOIN sh o
+        |    ON n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |      AS j,
+        |    'batch' AS match_in
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+        |      AND a.doc_id < b.doc_id)
+        |SELECT id_new, id_dup, round(j, 4) AS jaccard, match_in
+        |FROM pairs
+        |WHERE j >= 0.95
+        |ORDER BY id_new, id_dup""".stripMargin,
+
     // like q33: the sketch is impl-specific, so the oracle checks the
     // exact counts plus the same 5% envelope with ITS OWN estimator
     "q75_sketch_rollup" ->

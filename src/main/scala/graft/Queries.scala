@@ -917,6 +917,21 @@ object Queries {
         .orderBy(col("month"))
     }),
 
+    // ---- incremental near-dup admission --------------------------------
+    "q76_incremental_dedup" -> ((s, d) => {
+      // every 5th doc arrives as the new batch; the rest is the
+      // standing corpus whose signature store was persisted earlier.
+      // Threshold 0.95 = q44's proven-recall envelope at 16×4 bands.
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val store = graft.operators.DedupOps.signatureStore(
+        corpus, "doc_id", "text")
+      graft.operators.DedupOps.incrementalNearDups(
+        batch, corpus, store, "doc_id", "text", threshold = 0.95)
+        .orderBy(col("id_new"), col("id_dup"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

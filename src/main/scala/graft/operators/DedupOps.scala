@@ -93,6 +93,79 @@ object DedupOps {
     out
   }
 
+  /** (id, band, band_hash) rows for `df` — the PERSISTED artifact of
+    * incremental dedup (tens of bytes per doc; the caller writes it
+    * once via TableIO and appends each batch's rows after admission). */
+  def signatureStore(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4)
+      : DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df.select(col(idCol), col(textCol)).withColumn("__sig",
+      minhashSignature(shingles(col(textCol), shingleN), k))
+    lshBands(sig, idCol, "__sig", bands, rowsPerBand)
+  }
+
+  /** Incremental near-dup detection — the arrival-time shape of dedup
+    * at 100 TB. [[minhashNearDups]] self-joins the WHOLE corpus, which
+    * is right for a one-off backfill but wrong for a growing corpus:
+    * re-shingling 100 TB to admit a 10 GB batch is a 10^4× overspend.
+    * Production keeps a [[signatureStore]] on disk and, per batch:
+    *   1. computes signatures for the batch's docs only;
+    *   2. band-joins the batch against the store (vs-corpus candidates)
+    *      and against itself (within-batch candidates);
+    *   3. verifies candidates by exact shingle Jaccard, re-reading
+    *      ONLY the candidate corpus docs' text via an id-keyed join —
+    *      the corpus body is never rescanned.
+    * Returns (id_new, id_dup, jaccard, match_in ∈ {corpus, batch}).
+    */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame,
+      store: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = batch.select(col(idCol), col(textCol))
+      .withColumn("__sh", shingles(col(textCol), shingleN))
+      .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = lshBands(withSig, idCol, "__sig", bands, rowsPerBand)
+    val newSide = bBands.select(col("band"), col("band_hash"),
+      col(idCol).as("id_new"))
+    val candCorpus = newSide.join(store.select(col("band"),
+        col("band_hash"), col(idCol).as("id_dup")),
+        Seq("band", "band_hash"))
+      .select("id_new", "id_dup").distinct()
+    val candBatch = newSide.join(bBands.select(col("band"),
+        col("band_hash"), col(idCol).as("id_dup")),
+        Seq("band", "band_hash"))
+      .filter(col("id_new") < col("id_dup"))
+      .select("id_new", "id_dup").distinct()
+    val bsh = withSig.select(col(idCol),
+      array_distinct(col("__sh")).as("__shd"))
+    // only CANDIDATE corpus docs are re-read and re-shingled
+    val oldSh = corpus.select(col(idCol), col(textCol))
+      .join(candCorpus.select(col("id_dup").as(idCol)).distinct(),
+        Seq(idCol))
+      .select(col(idCol),
+        array_distinct(shingles(col(textCol), shingleN)).as("__shd"))
+    def verified(cand: DataFrame, dupSh: DataFrame, kind: String) =
+      cand
+        .join(bsh.select(col(idCol).as("id_new"),
+          col("__shd").as("sh_n")), "id_new")
+        .join(dupSh.select(col(idCol).as("id_dup"),
+          col("__shd").as("sh_d")), "id_dup")
+        .withColumn("jaccard", jaccardDistinct(col("sh_n"), col("sh_d")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_new"), col("id_dup"),
+          dround(col("jaccard"), 4).as("jaccard"),
+          lit(kind).as("match_in"))
+    val out = graft.core.Scratch.materialize(
+      verified(candCorpus, oldSh, "corpus")
+        .unionByName(verified(candBatch, bsh, "batch")),
+      "incr_neardups")
+    withSig.unpersist(blocking = false)
+    out
+  }
+
   /** Exact Jaccard over two shingle arrays (inputs may contain dups). */
   def jaccard(a: Column, b: Column): Column =
     jaccardDistinct(array_distinct(a), array_distinct(b))

@@ -109,6 +109,56 @@ class TextDedupSpec extends SparkTestBase {
     assert(pairs.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("incrementalNearDups == full self-join restricted to new pairs") {
+    // the incremental path must agree with the batch path: pairs that
+    // touch a new doc (new×corpus and new×new) match minhashNearDups
+    // on the whole corpus, filtered to those pair shapes
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val store = DedupOps.signatureStore(corpus, "doc_id", "text")
+    val incr = DedupOps.incrementalNearDups(batch, corpus, store,
+      "doc_id", "text", threshold = 0.9)
+      .select(col("id_new"), col("id_dup"), col("jaccard"))
+    val full = DedupOps.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.9)
+    // full emits (min,max); incremental emits (new,old) for corpus
+    // matches — canonicalize both to the unordered pair
+    def canon(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(least(col(a), col(b)).as("lo"),
+        greatest(col(a), col(b)).as("hi"), col("jaccard"))
+    val want = canon(full, "id_a", "id_b")
+      .filter(col("lo") % 5 === 0 || col("hi") % 5 === 0)
+    val got = canon(incr, "id_new", "id_dup")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.count() > 0, "sf0.001 should contain planted near-dups " +
+      "crossing the batch/corpus split")
+  }
+
+  test("incremental store reuse: second batch sees first batch's docs " +
+      "only via an updated store") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    val b1 = Seq((21L, base.replace("sigma", "SIGMA2"))).toDF("doc_id", "text")
+    val b2 = Seq((32L, base.replace("alpha", "ALPHA2"))).toDF("doc_id", "text")
+    val store0 = DedupOps.signatureStore(corpus, "doc_id", "text")
+    // admit batch 1, then append its signatures to the store
+    val r1 = DedupOps.incrementalNearDups(b1, corpus, store0,
+      "doc_id", "text", threshold = 0.5).collect()
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((21L, 10L)))
+    val store1 = store0.unionByName(
+      DedupOps.signatureStore(b1, "doc_id", "text"))
+    val corpus1 = corpus.unionByName(b1)
+    val r2 = DedupOps.incrementalNearDups(b2, corpus1, store1,
+      "doc_id", "text", threshold = 0.5)
+      .orderBy("id_dup").collect()
+    // batch 2's doc matches BOTH standing docs now
+    assert(r2.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((32L, 10L), (32L, 21L)))
+    assert(r2.forall(_.getString(3) == "corpus"))
+  }
+
   test("simhash near-identical docs have small hamming distance") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = base.replace("tok30", "changed")
