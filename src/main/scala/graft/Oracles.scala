@@ -1025,6 +1025,21 @@ object Oracles {
         |WHERE j >= 0.95
         |ORDER BY id_new, id_dup""".stripMargin,
 
+    "q77_domain_cap" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    (position(substring(md5('cap:' || CAST(doc_id AS VARCHAR)),
+        |        1, 1) IN '0123456789abcdef') - 1) * 16
+        |    + position(substring(md5('cap:' || CAST(doc_id AS VARCHAR)),
+        |        2, 1) IN '0123456789abcdef') - 1 AS bucket
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY bucket, doc_id) AS rn
+        |  FROM b)
+        |SELECT source, doc_id, rn FROM r WHERE rn <= 10
+        |ORDER BY source, rn""".stripMargin,
+
     // like q33: the sketch is impl-specific, so the oracle checks the
     // exact counts plus the same 5% envelope with ITS OWN estimator
     "q75_sketch_rollup" ->

@@ -932,6 +932,15 @@ object Queries {
         .orderBy(col("id_new"), col("id_dup"))
     }),
 
+    // ---- per-domain quota (corpus balancing) ---------------------------
+    "q77_domain_cap" -> ((s, d) => {
+      // at most 10 docs per source, picked by deterministic hash order;
+      // bounded-heap aggregate — no corpus-wide window sort
+      graft.ops.DomainCap.cap(t(s, d, "documents"),
+        "doc_id", "source", k = 10, seed = "cap")
+        .orderBy(col("source"), col("rn"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{HyperplaneLsh, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.{HyperplaneLsh, MinHashSignature, SimHash64, TopKByScore, WordShingles}
 
 /** Cluster-wide installer for the graft SQL function surface:
   *
@@ -44,5 +44,8 @@ object GraftExtensions {
       WordShingles(exprs(0), intArg(exprs(1), "n"))),
     "hyperplane_lsh" -> (exprs =>
       HyperplaneLsh(exprs(0), intArg(exprs(1), "bits"),
-        if (exprs.length > 2) intArg(exprs(2), "seed") else 42)))
+        if (exprs.length > 2) intArg(exprs(2), "seed") else 42)),
+    "top_k_by_score" -> (exprs =>
+      TopKByScore(exprs(0), exprs(1), intArg(exprs(2), "k"))
+        .toAggregateExpression()))
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.core.LakeLayout
+import graft.core.{LakeLayout, TableIO}
 
 /** EP3 production wiring (SURVEY.md §2.9): Kafka source → the
   * [[SensorPipeline]] stages → checkpointed parquet sinks, with the
@@ -124,5 +124,35 @@ object SensorStreamJob {
       }
       .option("checkpointLocation", checkpointPath)
       .queryName("dim_refresh_sink")
+      .start()
+
+  /** Streaming MERGE sink: each micro-batch UPSERTS into the target by
+    * key (latest-wins inside the batch, then K4 merge semantics against
+    * the table) instead of blind-appending — the streaming twin of the
+    * reference's Delta MERGE silver step (03_silver_smartpool.ipynb §4).
+    *
+    * Replay idempotence is free here, unlike the append sink: re-merging
+    * an already-applied batch maps every key to the value it already
+    * has, so no commit marker is needed. The swap goes through
+    * `TableIO.replaceContents` (tmp-dir write + rename) because the
+    * merged frame READS FROM the table it replaces. */
+  def startUpsertSink(stream: DataFrame, layout: LakeLayout,
+      outPath: String, keys: Seq[String], orderCol: String,
+      checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val order = Seq(org.apache.spark.sql.functions.col(orderCol).desc)
+        val latest = graft.ops.DedupLatest(batch, keys, order)
+        if (!TableIO.exists(spark, outPath))
+          TableIO.overwrite(latest, layout, outPath)
+        else {
+          val target = TableIO.read(spark, layout, outPath)
+          TableIO.replaceContents(spark, layout,
+            graft.ops.Upsert(target, latest, keys, order), outPath)
+        }
+      }
+      .option("checkpointLocation", checkpointPath)
+      .queryName("upsert_sink")
       .start()
 }

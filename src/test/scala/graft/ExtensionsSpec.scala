@@ -34,6 +34,13 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(row.getInt(1) == 8)
       assert(row.getInt(2) == 2)
       assert(row.getLong(3) >= 0L)
+      // the bounded-heap aggregate resolves in SQL too
+      val topk = spark.sql(
+        """SELECT top_k_by_score(s, i, 2) AS t FROM VALUES
+          |  (1.0D, 10L), (3.0D, 20L), (2.0D, 30L) AS v(s, i)
+          |""".stripMargin).collect().head
+      val entries = topk.getSeq[org.apache.spark.sql.Row](0)
+      assert(entries.map(_.getLong(1)) == Seq(20L, 30L))
     } finally spark.stop()
   }
 }
