@@ -1025,6 +1025,29 @@ object Oracles {
         |WHERE j >= 0.95
         |ORDER BY id_new, id_dup""".stripMargin,
 
+    "q78_upsample" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.25
+        |      ELSE 1.0 END AS DOUBLE) AS r,
+        |    (position(substring(md5('upsample:'
+        |        || CAST(doc_id AS VARCHAR)), 1, 1)
+        |      IN '0123456789abcdef') - 1) * 16
+        |    + position(substring(md5('upsample:'
+        |        || CAST(doc_id AS VARCHAR)), 2, 1)
+        |      IN '0123456789abcdef') - 1 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(r) AS INT)
+        |    + CASE WHEN bucket < CAST(round((r - floor(r)) * 256) AS INT)
+        |        THEN 1 ELSE 0 END AS n_copies
+        |  FROM f)
+        |SELECT doc_id, source,
+        |  unnest(generate_series(1, n_copies)) AS copy_idx
+        |FROM c WHERE n_copies > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+
     "q77_domain_cap" ->
       """WITH b AS (
         |  SELECT source, doc_id,

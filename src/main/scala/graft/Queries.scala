@@ -941,6 +941,16 @@ object Queries {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // ---- temperature up-sampling (epochs per source) -------------------
+    "q78_upsample" -> ((s, d) => {
+      // src0 repeats 2.5×, src1 1.25×; whole copies exact, fractional
+      // remainder a deterministic per-doc hash coin (binary-exact
+      // fractions so both engines quantize identically)
+      graft.ops.CorpusMix.upsample(t(s, d, "documents"),
+        "doc_id", "source", Map("src0" -> 2.5, "src1" -> 1.25))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

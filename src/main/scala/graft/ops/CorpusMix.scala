@@ -55,4 +55,31 @@ object CorpusMix {
       .select(col(idCol), col(sourceCol),
         col("__ntok").cast("long").as("n_tokens"))
   }
+
+  /** Temperature UP-sampling — the other half of mixture building:
+    * high-quality sources are repeated `factor > 1` times in the
+    * training corpus (epochs-per-source in published pretraining
+    * recipes). Whole copies are exact; the fractional remainder is a
+    * deterministic per-doc coin — [[Splits.bucket256]] against
+    * `round(frac·256)` — so the realized rate is reproducible from
+    * (seed, ids) alone, with no run-to-run variance. Emits one row per
+    * (doc, copy_idx). Narrow plan: a literal-map lookup and an
+    * explode — no shuffle, no state; factors quantize to 1/256ths.
+    */
+  def upsample(docs: DataFrame, idCol: String, sourceCol: String,
+      factors: Map[String, Double], seed: String = "upsample")
+      : DataFrame = {
+    require(factors.values.forall(_ >= 0))
+    val f = factors.foldLeft(lit(1.0)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    val whole = floor(f).cast("int")
+    val fracGate = round((f - floor(f)) * 256, 0).cast("int")
+    val extra =
+      when(Splits.bucket256(col(idCol), seed) < fracGate, 1).otherwise(0)
+    docs.withColumn("n_copies", whole + extra)
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+  }
 }

@@ -156,4 +156,40 @@ class PipelinePropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("upsample law: per-doc copies ∈ {⌊f⌋, ⌈f⌉}, realized rate ≈ f, " +
+      "deterministic") {
+    val srcGen: Gen[(Long, String, String)] = for {
+      id <- Gen.choose(1L, 1000000L)
+      src <- Gen.oneOf("x", "y")
+    } yield (id, "tok tok", src)
+    val factors = Map("x" -> 2.25, "y" -> 0.5)
+    for (docs0 <- samples(Gen.listOfN(400, srcGen), 2)) {
+      val docs = docs0.distinctBy(_._1)
+      val in = docs.toDF("doc_id", "text", "source")
+      val out = CorpusMix.upsample(in, "doc_id", "source", factors)
+        .as[(Long, String, Int)].collect()
+      val copies = out.groupBy(_._1).view.mapValues(_.length).toMap
+      val bySrc = docs.map(d => d._1 -> d._3).toMap
+      for ((id, n) <- copies) {
+        val f = factors(bySrc(id))
+        assert(n == math.floor(f).toInt || n == math.ceil(f).toInt,
+          s"doc $id got $n copies for factor $f")
+      }
+      // realized rate within a few σ of f (256-bucket coin over N docs)
+      for ((s, f) <- factors) {
+        val n = docs.count(_._3 == s)
+        if (n > 50) {
+          val made = out.count(_._2 == s).toDouble / n
+          assert(math.abs(made - f) < 0.3, s"source $s rate $made vs $f")
+        }
+      }
+      // copy_idx is dense 1..n per doc, and reruns agree exactly
+      for ((id, rows) <- out.groupBy(_._1))
+        assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      val again = CorpusMix.upsample(in, "doc_id", "source", factors)
+        .as[(Long, String, Int)].collect()
+      assert(out.sorted.toSeq == again.sorted.toSeq)
+    }
+  }
 }
