@@ -872,14 +872,12 @@ object Queries {
       // relational group-by: top-3 orders by price per priority with
       // map-side partials (groups×k rows cross the exchange, not the
       // full orders set as a window shuffle would)
-      t(s, d, "orders").groupBy(col("o_orderpriority"))
-        .agg(graft.functions.TopKByScore.column(
-          col("o_totalprice"), col("o_orderkey"), 3).as("__top"))
-        .select(col("o_orderpriority"),
-          posexplode(col("__top")).as(Seq("__p", "__e")))
-        .select(col("o_orderpriority"), col("__e.id").as("o_orderkey"),
-          dround(col("__e.score"), 2).as("o_totalprice"),
-          (col("__p") + 1).cast("int").as("rn"))
+      graft.functions.TopKByScore.explodeTopK(t(s, d, "orders"),
+          Seq("o_orderpriority"), col("o_totalprice"),
+          col("o_orderkey"), 3,
+          outId = "o_orderkey", outScore = "o_totalprice")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dround(col("o_totalprice"), 2).as("o_totalprice"), col("rn"))
         .orderBy(col("o_orderpriority"), col("rn"))
     }),
 

@@ -23,11 +23,20 @@ final class TopKState(val k: Int) {
   var n = 0
 
   /** a-slot is worse than (score, id) if it sorts later under
-    * (score desc, id asc). */
-  @inline private def worse(i: Int, score: Double, id: Long): Boolean =
-    scores(i) < score || (scores(i) == score && ids(i) > id)
+    * (score desc, id asc). `Double.compare` (not `<`) keeps the order
+    * TOTAL when NaN appears: NaN ranks above every number — matching
+    * Spark's SQL ordering for doubles — where raw comparisons (all
+    * false on NaN) would corrupt the heap invariant and make results
+    * depend on arrival order. */
+  @inline private def worse(i: Int, score: Double, id: Long): Boolean = {
+    val c = java.lang.Double.compare(scores(i), score)
+    c < 0 || (c == 0 && ids(i) > id)
+  }
 
-  def insert(score: Double, id: Long): Unit = {
+  def insert(score0: Double, id: Long): Unit = {
+    // normalize -0.0 → 0.0 so the total order can't split a SQL-equal
+    // score pair (Spark compares -0.0 == 0.0; Double.compare does not)
+    val score = score0 + 0.0d
     if (n < k) {
       var i = n
       scores(i) = score; ids(i) = id; n += 1
@@ -64,12 +73,15 @@ final class TopKState(val k: Int) {
     while (i < other.n) { insert(other.scores(i), other.ids(i)); i += 1 }
   }
 
-  /** Indices 0..n-1 ordered (score desc, id asc). */
+  /** Indices 0..n-1 ordered (score desc, id asc); NaN first, like
+    * Spark's descending double order. */
   def sortedIdx: Array[Int] = {
     val idx = Array.range(0, n)
     // heap order is not sorted order — sort the (tiny) final k
-    scala.util.Sorting.stableSort(idx, (a: Int, b: Int) =>
-      scores(a) > scores(b) || (scores(a) == scores(b) && ids(a) < ids(b)))
+    scala.util.Sorting.stableSort(idx, (a: Int, b: Int) => {
+      val c = java.lang.Double.compare(scores(a), scores(b))
+      c > 0 || (c == 0 && ids(a) < ids(b))
+    })
   }
 }
 
@@ -170,4 +182,24 @@ object TopKByScore {
     GraftBridge.column(TopKByScore(
       GraftBridge.expression(score),
       GraftBridge.expression(id), k).toAggregateExpression())
+
+  /** The canonical unpack: group → bounded-heap top-k → one output row
+    * per kept entry, ranked 1..k by (score desc, id asc) in an int
+    * `rnCol`. Rows with a null score or id are SKIPPED (they cannot
+    * enter the heap) — callers that need null scores ranked must
+    * impute first. Keeping this in one place keeps the tie-break and
+    * rank conventions identical across every top-k call site. */
+  def explodeTopK(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], score: Column, id: Column, k: Int,
+      outId: String, outScore: String, rnCol: String = "rn")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val g = groupCols.map(col)
+    df.groupBy(g: _*)
+      .agg(column(score, id, k).as("__top"))
+      .select(g :+ posexplode(col("__top")).as(Seq("__p", "__e")): _*)
+      .select(g ++ Seq(
+        col("__e.id").as(outId), col("__e.score").as(outScore),
+        (col("__p") + 1).cast("int").as(rnCol)): _*)
+  }
 }

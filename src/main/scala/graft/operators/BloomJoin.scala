@@ -28,7 +28,20 @@ object BloomJoin {
     */
   def prunedFact(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, fpp: Double = 0.01): DataFrame = {
-    val keys = dim.select(col(dimKey)).na.drop()
+    // both keys must ALREADY be integral: the sketch hashes the dim
+    // key's native representation and the probe uses mightContainLong,
+    // so a silent cast (e.g. a string dim key) would insert one
+    // representation and probe another — every probe misses and the
+    // "no false negatives" contract breaks without an error
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(Seq("bigint", "int", "smallint", "tinyint")
+          .contains(dt.simpleString),
+        s"bloom join keys must be integral; $c is ${dt.simpleString}")
+    }
+    requireIntegral(fact, factKey)
+    requireIntegral(dim, dimKey)
+    val keys = dim.select(col(dimKey).cast("long").as(dimKey)).na.drop()
     // expectedNumItems sizes the sketch; the dim is small by contract,
     // so the count is a cheap action (and exact sizing beats guessing:
     // an undersized sketch degrades to all-pass, silently unpruned)
@@ -40,10 +53,13 @@ object BloomJoin {
   }
 
   /** Inner equi-join with bloom pre-pruning of the fact side. Result is
-    * IDENTICAL to `fact.join(dim, fact(factKey) === dim(dimKey))` —
-    * false positives are removed by the join itself. */
+    * IDENTICAL to the plain `factKey === dimKey` join — false positives
+    * are removed by the join itself. Dataset-qualified columns, so
+    * same-named keys on both sides resolve. */
   def join(fact: DataFrame, factKey: String, dim: DataFrame,
-      dimKey: String, fpp: Double = 0.01): DataFrame =
-    prunedFact(fact, factKey, dim, dimKey, fpp)
-      .join(dim, col(factKey) === col(dimKey))
+      dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val pruned = prunedFact(fact, factKey, dim, dimKey, fpp)
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
+
 }

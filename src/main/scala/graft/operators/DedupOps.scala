@@ -130,10 +130,16 @@ object DedupOps {
     val bBands = lshBands(withSig, idCol, "__sig", bands, rowsPerBand)
     val newSide = bBands.select(col("band"), col("band_hash"),
       col(idCol).as("id_new"))
-    val candCorpus = newSide.join(store.select(col("band"),
-        col("band_hash"), col(idCol).as("id_dup")),
-        Seq("band", "band_hash"))
-      .select("id_new", "id_dup").distinct()
+    // materialized: the pair list is tiny but its subtree joins the
+    // batch against the FULL store — referenced twice below (oldSh and
+    // verification), an unmaterialized plan would run that store scan
+    // twice per admitted batch
+    val candCorpus = graft.core.Scratch.materialize(
+      newSide.join(store.select(col("band"),
+          col("band_hash"), col(idCol).as("id_dup")),
+          Seq("band", "band_hash"))
+        .select("id_new", "id_dup").distinct(),
+      "incr_cand_corpus")
     val candBatch = newSide.join(bBands.select(col("band"),
         col("band_hash"), col(idCol).as("id_dup")),
         Seq("band", "band_hash"))

@@ -56,17 +56,16 @@ object SimilarityOps {
     * k of them — at corpus scale the window shuffle is the whole query
     * cost. The aggregate partial-aggregates map-side: each task ships
     * one O(k) heap per query, so the exchange carries queries×k rows
-    * regardless of corpus size. Ordering (score desc, id asc) matches
-    * the window formulation exactly, ties included. */
+    * regardless of corpus size. Ordering (score desc, id asc, NaN
+    * first) matches the window formulation; a null cos_sim (null
+    * vector upstream) is DROPPED rather than ranked nulls-last — a
+    * missing embedding is not a neighbor. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopKByScore.column(
-        col("cos_sim"), col("neighbor_id").cast("long"), k).as("__top"))
-      .select(col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"),
-        dround(col("__e.score"), 4).as("cos_sim"),
-        (col("__pos") + 1).cast("int").as("rn"))
+    graft.functions.TopKByScore.explodeTopK(scored, Seq("query_id"),
+        col("cos_sim"), col("neighbor_id").cast("long"), k,
+        outId = "neighbor_id", outScore = "cos_sim")
+      .select(col("query_id"), col("neighbor_id"),
+        dround(col("cos_sim"), 4).as("cos_sim"), col("rn"))
 
   /** h-bit random-hyperplane signature via the native
     * [[graft.functions.HyperplaneLsh]] expression — seeded, deterministic

@@ -22,12 +22,10 @@ object DomainCap {
     * order. Join back on idCol to materialize the capped corpus. */
   def cap(df: DataFrame, idCol: String, domainCol: String, k: Int,
       seed: String): DataFrame =
-    df.withColumn("__score",
-        -Splits.bucket256(col(idCol), seed).cast("double"))
-      .groupBy(col(domainCol))
-      .agg(graft.functions.TopKByScore.column(
-        col("__score"), col(idCol).cast("long"), k).as("__top"))
-      .select(col(domainCol), posexplode(col("__top")).as(Seq("__p", "__e")))
-      .select(col(domainCol), col("__e.id").as(idCol),
-        (col("__p") + 1).cast("int").as("rn"))
+    graft.functions.TopKByScore.explodeTopK(
+        df.withColumn("__score",
+          -Splits.bucket256(col(idCol), seed).cast("double")),
+        Seq(domainCol), col("__score"), col(idCol).cast("long"), k,
+        outId = idCol, outScore = "__score")
+      .select(col(domainCol), col(idCol), col("rn"))
 }

@@ -140,16 +140,25 @@ object SensorStreamJob {
       outPath: String, keys: Seq[String], orderCol: String,
       checkpointPath: String): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val order = Seq(org.apache.spark.sql.functions.col(orderCol).desc)
-        val latest = graft.ops.DedupLatest(batch, keys, order)
-        if (!TableIO.exists(spark, outPath))
-          TableIO.overwrite(latest, layout, outPath)
-        else {
+        if (!TableIO.exists(spark, outPath)) {
+          // create ONLY on the first-ever batch. On any later batch a
+          // missing table means state was lost (e.g. a crash between
+          // replaceContents' delete and rename) — rebuilding from one
+          // micro-batch would silently truncate every prior key, so
+          // fail loudly and let the operator restore the table
+          if (batchId != 0L) throw new IllegalStateException(
+            s"upsert target $outPath missing at batch $batchId — " +
+              "refusing to rebuild merged state from a single batch")
+          TableIO.overwrite(
+            graft.ops.DedupLatest(batch, keys, order), layout, outPath)
+        } else {
           val target = TableIO.read(spark, layout, outPath)
+          // Upsert dedups its source latest-wins internally
           TableIO.replaceContents(spark, layout,
-            graft.ops.Upsert(target, latest, keys, order), outPath)
+            graft.ops.Upsert(target, batch, keys, order), outPath)
         }
       }
       .option("checkpointLocation", checkpointPath)

@@ -87,7 +87,46 @@ class TopKBloomSpec extends SparkTestBase {
     assert(!plan.contains("Window"), "top-k must not plan a window")
   }
 
+  test("NaN scores rank first (Spark's desc double order) in any " +
+      "arrival order") {
+    // raw < comparisons are all-false on NaN, which would corrupt the
+    // heap and make the result depend on arrival order
+    val perms = Seq(
+      Seq(Double.NaN -> 1L, 1.0 -> 2L, 2.0 -> 3L),
+      Seq(2.0 -> 3L, 1.0 -> 2L, Double.NaN -> 1L),
+      Seq(1.0 -> 2L, Double.NaN -> 1L, 2.0 -> 3L))
+    for (xs <- perms) {
+      val st = new TopKState(2)
+      xs.foreach { case (s, i) => st.insert(s, i) }
+      val ids = st.sortedIdx.map(i => st.ids(i)).toSeq
+      assert(ids == Seq(1L, 3L), s"arrival order $xs gave $ids")
+    }
+  }
+
+  test("-0.0 and 0.0 scores are one SQL-equal group, tie-broken by id") {
+    val st = new TopKState(3)
+    st.insert(-0.0, 5L); st.insert(0.0, 2L); st.insert(-1.0, 1L)
+    val got = st.sortedIdx.map(i => st.ids(i)).toSeq
+    assert(got == Seq(2L, 5L, 1L))
+  }
+
   // ---- bloom join -----------------------------------------------------
+
+  test("bloom join refuses non-integral keys instead of silently " +
+      "pruning everything") {
+    val fact = (1L to 10L).map(i => (i, i)).toDF("fk", "payload")
+    val dim = Seq(("1", "a"), ("2", "b")).toDF("dk", "name")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.join(fact, "fk", dim, "dk")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("bloom join supports same-named keys on both sides") {
+    val fact = (1L to 100L).map(i => (i, i)).toDF("k", "payload")
+    val dim = (1L to 100L by 9).map(i => (i, s"d$i")).toDF("k", "name")
+    assert(BloomJoin.join(fact, "k", dim, "k").count() == 12)
+  }
 
   test("BloomJoin.join result is identical to the plain inner join") {
     val fact = (1L to 2000L).map(i => (i, i % 97)).toDF("fk", "payload")
