@@ -102,6 +102,25 @@ object TableIO {
       .save(path)
   }
 
+  /** Dynamic partition overwrite: replace ONLY the partitions present
+    * in `df`, leaving every other partition's files untouched — the
+    * idempotent daily-reprocess shape at 100 TB (re-running one day
+    * must not rewrite, or worse truncate, the other 3 650). Plain
+    * `SaveMode.Overwrite` + partitionBy drops the WHOLE table first;
+    * this scopes the delete to the incoming partition values via
+    * Spark's dynamic partitionOverwriteMode, set per-write (not
+    * session-wide) so concurrent static-mode writers are unaffected. */
+  def overwritePartitions(df: DataFrame, layout: LakeLayout,
+      path: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "overwritePartitions needs at least one partition column")
+    df.write.format(layout.format)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite)
+      .save(path)
+  }
+
   // ---- table-maintenance / metadata ops (SURVEY §2.10) --------------
   // Delta's history / DESCRIBE DETAIL degrade to a version-log sidecar
   // and filesystem introspection in parquet mode (SURVEY §7.4 risk 2).

@@ -18,13 +18,17 @@ import graft.functions.{HyperplaneLsh, MinHashSignature, SimHash64, TopKByScore,
   * two registration paths cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(builder.getClass.getName, name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // opt-in (spark.graft.rangeJoin.binSize > 0): plain-SQL range joins
+    // become bucketed equi-joins instead of nested-loop joins
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -34,6 +34,29 @@ class TableMaintenanceSpec extends SparkTestBase {
       s"expected 8 APPENDs + COMPACT, got ${histAfter.length}")
   }
 
+  test("dynamic partition overwrite replaces only the touched day") {
+    val root = Files.createTempDirectory("graft-dpo").toString
+    val layout = LakeLayout(root)
+    val path = s"$root/t"
+    Seq((1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"),
+      (3L, "2026-01-03", "c"))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(path)
+    // reprocess day 2 only: one replaced row, other days untouched
+    graft.core.TableIO.overwritePartitions(
+      Seq((20L, "2026-01-02", "B")).toDF("id", "day", "v"),
+      layout, path, Seq("day"))
+    val out = spark.read.parquet(path)
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+    assert(out.toSeq == Seq((1L, "a"), (20L, "B"), (3L, "c")))
+    // idempotence: re-running the same day write changes nothing
+    graft.core.TableIO.overwritePartitions(
+      Seq((20L, "2026-01-02", "B")).toDF("id", "day", "v"),
+      layout, path, Seq("day"))
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("describe reports hive partition columns") {
     val root = Files.createTempDirectory("graft-maint2").toString
     val layout = LakeLayout(root)
