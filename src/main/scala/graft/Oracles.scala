@@ -514,6 +514,23 @@ object Oracles {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
+    "q79_asof_forward" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id,
+        |    round(value, 4) AS purchase_value
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, ts ORDER BY event_id DESC) AS drn
+        |    FROM events WHERE event_type = 'purchase')
+        |  WHERE drn = 1),
+        |clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  p.purchase_id, p.purchase_value, p.ts AS purchase_ts
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
     "q50_range_join" ->
       """WITH ranges AS (
         |  SELECT o_orderkey, o_orderdate AS lo,
@@ -1047,6 +1064,21 @@ object Oracles {
         |  unnest(generate_series(1, n_copies)) AS copy_idx
         |FROM c WHERE n_copies > 0
         |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "q80_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value,
+           |  (count(DISTINCT $c) = 0 OR
+           |   CAST(abs(approx_count_distinct($c) - count(DISTINCT $c))
+           |     AS DOUBLE) / count(DISTINCT $c) < 0.10) AS distinct_ok
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "q77_domain_cap" ->
       """WITH b AS (

@@ -611,6 +611,26 @@ object Queries {
         .orderBy(col("event_id"))
     }),
 
+    "q79_asof_forward" -> ((s, d) => {
+      // forward attribution: each click gets the EARLIEST following
+      // purchase by the same user (time-to-next-purchase); mirror of
+      // q49's backward as-of
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = DedupLatest(
+        e.filter(col("event_type") === "purchase"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          dround(col("value"), 4).as("purchase_value"))
+      graft.ops.AsofJoin.forward(clicks, purchases,
+        Seq("user_id"), Seq("user_id"), "ts", "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        matchedTimeAs = Some("purchase_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     "q50_range_join" -> ((s, d) => {
       // point-in-interval join via bucketed equi-join (no nested loop):
       // lineitem shipments falling in each order's 30-day window
@@ -947,6 +967,14 @@ object Queries {
       graft.ops.CorpusMix.upsample(t(s, d, "documents"),
         "doc_id", "source", Map("src0" -> 2.5, "src1" -> 1.25))
         .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
+    // ---- single-pass column profiling ----------------------------------
+    "q80_profile" -> ((s, d) => {
+      // ANALYZE-TABLE shape: every column's stats in ONE scan; exact
+      // distinct added here so the estimate is envelope-checked
+      graft.ops.Profile.profile(t(s, d, "orders"), exact = true)
+        .orderBy(col("col_name"))
     }),
 
     // ---- unpivot / melt (wide → long reshaping) -----------------------

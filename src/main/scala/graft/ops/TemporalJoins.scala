@@ -41,19 +41,52 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       payload: Seq[String],
       matchedTimeAs: Option[String] = None,
-      tolerance: Option[String] = None): DataFrame = {
+      tolerance: Option[String] = None): DataFrame =
+    asof(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      payload, matchedTimeAs, tolerance, forward = false)
+
+  /** Forward as-of: attach the EARLIEST right row with
+    * `rightTime >= leftTime` — "next event after" attribution (time to
+    * next purchase, next maintenance slot). The exact mirror of
+    * [[backward]]: right rows sort AFTER left rows at equal timestamps
+    * (inclusive `>=`) and a running `first(…, ignoreNulls)` over the
+    * FOLLOWING frame hands each left row the nearest upcoming payload.
+    * Same single-shuffle scale shape. */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: Seq[String],
+      matchedTimeAs: Option[String] = None,
+      tolerance: Option[String] = None): DataFrame =
+    asof(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      payload, matchedTimeAs, tolerance, forward = true)
+
+  private def asof(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
+      payload: Seq[String],
+      matchedTimeAs: Option[String],
+      tolerance: Option[String],
+      forward: Boolean): DataFrame = {
     require(leftKeys.size == rightKeys.size, "key arity mismatch")
+
+    // side ordering makes the match inclusive: backward wants right
+    // rows BEFORE left at equal __t (so last() sees them), forward
+    // wants them AFTER (so first() over the following frame does)
+    val (rightSide, leftSide) = if (forward) (1, 0) else (0, 1)
 
     val r2 = right.select(
       rightKeys.zip(leftKeys).map { case (rk, lk) => col(rk).as(lk) } ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        Seq(col(rightTime).as("__t"), lit(rightSide).as("__side"),
           struct(payload.map(col) :+ col(rightTime).as("__rt"): _*)
             .as("__match")): _*)
     val matchType = r2.schema("__match").dataType
 
     val l2 = left
       .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
       .withColumn("__match", lit(null).cast(matchType))
 
     // right rows lack the left's non-key columns: null-pad to union shape
@@ -62,18 +95,26 @@ object AsofJoin {
         df.withColumn(c, lit(null).cast(l2.schema(c).dataType)))
       .select(l2.columns.map(col).toIndexedSeq: _*)
 
-    val w = Window.partitionBy(leftKeys.map(col): _*)
+    val base = Window.partitionBy(leftKeys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, pick) =
+      if (forward)
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__match"), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__match"), ignoreNulls = true))
 
     val attached = l2.unionByName(padded)
-      .withColumn("__m", last(col("__match"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__m", pick.over(w))
+      .filter(col("__side") === leftSide)
 
     val bounded = tolerance match {
-      case Some(tol) => attached.withColumn("__m",
-        when(col("__m.__rt") >= col("__t") - expr(s"INTERVAL $tol"),
-          col("__m")))
+      case Some(tol) =>
+        val ok =
+          if (forward) col("__m.__rt") <= col("__t") + expr(s"INTERVAL $tol")
+          else col("__m.__rt") >= col("__t") - expr(s"INTERVAL $tol")
+        attached.withColumn("__m", when(ok, col("__m")))
       case None => attached
     }
 

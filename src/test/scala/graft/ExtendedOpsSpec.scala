@@ -37,6 +37,30 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(byId(104L) == Some(203L))
   }
 
+  test("AsofJoin.forward picks the earliest following right row, " +
+      "inclusive") {
+    val out = AsofJoin.forward(clicks, purchases,
+      Seq("user_id"), Seq("user_id"), "ts", "ts",
+      payload = Seq("purchase_id", "purchase_value"))
+      .orderBy("event_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(byId(101L) == Some(202L)) // next after 10:00 is 12:00
+    assert(byId(102L) == Some(202L)) // equal timestamp matches (inclusive)
+    assert(byId(103L) == Some(203L)) // 10:30 follows 09:00
+    assert(byId(104L) == None)       // nothing after 11:00 for user 2
+  }
+
+  test("AsofJoin.forward tolerance discards too-far matches") {
+    val out = AsofJoin.forward(clicks, purchases,
+      Seq("user_id"), Seq("user_id"), "ts", "ts",
+      payload = Seq("purchase_id"), tolerance = Some("90 minutes"))
+      .orderBy("event_id").collect()
+    val byId = out.map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(byId(101L) == None)        // 12:00 is 2h after 10:00
+    assert(byId(103L).contains(203L)) // 90min gap, at tolerance edge
+  }
+
   test("AsofJoin.backward tolerance discards too-old matches") {
     val out = AsofJoin.backward(clicks, purchases,
       Seq("user_id"), Seq("user_id"), "ts", "ts",
