@@ -1103,5 +1103,202 @@ object Oracles {
         |  (CAST(abs(approx_count_distinct(user_id)
         |      - count(DISTINCT user_id)) AS DOUBLE)
         |    / count(DISTINCT user_id) < 0.05) AS approx_ok
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q81_percent_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  round(nth_value(o_totalprice, 2) OVER w, 2) AS second_lowest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q82_date_spine" ->
+      """WITH bounds AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |         CAST(max(o_orderdate) AS DATE) AS d1
+        |  FROM orders),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day
+        |  FROM bounds),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT spine.day, coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(revenue, 0.0) AS revenue
+        |FROM spine LEFT JOIN daily USING (day)
+        |ORDER BY day""".stripMargin,
+
+    "q83_winsorize" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+        |         quantile_cont(o_totalprice, 0.95) AS hi
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  round(avg(least(greatest(o_totalprice, lo), hi)), 4) AS mean_w,
+        |  round(stddev_samp(least(greatest(o_totalprice, lo), hi)), 4)
+        |    AS sd_w
+        |FROM orders, b
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q84_pmi_bigrams" ->
+      """WITH docs AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY w),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bi AS (
+        |  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12
+        |  FROM (SELECT unnest(list_zip(toks[1:len(toks)-1],
+        |                               toks[2:len(toks)])) AS p
+        |        FROM docs WHERE len(toks) >= 2)
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT bi.w1, bi.w2, bi.c12,
+        |  round(ln(CAST(bi.c12 AS DOUBLE) * n1.n / (u1.c * u2.c)), 4)
+        |    + 0 AS pmi
+        |FROM bi, n1
+        |JOIN uni u1 ON bi.w1 = u1.w
+        |JOIN uni u2 ON bi.w2 = u2.w
+        |ORDER BY w1, w2""".stripMargin,
+
+    "q85_entropy" ->
+      """WITH cnt AS (
+        |  SELECT source, w, count(*) AS c
+        |  FROM (SELECT source, unnest(
+        |          string_split_regex(trim(lower(text)), '\s+')) AS w
+        |        FROM documents WHERE trim(text) <> '')
+        |  GROUP BY source, w),
+        |tot AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*) AS n_types
+        |  FROM cnt GROUP BY source)
+        |SELECT cnt.source, max(tot.n) AS n_tokens,
+        |  max(tot.n_types) AS n_types,
+        |  round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)),
+        |    4) + 0 AS entropy
+        |FROM cnt JOIN tot ON cnt.source = tot.source
+        |GROUP BY cnt.source
+        |ORDER BY cnt.source""".stripMargin,
+
+    "q86_hof_arrays" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+        |    AS INT) AS n_pos,
+        |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x)), 4) AS sum_sq,
+        |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> abs(x))), 4) AS l1_norm,
+        |  round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> abs(x))), 4) AS max_abs
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // exact SQL replica of the IVF path: same first-16-by-id codebook,
+    // same cosine-argmax cell assignment (ties → smaller cell), same
+    // nprobe-cell probing, same (cos desc, id asc) top-k
+    "q40_ann_ivf" ->
+      """WITH cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |      AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |      FROM embeddings),
+        |asn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, cb.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT v.vec_id AS query_id, cb.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb WHERE v.vec_id < 10) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv.vv, nv.vv) AS cs
+        |  FROM probes p JOIN asn a ON p.cell = a.cell
+        |  JOIN v qv ON qv.vec_id = p.query_id
+        |  JOIN v nv ON nv.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cs, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |    AS INT) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+
+    // like q75/q33: the sketch is impl-specific; the oracle pins the
+    // exact counts and the envelope verdict the estimates must meet
+    "q89_heavy_hitters" ->
+      """SELECT user_id, n_exact, TRUE AS approx_ok FROM (
+        |  SELECT user_id, count(*) AS n_exact FROM events
+        |  GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10)
+        |ORDER BY user_id""".stripMargin,
+
+    "q88_semdedup" ->
+      """WITH cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |      AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |      FROM embeddings),
+        |asn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, cb.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(va.vv, vb.vv) AS cs
+        |  FROM asn a JOIN asn b ON a.cell = b.cell
+        |    AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id),
+        |dropped AS (
+        |  SELECT id_b, min(id_a) AS dup_of, round(max(cs), 4) AS max_sim
+        |  FROM pairs WHERE cs >= 0.95 GROUP BY id_b)
+        |SELECT asn.vec_id, asn.cell, (d.dup_of IS NULL) AS kept,
+        |  d.dup_of, d.max_sim
+        |FROM asn LEFT JOIN dropped d ON asn.vec_id = d.id_b
+        |ORDER BY asn.vec_id""".stripMargin,
+
+    "q87_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (
+        |  SELECT *, CAST(sum(new_s) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start,
+        |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3)
+        |    AS duration_sec,
+        |  round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY 1, 2
+        |ORDER BY user_id, session_id""".stripMargin)
 }

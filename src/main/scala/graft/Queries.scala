@@ -569,8 +569,9 @@ object Queries {
     }),
 
     "q40_ann_ivf" -> ((s, d) => {
-      // IVF-style cell-probed ANN (approximate — rows-only check; the
-      // exactness baseline is q28)
+      // IVF-style cell-probed ANN; oracle replicates the deterministic
+      // codebook, argmax assignment, nprobe probes, and (cos desc, id)
+      // ranking exactly in SQL (q28 is the exhaustive baseline)
       val emb = t(s, d, "embeddings")
       graft.operators.SimilarityOps.ivfTopK(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -975,6 +976,125 @@ object Queries {
       // distinct added here so the estimate is envelope-checked
       graft.ops.Profile.profile(t(s, d, "orders"), exact = true)
         .orderBy(col("col_name"))
+    }),
+
+    // ---- relative rank window functions --------------------------------
+    "q81_percent_rank" -> ((s, d) => {
+      // percent_rank / cume_dist / nth_value per priority; the compound
+      // (price, key) order makes every row its own RANGE peer group, so
+      // the default frame is engine-portable
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_orderpriority"), col("o_orderkey"),
+        dround(percent_rank().over(w), 6).as("pr"),
+        dround(cume_dist().over(w), 6).as("cd"),
+        dround(nth_value(col("o_totalprice"), 2).over(w), 2)
+          .as("second_lowest"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // ---- date-spine zero-fill (calendar dimension generation) ----------
+    "q82_date_spine" -> ((s, d) => {
+      // gaps in the daily series become explicit zero rows: generate the
+      // min..max day spine with sequence+explode (a 1-row agg → tiny
+      // generated dim, broadcast back), left-join daily aggregates
+      val o = t(s, d, "orders")
+        .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      val spine = o.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+        .select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      val daily = o.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          dround(sum(col("o_totalprice")), 2).as("revenue"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy(col("day"))
+    }),
+
+    // ---- winsorized (outlier-robust) statistics ------------------------
+    "q83_winsorize" -> ((s, d) => {
+      graft.ops.RobustStats.winsorized(
+        t(s, d, "orders"), "o_totalprice", "o_orderstatus",
+        pLo = 0.05, pHi = 0.95)
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- PMI bigram collocations ---------------------------------------
+    "q84_pmi_bigrams" -> ((s, d) => {
+      graft.operators.TextProfile.pmiBigrams(
+        t(s, d, "documents"), "text", minCount = 5L)
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    // ---- per-source token entropy (corpus diversity) -------------------
+    "q85_entropy" -> ((s, d) => {
+      graft.operators.TextProfile.tokenEntropy(
+        t(s, d, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    // ---- higher-order array functions over embeddings ------------------
+    "q86_hof_arrays" -> ((s, d) => {
+      // transform / filter / aggregate stay inside codegen and fold each
+      // list in element order — bitwise-identical accumulation on both
+      // engines (cast to double FIRST so no float-precision forks)
+      val v = col("embedding").cast("array<double>")
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(filter(v, x => x > lit(0.0))).as("n_pos"),
+        dround(aggregate(v, lit(0.0), (acc, x) => acc + x * x), 4)
+          .as("sum_sq"),
+        dround(aggregate(v, lit(0.0), (acc, x) => acc + abs(x)), 4)
+          .as("l1_norm"),
+        dround(array_max(transform(v, x => abs(x))), 4).as("max_abs"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- batch gap sessionization --------------------------------------
+    "q87_sessionize_batch" -> ((s, d) => {
+      // 30-minute inactivity gap; batch twin of q36's session_window
+      graft.ops.Sessionize.byGap(
+        t(s, d, "events"), "user_id", "ts", "event_id", "value",
+        gapSec = 1800L)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- SemDeDup: cell-partitioned semantic dedup ---------------------
+    "q88_semdedup" -> ((s, d) => {
+      // drop docs with an above-threshold cosine neighbor of smaller id
+      // in their IVF cell; oracle replicates codebook, argmax
+      // assignment (ties → smaller cell), and exact pair cosines
+      graft.operators.SimilarityOps.semDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.95, cells = 16)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- mergeable frequency sketch (count-min heavy hitters) ----------
+    "q89_heavy_hitters" -> ((s, d) => {
+      // daily count-min partials → one union → point-estimate the exact
+      // top-10 keys; CMS never undercounts, and the 1%-of-total
+      // overcount envelope holds w.p. 1-e^-depth per key. Like q75:
+      // persist daily sketches once, re-roll any coarser grain from
+      // depth×width longs per day instead of the raw 100 TB.
+      import graft.functions.CountMin
+      val ev = t(s, d, "events")
+      val daily = ev.groupBy(to_date(col("ts")).as("__day"))
+        .agg(CountMin.agg(col("user_id")).as("__sk"))
+      val merged = daily.agg(CountMin.mergeAgg(col("__sk")).as("__sk"))
+      val top = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      val est = CountMin.estimate(col("__sk"), col("user_id"))
+      top.crossJoin(broadcast(merged))
+        .select(col("user_id"), col("n_exact"),
+          (est >= col("n_exact") &&
+            (est - col("n_exact")).cast("double") <=
+              CountMin.total(col("__sk")).cast("double") * 0.01)
+            .as("approx_ok"))
+        .orderBy(col("user_id"))
     }),
 
     // ---- unpivot / melt (wide → long reshaping) -----------------------

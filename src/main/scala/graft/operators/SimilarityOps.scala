@@ -180,4 +180,47 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), dround(col("cos_sim"), 4)
         .as("cos_sim"))
   }
+
+  /** SemDeDup-style semantic deduplication: partition the corpus into
+    * coarse cells by nearest centroid (the same narrow-map assignment
+    * as [[ivfTopK]]), then drop every document that has an
+    * above-threshold cosine neighbor WITH A SMALLER ID within its cell
+    * (the deterministic form of "keep one representative per ε-ball").
+    *
+    * Scale shape: assignment is a narrow map (codebook rides inside the
+    * fused expression); the pair join is an equi-join ON CELL, so pair
+    * blowup is bounded per cell, never corpus-wide — with `cells` sized
+    * to N/targetCellSize the work is Σ|cell|², the SemDeDup contract.
+    * Misses cross-cell near-dups by design (the published trade-off;
+    * recall comes from raising `cells` probe overlap, or running the
+    * banded-LSH [[embeddingNearDups]] which has no cell boundary).
+    *
+    * Returns one verdict row per document: its cell, whether it is
+    * kept, and (for dropped docs) the smallest-id duplicate it loses
+    * to, with that pair's similarity.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, cells: Int = 16): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>")
+      .as("__v"))
+    val codebook: Array[Array[Double]] =
+      v.orderBy(col(idCol)).limit(cells).select(col("__v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val asn = assignCells(v, "__v", codebook)
+    val a = asn.select(col("cell"), col(idCol).as("id_a"),
+      col("__v").as("__va"))
+    val b = asn.select(col("cell"), col(idCol).as("id_b"),
+      col("__v").as("__vb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__cs", cosine(col("__va"), col("__vb")))
+      .filter(col("__cs") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("dup_of"), dround(max(col("__cs")), 4)
+        .as("max_sim"))
+    asn.select(col(idCol), col("cell"))
+      .join(dropped.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("dup_of").isNull.as("kept"),
+        col("dup_of"), col("max_sim"))
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextProfile
+import graft.ops.{RobustStats, Sessionize}
+
+/** Hand-computed answers for the round-2 profiling/robust-stats
+  * operators (the DuckDB oracle covers them end-to-end at sf0.01; these
+  * pin the semantics on inputs small enough to check by hand).
+  */
+class ProfilingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pmiBigrams: counts, support filter, and the PMI formula") {
+    // "a b" ×5 and "a c" ×2 → only (a,b) survives minCount=5.
+    // tokens: a×7 b×5 c×2 → N=14; pmi(a,b) = ln(5·14/(7·5)) = ln(2)
+    val docs = (Seq.fill(5)("a b") ++ Seq.fill(2)("a c"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextProfile.pmiBigrams(docs, "text", minCount = 5L)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("w1") == "a" && r.getAs[String]("w2") == "b")
+    assert(r.getAs[Long]("c12") == 5L)
+    assert(math.abs(r.getAs[Double]("pmi") - math.log(2.0)) < 1e-4)
+  }
+
+  test("tokenEntropy: uniform vs degenerate distributions") {
+    val docs = Seq(
+      (1L, "a b c d", "uniform"),   // 4 types, p=1/4 each → H = ln 4
+      (2L, "x x x x", "constant")   // 1 type → H = 0
+    ).toDF("doc_id", "text", "source")
+    val out = TextProfile.tokenEntropy(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("entropy"))).toMap
+    assert(out("uniform")._1 == 4L && out("uniform")._2 == 4L)
+    assert(math.abs(out("uniform")._3 - math.log(4.0)) < 1e-4)
+    assert(out("constant") == ((4L, 1L, -0.0)) ||
+      out("constant") == ((4L, 1L, 0.0)))
+  }
+
+  test("sessionize: gap splits, ids, duration, per-session sums") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, 2.0), // same session (10 min)
+      (3L, ts("2024-01-01 11:00:00"), 7L, 4.0), // 50 min gap → new
+      (4L, ts("2024-01-01 10:00:00"), 8L, 8.0)  // other user
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Sessionize
+      .byGap(ev, "user_id", "ts", "event_id", "value", gapSec = 1800L)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    val s1 = out(0) // user 7, session 1
+    assert(s1.getAs[Long]("session_id") == 1L)
+    assert(s1.getAs[Long]("n_events") == 2L)
+    assert(s1.getAs[Double]("duration_sec") == 600.0)
+    assert(s1.getAs[Double]("sum_value") == 3.0)
+    val s2 = out(1) // user 7, session 2: single event
+    assert(s2.getAs[Long]("session_id") == 2L)
+    assert(s2.getAs[Long]("n_events") == 1L)
+    assert(s2.getAs[Double]("duration_sec") == 0.0)
+    assert(out(2).getAs[Long]("user_id") == 8L)
+  }
+
+  test("sessionize plans one exchange for both window passes") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), 7L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val plan = Sessionize
+      .byGap(ev, "user_id", "ts", "event_id", "value", 1800L)
+      .queryExecution.executedPlan.toString
+    // lag and the running sum share the (user_id) partitioning: the
+    // two Window nodes must not be separated by an extra Exchange
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got:\n$plan")
+  }
+
+  test("winsorized: clip bounds and counts on a known distribution") {
+    // values 1..100, one group; p05=5.95, p95=95.05 (linear interp)
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble, "g"))
+      .toDF("id", "v", "grp")
+    val out = RobustStats.winsorized(df, "v", "grp", 0.05, 0.95)
+      .collect().head
+    assert(out.getAs[Long]("n") == 100L)
+    // 1..5 below lo, 96..100 above hi → 10 clipped
+    assert(out.getAs[Long]("n_clipped") == 10L)
+    val vals = (1 to 100).map(_.toDouble)
+      .map(v => math.min(math.max(v, 5.95), 95.05))
+    val mean = vals.sum / vals.length
+    assert(math.abs(out.getAs[Double]("mean_w") - mean) < 1e-3)
+  }
+}

@@ -150,4 +150,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 2L)))
   }
+
+  test("semDedup keeps one representative per within-cell dup group") {
+    // 2 cells (ids 1, 2 are the codebook). 1/3/4 are near-parallel →
+    // same cell, 3 and 4 both lose to smaller id 1; 2/5 opposite cell,
+    // not similar enough to each other
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.99f, 0.01f, 0.0f)),
+      (4L, Seq(0.98f, 0.02f, 0.0f)),
+      (5L, Seq(0.1f, 0.9f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.semDedup(df, "vec_id", "embedding",
+      threshold = 0.95, cells = 2)
+      .orderBy("vec_id").collect()
+    val kept = out.filter(_.getAs[Boolean]("kept")).map(_.getLong(0))
+    val drop = out.filterNot(_.getAs[Boolean]("kept"))
+      .map(r => r.getLong(0) -> r.getAs[Long]("dup_of")).toMap
+    assert(kept.toSet == Set(1L, 2L, 5L))
+    assert(drop == Map(3L -> 1L, 4L -> 1L))
+  }
+
+  test("semDedup verdict covers every input exactly once") {
+    val df = (1L to 40L).map(i =>
+      (i, Seq((i % 7).toFloat + 0.1f, (i % 3).toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.semDedup(df, "vec_id", "embedding",
+      threshold = 0.999, cells = 4)
+    assert(out.count() == 40L)
+    assert(out.select("vec_id").distinct().count() == 40L)
+    // dropped rows always name a smaller-id keeper
+    assert(out.filter(col("dup_of").isNotNull &&
+      col("dup_of") >= col("vec_id")).count() == 0L)
+  }
 }

@@ -65,9 +65,13 @@ class SqlAndPlanSpec extends SparkTestBase {
     // q52's single-row broadcast (corpus size N attached to every tf
     // row) is the scale-correct scalar-attach plan, not an accident;
     // q68 attaches the single-row feasible corpus size T to the
-    // |sources|-row rate table the same way
+    // |sources|-row rate table the same way; q83 attaches the 1-row
+    // (lo, hi) percentile bounds to the fact scan, q84 the 1-row total
+    // token count N to the support-filtered bigram table, and q89 the
+    // 1-row merged sketch to the 10-row top-k — all scalar-attach
     val allowed = Set("q26_ngram_jaccard", "q28_ann_bruteforce",
-      "q52_tfidf", "q68_corpus_mix")
+      "q52_tfidf", "q68_corpus_mix", "q83_winsorize",
+      "q84_pmi_bigrams", "q89_heavy_hitters")
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
