@@ -1278,6 +1278,61 @@ object Oracles {
         |FROM asn LEFT JOIN dropped d ON asn.vec_id = d.id_b
         |ORDER BY asn.vec_id""".stripMargin,
 
+    "q90_lm_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |tris AS (
+        |  SELECT doc_id, t[1] AS w1, t[2] AS w2, t[3] AS w3
+        |  FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-2],
+        |          toks[2:len(toks)-1], toks[3:len(toks)])) AS t
+        |        FROM docs WHERE len(toks) >= 3)),
+        |bis AS (
+        |  SELECT p[1] AS w1, p[2] AS w2
+        |  FROM (SELECT unnest(list_zip(toks[1:len(toks)-1],
+        |          toks[2:len(toks)])) AS p
+        |        FROM docs WHERE len(toks) >= 2)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c FROM tris
+        |       GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM bis GROUP BY 1, 2)
+        |SELECT tris.doc_id, count(*) AS n_trigrams,
+        |  round(avg(ln(CAST(c3.c AS DOUBLE) / c2.c)), 4) + 0
+        |    AS avg_logprob
+        |FROM tris JOIN c3 USING (w1, w2, w3) JOIN c2 USING (w1, w2)
+        |GROUP BY tris.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q91_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CASE o_orderstatus WHEN 'P' THEN 'D' WHEN 'O' THEN 'I'
+        |      ELSE 'U' END AS op,
+        |    o_orderkey AS seq,
+        |    'cust-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    o_orderpriority AS c_mktsegment
+        |  FROM orders),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY seq DESC,
+        |        CASE WHEN op = 'D' THEN 0 ELSE 1 END, op) AS rn
+        |    FROM log) WHERE rn = 1),
+        |deletes AS (SELECT c_custkey FROM latest WHERE op = 'D'),
+        |upserts AS (SELECT c_custkey, c_name, c_mktsegment
+        |            FROM latest WHERE op <> 'D')
+        |SELECT b.c_custkey,
+        |  coalesce(u.c_name, b.c_name) AS c_name,
+        |  coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+        |FROM customer b
+        |LEFT JOIN upserts u ON b.c_custkey = u.c_custkey
+        |WHERE b.c_custkey NOT IN (SELECT c_custkey FROM deletes)
+        |UNION ALL
+        |SELECT u.c_custkey, u.c_name, u.c_mktsegment
+        |FROM upserts u
+        |WHERE u.c_custkey NOT IN (SELECT c_custkey FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q87_sessionize_batch" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value,

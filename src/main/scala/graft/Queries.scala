@@ -1097,6 +1097,35 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    // ---- LM-style trigram log-probability (perplexity filter) ----------
+    "q90_lm_score" -> ((s, d) => {
+      // corpus-self-estimated trigram LM: mean ln(c3/c2) per doc — the
+      // CCNet-shaped quality signal; digests shuffle, never n-grams
+      graft.operators.TextProfile.lmTrigramScore(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- CDC change-log apply ------------------------------------------
+    "q91_cdc_apply" -> ((s, d) => {
+      // orders replayed as a change log onto the customer snapshot:
+      // latest op per key wins (seq = order key), 'P' deletes,
+      // 'O' inserts, 'F' updates; one log shuffle, base never sorted
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val log = t(s, d, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        when(col("o_orderstatus") === "P", "D")
+          .when(col("o_orderstatus") === "O", "I").otherwise("U")
+          .as("op"),
+        col("o_orderkey").as("seq"),
+        concat(lit("cust-"), col("o_orderkey")).as("c_name"),
+        col("o_orderpriority").as("c_mktsegment"))
+      graft.ops.Cdc.apply(base, log, "c_custkey", "op", "seq",
+        Seq("c_name", "c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

@@ -75,6 +75,49 @@ object TextProfile {
           (col("__c1") * col("__c2"))), 4) + lit(0)).as("pmi"))
   }
 
+  /** Corpus-self-estimated trigram log-probability per document — the
+    * LM-perplexity quality signal (CCNet-style filtering) without an
+    * external model: score(doc) = mean over its trigrams of
+    * ln(c3(w1 w2 w3) / c2(w1 w2)), counts taken over the whole corpus.
+    * Boilerplate-heavy predictable text scores near 0; rare/garbled
+    * text scores very negative.
+    *
+    * Scale shape: n-grams are formed WITHIN each row, and both count
+    * tables and the two probability joins are keyed on
+    * `xxhash64(w1, w2[, w3])` — an 8-byte digest shuffle, never n-gram
+    * text (the [[topNgramShare]] convention; a colliding pair of
+    * distinct n-grams would merge counts with probability ~2^-64 per
+    * pair). Docs with fewer than 3 tokens produce no trigrams and are
+    * absent from the output.
+    */
+  def lmTrigramScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toked = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("__toks"))
+    val tris = toked.filter(size(col("__toks")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(__toks) - 1), " +
+          "i -> struct(__toks[i-2] AS w1, __toks[i-1] AS w2, " +
+          "__toks[i] AS w3))")).as("__t"))
+      .select(col(idCol),
+        xxhash64(col("__t.w1"), col("__t.w2"), col("__t.w3")).as("__h3"),
+        xxhash64(col("__t.w1"), col("__t.w2")).as("__h2"))
+    val bis = toked.filter(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__toks) - 1), " +
+          "i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))")).as("__b"))
+      .select(xxhash64(col("__b.w1"), col("__b.w2")).as("__h2"))
+    val c3 = tris.groupBy(col("__h3")).agg(count(lit(1)).as("__c3"))
+    val c2 = bis.groupBy(col("__h2")).agg(count(lit(1)).as("__c2"))
+    tris.join(c3, Seq("__h3")).join(c2, Seq("__h2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        // + 0: an all-predictable doc averages to IEEE -0.0
+        (dround(avg(log(col("__c3").cast("double") / col("__c2"))), 4)
+          + lit(0)).as("avg_logprob"))
+  }
+
   /** Per-group Shannon entropy of the unigram distribution (nats),
     * with token/type counts — a corpus-diversity signal (low entropy =
     * template/boilerplate-dominated source).

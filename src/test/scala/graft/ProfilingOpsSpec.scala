@@ -78,6 +78,56 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got:\n$plan")
   }
 
+  test("lmTrigramScore: common trigrams score higher than rare ones") {
+    // c2(a,b) = 5 (all five docs). "a b c" ×4 → c3=4 → ln(4/5);
+    // "a b d" → c3=1 → ln(1/5): the rare continuation scores lower
+    val docs = ((1 to 4).map(i => (i.toLong, "a b c")) :+ (5L, "a b d"))
+      .toDF("doc_id", "text")
+    val out = TextProfile.lmTrigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    assert(out.take(4).forall(r =>
+      math.abs(r.getAs[Double]("avg_logprob") -
+        math.log(4.0 / 5.0)) < 1e-3))
+    val r5 = out.last
+    assert(r5.getAs[Long]("n_trigrams") == 1L)
+    assert(math.abs(r5.getAs[Double]("avg_logprob") -
+      math.log(1.0 / 5.0)) < 1e-3)
+  }
+
+  test("lmTrigramScore: docs under 3 tokens are absent") {
+    val docs = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextProfile.lmTrigramScore(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(out.head.getAs[Long]("n_trigrams") == 2L)
+  }
+
+  test("cdc apply: latest op wins, deletes remove, inserts add") {
+    import graft.ops.Cdc
+    val base = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("k", "name", "seg")
+    val log = Seq(
+      (1L, "U", 10L, "a2", "x2"),  // update key 1
+      (1L, "U", 5L, "a1", "x1"),   // superseded (lower seq)
+      (2L, "D", 7L, "-", "-"),     // delete key 2
+      (4L, "I", 3L, "d", "w"),     // insert new key 4
+      (5L, "D", 9L, "-", "-")      // delete of unknown key: no-op
+    ).toDF("k", "op", "seq", "name", "seg")
+    val out = Cdc.apply(base, log, "k", "op", "seq", Seq("name", "seg"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((1L, "a2", "x2"), (3L, "c", "z"), (4L, "d", "w")))
+  }
+
+  test("cdc apply: same-seq tie prefers delete (deterministic)") {
+    import graft.ops.Cdc
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val log = Seq((1L, "U", 5L, "a2"), (1L, "D", 5L, "-"))
+      .toDF("k", "op", "seq", "name")
+    val out = Cdc.apply(base, log, "k", "op", "seq", Seq("name"))
+    assert(out.count() == 0L)
+  }
+
   test("winsorized: clip bounds and counts on a known distribution") {
     // values 1..100, one group; p05=5.95, p95=95.05 (linear interp)
     val df = (1 to 100).map(i => (i.toLong, i.toDouble, "g"))
