@@ -1278,6 +1278,13 @@ object Oracles {
         |FROM asn LEFT JOIN dropped d ON asn.vec_id = d.id_b
         |ORDER BY asn.vec_id""".stripMargin,
 
+    // like q75/q89: the sketch is impl-specific; the oracle pins the
+    // per-day row counts and the rank-envelope verdicts
+    "q92_quantile_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events, TRUE AS ok50, TRUE AS ok95
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q90_lm_score" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -1126,6 +1126,35 @@ object Queries {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- mergeable quantile-sketch rollup ------------------------------
+    "q92_quantile_rollup" -> ((s, d) => {
+      // hourly GK-summary partials → per-day merge → p50/p95 point
+      // queries, rank-checked against the raw rows: the count of
+      // values ≤ estimate must sit within 2ε of the target rank.
+      // Completes the sketch family (q75 HLL distincts, q89 CMS
+      // frequencies): persist fine-grain sketches once, any coarser
+      // grain re-aggregates kilobyte summaries, not the raw 100 TB.
+      import graft.functions.QuantileSketch
+      val ev = t(s, d, "events").select(
+        to_date(col("ts")).as("day"),
+        hour(col("ts")).as("__hour"), col("value"))
+      val hourly = ev.groupBy(col("day"), col("__hour"))
+        .agg(QuantileSketch.agg(col("value"), 0.01).as("__sk"))
+      val daily = hourly.groupBy(col("day"))
+        .agg(QuantileSketch.mergeAgg(col("__sk")).as("__sk"))
+        .select(col("day"),
+          QuantileSketch.query(col("__sk"), lit(0.5)).as("__p50"),
+          QuantileSketch.query(col("__sk"), lit(0.95)).as("__p95"))
+      ev.join(broadcast(daily), Seq("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          (abs(sum(when(col("value") <= col("__p50"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) - 0.5) <= 0.02).as("ok50"),
+          (abs(sum(when(col("value") <= col("__p95"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) - 0.95) <= 0.02).as("ok95"))
+        .orderBy(col("day"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

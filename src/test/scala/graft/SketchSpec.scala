@@ -63,6 +63,52 @@ class SketchSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("n") == 6L) // null key not counted
   }
 
+  test("quantile sketch: rank guarantee on a known distribution") {
+    import graft.functions.QSketchState
+    val st = QSketchState.empty(0.01)
+    (1 to 10000).foreach(i => st.insert(i.toDouble))
+    val p50 = QSketchState.querySerialized(QSketchState.serialize(st), 0.5)
+    val p95 = QSketchState.querySerialized(QSketchState.serialize(st), 0.95)
+    assert(math.abs(p50 - 5000.0) <= 100.0, s"p50=$p50")
+    assert(math.abs(p95 - 9500.0) <= 100.0, s"p95=$p95")
+  }
+
+  test("quantile sketch: merge of partials ≈ build-on-union") {
+    import graft.functions.QSketchState
+    val a = QSketchState.empty(0.01); val b = QSketchState.empty(0.01)
+    (1 to 5000).foreach(i => a.insert(i.toDouble))
+    (5001 to 10000).foreach(i => b.insert(i.toDouble))
+    a.merge(b)
+    val bytes = QSketchState.serialize(a)
+    assert(QSketchState.deserialize(bytes).qs.count == 10000L)
+    val p50 = QSketchState.querySerialized(bytes, 0.5)
+    // 2ε slack after one merge level
+    assert(math.abs(p50 - 5000.0) <= 200.0, s"merged p50=$p50")
+  }
+
+  test("quantile sketch: serialize/deserialize round-trip, empty → NaN") {
+    import graft.functions.QSketchState
+    val st = QSketchState.empty(0.01)
+    Seq(3.0, 1.0, 2.0).foreach(st.insert)
+    val rt = QSketchState.deserialize(QSketchState.serialize(st))
+    assert(rt.qs.count == 3L)
+    assert(QSketchState.querySerialized(QSketchState.serialize(rt), 0.5)
+      == 2.0)
+    val empty = QSketchState.serialize(QSketchState.empty(0.01))
+    assert(QSketchState.querySerialized(empty, 0.5).isNaN)
+  }
+
+  test("quantile agg → mergeAgg → query through SQL") {
+    import graft.functions.QuantileSketch
+    val df = (1 to 1000).map(i => (i % 4, i.toDouble)).toDF("part", "v")
+    val daily = df.groupBy(col("part"))
+      .agg(QuantileSketch.agg(col("v"), 0.01).as("sk"))
+    val merged = daily.agg(QuantileSketch.mergeAgg(col("sk")).as("sk"))
+      .select(QuantileSketch.query(col("sk"), lit(0.5)).as("p50"))
+      .collect().head.getAs[Double]("p50")
+    assert(math.abs(merged - 500.0) <= 30.0, s"p50=$merged")
+  }
+
   test("mergeAgg of a single sketch is the identity") {
     val df = Seq(1L, 1L, 2L).toDF("key")
     val one = df.agg(CountMin.agg(col("key"), 4, 64).as("sk"))
