@@ -3,8 +3,9 @@ package graft.sql
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.Decimal
 
-import graft.functions.{HyperplaneLsh, MinHashSignature, SimHash64, TopKByScore, WordShingles}
+import graft.functions.{CmsEstimate, CmsMergeAgg, CmsTotal, CosineSim, CountMinAgg, HyperplaneLsh, MinHashSignature, QSketchQuery, QuantileSketchAgg, QuantileSketchMergeAgg, SimHash64, TopKByScore, WordShingles}
 
 /** Cluster-wide installer for the graft SQL function surface:
   *
@@ -38,6 +39,14 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Decimal, _) =>
+      v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   /** name → expression builder; the single source of truth for both
     * the extensions path and [[GraftSql.registerFunctions]]. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -51,5 +60,24 @@ object GraftExtensions {
         if (exprs.length > 2) intArg(exprs(2), "seed") else 42)),
     "top_k_by_score" -> (exprs =>
       TopKByScore(exprs(0), exprs(1), intArg(exprs(2), "k"))
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    "cosine_sim" -> (exprs => CosineSim(exprs(0), exprs(1))),
+    // mergeable sketches: count-min (frequencies) and GK (quantiles)
+    "count_min" -> (exprs =>
+      CountMinAgg(exprs(0),
+        if (exprs.length > 1) intArg(exprs(1), "depth") else 5,
+        if (exprs.length > 2) intArg(exprs(2), "width") else 1024)
+        .toAggregateExpression()),
+    "cms_merge" -> (exprs =>
+      CmsMergeAgg(exprs.head).toAggregateExpression()),
+    "cms_estimate" -> (exprs => CmsEstimate(exprs(0), exprs(1))),
+    "cms_total" -> (exprs => CmsTotal(exprs.head)),
+    "quantile_sketch" -> (exprs =>
+      QuantileSketchAgg(exprs(0),
+        if (exprs.length > 1) doubleArg(exprs(1), "relativeError")
+        else 0.01).toAggregateExpression()),
+    "quantile_sketch_merge" -> (exprs =>
+      QuantileSketchMergeAgg(exprs.head).toAggregateExpression()),
+    "quantile_sketch_query" -> (exprs =>
+      QSketchQuery(exprs(0), exprs(1))))
 }

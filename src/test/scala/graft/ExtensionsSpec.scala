@@ -13,6 +13,38 @@ import org.apache.spark.sql.SparkSession
   * demand. */
 class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
 
+  private def sessionWithExtensions: SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-test")
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("sketch functions compose in plain SQL end-to-end") {
+    val spark2 = sessionWithExtensions
+    try {
+      import spark2.implicits._
+      (1 to 100).map(i => (i % 4, i.toLong, i.toDouble))
+        .toDF("part", "k", "v").createOrReplaceTempView("t")
+      val row = spark2.sql(
+        """SELECT cms_estimate(cms_merge(sk), 7L) AS est,
+          |  quantile_sketch_query(quantile_sketch_merge(qk), 0.5D) AS p50
+          |FROM (
+          |  SELECT part, count_min(k) AS sk, quantile_sketch(v) AS qk
+          |  FROM t GROUP BY part)""".stripMargin).collect().head
+      assert(row.getAs[Long]("est") == 1L)
+      assert(math.abs(row.getAs[Double]("p50") - 50.0) <= 5.0)
+      assert(spark2.sql(
+        "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+        .collect().head.getAs[Double]("c") == 1.0)
+    } finally spark2.stop()
+  }
+
   test("spark.sql.extensions installs graft functions cluster-wide") {
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.getDefaultSession.foreach(_.stop())
