@@ -450,12 +450,17 @@ object Queries {
     }),
 
     "q39_multimodal_features" -> ((s, d) => {
-      // multimodal plumbing surface (synthetic binary assets; decode is
-      // a deterministic stub — rows-only check)
-      graft.multimodal.MultimodalOps.extractFeatures(
-        graft.multimodal.MultimodalOps.syntheticAssets(s, 300),
-        dim = 16, partitions = 8)
+      // multimodal surface: REAL header sniffing (PNG/WAV dims and
+      // sample rate parsed from the bytes) + the distributed feature
+      // path (pixel decode is a deterministic stub — rows-only check)
+      val mm = graft.multimodal.MultimodalOps
+      val assets = mm.syntheticAssets(s, 300)
+      val meta = mm.annotateAssets(assets).select(col("asset_id"),
+        col("sniffed_format"), col("sniffed_width"),
+        col("sniffed_sample_rate"))
+      mm.extractFeatures(assets, dim = 16, partitions = 8)
         .select(col("asset_id"), col("modality"), col("n_bytes"))
+        .join(meta, Seq("asset_id"))
         .orderBy(col("asset_id"))
     }),
 

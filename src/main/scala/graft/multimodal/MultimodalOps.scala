@@ -80,6 +80,21 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** REAL metadata annotation: sniff container format and dimensions /
+    * sample rate straight from the bytes ([[MediaHeader]] — header
+    * parsing needs no codec). A narrow codegen'd map; the declared
+    * `mime_type`/`width`/`height` columns can then be validated against
+    * what the bytes actually say (the QA a crawled-media pipeline runs
+    * before spending decode cycles). */
+  def annotateAssets(assets: DataFrame): DataFrame =
+    assets
+      .withColumn("__hdr", MediaHeader.column(col("media_bytes")))
+      .withColumn("sniffed_format", col("__hdr.format"))
+      .withColumn("sniffed_width", col("__hdr.width"))
+      .withColumn("sniffed_height", col("__hdr.height"))
+      .withColumn("sniffed_sample_rate", col("__hdr.sample_rate"))
+      .drop("__hdr")
+
   /** Frame-sampling plan for video assets: one row per sampled frame
     * index, computed from metadata only (no decode) — the shape a
     * frame-extraction stage consumes. */
@@ -92,20 +107,49 @@ object MultimodalOps {
           lit(everyMs))))
       .select(col("asset_id"), col("frame_ms"))
 
-  /** Deterministic synthetic asset table for tests/demos. */
+  /** Deterministic synthetic asset table for tests/demos. Image and
+    * audio payloads carry REAL container headers (PNG / WAV) so the
+    * [[MediaHeader]] sniffing path is exercised on valid bytes; video
+    * payloads are headerless noise (sniff → null format). */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     val rows = (0 until n).map { i =>
       val modality = Seq("image", "audio", "video")(i % 3)
-      val bytes = Array.tabulate[Byte](64 + (i % 128))(j =>
+      val body = Array.tabulate[Byte](64 + (i % 128))(j =>
         ((i * 31 + j * 7) % 251).toByte)
+      val bytes = modality match {
+        case "image" => pngHeader(640 + i, 480 + i) ++ body
+        case "audio" => wavHeader(8000 + 100 * (i % 5)) ++ body
+        case _ => body
+      }
       (i.toLong, modality, bytes,
         Some(s"application/x-$modality"),
-        if (modality == "image") Some(640) else None,
-        if (modality == "image") Some(480) else None,
+        if (modality == "image") Some(640 + i) else None,
+        if (modality == "image") Some(480 + i) else None,
         if (modality == "video") Some(5000L + i) else None)
     }
     rows.toDF("asset_id", "modality", "media_bytes", "mime_type",
       "width", "height", "duration_ms")
+  }
+
+  /** Minimal valid PNG signature + IHDR prefix with the given dims. */
+  private[graft] def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(24)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w).putInt(h)
+    b.array()
+  }
+
+  /** Minimal RIFF/WAVE fmt-chunk prefix with the given sample rate. */
+  private[graft] def wavHeader(sampleRate: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(28)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(sampleRate)
+    b.array()
   }
 }

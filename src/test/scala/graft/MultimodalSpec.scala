@@ -34,6 +34,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.getSeq[Float](3).forall(_ == 0.0f))
   }
 
+  test("MediaHeader parses PNG/GIF/BMP/JPEG/WAV headers exactly") {
+    import graft.multimodal.MediaHeader
+    assert(MediaHeader.parse(MultimodalOps.pngHeader(800, 600)) ==
+      ("png", 800, 600, -1))
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xf0.toByte, 0x00) // 320 × 240 LE
+    assert(MediaHeader.parse(gif) == ("gif", 320, 240, -1))
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x64; bmp(22) = 0x32 // 100 × 50 LE
+    assert(MediaHeader.parse(bmp) == ("bmp", 100, 50, -1))
+    // JPEG: SOI, APP0 (len 4), SOF0 with height 10 width 20
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0, 4, 0, 0, // APP0, len 4
+      0xff.toByte, 0xc0.toByte, 0, 11, 8, 0, 10, 0, 20, 1, 0)
+    assert(MediaHeader.parse(jpeg) == ("jpeg", 20, 10, -1))
+    assert(MediaHeader.parse(MultimodalOps.wavHeader(44100)) ==
+      ("wav", -1, -1, 44100))
+    assert(MediaHeader.parse(Array[Byte](1, 2, 3, 4)) ==
+      ((null, -1, -1, -1)))
+    assert(MediaHeader.parse(null) == ((null, -1, -1, -1)))
+  }
+
+  test("annotateAssets sniffs real formats from synthetic bytes") {
+    val ann = MultimodalOps.annotateAssets(
+      MultimodalOps.syntheticAssets(spark, 9))
+    val byId = ann.select("asset_id", "modality", "sniffed_format",
+        "sniffed_width", "sniffed_sample_rate", "width")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // images (0,3,6): png with dims matching the declared metadata
+    Seq(0L, 3L, 6L).foreach { id =>
+      assert(byId(id).getAs[String]("sniffed_format") == "png")
+      assert(byId(id).getAs[Int]("sniffed_width") ==
+        byId(id).getAs[Int]("width"))
+    }
+    // audio (1,4,7): wav with a sample rate
+    Seq(1L, 4L, 7L).foreach { id =>
+      assert(byId(id).getAs[String]("sniffed_format") == "wav")
+      assert(byId(id).getAs[Int]("sniffed_sample_rate") >= 8000)
+    }
+    // video (2,5,8): headerless noise → no sniffed format
+    Seq(2L, 5L, 8L).foreach { id =>
+      assert(byId(id).getAs[String]("sniffed_format") == null)
+    }
+  }
+
   test("sampleFramePlan emits one row per sampled frame, video only") {
     val assets = MultimodalOps.syntheticAssets(spark, 9)
     val plan = MultimodalOps.sampleFramePlan(assets, everyMs = 1000L)
