@@ -1285,6 +1285,26 @@ object Oracles {
         |  count(*) AS n_events, TRUE AS ok50, TRUE AS ok95
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q93_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents WHERE doc_id < 100)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CASE WHEN len(a.s) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(a.s) END, 4) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, containment FROM p
+        |WHERE containment >= 0.02
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q90_lm_score" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -1160,6 +1160,29 @@ object Queries {
         .orderBy(col("day"))
     }),
 
+    // ---- asymmetric containment similarity (subset-duplicates) ---------
+    "q93_containment" -> ((s, d) => {
+      // containment(a→b) = |A∩B| / |A| over distinct 3-gram sets —
+      // catches a doc CONTAINED in a longer one, which symmetric
+      // Jaccard dilutes below threshold; directional, so both (a,b)
+      // and (b,a) rows exist. Same bounded-verifier shape as q26
+      // (broadcast one pre-shingled side; production pairing comes
+      // from the LSH band candidates, ref q24/q76)
+      val doc = t(s, d, "documents").filter(col("doc_id") < 100)
+        .withColumn("sh",
+          array_distinct(DedupOps.shingles(col("text"), 3)))
+      val a = doc.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = doc.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(broadcast(b)).filter(col("id_a") =!= col("id_b"))
+        .withColumn("containment", dround(
+          when(size(col("sh_a")) === 0, lit(0.0))
+            .otherwise(size(array_intersect(col("sh_a"), col("sh_b")))
+              .cast("double") / size(col("sh_a")).cast("double")), 4))
+        .filter(col("containment") >= 0.02)
+        .select(col("id_a"), col("id_b"), col("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

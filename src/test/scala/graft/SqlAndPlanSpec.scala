@@ -71,7 +71,8 @@ class SqlAndPlanSpec extends SparkTestBase {
     // 1-row merged sketch to the 10-row top-k — all scalar-attach
     val allowed = Set("q26_ngram_jaccard", "q28_ann_bruteforce",
       "q52_tfidf", "q68_corpus_mix", "q83_winsorize",
-      "q84_pmi_bigrams", "q89_heavy_hitters")
+      "q84_pmi_bigrams", "q89_heavy_hitters",
+      "q93_containment") // q93: q26's bounded broadcast verifier shape
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
