@@ -1285,6 +1285,29 @@ object Oracles {
         |  count(*) AS n_events, TRUE AS ok50, TRUE AS ok95
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q94_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS n_tokens
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, n_tokens,
+        |    ln((CAST(concat('0x', substring(
+        |          md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0)
+        |      / n_tokens AS k
+        |  FROM w WHERE n_tokens >= 1),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, round(k, 6) AS sample_key,
+        |    CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT)
+        |      AS rn
+        |  FROM keyed)
+        |SELECT doc_id, n_tokens, sample_key, rn
+        |FROM ranked WHERE rn <= 25
+        |ORDER BY rn""".stripMargin,
+
     "q93_containment" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3

@@ -1183,6 +1183,24 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- weighted sampling (A-ES, no global sort) ----------------------
+    "q94_weighted_sample" -> ((s, d) => {
+      // length-weighted corpus draw: inclusion probability ∝ token
+      // count, deterministic (md5-derived uniforms), ranked through
+      // the O(k)-state bounded heap — the oracle reproduces the
+      // IDENTICAL draw from the same hash arithmetic in SQL
+      import graft.functions.TextFunctions
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      graft.ops.DeterministicSample.weightedTopK(
+          docs, "doc_id", "n_tokens", k = 25, seed = "wsample")
+        .join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("sample_key"),
+          col("rn"))
+        .orderBy(col("rn"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

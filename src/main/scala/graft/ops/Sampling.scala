@@ -64,4 +64,31 @@ object DeterministicSample {
     * in any engine. */
   private def hashPrefix(key: Column): Column =
     substring(md5(key.cast("string")), 1, 2)
+
+  /** Weighted sample without replacement (Efraimidis-Spirakis A-ES),
+    * deterministic: each row draws u = uniform(md5(seed:id)) and the k
+    * rows with the largest ln(u)/w win — inclusion probability ∝ w.
+    * Ranking runs through the bounded-heap [[graft.functions
+    * .TopKByScore]], so the corpus-wide draw ships one O(k) heap per
+    * task — no global sort, no window shuffle of N rows (the classic
+    * A-ES reservoir, distributed). Rows with weight < 1 are excluded.
+    *
+    * Returns (id, sample_key, rn) ranked 1..k; the u derivation
+    * (first 8 md5 hex chars → (v+0.5)/2^32) is plain SQL on any
+    * engine, so the identical draw is auditable outside Spark.
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    val v = conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val key = log(u) / col(weightCol).cast("double")
+    graft.functions.TopKByScore.explodeTopK(
+      df.filter(col(weightCol) >= 1).withColumn("__key", key),
+      Seq.empty, col("__key"), col(idCol), k,
+      outId = idCol, outScore = "__key")
+      .select(col(idCol),
+        graft.functions.Rounding.dround(col("__key"), 6)
+          .as("sample_key"), col("rn"))
+  }
 }
