@@ -1,0 +1,148 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** A minimal versioned table format: immutable data files + numbered
+  * manifest files — the mechanism behind Delta/Iceberg time travel,
+  * for engines addressing raw parquet directories.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _manifests/v00001.json   one JSON line per data file
+  *     data/<commit-uuid>/part-*.parquet
+  * }}}
+  *
+  * Every commit writes its rows to a FRESH directory under `data/`
+  * (nothing is ever modified in place), then publishes a manifest
+  * enumerating the table's complete file set at that version —
+  * `append` = previous files + new, `overwrite` = new only. Readers
+  * resolve a manifest and read exactly its files, so:
+  *
+  *  - reads are snapshot-isolated (a concurrent commit can't change a
+  *    running query's file set);
+  *  - any retained version is readable (`read(spark, path, Some(v))`);
+  *  - commit is ATOMIC via create-fails-if-exists on the manifest: two
+  *    racing writers target the same next version and exactly one
+  *    create succeeds — the loser re-reads the new state and retries
+  *    (optimistic concurrency, the Delta protocol's shape).
+  *
+  * `vacuum` deletes data files unreferenced by the retained manifests
+  * — the storage-reclaim half of time travel.
+  */
+object VersionedTable {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String) = s"$path/_manifests"
+  private def manifestPath(path: String, v: Int) =
+    new Path(manifestDir(path), f"v$v%05d.json")
+  private def versionOf(p: Path): Int =
+    p.getName.stripPrefix("v").stripSuffix(".json").toInt
+
+  /** Latest committed version, 0 if the table does not exist yet. */
+  def latestVersion(spark: SparkSession, path: String): Int = {
+    val dir = new Path(manifestDir(path))
+    val f = fs(spark, path)
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).map(s => versionOf(s.getPath))
+      .foldLeft(0)(math.max)
+  }
+
+  /** The complete data-file list at `version` (default: latest). */
+  def files(spark: SparkSession, path: String,
+      version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    if (v == 0) return Nil
+    val mp = manifestPath(path, v)
+    val f = fs(spark, path)
+    require(f.exists(mp), s"version $v of $path does not exist " +
+      "(never committed, or vacuumed away)")
+    val in = f.open(mp)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Read the table as of `version` (default: latest). An empty table
+    * (version 0) is an error — there is no schema to produce. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val fl = files(spark, path, version)
+    require(fl.nonEmpty, s"$path has no committed data" +
+      version.fold("")(v => s" at version $v"))
+    spark.read.parquet(fl: _*)
+  }
+
+  def commitAppend(df: DataFrame, path: String): Int =
+    commit(df, path, carryPrevious = true)
+
+  def commitOverwrite(df: DataFrame, path: String): Int =
+    commit(df, path, carryPrevious = false)
+
+  private def commit(df: DataFrame, path: String,
+      carryPrevious: Boolean): Int = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    // 1. write the immutable data files for this commit
+    val commitDir = s"$path/data/${java.util.UUID.randomUUID()}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
+    val newFiles = f.listStatus(new Path(commitDir))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString).toSeq
+    // 2. publish: create the next manifest; on a version race, re-read
+    //    the winner's state and retry on top of it
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"gave up publishing to $path " +
+        "after 20 version races")
+      val prev =
+        if (carryPrevious) files(spark, path, None) else Nil
+      val v = latestVersion(spark, path) + 1
+      f.mkdirs(new Path(manifestDir(path)))
+      val target = manifestPath(path, v)
+      try {
+        // create(overwrite = false) is the atomic claim on version v
+        val out = f.create(target, false)
+        try out.write((prev ++ newFiles).mkString("", "\n", "\n")
+          .getBytes("UTF-8"))
+        finally out.close()
+        return v
+      } catch {
+        case _: java.io.IOException => // lost the race for v — retry
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Delete data files referenced only by manifests OLDER than the
+    * `retainLast` most recent ones, then drop those manifests. Keeps
+    * time travel over the retained window, reclaims the rest. */
+  def vacuum(spark: SparkSession, path: String,
+      retainLast: Int = 1): Unit = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val f = fs(spark, path)
+    val latest = latestVersion(spark, path)
+    if (latest == 0) return
+    val keepVersions = (math.max(1, latest - retainLast + 1) to latest)
+    val keep = keepVersions
+      .flatMap(v => files(spark, path, Some(v))).toSet
+    val dataRoot = new Path(s"$path/data")
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).foreach { commitDir =>
+        val fl = f.listStatus(commitDir.getPath)
+          .filter(_.isFile).map(_.getPath.toString)
+        // a commit dir's files are all in one manifest generation:
+        // drop the whole dir when none of its files are retained
+        if (fl.nonEmpty && !fl.exists(keep)) {
+          f.delete(commitDir.getPath, true); ()
+        }
+      }
+    }
+    (1 until keepVersions.start)
+      .foreach(v => f.delete(manifestPath(path, v), false))
+  }
+}

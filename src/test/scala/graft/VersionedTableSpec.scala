@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.VersionedTable
+
+/** Time travel on the manifest-based table format: every version stays
+  * readable, reads are snapshot-isolated from later commits, version
+  * races resolve to distinct versions, and vacuum reclaims exactly the
+  * unreferenced files.
+  */
+class VersionedTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tbl() = Files.createTempDirectory("vt").toString + "/t"
+
+  test("append/overwrite commits version and every version reads back") {
+    val path = tbl()
+    val v1 = VersionedTable.commitAppend(
+      Seq((1L, "a")).toDF("id", "v"), path)
+    val v2 = VersionedTable.commitAppend(
+      Seq((2L, "b")).toDF("id", "v"), path)
+    val v3 = VersionedTable.commitOverwrite(
+      Seq((9L, "z")).toDF("id", "v"), path)
+    assert((v1, v2, v3) == ((1, 2, 3)))
+    def ids(v: Int) = VersionedTable.read(spark, path, Some(v))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(1) == Seq(1L))
+    assert(ids(2) == Seq(1L, 2L))
+    assert(ids(3) == Seq(9L))           // overwrite replaced the set
+    assert(VersionedTable.read(spark, path) // latest = v3
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("reads are snapshot-isolated: a resolved plan ignores commits") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    val snapshot = VersionedTable.read(spark, path) // resolves v1 files
+    VersionedTable.commitOverwrite(
+      Seq((2L, "b")).toDF("id", "v"), path)
+    // the already-resolved frame still reads v1's (immutable) files
+    assert(snapshot.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("a manifest race loses exactly once and retries onto the next") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    // concurrent appends: both target v2; one must land at v3 with
+    // BOTH prior rows carried (the retry re-reads the winner's state)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence(Seq((2L, "b"), (3L, "c")).map(row => Future {
+        VersionedTable.commitAppend(Seq(row).toDF("id", "v"), path)
+      })), 2.minutes).sorted
+    assert(results == List(2, 3))
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
+  test("vacuum reclaims unreferenced files, keeps the retained window") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    VersionedTable.commitOverwrite(Seq((2L, "b")).toDF("id", "v"), path)
+    VersionedTable.commitOverwrite(Seq((3L, "c")).toDF("id", "v"), path)
+    VersionedTable.vacuum(spark, path, retainLast = 2)
+    // v1's files and manifest are gone; v2 and v3 still read
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, path, Some(1)).collect()
+    }
+    assert(VersionedTable.read(spark, path, Some(2))
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(VersionedTable.read(spark, path, Some(3))
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("vacuum keeps files still referenced by a retained append chain") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("id", "v"), path)
+    VersionedTable.commitAppend(Seq((3L, "c")).toDF("id", "v"), path)
+    // retain only v3 — but v3 still references v1/v2's data files, so
+    // vacuum must keep them all
+    VersionedTable.vacuum(spark, path, retainLast = 1)
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+}
