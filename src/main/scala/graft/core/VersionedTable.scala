@@ -118,6 +118,32 @@ object VersionedTable {
     -1 // unreachable
   }
 
+  /** Idempotent streaming sink: a `foreachBatch` writer that commits
+    * each micro-batch as one table version and SKIPS batch ids it has
+    * already committed — after a restart, Structured Streaming replays
+    * the last micro-batch, and without this dedup the table would
+    * double-append it (the Delta streaming sink's txn-id pattern).
+    * The marker is claimed with the same create-fails-if-exists
+    * primitive as version publication, AFTER the data commit: a crash
+    * in the narrow window between commit and marker re-appends that
+    * one batch on restart. Every row therefore carries `_batch_id`,
+    * so that residual duplicate is detectable and removable with a
+    * (_batch_id, version)-latest dedup downstream — at-least-once
+    * storage, exactly-once after the stamp-aware read. */
+  def foreachBatchAppend(path: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val f = fs(spark, path)
+    val marker = new Path(s"$path/_commits/b$batchId")
+    if (!f.exists(marker)) {
+      commitAppend(batch.withColumn("_batch_id",
+        org.apache.spark.sql.functions.lit(batchId)), path)
+      f.mkdirs(new Path(s"$path/_commits"))
+      try f.create(marker, false).close()
+      catch { case _: java.io.IOException => () } // lost claim: done
+    }
+  }
+
   /** Delete data files referenced only by manifests OLDER than the
     * `retainLast` most recent ones, then drop those manifests. Keeps
     * time travel over the retained window, reclaims the rest. */

@@ -78,6 +78,32 @@ class VersionedTableSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("foreachBatch sink skips an already-committed batch on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = tbl()
+    val ckpt = Files.createTempDirectory("vt_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDS().toDF("id", "v")
+      .writeStream
+      .foreachBatch(VersionedTable.foreachBatchAppend(path))
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    mem.addData((1L, "a"))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the same checkpoint: batch 0 may be replayed, the
+    // marker must keep it from double-appending; batch 1 lands fresh
+    mem.addData((2L, "b"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = VersionedTable.read(spark, path)
+      .select("id", "_batch_id").as[(Long, Long)].collect().sorted
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L), rows.mkString(","))
+    assert(rows.map(_._2).distinct.length == 2) // one version per batch
+  }
+
   test("vacuum keeps files still referenced by a retained append chain") {
     val path = tbl()
     VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
