@@ -1285,6 +1285,30 @@ object Oracles {
         |  count(*) AS n_events, TRUE AS ok50, TRUE AS ok95
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q95_kmeans_step" ->
+      """WITH cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |      AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |      FROM embeddings),
+        |asn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, cb.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb) WHERE rn = 1),
+        |long AS (
+        |  SELECT asn.cell,
+        |    CAST(generate_subscripts(v.vv, 1) - 1 AS INT) AS dim,
+        |    unnest(v.vv) AS x
+        |  FROM asn JOIN v ON asn.vec_id = v.vec_id)
+        |SELECT cell, dim, count(*) AS n_members,
+        |  round(avg(x), 6) + 0 AS mean_val
+        |FROM long GROUP BY cell, dim
+        |ORDER BY cell, dim""".stripMargin,
+
     "q94_weighted_sample" ->
       """WITH w AS (
         |  SELECT doc_id,

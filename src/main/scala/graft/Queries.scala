@@ -1201,6 +1201,16 @@ object Queries {
         .orderBy(col("rn"))
     }),
 
+    // ---- k-means M-step (codebook training) ----------------------------
+    "q95_kmeans_step" -> ((s, d) => {
+      // nearest-centroid assignment (narrow map) + per-(cell, dim)
+      // means: the iteration that trains the codebook q40/q88 consume;
+      // oracle replicates assignment and averages in SQL
+      graft.operators.SimilarityOps.kmeansStep(
+        t(s, d, "embeddings"), "vec_id", "embedding", cells = 16)
+        .orderBy(col("cell"), col("dim"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(

@@ -223,4 +223,28 @@ object SimilarityOps {
       .select(col(idCol), col("cell"), col("dup_of").isNull.as("kept"),
         col("dup_of"), col("max_sim"))
   }
+
+  /** One k-means iteration's M-step over the current codebook: assign
+    * every vector to its nearest centroid (the same zero-shuffle
+    * narrow map as [[ivfTopK]]/[[semDedup]]), then average per (cell,
+    * dimension) — the training loop that produces the codebook those
+    * operators consume. Long-form output (cell, dim, n_members,
+    * mean_val): the per-dim explode shuffles (cell, dim, x) triples
+    * with map-side combine, never whole vectors, and the result is
+    * cells×dims rows — driver-collectable codebook metadata at any
+    * corpus size.
+    */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
+      cells: Int = 16): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>")
+      .as("__v"))
+    val codebook: Array[Array[Double]] =
+      v.orderBy(col(idCol)).limit(cells).select(col("__v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+    assignCells(v, "__v", codebook)
+      .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "__x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        (dround(avg(col("__x")), 6) + lit(0)).as("mean_val"))
+  }
 }
