@@ -1285,6 +1285,28 @@ object Oracles {
         |  count(*) AS n_events, TRUE AS ok50, TRUE AS ok95
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q96_span_corrupt" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''),
+        |m AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(toks, (t, i) ->
+        |      substring(md5('t5:' || CAST(doc_id AS VARCHAR) || ':'
+        |        || CAST(i - 1 AS VARCHAR)), 1, 2) < '2a') AS hit
+        |  FROM docs)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(hit, h -> h)) AS BIGINT) AS n_masked,
+        |  array_to_string(list_transform(toks, (t, i) ->
+        |    CASE WHEN hit[i] THEN '<X>' ELSE t END), ' ')
+        |    AS masked_text,
+        |  coalesce(array_to_string(
+        |    list_filter(toks, (t, i) -> hit[i]), ' '), '') AS targets
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
     "q95_kmeans_step" ->
       """WITH cb AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)

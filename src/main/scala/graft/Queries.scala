@@ -1211,6 +1211,17 @@ object Queries {
         .orderBy(col("cell"), col("dim"))
     }),
 
+    // ---- denoising corruption (T5-style masking) -----------------------
+    "q96_span_corrupt" -> ((s, d) => {
+      // ~16 % of tokens masked by md5(seed:doc:pos) — reproducible
+      // training pairs, all in-row higher-order expressions (zero
+      // shuffle); the oracle rebuilds the identical corruption
+      graft.operators.Masking.spanCorrupt(
+        t(s, d, "documents"), "doc_id", "text",
+        seed = "t5", threshold256 = 42)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(
