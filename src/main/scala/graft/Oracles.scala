@@ -1285,6 +1285,35 @@ object Oracles {
         |  count(*) AS n_events, TRUE AS ok50, TRUE AS ok95
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q97_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-30'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-30'
+        |GROUP BY l_orderkey, o_date, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q98_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region, nation, customer, orders, lineitem, supplier
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND c_nationkey = n_nationkey
+        |  AND o_custkey = c_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
     "q96_span_corrupt" ->
       """WITH docs AS (
         |  SELECT doc_id,

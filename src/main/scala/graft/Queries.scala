@@ -1222,6 +1222,57 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- TPC-H-shaped macro queries (multi-join star plans) ------------
+    "q97_shipping_priority" -> ((s, d) => {
+      // TPC-H Q3 shape: segment-filtered customers × date-bounded
+      // orders × lineitem, revenue per (order, date, priority),
+      // top-10. Customer filter broadcast-prunes orders BEFORE the
+      // fact join; both filters push to the scans
+      val cut = lit("1997-06-30").cast("date")
+      val c = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, d, "orders")
+        .filter(to_date(col("o_orderdate")) < cut)
+        .join(c, col("o_custkey") === col("c_custkey"))
+      val l = t(s, d, "lineitem")
+        .filter(to_date(col("l_shipdate")) > cut)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          col("o_orderpriority"))
+        .agg(dround(sum(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q98_local_supplier_volume" -> ((s, d) => {
+      // TPC-H Q5 shape: full star traversal — region → nation →
+      // customer → orders → lineitem ⋈ supplier, revenue where the
+      // supplier sits in the customer's nation. Dims broadcast down
+      // the chain; the only big shuffle is lineitem⋈orders
+      val cut = lit("1997-01-01").cast("date")
+      val n = t(s, d, "nation")
+        .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+      val c = t(s, d, "customer")
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+      val o = t(s, d, "orders")
+        .filter(to_date(col("o_orderdate")) >= cut &&
+          to_date(col("o_orderdate")) < lit("1999-01-01").cast("date"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+      val sup = t(s, d, "supplier")
+      t(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dround(sum(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(
