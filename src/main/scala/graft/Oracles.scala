@@ -1285,6 +1285,46 @@ object Oracles {
         |  count(*) AS n_events, TRUE AS ok50, TRUE AS ok95
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q99_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, any_value(s1.t1) AS t1,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+        |      THEN e.ts END) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, any_value(s2.t1) AS t1,
+        |    any_value(s2.t2) AS t2,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+        |      THEN e.ts END) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  GROUP BY e.user_id)
+        |SELECT user_id, t1 IS NOT NULL AS did_signup,
+        |  t2 IS NOT NULL AS did_click_after,
+        |  t3 IS NOT NULL AS did_purchase_after,
+        |  t3 AS purchase_ts
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
+    "q100_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '1995-01-02',
+        |      CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week
+        |  FROM uw GROUP BY user_id)
+        |SELECT cohort.cohort_week, uw.week - cohort.cohort_week
+        |    AS weeks_since,
+        |  count(DISTINCT uw.user_id) AS n_active
+        |FROM uw JOIN cohort ON uw.user_id = cohort.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "q97_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
         |  o_orderpriority,

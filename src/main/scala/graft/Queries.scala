@@ -1273,6 +1273,53 @@ object Queries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ---- ordered funnel analysis ---------------------------------------
+    "q99_funnel" -> ((s, d) => {
+      // signup → click → purchase, each step strictly after the
+      // previous one: three map-side-combinable conditional aggs over
+      // the SAME per-user grouping (Spark plans one Exchange reused by
+      // all three), no per-user event sorting
+      val ev = t(s, d, "events")
+      val s1 = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts")))
+          .as("__t1"))
+      val s2 = ev.join(s1, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(first(col("__t1")).as("__t1"),
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("__t1"), col("ts"))).as("__t2"))
+      val s3 = ev.join(s2, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(first(col("__t1")).as("__t1"),
+          first(col("__t2")).as("__t2"),
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("__t2"), col("ts"))).as("__t3"))
+      s3.select(col("user_id"),
+        col("__t1").isNotNull.as("did_signup"),
+        col("__t2").isNotNull.as("did_click_after"),
+        col("__t3").isNotNull.as("did_purchase_after"),
+        col("__t3").as("purchase_ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- retention cohorts ---------------------------------------------
+    "q100_retention" -> ((s, d) => {
+      // weekly cohort (first-seen week) × weeks-since-cohort active
+      // counts: two distinct-shuffles on (user, week), the standard
+      // retention-matrix shape
+      val ev = t(s, d, "events").select(col("user_id"),
+        (floor(datediff(to_date(col("ts")),
+          lit("1995-01-02").cast("date")) / 7)).cast("long").as("week"))
+      val uw = ev.distinct()
+      val cohort = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    }),
+
     // ---- unpivot / melt (wide → long reshaping) -----------------------
     "q64_unpivot" -> ((s, d) => {
       val wide = t(s, d, "orders").groupBy(col("o_orderstatus")).agg(
