@@ -60,13 +60,19 @@ object ManifestStats {
       .select(col("file")).collect().map(_.getString(0)).toSeq
 
   /** Scan only the manifest-selected files. The caller re-applies the
-    * row-level predicate: skipping is file-granular, not row-exact. */
+    * row-level predicate: skipping is file-granular, not row-exact.
+    * When every file is pruned the result is an empty frame WITH the
+    * table's schema (read from one manifest file), so the caller's
+    * follow-up `.filter(col(colName)...)` still resolves. */
   def readPruned(spark: SparkSession, manifest: DataFrame,
       colName: String, lo: String, hi: String): DataFrame = {
     val files = pruneFiles(manifest, colName, lo, hi)
-    if (files.isEmpty)
-      spark.emptyDataFrame
-    else
-      spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      val any = manifest.select(col("file")).limit(1)
+        .collect().map(_.getString(0))
+      if (any.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(any.head).limit(0)
+    }
   }
 }

@@ -28,14 +28,13 @@ object Scratch {
 
   private def deleteQuietly(path: String): Unit =
     try {
-      val p = new java.io.File(path)
-      if (p.exists) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(p)
-      }
+      // Hadoop FS, not java.io.File: the scratch root may be a shared
+      // filesystem (spark.graft.scratch.dir=hdfs://… on a cluster),
+      // where a java.io delete is a silent no-op and every
+      // materialization would leak past JVM exit
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(p)) { fs.delete(p, true); () }
     } catch { case _: Throwable => () }
 
   /** Root for scratch tables: `spark.graft.scratch.dir` if set (point it

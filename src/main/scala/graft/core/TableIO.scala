@@ -70,6 +70,20 @@ object TableIO {
             s"${added.mkString(", ")}; missing: " +
             s"${missing.mkString(", ")}); " +
             "pass mergeSchema = true to evolve the schema")
+        // same-named columns must keep their type too — appending a
+        // retyped column writes conflicting footers that a later read
+        // either fails to merge or silently resolves one-sided (the
+        // same guard overwrite() applies)
+        def types(t: org.apache.spark.sql.types.StructType) =
+          t.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+        val existing = types(s); val next = types(df.schema)
+        val retyped = existing.keySet.intersect(next.keySet)
+          .filter(k => existing(k) != next(k))
+        require(retyped.isEmpty,
+          s"append to $path changes column types for " +
+            s"${retyped.mkString(", ")} " +
+            s"(${retyped.map(k => s"$k: ${existing(k)} -> ${next(k)}")
+              .mkString("; ")})")
       }
     val w = df.write.format(layout.format).mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

@@ -99,9 +99,16 @@ object VersionedTable {
       attempts += 1
       require(attempts <= 20, s"gave up publishing to $path " +
         "after 20 version races")
+      // read the version NUMBER once and derive the carried file list
+      // from exactly that (immutable) manifest — listing "latest"
+      // twice would let a commit that lands in between vanish from
+      // the published manifest (lost update) even though our create
+      // of v+1 succeeds
+      val vPrev = latestVersion(spark, path)
       val prev =
-        if (carryPrevious) files(spark, path, None) else Nil
-      val v = latestVersion(spark, path) + 1
+        if (carryPrevious && vPrev > 0) files(spark, path, Some(vPrev))
+        else Nil
+      val v = vPrev + 1
       f.mkdirs(new Path(manifestDir(path)))
       val target = manifestPath(path, v)
       try {
@@ -154,7 +161,10 @@ object VersionedTable {
     val latest = latestVersion(spark, path)
     if (latest == 0) return
     val keepVersions = (math.max(1, latest - retainLast + 1) to latest)
+    // a manifest inside the keep window may already be gone (an
+    // earlier vacuum with a smaller retention) — skip, don't throw
     val keep = keepVersions
+      .filter(v => f.exists(manifestPath(path, v)))
       .flatMap(v => files(spark, path, Some(v))).toSet
     val dataRoot = new Path(s"$path/data")
     if (f.exists(dataRoot)) {

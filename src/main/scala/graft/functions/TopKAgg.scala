@@ -178,6 +178,23 @@ case class TopKByScore(
 }
 
 object TopKByScore {
+
+  /** Guard for call sites that cast an id column to long on the way
+    * into the heap: a non-numeric id (UUID/string) under a non-ANSI
+    * plain cast becomes NULL for EVERY row, the heap skips nulls, and
+    * the caller gets an empty result with no error. Fail loudly
+    * instead; string-keyed callers must hash to a surrogate id first. */
+  def requireIntegralId(df: org.apache.spark.sql.DataFrame,
+      colName: String, context: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(colName).dataType
+    require(Seq[DataType](LongType, IntegerType, ShortType, ByteType)
+      .contains(dt),
+      s"$context needs an integral id column; got " +
+        s"$colName: ${dt.simpleString} (cast('long') would null it " +
+        "out and the heap would silently drop every row)")
+  }
+
   def column(score: Column, id: Column, k: Int): Column =
     GraftBridge.column(TopKByScore(
       GraftBridge.expression(score),

@@ -60,12 +60,15 @@ object SimilarityOps {
     * first) matches the window formulation; a null cos_sim (null
     * vector upstream) is DROPPED rather than ranked nulls-last — a
     * missing embedding is not a neighbor. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopKByScore.requireIntegralId(scored, "neighbor_id",
+      "SimilarityOps top-k ranking")
     graft.functions.TopKByScore.explodeTopK(scored, Seq("query_id"),
         col("cos_sim"), col("neighbor_id").cast("long"), k,
         outId = "neighbor_id", outScore = "cos_sim")
       .select(col("query_id"), col("neighbor_id"),
         dround(col("cos_sim"), 4).as("cos_sim"), col("rn"))
+  }
 
   /** h-bit random-hyperplane signature via the native
     * [[graft.functions.HyperplaneLsh]] expression — seeded, deterministic

@@ -41,7 +41,16 @@ object TfIdf {
 
   /** Top-k most characteristic terms per document, ranked by rounded
     * TF-IDF (rank on the rounded value so any two engines computing ln()
-    * a ulp apart still agree), token as the deterministic tie-break. */
+    * a ulp apart still agree), token as the deterministic tie-break.
+    *
+    * Deliberately a window, not the bounded-heap TopKByScore used by
+    * the other top-k paths: the heap's payload is a LONG id (terms are
+    * strings — they'd need a surrogate dictionary and a join back),
+    * its (score desc, id asc) tie-break can't express "token asc",
+    * and the input here is the per-doc TERM table (vocabulary-bounded
+    * per doc), not a corpus×query scored relation — the window sorts
+    * what the group-by already shuffled, so the scale argument that
+    * motivated the heap elsewhere doesn't apply. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,14 +42,19 @@ object Cdc {
       .select(col(keyCol))
     val upserts = latest.filter(col(opCol) =!= "D")
       .select(col(keyCol) +: payload.map(col): _*)
-    val survivors: Column = col(keyCol)
     base
       .join(deletes, Seq(keyCol), "left_anti")
-      .join(upserts.select(survivors.as("__k") +:
+      // a non-null match marker distinguishes "no upsert for this key"
+      // from "upsert carrying a NULL payload value" — coalescing the
+      // payload itself would silently resurrect the base row's stale
+      // value whenever an update legitimately clears a column
+      .join(upserts.select(Seq(col(keyCol).as("__k"),
+          lit(true).as("__matched")) ++
           payload.map(c => col(c).as(s"__u_$c")): _*),
         col(keyCol) === col("__k"), "left")
       .select(col(keyCol) +: payload.map(c =>
-        coalesce(col(s"__u_$c"), col(c)).as(c)): _*)
+        when(col("__matched").isNotNull, col(s"__u_$c"))
+          .otherwise(col(c)).as(c)): _*)
       .unionByName(
         // inserts: upserted keys absent from the base
         upserts.join(base.select(col(keyCol)), Seq(keyCol), "left_anti"))

@@ -21,11 +21,14 @@ object DomainCap {
   /** (domainCol, idCol, rn) for the kept docs — rn ∈ [1, k] in hash
     * order. Join back on idCol to materialize the capped corpus. */
   def cap(df: DataFrame, idCol: String, domainCol: String, k: Int,
-      seed: String): DataFrame =
+      seed: String): DataFrame = {
+    graft.functions.TopKByScore.requireIntegralId(df, idCol,
+      "DomainCap.cap")
     graft.functions.TopKByScore.explodeTopK(
         df.withColumn("__score",
           -Splits.bucket256(col(idCol), seed).cast("double")),
         Seq(domainCol), col("__score"), col(idCol).cast("long"), k,
         outId = idCol, outScore = "__score")
       .select(col(domainCol), col(idCol), col("rn"))
+  }
 }

@@ -27,9 +27,15 @@ object Scd2 {
     val byTs = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
     val runs = events
+      // null-safe change test: a NULL attribute value is a real state
+      // (value → NULL → value is three runs, NULL → NULL is one run);
+      // the plain =!= comparison evaluates to NULL against a NULL side
+      // and silently merged those transitions into the preceding run.
+      // The explicit first-row test replaces lag().isNull, which could
+      // not distinguish "no previous row" from "previous attr is NULL"
       .withColumn("__chg",
-        when(lag(col(attrCol), 1).over(byTs).isNull
-          || lag(col(attrCol), 1).over(byTs) =!= col(attrCol), 1L)
+        when(row_number().over(byTs) === 1
+          || !(lag(col(attrCol), 1).over(byTs) <=> col(attrCol)), 1L)
           .otherwise(0L))
       .withColumn("__run", sum(col("__chg"))
         .over(byTs.rowsBetween(Window.unboundedPreceding, 0)))

@@ -118,9 +118,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       val ptBucketed = Project(ptSide.output :+ lbAlias, ptSide)
       // Sequence is TimeZoneAware (it also builds timestamp ranges):
       // without an explicit zone the expression stays unresolved and
-      // the optimizer rejects the rewritten plan
+      // the optimizer rejects the rewritten plan. No explicit step:
+      // with step=+1 an inverted interval (hi < lo, dirty data) would
+      // THROW at runtime, where the pre-rewrite nested-loop join just
+      // matched nothing — the two-arg form auto-negates the step and
+      // generates a descending bucket list whose rows then fail the
+      // original `cond` re-check, preserving match-nothing semantics
       val seqExpr = Sequence(floorDiv(lo, bin), floorDiv(hi, bin),
-        Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
+        None, Some(conf.sessionLocalTimeZone))
       val rbAttr = AttributeReference(RbName, LongType,
         nullable = false)()
       val ivExploded = Generate(Explode(seqExpr), Nil, outer = false,

@@ -79,6 +79,12 @@ class FormatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       TableIO.overwrite(Seq((1L, 7)).toDF("id", "s"), layout, path)
     }
+    // APPEND with a retyped same-named column: writes conflicting
+    // footers that a later read fails to merge — refused like
+    // overwrite, not just name-checked
+    intercept[IllegalArgumentException] {
+      TableIO.append(Seq((2L, 7)).toDF("id", "s"), layout, path)
+    }
     // unchanged schema still appends/overwrites freely
     TableIO.append(Seq((3L, "c")).toDF("id", "s"), layout, path)
     assert(TableIO.read(spark, layout, path).count() == 2)

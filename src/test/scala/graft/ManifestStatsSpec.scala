@@ -63,6 +63,17 @@ class ManifestStatsSpec extends SparkTestBase {
     assert(pruned.sameElements(full) && full.length == 11)
   }
 
+  test("all-pruned read keeps the table schema so filters resolve") {
+    val dir = mkTable()
+    val m = ManifestStats.build(spark, dir, Seq("key"))
+    // out-of-range probe: zero files survive, but the caller's
+    // documented follow-up row-predicate must still resolve
+    val out = ManifestStats.readPruned(spark, m, "key", "k900", "k999")
+      .filter(col("key").between("k900", "k999"))
+    assert(out.columns.toSet == Set("id", "key", "part"))
+    assert(out.count() == 0L)
+  }
+
   test("all-null stats rows are skipped by range pruning") {
     val dir = Files.createTempDirectory("manifest_null").toString
     Seq((1L, Option.empty[String])).toDF("id", "key")

@@ -59,6 +59,26 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("scd2: NULL attribute values form their own runs") {
+    import graft.ops.Scd2
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // value → NULL → value must be THREE runs; the old null-unsafe
+    // comparison merged them into one
+    val events = Seq(
+      (1L, Option("a"), ts(0), 10L),
+      (2L, Option.empty[String], ts(1), 11L),
+      (3L, Option("a"), ts(2), 12L))
+      .toDF("seq", "event_type", "ts", "event_id")
+      .withColumn("user_id", lit(7L))
+    val out = Scd2
+      .fromEventLog(events, "user_id", "event_type", "ts", "event_id")
+      .orderBy("valid_from")
+      .select("event_type", "n_events")
+      .as[(Option[String], Long)].collect().toSeq
+    assert(out == Seq((Some("a"), 1L), (None, 1L), (Some("a"), 1L)),
+      out.toString)
+  }
+
   test("scd2: plan pays a single hash shuffle on the key") {
     val events = (1L to 100L)
       .map(i => (i, Timestamp.valueOf(f"2024-01-01 00:00:${i % 60}%02d"),

@@ -119,6 +119,17 @@ class ProfilingOpsSpec extends SparkTestBase {
       .toSeq == Seq((1L, "a2", "x2"), (3L, "c", "z"), (4L, "d", "w")))
   }
 
+  test("cdc apply: an update carrying NULL clears the column") {
+    import graft.ops.Cdc
+    val base = Seq((1L, Some("old"))).toDF("k", "name")
+    val log = Seq((1L, "U", 5L, Option.empty[String]))
+      .toDF("k", "op", "seq", "name")
+    val out = Cdc.apply(base, log, "k", "op", "seq", Seq("name"))
+      .collect().head
+    // coalesce-based application would resurrect "old" here
+    assert(out.isNullAt(1), s"expected NULL, got ${out.get(1)}")
+  }
+
   test("cdc apply: same-seq tie prefers delete (deterministic)") {
     import graft.ops.Cdc
     val base = Seq((1L, "a")).toDF("k", "name")
@@ -126,6 +137,17 @@ class ProfilingOpsSpec extends SparkTestBase {
       .toDF("k", "op", "seq", "name")
     val out = Cdc.apply(base, log, "k", "op", "seq", Seq("name"))
     assert(out.count() == 0L)
+  }
+
+  test("string-id top-k callers fail loudly instead of nulling out") {
+    // a plain cast('long') on a non-numeric id yields NULL for every
+    // row and the heap silently drops them all — the guard must throw
+    val docs = Seq(("doc-a", "d1"), ("doc-b", "d1"))
+      .toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.DomainCap.cap(docs, "doc_id", "source", 1, "s")
+    }
+    assert(e.getMessage.contains("integral id"))
   }
 
   test("winsorized: clip bounds and counts on a known distribution") {

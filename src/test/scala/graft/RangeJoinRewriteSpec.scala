@@ -55,6 +55,23 @@ class RangeJoinRewriteSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("inverted intervals (hi < lo) match nothing instead of throwing") {
+    withSession { spark =>
+      import spark.implicits._
+      Seq(5L, 50L).toDF("x").createOrReplaceTempView("pts2")
+      // one clean interval + one dirty inverted row (lo=100 > hi=5):
+      // step=+1 Sequence would throw on the inverted bucket range
+      Seq((0L, 30L, "ok"), (100L, 5L, "inverted"))
+        .toDF("lo", "hi", "name").createOrReplaceTempView("iv2")
+      val q = "SELECT x, name FROM pts2 JOIN iv2 ON x >= lo AND x <= hi"
+      val naive = spark.sql(q).collect().map(_.toSeq).toSet
+      spark.conf.set("spark.graft.rangeJoin.binSize", "8")
+      val rewritten = spark.sql(q).collect().map(_.toSeq).toSet
+      assert(rewritten == naive)
+      assert(naive == Set(Seq(5L, "ok")))
+    }
+  }
+
   test("BETWEEN syntax and flipped comparisons rewrite too") {
     withSession { spark =>
       setup(spark)

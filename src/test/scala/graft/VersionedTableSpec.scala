@@ -104,6 +104,18 @@ class VersionedTableSpec extends SparkTestBase {
     assert(rows.map(_._2).distinct.length == 2) // one version per batch
   }
 
+  test("vacuum tolerates manifests already removed by an earlier vacuum") {
+    val path = tbl()
+    (1 to 5).foreach(i => VersionedTable.commitOverwrite(
+      Seq((i.toLong, "x")).toDF("id", "v"), path))
+    VersionedTable.vacuum(spark, path, retainLast = 1) // drops v1-v4
+    VersionedTable.commitOverwrite(Seq((6L, "y")).toDF("id", "v"), path)
+    // keep window 4..6 includes vacuumed v4 — must skip, not throw
+    VersionedTable.vacuum(spark, path, retainLast = 3)
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().toSeq == Seq(6L))
+  }
+
   test("vacuum keeps files still referenced by a retained append chain") {
     val path = tbl()
     VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
