@@ -721,15 +721,15 @@ object Oracles {
         |    CAST(doc_id % 8 AS INT) AS shard
         |  FROM documents),
         |o AS (
-        |  SELECT *, COALESCE(sum(n_tokens) OVER (
+        |  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
         |    PARTITION BY shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS stream_offset
+        |    AS BIGINT) AS stream_offset
         |  FROM t)
         |SELECT doc_id, n_tokens, shard, stream_offset,
         |  CAST(shard AS BIGINT) * 1099511627776
         |    + CAST(floor(stream_offset / 512) AS BIGINT) AS pack_id,
-        |  stream_offset % 512 AS offset_in_pack,
+        |  CAST(stream_offset % 512 AS BIGINT) AS offset_in_pack,
         |  (stream_offset % 512) + n_tokens > 512 AS spans_boundary
         |FROM o ORDER BY doc_id""".stripMargin,
 
