@@ -9,6 +9,60 @@ package graft
   */
 object Oracles {
 
+  /** Shared CTE prefix replicating [[graft.operators.SimilarityOps
+    * .kmeansTrain]] (cells = 16, iters = 2) in DuckDB: deterministic
+    * first-16-by-id init (cb0), then two unrolled Lloyd rounds — argmax
+    * cosine assignment (ties → smaller cell) and per-(cell, dim) means
+    * rounded to 6 dp with -0.0 normalized, exactly as the Spark side
+    * rounds between iterations. A cell that loses all members carries
+    * its previous centroid (the UNION ALL arms). Ends at `cb2`, the
+    * trained codebook q40/q88/q101 consume. */
+  private val lloyd2cb16: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+      |  FROM embeddings),
+      |cb0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+      |      AS cell,
+      |    CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |asn0 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, cb0.cell, row_number() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+      |    FROM v CROSS JOIN cb0) WHERE rn = 1),
+      |mm0 AS (
+      |  SELECT cell, dim, round(avg(x), 6) + 0 AS mx FROM (
+      |    SELECT asn0.cell,
+      |      CAST(generate_subscripts(v.vv, 1) - 1 AS INT) AS dim,
+      |      unnest(v.vv) AS x
+      |    FROM asn0 JOIN v USING (vec_id))
+      |  GROUP BY cell, dim),
+      |cb1 AS (
+      |  SELECT cell, list(mx ORDER BY dim) AS cv FROM mm0 GROUP BY cell
+      |  UNION ALL
+      |  SELECT cell, cv FROM cb0
+      |  WHERE cell NOT IN (SELECT cell FROM mm0)),
+      |asn1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, cb1.cell, row_number() OVER (
+      |      PARTITION BY v.vec_id
+      |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+      |    FROM v CROSS JOIN cb1) WHERE rn = 1),
+      |mm1 AS (
+      |  SELECT cell, dim, round(avg(x), 6) + 0 AS mx FROM (
+      |    SELECT asn1.cell,
+      |      CAST(generate_subscripts(v.vv, 1) - 1 AS INT) AS dim,
+      |      unnest(v.vv) AS x
+      |    FROM asn1 JOIN v USING (vec_id))
+      |  GROUP BY cell, dim),
+      |cb2 AS (
+      |  SELECT cell, list(mx ORDER BY dim) AS cv FROM mm1 GROUP BY cell
+      |  UNION ALL
+      |  SELECT cell, cv FROM cb1
+      |  WHERE cell NOT IN (SELECT cell FROM mm1))""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q01_global_agg" ->
@@ -1206,25 +1260,19 @@ object Oracles {
     // same cosine-argmax cell assignment (ties → smaller cell), same
     // nprobe-cell probing, same (cos desc, id asc) top-k
     "q40_ann_ivf" ->
-      """WITH cb AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-        |      AS cell,
-        |    CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
-        |      FROM embeddings),
+      (lloyd2cb16 + """,
         |asn AS (
         |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, cb.cell, row_number() OVER (
+        |    SELECT v.vec_id, cb2.cell, row_number() OVER (
         |      PARTITION BY v.vec_id
         |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
-        |    FROM v CROSS JOIN cb) WHERE rn = 1),
+        |    FROM v CROSS JOIN cb2) WHERE rn = 1),
         |probes AS (
         |  SELECT query_id, cell FROM (
-        |    SELECT v.vec_id AS query_id, cb.cell, row_number() OVER (
+        |    SELECT v.vec_id AS query_id, cb2.cell, row_number() OVER (
         |      PARTITION BY v.vec_id
         |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
-        |    FROM v CROSS JOIN cb WHERE v.vec_id < 10) WHERE rn <= 4),
+        |    FROM v CROSS JOIN cb2 WHERE v.vec_id < 10) WHERE rn <= 4),
         |scored AS (
         |  SELECT p.query_id, a.vec_id AS neighbor_id,
         |    list_cosine_similarity(qv.vv, nv.vv) AS cs
@@ -1239,7 +1287,7 @@ object Oracles {
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rn
         |FROM ranked WHERE rn <= 5
-        |ORDER BY query_id, rn""".stripMargin,
+        |ORDER BY query_id, rn""".stripMargin),
 
     // like q75/q33: the sketch is impl-specific; the oracle pins the
     // exact counts and the envelope verdict the estimates must meet
@@ -1250,33 +1298,36 @@ object Oracles {
         |ORDER BY user_id""".stripMargin,
 
     "q88_semdedup" ->
-      """WITH cb AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-        |      AS cell,
-        |    CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
-        |      FROM embeddings),
+      (lloyd2cb16 + """,
         |asn AS (
         |  SELECT vec_id, cell FROM (
-        |    SELECT v.vec_id, cb.cell, row_number() OVER (
+        |    SELECT v.vec_id, cb2.cell, row_number() OVER (
         |      PARTITION BY v.vec_id
         |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
-        |    FROM v CROSS JOIN cb) WHERE rn = 1),
+        |    FROM v CROSS JOIN cb2) WHERE rn = 1),
+        |cnt AS (SELECT cell, count(*) AS n FROM asn GROUP BY cell),
+        |sub AS (
+        |  SELECT asn.vec_id, asn.cell,
+        |    CASE WHEN cnt.n <= 400 THEN 0
+        |      ELSE CAST(concat('0x', substring(md5('cellsplit:' ||
+        |          CAST(asn.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        % CAST(ceil(cnt.n / 400.0) AS BIGINT) END AS subcell
+        |  FROM asn JOIN cnt USING (cell)),
         |pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_cosine_similarity(va.vv, vb.vv) AS cs
-        |  FROM asn a JOIN asn b ON a.cell = b.cell
-        |    AND a.vec_id < b.vec_id
+        |  FROM sub a JOIN sub b ON a.cell = b.cell
+        |    AND a.subcell = b.subcell AND a.vec_id < b.vec_id
         |  JOIN v va ON va.vec_id = a.vec_id
         |  JOIN v vb ON vb.vec_id = b.vec_id),
         |dropped AS (
-        |  SELECT id_b, min(id_a) AS dup_of, round(max(cs), 4) AS max_sim
+        |  SELECT id_b, min(id_a) AS dup_of,
+        |    round(arg_min(cs, id_a), 4) AS dup_sim
         |  FROM pairs WHERE cs >= 0.95 GROUP BY id_b)
-        |SELECT asn.vec_id, asn.cell, (d.dup_of IS NULL) AS kept,
-        |  d.dup_of, d.max_sim
-        |FROM asn LEFT JOIN dropped d ON asn.vec_id = d.id_b
-        |ORDER BY asn.vec_id""".stripMargin,
+        |SELECT sub.vec_id, sub.cell, (d.dup_of IS NULL) AS kept,
+        |  d.dup_of, d.dup_sim
+        |FROM sub LEFT JOIN dropped d ON sub.vec_id = d.id_b
+        |ORDER BY sub.vec_id""".stripMargin),
 
     // like q75/q89: the sketch is impl-specific; the oracle pins the
     // per-day row counts and the rank-envelope verdicts
@@ -1520,5 +1571,51 @@ object Oracles {
         |    AS duration_sec,
         |  round(sum(value), 2) AS sum_value
         |FROM g GROUP BY 1, 2
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q101_kmeans_train" ->
+      (lloyd2cb16 + """
+        |SELECT cell, CAST(generate_subscripts(cv, 1) - 1 AS INT)
+        |    AS dim,
+        |  unnest(cv) AS mean_val
+        |FROM cb2 ORDER BY cell, dim""".stripMargin),
+
+    "q102_capped_semdedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |      AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)),
+        |asn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, cb.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb) WHERE rn = 1),
+        |cnt AS (SELECT cell, count(*) AS n FROM asn GROUP BY cell),
+        |sub AS (
+        |  SELECT asn.vec_id, asn.cell,
+        |    CASE WHEN cnt.n <= 16 THEN 0
+        |      ELSE CAST(concat('0x', substring(md5('cellsplit:' ||
+        |          CAST(asn.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        % CAST(ceil(cnt.n / 16.0) AS BIGINT) END AS subcell
+        |  FROM asn JOIN cnt USING (cell)),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(va.vv, vb.vv) AS cs
+        |  FROM sub a JOIN sub b ON a.cell = b.cell
+        |    AND a.subcell = b.subcell AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id),
+        |dropped AS (
+        |  SELECT id_b, min(id_a) AS dup_of,
+        |    round(arg_min(cs, id_a), 4) AS dup_sim
+        |  FROM pairs WHERE cs >= 0.2 GROUP BY id_b)
+        |SELECT sub.vec_id, sub.cell, (d.dup_of IS NULL) AS kept,
+        |  d.dup_of, d.dup_sim
+        |FROM sub LEFT JOIN dropped d ON sub.vec_id = d.id_b
+        |ORDER BY sub.vec_id""".stripMargin)
 }

@@ -574,13 +574,15 @@ object Queries {
     }),
 
     "q40_ann_ivf" -> ((s, d) => {
-      // IVF-style cell-probed ANN; oracle replicates the deterministic
-      // codebook, argmax assignment, nprobe probes, and (cos desc, id)
-      // ranking exactly in SQL (q28 is the exhaustive baseline)
+      // IVF-style cell-probed ANN over a TRAINED codebook (2 Lloyd
+      // iterations); oracle replicates the deterministic init, both
+      // assign+mean rounds, argmax assignment, nprobe probes, and
+      // (cos desc, id) ranking exactly in SQL (q28 is the exhaustive
+      // baseline)
       val emb = t(s, d, "embeddings")
       graft.operators.SimilarityOps.ivfTopK(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        "vec_id", k = 5, cells = 16, nprobe = 4)
+        "vec_id", k = 5, cells = 16, nprobe = 4, trainIters = 2)
         .orderBy(col("query_id"), col("rn"))
     }),
 
@@ -1069,11 +1071,14 @@ object Queries {
     // ---- SemDeDup: cell-partitioned semantic dedup ---------------------
     "q88_semdedup" -> ((s, d) => {
       // drop docs with an above-threshold cosine neighbor of smaller id
-      // in their IVF cell; oracle replicates codebook, argmax
-      // assignment (ties → smaller cell), and exact pair cosines
+      // in their IVF cell — cells from a 2-iteration trained codebook,
+      // oversized cells split at 400 members; oracle replicates the
+      // Lloyd rounds, argmax assignment (ties → smaller cell), the
+      // md5 subcell split, and exact pair cosines
       graft.operators.SimilarityOps.semDedup(
         t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.95, cells = 16)
+        threshold = 0.95, cells = 16, trainIters = 2,
+        maxCellSize = 400)
         .orderBy(col("vec_id"))
     }),
 
@@ -1332,5 +1337,33 @@ object Queries {
         Array(col("n_urgent"), col("n_low")),
         "priority", "n")
         .orderBy(col("o_orderstatus"), col("priority"))
+    }),
+
+    // ---- k-means training loop (Lloyd iterations) ----------------------
+    "q101_kmeans_train" -> ((s, d) => {
+      // the trained codebook itself, long-form: 2 assign+mean rounds
+      // from the first-16-by-id init, means rounded 6 dp per round so
+      // the oracle's unrolled SQL reproduces it bit-for-bit; empty
+      // cells carry their previous centroid
+      import s.implicits._
+      val cb = graft.operators.SimilarityOps.kmeansTrain(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        cells = 16, iters = 2)
+      cb.zipWithIndex.flatMap { case (v, cell) =>
+        v.zipWithIndex.map { case (x, dim) => (cell, dim, x) }
+      }.toSeq.toDF("cell", "dim", "mean_val")
+        .orderBy(col("cell"), col("dim"))
+    }),
+
+    // ---- cell-skew guard: capped semantic dedup ------------------------
+    "q102_capped_semdedup" -> ((s, d) => {
+      // 4 coarse cells (~125 members each at sf0.01) with a 16-member
+      // cap force the md5 subcell split on every cell — the guard that
+      // bounds Σ|cell|² when a mega-cell shows up at 100 TB; oracle
+      // replicates the split hash and within-subcell pair cosines
+      graft.operators.SimilarityOps.semDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.2, cells = 4, trainIters = 0, maxCellSize = 16)
+        .orderBy(col("vec_id"))
     }))
 }

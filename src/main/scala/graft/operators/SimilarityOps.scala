@@ -112,29 +112,35 @@ object SimilarityOps {
     rankTopK(scored, k)
   }
 
+  /** Deterministic initial codebook: the first `cells` vectors by id —
+    * a bounded TakeOrdered collected to the driver (model metadata,
+    * like trained k-means centroids). It then ships INSIDE the
+    * NearestCells expression, so cell assignment stays a narrow map. */
+  def initCodebook(df: DataFrame, idCol: String, vecCol: String,
+      cells: Int): Array[Array[Double]] =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(col(idCol)).limit(cells).select(col("__v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
   /** IVF-style ANN: corpus partitioned into C coarse cells by nearest
     * centroid; queries probe their `nprobe` nearest cells only. The
     * scale shape: the centroid table is tiny and broadcast twice; the
     * corpus is scanned once to assign cells (one narrow shuffle on
     * cell id), and each query touches ~nprobe/C of the corpus.
-    * Centroids here are a deterministic sample (the first `cells`
-    * vectors by id) — a production build would train k-means and pass
-    * the centroid table in; the query path is identical.
+    * `trainIters` > 0 runs that many Lloyd iterations
+    * ([[kmeansTrain]]) so cells are balanced around the data's real
+    * structure — the defense against one mega-cell dominating probe
+    * cost at scale; 0 keeps the deterministic first-`cells`-by-id
+    * sample (cheapest, fine for tests).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, cells: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, trainIters: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
-    // the codebook: first `cells` vectors by id — a bounded TakeOrdered
-    // collected to the driver (model metadata, like trained k-means
-    // centroids). It then ships INSIDE the NearestCells expression, so
-    // assignment is a narrow map — the previous formulation crossJoined
-    // the whole corpus against the centroid table and ran an argmax
-    // window (a full C×N-row shuffle just to pick nearest-of-16).
     val codebook: Array[Array[Double]] =
-      c.orderBy(col("neighbor_id")).limit(cells).select(col("__cv"))
-        .collect().map(_.getSeq[Double](0).toArray)
+      if (trainIters > 0) kmeansTrain(corpus, idCol, vecCol, cells, trainIters)
+      else initCodebook(corpus, idCol, vecCol, cells)
     val assigned = assignCells(c, "__cv", codebook)
       .select(col("cell"), col("neighbor_id"), col("__cv"))
     // queries probe their nprobe nearest cells (same fused expression)
@@ -200,37 +206,64 @@ object SimilarityOps {
     *
     * Returns one verdict row per document: its cell, whether it is
     * kept, and (for dropped docs) the smallest-id duplicate it loses
-    * to, with that pair's similarity.
+    * to (`dup_of`), with THAT pair's similarity (`dup_sim` — the
+    * cosine of the (dup_of, id) pair, not the max over all
+    * above-threshold neighbors).
+    *
+    * `maxCellSize` caps pair-join blowup: a cell larger than the cap
+    * is split into ceil(n/cap) deterministic subcells by md5(id), and
+    * pairs are only compared within a subcell. Even a pathological
+    * cell (every embedding identical) then costs O(n·cap) pairs
+    * instead of O(n²) — the documented trade is that near-dups split
+    * across subcells of an oversized cell are missed. `trainIters`
+    * balances cells first ([[kmeansTrain]]), making the cap a backstop
+    * rather than the common path.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, cells: Int = 16): DataFrame = {
+      threshold: Double = 0.95, cells: Int = 16, trainIters: Int = 0,
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
     val v = df.select(col(idCol), col(vecCol).cast("array<double>")
       .as("__v"))
     val codebook: Array[Array[Double]] =
-      v.orderBy(col(idCol)).limit(cells).select(col("__v"))
-        .collect().map(_.getSeq[Double](0).toArray)
-    val asn = assignCells(v, "__v", codebook)
-    val a = asn.select(col("cell"), col(idCol).as("id_a"),
+      if (trainIters > 0) kmeansTrain(df, idCol, vecCol, cells, trainIters)
+      else initCodebook(df, idCol, vecCol, cells)
+    val asn0 = assignCells(v, "__v", codebook)
+    // per-cell counts are `cells` rows — broadcast back; oversized
+    // cells subdivide by a hash any SQL engine can replicate
+    // (md5 hex prefix, cf. Sampling), so the oracle can mirror it
+    val counts = asn0.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    val nSub = ceil(col("__n") / lit(maxCellSize.toDouble)).cast("long")
+    val asn = asn0.join(broadcast(counts), Seq("cell"))
+      .withColumn("subcell", when(col("__n") <= maxCellSize, lit(0L))
+        .otherwise(
+          conv(substring(md5(concat(lit("cellsplit:"),
+            col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+            % nSub))
+      .drop("__n")
+    val a = asn.select(col("cell"), col("subcell"), col(idCol).as("id_a"),
       col("__v").as("__va"))
-    val b = asn.select(col("cell"), col(idCol).as("id_b"),
+    val b = asn.select(col("cell"), col("subcell"), col(idCol).as("id_b"),
       col("__v").as("__vb"))
-    val dropped = a.join(b, Seq("cell"))
+    val dropped = a.join(b, Seq("cell", "subcell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("__cs", cosine(col("__va"), col("__vb")))
       .filter(col("__cs") >= threshold)
       .groupBy(col("id_b"))
-      .agg(min(col("id_a")).as("dup_of"), dround(max(col("__cs")), 4)
-        .as("max_sim"))
+      // struct-min: the smallest-id duplicate AND that pair's cosine
+      .agg(min(struct(col("id_a"), col("__cs"))).as("__best"))
+      .select(col("id_b"), col("__best.id_a").as("dup_of"),
+        dround(col("__best.__cs"), 4).as("dup_sim"))
     asn.select(col(idCol), col("cell"))
       .join(dropped.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
       .select(col(idCol), col("cell"), col("dup_of").isNull.as("kept"),
-        col("dup_of"), col("max_sim"))
+        col("dup_of"), col("dup_sim"))
   }
 
-  /** One k-means iteration's M-step over the current codebook: assign
-    * every vector to its nearest centroid (the same zero-shuffle
-    * narrow map as [[ivfTopK]]/[[semDedup]]), then average per (cell,
-    * dimension) — the training loop that produces the codebook those
+  /** One k-means iteration's M-step over `codebook` (defaulting to the
+    * deterministic first-`cells`-by-id init): assign every vector to
+    * its nearest centroid (the same zero-shuffle narrow map as
+    * [[ivfTopK]]/[[semDedup]]), then average per (cell, dimension) —
+    * the iteration [[kmeansTrain]] loops to produce the codebook those
     * operators consume. Long-form output (cell, dim, n_members,
     * mean_val): the per-dim explode shuffles (cell, dim, x) triples
     * with map-side combine, never whole vectors, and the result is
@@ -238,16 +271,42 @@ object SimilarityOps {
     * corpus size.
     */
   def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
-      cells: Int = 16): DataFrame = {
+      cells: Int = 16,
+      codebook: Option[Array[Array[Double]]] = None): DataFrame = {
     val v = df.select(col(idCol), col(vecCol).cast("array<double>")
       .as("__v"))
-    val codebook: Array[Array[Double]] =
-      v.orderBy(col(idCol)).limit(cells).select(col("__v"))
-        .collect().map(_.getSeq[Double](0).toArray)
-    assignCells(v, "__v", codebook)
+    val cb = codebook.getOrElse(initCodebook(df, idCol, vecCol, cells))
+    assignCells(v, "__v", cb)
       .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "__x")))
       .groupBy(col("cell"), col("dim"))
       .agg(count(lit(1)).as("n_members"),
         (dround(avg(col("__x")), 6) + lit(0)).as("mean_val"))
+  }
+
+  /** Lloyd's algorithm: `iters` assign+mean rounds from the
+    * deterministic first-`cells`-by-id init. Each round is one
+    * distributed [[kmeansStep]] job whose result — at most cells×dims
+    * (cell, dim, mean) rows — is collected as the next codebook; a
+    * cell that lost all members keeps its previous centroid. Means are
+    * rounded to 6 dp each round (and -0.0 normalized), making the
+    * trained codebook bit-reproducible across engines — the property
+    * the DuckDB oracles rely on. Cost: `iters` corpus scans, zero
+    * corpus shuffles beyond the (cell, dim) partial-agg exchange.
+    */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
+      cells: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    var cb = initCodebook(df, idCol, vecCol, cells)
+    var it = 0
+    while (it < iters) {
+      val next = cb.map(_.clone())
+      kmeansStep(df, idCol, vecCol, cells, Some(cb)).collect()
+        .foreach { r =>
+          next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) =
+            r.getAs[Double]("mean_val")
+        }
+      cb = next
+      it += 1
+    }
+    cb
   }
 }

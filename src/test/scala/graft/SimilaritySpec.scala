@@ -184,4 +184,67 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.filter(col("dup_of").isNotNull &&
       col("dup_of") >= col("vec_id")).count() == 0L)
   }
+
+  test("kmeansTrain updates member cells and carries empty ones") {
+    // init codebook = vecs 1,2,3; vec 3 duplicates vec 1, so every
+    // tie resolves to cell 0 and cell 2 ends the round empty — its
+    // centroid must carry over unchanged
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val cb = SimilarityOps.kmeansTrain(df, "vec_id", "embedding",
+      cells = 3, iters = 1)
+    // cell 0 members {1, 3, 4} → mean (0.933333, 0.066667) at 6 dp
+    assert(cb(0).toSeq == Seq(0.933333, 0.066667))
+    assert(cb(1).toSeq == Seq(0.0, 1.0))
+    assert(cb(2).toSeq == Seq(1.0, 0.0)) // empty: carried
+  }
+
+  test("trained codebook balances cells on the sf0.1 embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val cb = SimilarityOps.kmeansTrain(emb, "vec_id", "embedding",
+      cells = 16, iters = 2)
+    val sizes = SimilarityOps.assignCells(
+      emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__v")), "__v", cb)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val mean = sizes.sum.toDouble / 16
+    assert(sizes.length == 16, "every cell keeps members")
+    assert(sizes.max <= 2 * mean,
+      s"largest cell ${sizes.max} vs mean $mean")
+    assert(sizes.min >= mean / 4,
+      s"smallest cell ${sizes.min} vs mean $mean")
+  }
+
+  test("maxCellSize bounds pair work on an adversarial mega-cell") {
+    // 200 identical embeddings: untrained assignment puts ALL of them
+    // in cell 0, the Σ|cell|² worst case. A 10-member cap must split
+    // the cell into ceil(200/10) = 20 md5 subcells, so each doc only
+    // pairs within its subcell: the kept set is exactly one smallest
+    // id per nonempty subcell, not a single global survivor.
+    val df = (0L until 200L).map(i => (i, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.semDedup(df, "vec_id", "embedding",
+      threshold = 0.9, cells = 2, maxCellSize = 10)
+      .collect()
+    assert(out.length == 200)
+    // expected keepers: recompute the deterministic md5 split here
+    val expectKept = df.select(col("vec_id"),
+        (conv(substring(md5(concat(lit("cellsplit:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % 20L).as("sc"))
+      .groupBy("sc").agg(min("vec_id").as("keeper"))
+      .collect().map(_.getAs[Long]("keeper")).toSet
+    val kept = out.filter(_.getAs[Boolean]("kept"))
+      .map(_.getLong(0)).toSet
+    assert(kept == expectKept)
+    assert(kept.size > 1, "cap split must prevent one global survivor")
+    // dropped docs lose to an identical vector: dup_sim is exactly 1
+    assert(out.filterNot(_.getAs[Boolean]("kept"))
+      .forall(r => r.getAs[Double]("dup_sim") == 1.0))
+  }
 }
