@@ -41,11 +41,19 @@ object Bench {
         } else -1.0
         name -> warm
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // the driver captures only a ~2 KB tail of stdout: keep the whole
+    // line under that by keying queries on their qNN prefix and
+    // rounding times to ms (full names are in SparkEntry.queries)
+    def ms(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""cold_total_sec":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""cold_total_sec":${ms(coldTotal)},"queries":$qs,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -104,7 +104,15 @@ object StructuredBatchJob {
 
   /** Full EP1 run over a lake layout; `upsertSilver` selects the
     * notebook MERGE semantics over the script's overwrite (SURVEY §7.4
-    * risk 7). */
+    * risk 7).
+    *
+    * Silver/gold are published through [[TableIO.publishSnapshot]]
+    * (manifest commit on a [[graft.core.VersionedTable]]): a reader
+    * concurrent with the daily re-publish keeps the previous
+    * snapshot's immutable files instead of seeing a half-written table
+    * — the isolation the reference delegates to Delta's log
+    * (smartpool_config.py:68-70). Bronze stays plain append (new files
+    * only, nothing replaced, no isolation hazard). */
   def run(spark: SparkSession, layout: LakeLayout, rawPools: DataFrame,
       rawEvents: DataFrame, upsertSilver: Boolean = true): Unit = {
     TableIO.append(toBronze(rawPools), layout, layout.bronze("pools_dim"))
@@ -116,39 +124,43 @@ object StructuredBatchJob {
     val sp = silverPools(bronzePools)
     val silverPoolsPath = layout.silver("pools_dim")
     val mergedPools =
-      if (upsertSilver && TableIO.exists(spark, silverPoolsPath)) {
-        val target = TableIO.read(spark, layout, silverPoolsPath)
+      if (upsertSilver && TableIO.snapshotExists(spark, silverPoolsPath)) {
+        val target = TableIO.readSnapshot(spark, silverPoolsPath)
         Upsert(target, sp, Seq("pool_id"), Seq(col("updated_at").desc),
           broadcastSource = true)
       } else sp
-    // tmp-write + swap: mergedPools reads the path being replaced
-    TableIO.replaceContents(spark, layout, mergedPools, silverPoolsPath)
+    // the merge reads the table it replaces: safe, because the commit
+    // writes a fresh data dir and the old version's files are immutable
+    // (the previous tmp-write + swap dance is subsumed by the manifest)
+    TableIO.publishSnapshot(mergedPools, layout, silverPoolsPath)
 
-    val poolsFinal = TableIO.read(spark, layout, silverPoolsPath)
+    val poolsFinal = TableIO.readSnapshot(spark, silverPoolsPath)
     DataQuality.assertEmpty("pools pk unique",
       DataQuality.duplicateKeys(poolsFinal, Seq("pool_id")))
 
     val bronzeEvents = TableIO.read(spark, layout,
       layout.bronze("maintenance_events"))
     val se = silverEvents(bronzeEvents, poolsFinal)
-    TableIO.overwrite(se, layout, layout.silver("maintenance_events"))
+    val silverEventsPath = layout.silver("maintenance_events")
+    TableIO.publishSnapshot(se, layout, silverEventsPath)
 
-    val seFinal = TableIO.read(spark, layout,
-      layout.silver("maintenance_events"))
+    val seFinal = TableIO.readSnapshot(spark, silverEventsPath)
     DataQuality.assertEmpty("events pk unique",
       DataQuality.duplicateKeys(seFinal, Seq("id")))
     DataQuality.assertEmpty("events FK",
       DataQuality.orphanForeignKeys(seFinal, poolsFinal, "pool_id",
         "pool_id"))
 
+    // event_date stays a data column (versioned tables skip on footer
+    // stats rather than Hive dirs); the enriched query surface is
+    // unchanged
     val ge = goldEnrichedEvents(seFinal, poolsFinal)
-    TableIO.overwrite(ge, layout, layout.gold("events_enriched"),
-      partitionCols = Seq("event_date"))
-    val geFinal = TableIO.read(spark, layout,
-      layout.gold("events_enriched"))
-    TableIO.overwrite(goldDailyMetrics(geFinal), layout,
+    val goldEnrichedPath = layout.gold("events_enriched")
+    TableIO.publishSnapshot(ge, layout, goldEnrichedPath)
+    val geFinal = TableIO.readSnapshot(spark, goldEnrichedPath)
+    TableIO.publishSnapshot(goldDailyMetrics(geFinal), layout,
       layout.gold("daily_metrics"))
-    TableIO.overwrite(goldLatestEvent(geFinal), layout,
+    TableIO.publishSnapshot(goldLatestEvent(geFinal), layout,
       layout.gold("latest_event"))
   }
 }

@@ -135,6 +135,42 @@ object TableIO {
       .save(path)
   }
 
+  /** Snapshot-isolated overwrite: publish `df` as the next version of
+    * a [[VersionedTable]] at `path` instead of delete-and-write. A
+    * reader concurrent with the publish keeps its resolved file set
+    * (the old snapshot's files are immutable and still present) — the
+    * isolation the reference gets from Delta's log
+    * (smartpool_config.py:68-70), here from the manifest commit. Same
+    * Delta-style schema enforcement as [[overwrite]].
+    *
+    * Versioned tables carry would-be partition columns as ordinary
+    * data columns: file skipping at scale comes from parquet footer
+    * stats / [[ManifestStats]] rather than Hive directory layout (the
+    * same direction Delta/Iceberg took). Returns the new version. */
+  def publishSnapshot(df: DataFrame, layout: LakeLayout, path: String,
+      overwriteSchema: Boolean = false): Int = {
+    if (!overwriteSchema && snapshotExists(df.sparkSession, path)) {
+      def shape(t: org.apache.spark.sql.types.StructType) =
+        t.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      val existing =
+        shape(VersionedTable.read(df.sparkSession, path).schema)
+      val next = shape(df.schema)
+      require(existing == next,
+        s"snapshot publish to $path changes schema " +
+          s"($existing -> $next); pass overwriteSchema = true")
+    }
+    VersionedTable.commitOverwrite(df, path)
+  }
+
+  /** Latest snapshot of a [[publishSnapshot]]-maintained table (or a
+    * pinned `version` for time travel). */
+  def readSnapshot(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame =
+    VersionedTable.read(spark, path, version)
+
+  def snapshotExists(spark: SparkSession, path: String): Boolean =
+    VersionedTable.latestVersion(spark, path) > 0
+
   // ---- table-maintenance / metadata ops (SURVEY §2.10) --------------
   // Delta's history / DESCRIBE DETAIL degrade to a version-log sidecar
   // and filesystem introspection in parquet mode (SURVEY §7.4 risk 2).

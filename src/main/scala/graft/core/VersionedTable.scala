@@ -28,6 +28,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    create succeeds — the loser re-reads the new state and retries
   *    (optimistic concurrency, the Delta protocol's shape).
   *
+  * ATOMICITY REQUIREMENT: the commit protocol relies on
+  * `FileSystem.create(path, overwrite = false)` failing atomically
+  * when the target exists. HDFS and local filesystems guarantee this;
+  * object-store connectors like S3A do NOT (two racing creates can
+  * both "succeed", silently losing one manifest). On such stores an
+  * external coordination layer is required — the same constraint the
+  * Delta protocol documents for its LogStore implementations.
+  *
   * `vacuum` deletes data files unreferenced by the retained manifests
   * — the storage-reclaim half of time travel.
   */
@@ -153,9 +161,17 @@ object VersionedTable {
 
   /** Delete data files referenced only by manifests OLDER than the
     * `retainLast` most recent ones, then drop those manifests. Keeps
-    * time travel over the retained window, reclaims the rest. */
+    * time travel over the retained window, reclaims the rest.
+    *
+    * `graceMs` protects IN-FLIGHT commits: commit step 1 writes the
+    * data dir, step 2 publishes the manifest — between the two the dir
+    * is unreferenced, and a vacuum racing that window would delete
+    * files the about-to-publish manifest then points at (silent
+    * corruption). Commit dirs modified within the last `graceMs` are
+    * therefore never reclaimed (Delta's tombstone-retention shape);
+    * pass 0 only when no writer can be concurrent. */
   def vacuum(spark: SparkSession, path: String,
-      retainLast: Int = 1): Unit = {
+      retainLast: Int = 1, graceMs: Long = 15 * 60 * 1000L): Unit = {
     require(retainLast >= 1, "must retain at least the latest version")
     val f = fs(spark, path)
     val latest = latestVersion(spark, path)
@@ -166,14 +182,19 @@ object VersionedTable {
     val keep = keepVersions
       .filter(v => f.exists(manifestPath(path, v)))
       .flatMap(v => files(spark, path, Some(v))).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new Path(s"$path/data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { commitDir =>
-        val fl = f.listStatus(commitDir.getPath)
-          .filter(_.isFile).map(_.getPath.toString)
+        val st = f.listStatus(commitDir.getPath).filter(_.isFile)
+        val fl = st.map(_.getPath.toString)
         // a commit dir's files are all in one manifest generation:
-        // drop the whole dir when none of its files are retained
-        if (fl.nonEmpty && !fl.exists(keep)) {
+        // drop the whole dir when none of its files are retained —
+        // unless any file is younger than the grace window (a commit
+        // that may still be about to publish its manifest)
+        val young = commitDir.getModificationTime > cutoff ||
+          st.exists(_.getModificationTime > cutoff)
+        if (fl.nonEmpty && !fl.exists(keep) && !young) {
           f.delete(commitDir.getPath, true); ()
         }
       }

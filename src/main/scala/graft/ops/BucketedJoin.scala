@@ -40,5 +40,18 @@ object BucketedJoin {
     s.table(table)
   }
 
+  /** Like [[writeBucketed]], but skips the write when `table` already
+    * exists in this session's catalog — the production shape: the
+    * bucketed layout is paid once at ingest, every subsequent join
+    * reads it. Callers must key `table` to the source data (e.g. a
+    * digest of the input path) so a reused name never serves stale
+    * rows. */
+  def ensureBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String): DataFrame = {
+    val s = df.sparkSession
+    if (s.catalog.tableExists(table)) s.table(table)
+    else writeBucketed(df, table, buckets, key)
+  }
+
   def table(s: SparkSession, name: String): DataFrame = s.table(name)
 }

@@ -12,7 +12,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *
   * State is O(keys) regardless of stream length; a TTL can bound even
   * that for churning key spaces (pass `ttl`, backed by RocksDB native
-  * TTL eviction rather than a timer per key).
+  * TTL eviction rather than a timer per key). A non-NONE TTL runs the
+  * query in ProcessingTime mode, where the no-data trigger keeps
+  * scheduling empty micro-batches to advance the TTL clock — always-on
+  * behavior production wants, but tests driving the query with
+  * `processAllAvailable` must set
+  * `spark.sql.streaming.noDataMicroBatches.enabled=false`.
   */
 object TwsOps {
 
@@ -48,8 +53,14 @@ object TwsOps {
   def runningTotals(events: Dataset[(Long, Double)],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[RunningTotal] = {
     implicit val enc = Encoders.product[RunningTotal]
+    // a non-NONE TTLConfig is only legal under TimeMode.ProcessingTime
+    // (the state store rejects it at query start otherwise), so the
+    // time mode follows the ttl
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None()
+      else TimeMode.ProcessingTime()
     events.groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(new RunningTotalProcessor(ttl),
-        TimeMode.None(), OutputMode.Update(), enc)
+        timeMode, OutputMode.Update(), enc)
   }
 }

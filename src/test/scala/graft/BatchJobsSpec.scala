@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.batch.{ElectricityBatchJob, StructuredBatchJob}
-import graft.core.LakeLayout
+import graft.core.{LakeLayout, TableIO}
 import graft.sources.CsvVariants
 
 class BatchJobsSpec extends SparkTestBase {
@@ -44,28 +44,30 @@ class BatchJobsSpec extends SparkTestBase {
       Files.createTempDirectory("graft-ep1").toString)
     StructuredBatchJob.run(spark, layout, rawPools, rawEvents)
 
-    val silverPools = spark.read.parquet(layout.silver("pools_dim"))
+    val silverPools = TableIO.readSnapshot(spark,
+      layout.silver("pools_dim"))
     assert(silverPools.count() == 2)
     assert(silverPools.filter(col("pool_id") === 1)
       .select("pool_name").as[String].head() == "Pool A renamed")
 
-    val silverEvents = spark.read
-      .parquet(layout.silver("maintenance_events"))
+    val silverEvents = TableIO.readSnapshot(spark,
+      layout.silver("maintenance_events"))
     // 10 (deduped) + 11; orphan 12 and bogus 13 dropped
     assert(silverEvents.select("id").as[Int].collect().sorted.toSeq ==
       Seq(10, 11))
     assert(silverEvents.filter(col("id") === 10)
       .select("product_amount").as[Double].head() == 2.5)
 
-    val enriched = spark.read.parquet(layout.gold("events_enriched"))
+    val enriched = TableIO.readSnapshot(spark,
+      layout.gold("events_enriched"))
     val costById = enriched.select(col("id"), col("est_cost_eur"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(math.abs(costById(10) - 2.5 * 3.5) < 1e-9)
     assert(math.abs(costById(11) - 30000 / 1000.0 * 1.8) < 1e-9)
 
-    val daily = spark.read.parquet(layout.gold("daily_metrics"))
+    val daily = TableIO.readSnapshot(spark, layout.gold("daily_metrics"))
     assert(daily.count() == 2) // (pool1, 01-05) and (pool2, 01-05)
-    val latest = spark.read.parquet(layout.gold("latest_event"))
+    val latest = TableIO.readSnapshot(spark, layout.gold("latest_event"))
     assert(latest.count() == 2)
   }
 
@@ -81,9 +83,14 @@ class BatchJobsSpec extends SparkTestBase {
         ts("2026-02-01 10:00:00")))
       .toDF("pool_id", "pool_name", "location", "volume_liters",
         "is_heated", "owner_type", "updated_at")
+    // a reader that resolved the silver table BEFORE the second run
+    // must keep v1's snapshot while the re-publish commits
+    val preRerun = TableIO.readSnapshot(spark, layout.silver("pools_dim"))
     StructuredBatchJob.run(spark, layout, batch2, rawEvents)
-    val silverPools = spark.read.parquet(layout.silver("pools_dim"))
-      .orderBy("pool_id")
+    assert(preRerun.count() == 2,
+      "concurrent reader lost its snapshot during re-publish")
+    val silverPools = TableIO.readSnapshot(spark,
+      layout.silver("pools_dim")).orderBy("pool_id")
     assert(silverPools.count() == 3)
     assert(silverPools.filter(col("pool_id") === 2)
       .select("owner_type").as[String].head() == "airbnb")

@@ -172,6 +172,20 @@ class SqlAndPlanSpec extends SparkTestBase {
       s"cell assignment shuffled: ${exchanges.length} exchanges")
   }
 
+  test("funnel scans events once with a single aggregation exchange") {
+    // q99's staged formulation re-joined events three times; the fused
+    // single-agg version must read the table once and shuffle once on
+    // user_id (plus the final orderBy's range exchange)
+    val nodes = executedNodes("q99_funnel")
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"expected 1 events scan, got ${scans.length}")
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.length <= 2,
+      s"expected ≤2 exchanges, got ${exchanges.length}")
+  }
+
   test("dedup-latest plans a single shuffle") {
     val exchanges = executedNodes("q09_dedup_latest").collect {
       case e: Exchange => e

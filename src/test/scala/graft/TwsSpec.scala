@@ -56,6 +56,41 @@ class TwsSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("a real TTL starts (ProcessingTime mode) and still accumulates") {
+    // TTLConfig != NONE is rejected by the state store under
+    // TimeMode.None — runningTotals must switch to ProcessingTime so
+    // the documented bounded-state path actually runs
+    val spark = rocksSession
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      // under ProcessingTime the no-data trigger schedules an endless
+      // chain of empty batches to advance the TTL clock (even
+      // AvailableNow never terminates) — turn no-data batches off so
+      // processAllAvailable settles once the data batches commit
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        "false")
+      val mem = MemoryStream[(Long, Double)]
+      val q = TwsOps.runningTotals(mem.toDS(),
+        ttl = org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofHours(1)))
+        .writeStream.format("memory").queryName("tws_ttl")
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("tws_ckpt_ttl").toString)
+        .start()
+      mem.addData((3L, 2.0), (3L, 3.0))
+      q.processAllAvailable()
+      mem.addData((3L, 5.0))
+      q.processAllAvailable()
+      q.stop()
+      // within the 1 h TTL both batches contribute: (3, 10.0)
+      val r = spark.table("tws_ttl").as[TwsOps.RunningTotal]
+        .collect().maxBy(_.nEvents)
+      assert(r.userId == 3L && r.nEvents == 3L && r.sumValue == 10.0)
+    } finally spark.stop()
+  }
+
   test("state survives a query restart from the checkpoint") {
     val spark = rocksSession
     try {

@@ -67,7 +67,7 @@ class VersionedTableSpec extends SparkTestBase {
     VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
     VersionedTable.commitOverwrite(Seq((2L, "b")).toDF("id", "v"), path)
     VersionedTable.commitOverwrite(Seq((3L, "c")).toDF("id", "v"), path)
-    VersionedTable.vacuum(spark, path, retainLast = 2)
+    VersionedTable.vacuum(spark, path, retainLast = 2, graceMs = 0L)
     // v1's files and manifest are gone; v2 and v3 still read
     intercept[IllegalArgumentException] {
       VersionedTable.read(spark, path, Some(1)).collect()
@@ -108,12 +108,38 @@ class VersionedTableSpec extends SparkTestBase {
     val path = tbl()
     (1 to 5).foreach(i => VersionedTable.commitOverwrite(
       Seq((i.toLong, "x")).toDF("id", "v"), path))
-    VersionedTable.vacuum(spark, path, retainLast = 1) // drops v1-v4
+    VersionedTable.vacuum(spark, path, retainLast = 1,
+      graceMs = 0L) // drops v1-v4
     VersionedTable.commitOverwrite(Seq((6L, "y")).toDF("id", "v"), path)
     // keep window 4..6 includes vacuumed v4 — must skip, not throw
-    VersionedTable.vacuum(spark, path, retainLast = 3)
+    VersionedTable.vacuum(spark, path, retainLast = 3, graceMs = 0L)
     assert(VersionedTable.read(spark, path)
       .select("id").as[Long].collect().toSeq == Seq(6L))
+  }
+
+  test("vacuum grace window protects an unpublished in-flight commit") {
+    val path = tbl()
+    VersionedTable.commitOverwrite(Seq((1L, "a")).toDF("id", "v"), path)
+    VersionedTable.commitOverwrite(Seq((2L, "b")).toDF("id", "v"), path)
+    // simulate commit step 1 of a concurrent writer: data written,
+    // manifest not yet published — the dir is unreferenced but FRESH
+    val spark2 = spark
+    Seq((9L, "inflight")).toDF("id", "v")
+      .write.parquet(s"$path/data/pretend-inflight-commit")
+    // default grace: the fresh dir AND v1's files survive
+    VersionedTable.vacuum(spark2, path, retainLast = 1)
+    val f = new org.apache.hadoop.fs.Path(
+      s"$path/data/pretend-inflight-commit")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$path/data/pretend-inflight-commit")),
+      "vacuum deleted a commit inside the grace window")
+    // grace 0 (caller asserts exclusive access): both are reclaimed
+    VersionedTable.vacuum(spark2, path, retainLast = 1, graceMs = 0L)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$path/data/pretend-inflight-commit")))
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
   test("vacuum keeps files still referenced by a retained append chain") {
@@ -123,7 +149,7 @@ class VersionedTableSpec extends SparkTestBase {
     VersionedTable.commitAppend(Seq((3L, "c")).toDF("id", "v"), path)
     // retain only v3 — but v3 still references v1/v2's data files, so
     // vacuum must keep them all
-    VersionedTable.vacuum(spark, path, retainLast = 1)
+    VersionedTable.vacuum(spark, path, retainLast = 1, graceMs = 0L)
     assert(VersionedTable.read(spark, path)
       .select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L))
