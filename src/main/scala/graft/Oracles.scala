@@ -1617,5 +1617,80 @@ object Oracles {
         |SELECT sub.vec_id, sub.cell, (d.dup_of IS NULL) AS kept,
         |  d.dup_of, d.dup_sim
         |FROM sub LEFT JOIN dropped d ON sub.vec_id = d.id_b
-        |ORDER BY sub.vec_id""".stripMargin)
+        |ORDER BY sub.vec_id""".stripMargin,
+
+    // ---- LSH pipelines, oracle-checked downstream of the hash ---------
+    // The hash families themselves (64-hash MinHash + xxhash64 banding,
+    // SimHash64, seeded hyperplane signs) are not replicable in DuckDB,
+    // so Spark dumps them as fixtures (q103/q104/q105) and these oracles
+    // recompute the entire candidate-generation + verification pipeline
+    // in SQL from the fixture: band/chunk/bucket self-join, pair dedup,
+    // and exact jaccard/hamming/cosine verification against the source
+    // tables. __VERIFY_OUT__ is substituted with the dump dir by Verify.
+
+    "q24_minhash_neardups" ->
+      """WITH bands AS (
+        |  SELECT * FROM
+        |    read_parquet('__VERIFY_OUT__/q104_minhash_band_fixture/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash
+        |    AND a.doc_id < b.doc_id),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |p AS (
+        |  SELECT id_a, id_b, CASE
+        |    WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) = 0
+        |    THEN CAST(1 AS DOUBLE)
+        |    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    END AS j
+        |  FROM cand JOIN sh a ON a.doc_id = cand.id_a
+        |  JOIN sh b ON b.doc_id = cand.id_b)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard
+        |FROM p WHERE j >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_simhash_neardups" ->
+      """WITH h AS (
+        |  SELECT doc_id, simhash FROM
+        |    read_parquet('__VERIFY_OUT__/q103_simhash_fixture/*.parquet')),
+        |ch AS (
+        |  SELECT doc_id, simhash, r.i AS chunk,
+        |    (simhash >> (r.i * 16)) & 65535 AS chunk_val
+        |  FROM h, (SELECT unnest(range(4)) AS i) r),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM ch a JOIN ch b
+        |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+        |    AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM cand
+        |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_embedding_neardups" ->
+      """WITH bk AS (
+        |  SELECT * FROM
+        |    read_parquet('__VERIFY_OUT__/q105_lsh_bucket_fixture/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM bk x JOIN bk y
+        |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+        |    AND x.vec_id < y.vec_id),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT id_a, id_b, list_cosine_similarity(va.vv, vb.vv) AS cs
+        |  FROM cand JOIN v va ON va.vec_id = cand.id_a
+        |  JOIN v vb ON vb.vec_id = cand.id_b)
+        |SELECT id_a, id_b, round(cs, 4) AS cos_sim
+        |FROM s WHERE cs >= 0.2 ORDER BY id_a, id_b""".stripMargin)
 }

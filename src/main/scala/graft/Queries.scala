@@ -1371,5 +1371,36 @@ object Queries {
         t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.2, cells = 4, trainIters = 0, maxCellSize = 16)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- hash fixtures for the LSH oracles -----------------------------
+    // The raw hash families (xxhash64 banding, SimHash64, hyperplane
+    // signs) are not DuckDB-replicable, so q24/q25/q30 dump them here
+    // and their oracles recompute EVERYTHING downstream — banding join,
+    // candidate dedup, hamming/jaccard/cosine verification — in SQL
+    // from these fixtures (read via __VERIFY_OUT__, substituted by
+    // Verify). Only the hash value itself stays property-tested
+    // (TextDedupSpec / SimilaritySpec).
+    "q103_simhash_fixture" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), DedupOps.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q104_minhash_band_fixture" -> ((s, d) => {
+      // identical params to q24: 3-shingles, 64 hashes, 16 bands × 4
+      DedupOps.signatureStore(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4)
+        .orderBy(col("doc_id"), col("band"))
+    }),
+
+    "q105_lsh_bucket_fixture" -> ((s, d) => {
+      // identical params to q30: 8 sign-tables × 8 bits
+      val v = t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__v"))
+      v.select(col("vec_id"),
+        graft.operators.SimilarityOps.lshTables(col("__v"), bits = 8,
+          tables = 8).as(Seq("tbl", "bucket")))
+        .orderBy(col("vec_id"), col("tbl"))
     }))
 }
