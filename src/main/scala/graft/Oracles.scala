@@ -63,6 +63,54 @@ object Oracles {
       |  SELECT cell, cv FROM cb1
       |  WHERE cell NOT IN (SELECT cell FROM mm1))""".stripMargin
 
+  /** Per-document (doc_id, quality, n_tokens) — the DuckDB mirror of
+    * TextFunctions.qualityScore (4 dp) + whitespace tokenCount, shared
+    * by the selection oracles (q107). */
+  private val docQualityTokens: String =
+    """doc AS (
+      |  SELECT doc_id,
+      |    round(
+      |      (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      |       * (1.0 - least(
+      |           (CAST(len(regexp_extract_all(text, '[[:punct:]]'))
+      |              AS DOUBLE)
+      |            / greatest(CAST(length(text) AS DOUBLE), 1.0))
+      |           * 4.0, 1.0) * 0.5))
+      |      * sqrt(
+      |          CAST(len(list_distinct(CASE WHEN trim(text) = ''
+      |            THEN [] ELSE string_split_regex(
+      |              trim(lower(text)), '\s+') END)) AS DOUBLE)
+      |          / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+      |            ELSE len(string_split_regex(trim(text), '\s+'))
+      |            END AS DOUBLE), 1.0)), 4) AS quality,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+'))
+      |      END AS BIGINT) AS n_tokens
+      |  FROM documents)""".stripMargin
+
+  /** Winnowing pipeline (q109/q110): per-token md5 values, Karp-Rabin
+    * 3-gram polynomial mod the 31-bit prime, distinct window-4 minima
+    * — bit-for-bit the arithmetic of operators.Winnowing. Ends at
+    * `fp(doc_id, fp)`. */
+  private val winnowFp: String =
+    """WITH v AS (
+      |  SELECT doc_id, list_transform(CASE WHEN trim(text) = '' THEN []
+      |    ELSE string_split_regex(trim(lower(text)), '\s+') END,
+      |    t -> CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
+      |      % 2147483587) AS tv
+      |  FROM documents),
+      |kh AS (
+      |  SELECT doc_id, CASE WHEN len(tv) < 3 THEN []
+      |    ELSE list_transform(range(1, len(tv) - 1),
+      |      i -> (tv[i]*131*131 + tv[i+1]*131 + tv[i+2]) % 2147483587)
+      |    END AS kh
+      |  FROM v),
+      |fp AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(kh) - 4, 0) + 2),
+      |    j -> list_min(kh[j:j+3])))) AS fp
+      |  FROM kh WHERE len(kh) > 0)""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q01_global_agg" ->
@@ -1692,5 +1740,103 @@ object Oracles {
         |  FROM cand JOIN v va ON va.vec_id = cand.id_a
         |  JOIN v vb ON vb.vec_id = cand.id_b)
         |SELECT id_a, id_b, round(cs, 4) AS cos_sim
-        |FROM s WHERE cs >= 0.2 ORDER BY id_a, id_b""".stripMargin)
+        |FROM s WHERE cs >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    // fingerprint equivalence classes checked against the normalized
+    // token stream itself — the hash-free ground truth of q27's contract
+    "q106_fingerprint_groups" ->
+      """WITH k AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN ''
+        |    ELSE array_to_string(
+        |      string_split_regex(trim(text), '\s+'), chr(1))
+        |    END AS key
+        |  FROM documents),
+        |g AS (
+        |  SELECT key, min(doc_id) AS rep_id,
+        |    CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM k GROUP BY key)
+        |SELECT k.doc_id, g.rep_id, g.n_copies
+        |FROM k JOIN g USING (key) ORDER BY doc_id""".stripMargin,
+
+    "q107_token_budget" ->
+      ("WITH " + docQualityTokens + """,
+        |d2 AS (
+        |  SELECT *, CAST(round(quality * 10000, 0) AS INT) AS b
+        |  FROM doc),
+        |bk AS (SELECT b, sum(n_tokens) AS tok FROM d2 GROUP BY b),
+        |cum AS (
+        |  SELECT b, tok, CAST(coalesce(sum(tok) OVER (
+        |    ORDER BY b DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before
+        |  FROM bk),
+        |f AS (
+        |  SELECT b, cum_before, (cum_before + tok <= 10000) AS is_full
+        |  FROM cum),
+        |j AS (
+        |  SELECT d2.doc_id, d2.quality, d2.n_tokens, d2.b,
+        |    f.cum_before, f.is_full
+        |  FROM d2 JOIN f USING (b)),
+        |part AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY b ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS doc_before
+        |  FROM j WHERE NOT is_full AND cum_before < 10000)
+        |SELECT doc_id, quality, n_tokens FROM j WHERE is_full
+        |UNION ALL
+        |SELECT doc_id, quality, n_tokens FROM part
+        |WHERE cum_before + doc_before + n_tokens <= 10000
+        |ORDER BY doc_id""".stripMargin),
+
+    "q108_dsir_weights" ->
+      """WITH bg AS (
+        |  SELECT doc_id, (source = 'src0') AS t, unnest(
+        |    CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END) AS fg
+        |  FROM (SELECT doc_id, source, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |fb AS (
+        |  SELECT doc_id, t, CAST(concat('0x', substring(md5(fg), 1, 8))
+        |    AS BIGINT) % 256 AS fbk
+        |  FROM bg),
+        |cnt AS (
+        |  SELECT fbk,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN t THEN 0 ELSE 1 END) AS cs
+        |  FROM fb GROUP BY fbk),
+        |tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM cnt),
+        |lr AS (
+        |  SELECT fbk, round(ln(
+        |    (CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE))
+        |    / (CAST(cs + 1 AS DOUBLE) / CAST(ns + 256 AS DOUBLE))), 6)
+        |    AS lrv
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (
+        |  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    round(sum(lrv), 4) + 0 AS weight
+        |  FROM fb JOIN lr USING (fbk) GROUP BY fb.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(sc.n_feats, 0) AS n_feats,
+        |  coalesce(sc.weight, 0.0) AS weight
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q109_winnowing" ->
+      (winnowFp + """
+        |SELECT doc_id, fp FROM fp ORDER BY doc_id, fp""".stripMargin),
+
+    "q110_overlap_pairs" ->
+      (winnowFp + """,
+        |rare AS (
+        |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+        |  WHERE df <= 50),
+        |pr AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin))
 }

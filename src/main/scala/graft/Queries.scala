@@ -734,10 +734,18 @@ object Queries {
 
     // ---- SQL entry point: GROUPING SETS (§2.10 SQL surface) -----------
     "q56_grouping_sets" -> ((s, d) => {
+      // pre-aggregate to the (flag, status) grid BEFORE the grouping
+      // sets: Expand otherwise multiplies every fact row by the number
+      // of sets (3× the scan bytes through the aggregate at any scale);
+      // over the tiny grid it expands 6 rows instead of the corpus
       graft.sql.GraftSql.sql(s, d,
-        """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |  round(sum(l_quantity), 2) AS sum_qty
-          |FROM lineitem
+        """WITH base AS (
+          |  SELECT l_returnflag, l_linestatus, count(*) AS bn,
+          |    sum(l_quantity) AS bq
+          |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+          |SELECT l_returnflag, l_linestatus, sum(bn) AS n,
+          |  round(sum(bq), 2) AS sum_qty
+          |FROM base
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY l_returnflag ASC NULLS FIRST,
           |  l_linestatus ASC NULLS FIRST, n""".stripMargin)
@@ -1402,5 +1410,44 @@ object Queries {
         graft.operators.SimilarityOps.lshTables(col("__v"), bits = 8,
           tables = 8).as(Seq("tbl", "bucket")))
         .orderBy(col("vec_id"), col("tbl"))
+    }),
+
+    // ---- fingerprint equivalence classes (closes q27's semantics) ------
+    "q106_fingerprint_groups" -> ((s, d) => {
+      // the oracle groups by the normalized token stream itself, so the
+      // xxhash64 fingerprint's equivalence classes are fully checked
+      // even though the hash value (q27) is not DuckDB-replicable
+      DedupOps.fingerprintGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- data selection under a token budget ---------------------------
+    "q107_token_budget" -> ((s, d) => {
+      graft.ops.TokenBudget.selectToBudget(
+        t(s, d, "documents"), "doc_id", "text", budget = 10000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- DSIR importance weights (hashed-bigram log-ratio) -------------
+    "q108_dsir_weights" -> ((s, d) => {
+      // target distribution = src0 docs; background = the rest
+      graft.operators.Dsir.importanceWeights(
+        t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- winnowing fingerprints (MOSS; rolling k-gram hash) ------------
+    "q109_winnowing" -> ((s, d) => {
+      graft.operators.Winnowing.fingerprints(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
+    "q110_overlap_pairs" -> ((s, d) => {
+      graft.operators.Winnowing.overlapPairs(
+        t(s, d, "documents"), "doc_id", "text",
+        minShared = 2, maxDocFreq = 50)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 }

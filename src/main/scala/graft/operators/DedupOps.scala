@@ -192,6 +192,24 @@ object DedupOps {
   def simhash64(text: Column): Column =
     graft.functions.SimHash64.column(TextFunctions.tokens(lower(text)))
 
+  /** Whitespace-normalization-invariant exact dedup: group documents by
+    * their [[TextFunctions.fingerprint]] (64-bit hash of the token
+    * stream) and report each doc's group representative (smallest id)
+    * and group size. Complements [[exactDedup]] (raw-byte identity):
+    * two docs differing only in whitespace land in the same group here.
+    * Only (id, 8-byte fingerprint) pairs shuffle; the oracle checks the
+    * hash's equivalence classes by grouping on the normalized token
+    * stream itself. */
+  def fingerprintGroups(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val fp = df.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    val groups = fp.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+    fp.join(groups, "__fp")
+      .select(col(idCol), col("rep_id"), col("n_copies"))
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

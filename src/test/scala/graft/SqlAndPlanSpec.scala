@@ -72,7 +72,8 @@ class SqlAndPlanSpec extends SparkTestBase {
     val allowed = Set("q26_ngram_jaccard", "q28_ann_bruteforce",
       "q52_tfidf", "q68_corpus_mix", "q83_winsorize",
       "q84_pmi_bigrams", "q89_heavy_hitters",
-      "q93_containment") // q93: q26's bounded broadcast verifier shape
+      "q93_containment", // q93: q26's bounded broadcast verifier shape
+      "q108_dsir_weights") // 1-row totals attached to the 256-bucket LR table
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
