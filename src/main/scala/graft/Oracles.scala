@@ -111,6 +111,71 @@ object Oracles {
       |    j -> list_min(kh[j:j+3])))) AS fp
       |  FROM kh WHERE len(kh) > 0)""".stripMargin
 
+  /** Unrolled BPE merge training (q111/q112): `steps` iterations of
+    * weighted pair counting over the word vocab, deterministic argmax
+    * (count desc, pair asc), and boundary-spaced replace — the same
+    * left-to-right non-overlapping merge the Spark side applies.
+    * Returns the WITH-chain up to vN; callers append their final
+    * SELECT over tN (merge rows) or vN (the trained vocab). */
+  private def bpeChain(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+      |    ' ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w> '
+      |      AS sym
+      |  FROM (SELECT unnest(CASE WHEN trim(text) = '' THEN []
+      |      ELSE string_split_regex(trim(lower(text)), '\s+') END)
+      |      AS word FROM documents)
+      |  GROUP BY word)""".stripMargin
+    for (s <- 1 to steps) {
+      sb ++= s""",
+      |p$s AS (
+      |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(n) AS BIGINT) AS cnt
+      |  FROM (SELECT n, unnest(list_transform(range(1, len(sy)),
+      |      i -> [sy[i], sy[i+1]])) AS pr
+      |    FROM (SELECT n, string_split_regex(trim(sym), ' +') AS sy
+      |      FROM v${s - 1}))
+      |  GROUP BY 1, 2),
+      |t$s AS (SELECT l, r, cnt FROM p$s ORDER BY cnt DESC, l, r
+      |  LIMIT 1),
+      |v$s AS (
+      |  SELECT word, n,
+      |    replace(sym, ' '||l||'  '||r||' ', ' '||l||r||' ') AS sym
+      |  FROM v${s - 1} CROSS JOIN t$s)""".stripMargin
+    }
+    sb.result()
+  }
+
+  private def bpeMerges(steps: Int): String =
+    bpeChain(steps) + (1 to steps).map(s =>
+        s"SELECT $s AS step, l AS lhs, r AS rhs, cnt AS pair_count " +
+          s"FROM t$s")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+
+  private def bpeEncode(steps: Int): String =
+    bpeChain(steps) + s""",
+      |enc AS (
+      |  SELECT word, n,
+      |    CAST(len(string_split_regex(trim(sym), ' +')) AS BIGINT)
+      |      AS nsym
+      |  FROM v$steps),
+      |dw AS (
+      |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+      |      ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+      |    AS word FROM documents),
+      |pd AS (
+      |  SELECT dw.doc_id, CAST(sum(e.nsym) AS BIGINT) AS n_bpe_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_words
+      |  FROM dw JOIN enc e USING (word) GROUP BY dw.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(pd.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |  coalesce(pd.n_words, 0) AS n_words,
+      |  round(CAST(length(d.text) AS DOUBLE)
+      |    / greatest(coalesce(pd.n_bpe_tokens, 0), 1), 4)
+      |    AS chars_per_token
+      |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q01_global_agg" ->
@@ -1838,5 +1903,77 @@ object Oracles {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "q111_bpe_merges" -> bpeMerges(5),
+
+    "q112_bpe_encode" -> bpeEncode(5),
+
+    // q59's exact-Jaccard closure + q21's quality formula; the
+    // representative is the (quality desc, doc_id asc) argmax
+    "q113_cluster_best" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    >= 0.95),
+        |sym AS (SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT s.src AS doc_id, r.r FROM sym s
+        |    JOIN reach r ON s.dst = r.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach
+        |  GROUP BY doc_id),
+        |q AS (SELECT doc_id,
+        |  round(
+        |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |     * (1.0 - least(
+        |         (CAST(len(regexp_extract_all(text, '[[:punct:]]'))
+        |            AS DOUBLE)
+        |          / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |         * 4.0, 1.0) * 0.5))
+        |    * sqrt(
+        |        CAST(len(list_distinct(CASE WHEN trim(text) = ''
+        |          THEN [] ELSE string_split_regex(
+        |            trim(lower(text)), '\s+') END)) AS DOUBLE)
+        |        / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+        |          ELSE len(string_split_regex(trim(text), '\s+'))
+        |          END AS DOUBLE), 1.0)), 4) AS quality
+        |  FROM documents),
+        |j AS (SELECT lab.doc_id, lab.cluster_id, q.quality
+        |  FROM lab JOIN q USING (doc_id)),
+        |r AS (SELECT cluster_id, doc_id AS rep_id, row_number()
+        |    OVER (PARTITION BY cluster_id
+        |      ORDER BY quality DESC, doc_id) AS rn
+        |  FROM j)
+        |SELECT j.doc_id, j.cluster_id, j.quality, r.rep_id,
+        |  j.doc_id = r.rep_id AS keep
+        |FROM j JOIN r ON j.cluster_id = r.cluster_id AND r.rn = 1
+        |ORDER BY j.doc_id""".stripMargin,
+
+    // same md5-prefix hash as the Spark side → identical permutation
+    "q114_training_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(
+        |      md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      AS order_key
+        |  FROM documents)
+        |SELECT doc_id, order_key % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY order_key % 8
+        |    ORDER BY order_key, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin)
 }

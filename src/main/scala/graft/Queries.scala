@@ -1449,5 +1449,47 @@ object Queries {
         t(s, d, "documents"), "doc_id", "text",
         minShared = 2, maxDocFreq = 50)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- BPE merge training (subword tokenizer induction) --------------
+    "q111_bpe_merges" -> ((s, d) => {
+      // 5 merge iterations over the weighted word vocab; the oracle
+      // unrolls the same loop in SQL (argmax is count desc, pair asc)
+      graft.operators.Bpe.mergesDF(s, t(s, d, "documents"), "text",
+        merges = 5)
+        .orderBy(col("step"))
+    }),
+
+    // ---- BPE encoding (tokenize the corpus with learned merges) -------
+    "q112_bpe_encode" -> ((s, d) => {
+      // per-doc token counts under the 5-merge tokenizer; the merge
+      // applications run on the vocab table, never on the corpus text
+      graft.operators.Bpe.encodeStats(
+        t(s, d, "documents"), "doc_id", "text", merges = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- keep-best-quality cluster representative ---------------------
+    "q113_cluster_best" -> ((s, d) => {
+      // near-dup clusters (q59's pair graph) ranked by quality score:
+      // the curation decision keeps the argmax member, not the min id
+      val docs = t(s, d, "documents")
+      val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.95)
+      val scored = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text"))
+          .as("quality"))
+      graft.operators.DedupClusters.bestRepresentatives(
+        scored, "doc_id", pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic training-order permutation ---------------------
+    "q114_training_order" -> ((s, d) => {
+      // seeded hash-order (shard, pos) addressing — the reproducible
+      // "global shuffle" a training loader consumes; no global sort
+      graft.operators.ShardExport.trainingOrder(
+        t(s, d, "documents"), "doc_id", seed = 42L, shards = 8)
+        .orderBy(col("doc_id"))
     }))
 }

@@ -125,4 +125,33 @@ object DedupClusters {
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
+
+  /** Curation decision on top of [[clusters]]: keep the BEST member of
+    * each near-dup cluster rather than the smallest id — real pipelines
+    * rank cluster members by a quality score and keep the argmax
+    * (RefinedWeb / FineWeb keep-one-per-cluster with quality ranking).
+    *
+    * `scored` is (`idCol`, quality); argmax is deterministic:
+    * quality desc, id asc. The per-cluster winner comes from a bounded
+    * `max(struct(quality, -id))` aggregate — one hash aggregation on
+    * cluster_id, map-side combined, no window sort over the corpus and
+    * no row wider than a struct of two numbers. Output:
+    * (`idCol`, cluster_id, quality, rep_id, keep). */
+  def bestRepresentatives(scored: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cl = clusters(scored.select(col(idCol)), idCol, pairs, aCol, bCol)
+    // (id, cluster, quality) feeds BOTH the argmax agg and the final
+    // join — materialize the narrow triple once instead of running the
+    // scan + score + cluster join twice
+    val withQ = graft.core.Scratch.materialize(
+      scored.join(cl, Seq(idCol)), "cluster_best")
+    val reps = withQ.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"),
+        negate(col(idCol)).as("__negid"))).as("__best"))
+      .select(col("cluster_id"),
+        negate(col("__best.__negid")).as("rep_id"))
+    withQ.join(reps, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("quality"),
+        col("rep_id"), (col(idCol) === col("rep_id")).as("keep"))
+  }
 }

@@ -25,6 +25,31 @@ object ShardExport {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Deterministic training-order permutation: every row gets a
+    * (shard, pos) address under a seeded hash order — the "global
+    * shuffle" a training run needs, reproducible across engines and
+    * re-runs (resume from any (shard, pos) checkpoint).
+    *
+    * Scale shape: no global sort. The hash assigns shards in a narrow
+    * map; `pos` is a row_number per shard, so the only exchange is the
+    * shard hash partition and each shard sorts independently —
+    * corpus/shards rows per sort, the same plan at any corpus size.
+    * The hash is the engine-portable md5-prefix (cf. [[graft.operators.Dsir]])
+    * so the oracle replicates the exact permutation bit-for-bit. */
+  def trainingOrder(df: DataFrame, idCol: String, seed: Long,
+      shards: Int): DataFrame = {
+    require(shards > 0)
+    val h = conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    df.select(col(idCol), h.as("order_key"))
+      .withColumn("shard", pmod(col("order_key"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("order_key"), col(idCol))).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Shard audit: per output file, its row count and key range —
     * the loader-facing manifest, and the proof that shard ranges do
     * not overlap. */

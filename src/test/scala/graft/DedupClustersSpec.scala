@@ -65,4 +65,22 @@ class DedupClustersSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(out == (1L to 5L).map(i => i -> i).toMap)
   }
+
+  test("bestRepresentatives keeps the quality argmax, id-asc on ties") {
+    // cluster {1,2,3}: doc 2 has top quality; cluster {4,5}: tie →
+    // smaller id 4 wins; 6 is a singleton and keeps itself
+    val scored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5), (4L, 0.7),
+      (5L, 0.7), (6L, 0.1)).toDF("id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = DedupClusters
+      .bestRepresentatives(scored, "id", pairs, "a", "b")
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+    assert(out(1L) == ((1L, 2L, false)))
+    assert(out(2L) == ((1L, 2L, true)))
+    assert(out(3L) == ((1L, 2L, false)))
+    assert(out(4L) == ((4L, 4L, true)))
+    assert(out(5L) == ((4L, 4L, false)))
+    assert(out(6L) == ((6L, 6L, true)))
+  }
 }

@@ -66,4 +66,23 @@ class SessionizeShardSpec extends SparkTestBase {
       assert(keys.sameElements(keys.sorted), s"shard $f not sorted")
     }
   }
+
+  test("training order: a seeded, reproducible permutation") {
+    val ids = (1L to 200L).toDF("doc_id")
+    val a = ShardExport.trainingOrder(ids, "doc_id", seed = 7L,
+      shards = 4).as[(Long, Long, Long)].collect().sortBy(_._1)
+    // every row addressed, (shard, pos) is a bijection onto
+    // contiguous 1..n_shard positions
+    assert(a.length == 200)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // deterministic: same seed → identical, new seed → different order
+    val b = ShardExport.trainingOrder(ids, "doc_id", seed = 7L,
+      shards = 4).as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+    val c = ShardExport.trainingOrder(ids, "doc_id", seed = 8L,
+      shards = 4).as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(!a.sameElements(c))
+  }
 }

@@ -196,4 +196,26 @@ class SqlAndPlanSpec extends SparkTestBase {
     assert(exchanges.length <= 2,
       s"expected ≤2 exchanges, got ${exchanges.length}")
   }
+
+  test("BPE encode scans the corpus once (merges run on the vocab)") {
+    // q112's encode is a words→vocab join: documents is read exactly
+    // once; the only other scan is the scratch-materialized vocab
+    val nodes = executedNodes("q112_bpe_encode")
+    val docScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.output.exists(_.name == "text") => f
+    }
+    assert(docScans.length == 1,
+      s"expected 1 documents scan, got ${docScans.length}")
+  }
+
+  test("cluster-best ranks representatives without a window sort") {
+    // q113's per-cluster argmax is a bounded max(struct) aggregate —
+    // a WindowExec here would mean a per-cluster sort crept back in
+    val windows = executedNodes("q113_cluster_best").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"expected no window operators, got ${windows.length}")
+  }
 }
