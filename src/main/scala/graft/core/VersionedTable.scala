@@ -36,6 +36,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * external coordination layer is required — the same constraint the
   * Delta protocol documents for its LogStore implementations.
   *
+  * The claim is atomic but NOT instantaneous: the manifest file is
+  * visible (create) before its content is durable (close). A manifest
+  * is therefore only COMPLETE once it ends with the `#done` terminator
+  * line; readers that land in the create→close window poll briefly
+  * for the terminator (`spark.graft.manifest.pollMs`, default 10 s)
+  * instead of silently resolving a truncated file list — without
+  * this, a racing writer's retry could re-read a half-written winner
+  * manifest and publish a carried file list missing the winner's rows
+  * (lost update). A claim whose writer crashed before close is
+  * recovered by the next committer once it is older than
+  * `spark.graft.manifest.staleMs` (default 60 s).
+  *
   * `vacuum` deletes data files unreferenced by the retained manifests
   * — the storage-reclaim half of time travel.
   */
@@ -59,7 +71,23 @@ object VersionedTable {
       .foldLeft(0)(math.max)
   }
 
-  /** The complete data-file list at `version` (default: latest). */
+  private val Terminator = "#done"
+
+  private def confMs(spark: SparkSession, key: String,
+      default: Long): Long =
+    spark.conf.getOption(key).map(_.toLong).getOrElse(default)
+
+  private def readManifest(f: FileSystem, mp: Path): List[String] = {
+    val in = f.open(mp)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The complete data-file list at `version` (default: latest).
+    * A manifest missing its terminator is IN-FLIGHT (its writer is
+    * between create and close): poll until complete rather than
+    * resolve a truncated file list. */
   def files(spark: SparkSession, path: String,
       version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(latestVersion(spark, path))
@@ -68,10 +96,19 @@ object VersionedTable {
     val f = fs(spark, path)
     require(f.exists(mp), s"version $v of $path does not exist " +
       "(never committed, or vacuumed away)")
-    val in = f.open(mp)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
+    val deadline = System.currentTimeMillis() +
+      confMs(spark, "spark.graft.manifest.pollMs", 10000L)
+    while (true) {
+      val lines = readManifest(f, mp)
+      if (lines.lastOption.contains(Terminator))
+        return lines.dropRight(1)
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(s"manifest $mp is incomplete " +
+          "(no terminator) — writer crashed mid-publish, or raise " +
+          "spark.graft.manifest.pollMs")
+      Thread.sleep(10)
+    }
+    Nil // unreachable
   }
 
   /** Read the table as of `version` (default: latest). An empty table
@@ -113,24 +150,52 @@ object VersionedTable {
       // the published manifest (lost update) even though our create
       // of v+1 succeeds
       val vPrev = latestVersion(spark, path)
-      val prev =
-        if (carryPrevious && vPrev > 0) files(spark, path, Some(vPrev))
-        else Nil
-      val v = vPrev + 1
-      f.mkdirs(new Path(manifestDir(path)))
-      val target = manifestPath(path, v)
       try {
-        // create(overwrite = false) is the atomic claim on version v
-        val out = f.create(target, false)
-        try out.write((prev ++ newFiles).mkString("", "\n", "\n")
-          .getBytes("UTF-8"))
-        finally out.close()
-        return v
+        val prev =
+          if (carryPrevious && vPrev > 0) files(spark, path, Some(vPrev))
+          else Nil
+        val v = vPrev + 1
+        f.mkdirs(new Path(manifestDir(path)))
+        val target = manifestPath(path, v)
+        try {
+          // create(overwrite = false) is the atomic claim on version v;
+          // the terminator line marks the content complete (readers
+          // poll for it — see files())
+          val out = f.create(target, false)
+          try out.write((prev ++ newFiles :+ Terminator)
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally out.close()
+          return v
+        } catch {
+          case _: java.io.IOException =>
+            Thread.sleep(10) // lost the race for v; let the winner close
+        }
       } catch {
-        case _: java.io.IOException => // lost the race for v — retry
+        // files(vPrev) outlived the poll window: the claim we would
+        // build on is an ABANDONED half-publish (writer died between
+        // create and close). Reclaim it once stale — otherwise that
+        // version number is wedged forever — then retry on the state
+        // beneath it.
+        case _: IllegalStateException =>
+          reclaimIfStale(spark, f, manifestPath(path, vPrev))
       }
     }
     -1 // unreachable
+  }
+
+  /** Delete a claimed-but-unterminated manifest older than
+    * `spark.graft.manifest.staleMs` (its writer crashed mid-publish). */
+  private def reclaimIfStale(spark: SparkSession, f: FileSystem,
+      target: Path): Unit = {
+    val stale = confMs(spark, "spark.graft.manifest.staleMs", 60000L)
+    try {
+      val st = f.getFileStatus(target)
+      if (!readManifest(f, target).lastOption.contains(Terminator)
+          && st.getModificationTime <
+            System.currentTimeMillis() - stale) {
+        f.delete(target, false); ()
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Idempotent streaming sink: a `foreachBatch` writer that commits

@@ -62,6 +62,47 @@ class VersionedTableSpec extends SparkTestBase {
       Seq(1L, 2L, 3L))
   }
 
+  test("a half-published manifest is never resolved as truncated") {
+    // simulate a writer that died between create and close: the
+    // manifest exists but has no terminator. Readers must poll then
+    // fail loudly — resolving the truncated list would lose files.
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    val mdir = new java.io.File(s"$path/_manifests")
+    java.nio.file.Files.writeString(
+      mdir.toPath.resolve("v00002.json"), "/nonexistent/part-0.parquet\n")
+    spark.conf.set("spark.graft.manifest.pollMs", "200")
+    try {
+      val e = intercept[IllegalStateException] {
+        VersionedTable.files(spark, path, Some(2))
+      }
+      assert(e.getMessage.contains("incomplete"))
+      // v1 (complete) still resolves fine underneath it
+      assert(VersionedTable.files(spark, path, Some(1)).nonEmpty)
+    } finally spark.conf.unset("spark.graft.manifest.pollMs")
+  }
+
+  test("a stale abandoned claim is reclaimed by the next commit") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    // abandoned half-publish at v2, backdated past the stale window
+    val m2 = java.nio.file.Paths.get(s"$path/_manifests/v00002.json")
+    java.nio.file.Files.writeString(m2, "/nonexistent/part-0.parquet\n")
+    java.nio.file.Files.setLastModifiedTime(m2,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000L))
+    spark.conf.set("spark.graft.manifest.pollMs", "200")
+    try {
+      // the committer finds v2 unreadable, reclaims the stale claim,
+      // and lands its own v2 carrying v1's rows
+      val v = VersionedTable.commitAppend(
+        Seq((2L, "b")).toDF("id", "v"), path)
+      assert(v == 2)
+      assert(VersionedTable.read(spark, path)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally spark.conf.unset("spark.graft.manifest.pollMs")
+  }
+
   test("vacuum reclaims unreferenced files, keeps the retained window") {
     val path = tbl()
     VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
