@@ -146,6 +146,68 @@ object Oracles {
     sb.result()
   }
 
+  /** PQ oracle (q115): per subspace j — init codebook from the first
+    * `cells` vectors' slices, one L2 Lloyd round (argmin ties → smaller
+    * cell, means rounded 6 dp, empty cells carry), then final codes +
+    * per-subspace min distances; recon_mse averages over all dims.
+    * Mirrors [[graft.operators.SimilarityOps.pqEncode]] exactly. */
+  private def pqEncodeSql(m: Int, sub: Int, cells: Int): String = {
+    val dim = m * sub
+    def d2(sv: String, cv: String) =
+      s"list_sum(list_transform(range(1, ${sub + 1}), " +
+        s"i -> ($sv[i]-$cv[i])*($sv[i]-$cv[i])))"
+    val chains = (0 until m).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"""s$j AS (SELECT vec_id, vv[$lo:$hi] AS sv FROM v),
+        |c${j}_0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |      AS cell,
+        |    (CAST(embedding AS DOUBLE[]))[$lo:$hi] AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id
+        |    LIMIT $cells)),
+        |a$j AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM (SELECT s$j.vec_id, c${j}_0.cell,
+        |        ${d2(s"s$j.sv", s"c${j}_0.cv")} AS d2
+        |      FROM s$j CROSS JOIN c${j}_0)) WHERE rn = 1),
+        |m$j AS (
+        |  SELECT cell, dim, round(avg(x), 6) + 0 AS mx FROM (
+        |    SELECT a$j.cell,
+        |      CAST(generate_subscripts(s$j.sv, 1) - 1 AS INT) AS dim,
+        |      unnest(s$j.sv) AS x
+        |    FROM a$j JOIN s$j USING (vec_id))
+        |  GROUP BY cell, dim),
+        |c${j}_1 AS (
+        |  SELECT cell, list(mx ORDER BY dim) AS cv FROM m$j
+        |  GROUP BY cell
+        |  UNION ALL
+        |  SELECT cell, cv FROM c${j}_0
+        |  WHERE cell NOT IN (SELECT cell FROM m$j)),
+        |f$j AS (
+        |  SELECT vec_id, cell AS code_$j, d2 FROM (
+        |    SELECT vec_id, cell, d2, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM (SELECT s$j.vec_id, c${j}_1.cell,
+        |        ${d2(s"s$j.sv", s"c${j}_1.cv")} AS d2
+        |      FROM s$j CROSS JOIN c${j}_1)) WHERE rn = 1)"""
+        .stripMargin
+    }
+    val joins = (1 until m)
+      .map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(j => s"code_$j").mkString(", ")
+    val mseSum = (0 until m).map(j => s"f$j.d2").mkString(" + ")
+    s"""WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+      |  FROM embeddings),
+      |${chains.mkString(",\n")}
+      |SELECT vec_id, $codeCols,
+      |  round(($mseSum) / $dim, 8) + 0 AS recon_mse
+      |FROM f0 $joins ORDER BY vec_id""".stripMargin
+  }
+
   private def bpeMerges(steps: Int): String =
     bpeChain(steps) + (1 to steps).map(s =>
         s"SELECT $s AS step, l AS lhs, r AS rhs, cnt AS pair_count " +
@@ -1975,5 +2037,7 @@ object Oracles {
         |SELECT doc_id, order_key % 8 AS shard,
         |  CAST(row_number() OVER (PARTITION BY order_key % 8
         |    ORDER BY order_key, doc_id) AS BIGINT) AS pos
-        |FROM h ORDER BY doc_id""".stripMargin)
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q115_pq_encode" -> pqEncodeSql(m = 4, sub = 16, cells = 16))
 }

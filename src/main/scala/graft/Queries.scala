@@ -1484,6 +1484,16 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- product quantization (PQ codes + reconstruction error) -------
+    "q115_pq_encode" -> ((s, d) => {
+      // 4 subspaces × 16 cells, one fused Lloyd round per subspace;
+      // oracle unrolls the identical training + encode in SQL
+      graft.operators.SimilarityOps.pqEncode(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        m = 4, cells = 16, iters = 1)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- deterministic training-order permutation ---------------------
     "q114_training_order" -> ((s, d) => {
       // seeded hash-order (shard, pos) addressing — the reproducible

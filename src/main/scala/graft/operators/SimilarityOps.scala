@@ -293,6 +293,102 @@ object SimilarityOps {
     * the DuckDB oracles rely on. Cost: `iters` corpus scans, zero
     * corpus shuffles beyond the (cell, dim) partial-agg exchange.
     */
+  // ---- product quantization (Jégou, Douze & Schmid 2011) -------------
+
+  /** Σ(x−y)² over two double arrays — the per-subspace L2² distance PQ
+    * quantizes under (codegen'd zip_with/aggregate, no UDF). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** The codebook as an in-row array<array<double>> literal: distance
+    * evaluation and argmin stay a NARROW map over the corpus. */
+  private def cbLiteral(cb: Array[Array[Double]]): Column =
+    array(cb.map(c => array(c.map(lit(_)): _*)): _*)
+
+  /** Index of the nearest centroid by L2² (ties → smaller index, via
+    * array_position's first match). 0-based. */
+  private def argminCell(sv: Column, cb: Array[Array[Double]]): Column = {
+    val dists = transform(cbLiteral(cb), c => sqDist(sv, c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Product-quantization training: split each vector into `m`
+    * contiguous subspaces and run `iters` Lloyd rounds of L2 k-means
+    * independently per subspace — returns codebooks[m][cells][dim/m].
+    *
+    * One corpus pass per iteration covers ALL subspaces: each row
+    * computes its m cell assignments in-row (codebooks ride in the
+    * plan as literals), explodes to (subspace, cell, dim, x) and a
+    * single map-side-combined aggregate produces every subspace's
+    * means at once — m×cells×(dim/m) = `dim`×`cells` rows of model
+    * metadata per round, driver-collectable at any corpus size. Means
+    * round to 6 dp (-0.0 normalized) per round, so the trained
+    * codebooks are bit-reproducible across engines (the DuckDB oracle
+    * unrolls the same rounds). Init: subspace slices of the first
+    * `cells` vectors by id; a cell that loses all members keeps its
+    * previous centroid. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, cells: Int = 16, iters: Int = 1)
+      : Array[Array[Array[Double]]] = {
+    val init = df.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(col(idCol)).limit(cells).select(col("__v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(init.nonEmpty, "pqTrain: empty corpus")
+    val dim = init.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    var cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => init.map(_.slice(j * sub, (j + 1) * sub)))
+    val v = df.select(col(vecCol).cast("array<double>").as("__v"))
+    for (_ <- 0 until iters) {
+      val withCells = v.select(col("__v") +: (0 until m).map(j =>
+        argminCell(slice(col("__v"), j * sub + 1, sub), cbs(j))
+          .as(s"__c$j")): _*)
+      val means = withCells
+        .select(posexplode(col("__v")).as(Seq("__pos", "__x")) +:
+          (0 until m).map(j => col(s"__c$j")): _*)
+        .select((col("__pos") / sub).cast("int").as("__j"),
+          element_at(array((0 until m).map(j => col(s"__c$j")): _*),
+            (col("__pos") / sub).cast("int") + 1).as("cell"),
+          pmod(col("__pos"), lit(sub)).cast("int").as("dim"),
+          col("__x"))
+        .groupBy(col("__j"), col("cell"), col("dim"))
+        .agg((dround(avg(col("__x")), 6) + lit(0)).as("mx"))
+        .collect()
+      val next = cbs.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cbs = next
+    }
+    cbs
+  }
+
+  /** Encode the corpus under trained PQ codebooks: per vector, the m
+    * nearest-centroid codes (one byte each in production — `dim/m`×
+    * compression) plus the reconstruction MSE the quantization incurs.
+    * A single narrow pass: codes and distances are in-row expressions,
+    * no shuffle at all before the caller's ordering. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, cells: Int = 16, iters: Int = 1): DataFrame = {
+    val cbs = pqTrain(df, idCol, vecCol, m, cells, iters)
+    val sub = cbs.head.head.length
+    val dim = m * sub
+    val v = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val parts = (0 until m).map { j =>
+      val sv = slice(col("__v"), j * sub + 1, sub)
+      val dists = transform(cbLiteral(cbs(j)), c => sqDist(sv, c))
+      ((array_position(dists, array_min(dists)) - 1).cast("int")
+        .as(s"code_$j"), array_min(dists))
+    }
+    v.select(col(idCol) +: parts.map(_._1) :+
+      (dround(parts.map(_._2).reduce(_ + _) / lit(dim.toDouble), 8)
+        + lit(0)).as("recon_mse"): _*)
+  }
+
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
       cells: Int = 16, iters: Int = 2): Array[Array[Double]] = {
     var cb = initCodebook(df, idCol, vecCol, cells)

@@ -247,4 +247,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.filterNot(_.getAs[Boolean]("kept"))
       .forall(r => r.getAs[Double]("dup_sim") == 1.0))
   }
+
+  test("PQ train + encode match hand computation (m=2, cells=2)") {
+    // dim 4 → subspaces [d0,d1] and [d2,d3]; init = slices of v1, v2.
+    // One L2 Lloyd round (hand-traced in the assertions below), ties
+    // break to the smaller cell.
+    val df = Seq(
+      (1L, Seq(0f, 0f, 10f, 10f)),
+      (2L, Seq(1f, 1f, 11f, 11f)),
+      (3L, Seq(0f, 1f, 10f, 11f)),
+      (4L, Seq(9f, 9f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cbs = SimilarityOps.pqTrain(df, "vec_id", "embedding",
+      m = 2, cells = 2, iters = 1)
+    // subspace 0: cell0 = mean([0,0],[0,1]) (v3 ties to cell0),
+    // cell1 = mean([1,1],[9,9])
+    assert(cbs(0)(0).toSeq == Seq(0.0, 0.5))
+    assert(cbs(0)(1).toSeq == Seq(5.0, 5.0))
+    // subspace 1: cell0 = mean([10,10],[10,11],[0,0]), cell1 = [11,11]
+    assert(cbs(1)(0).toSeq == Seq(6.666667, 7.0))
+    assert(cbs(1)(1).toSeq == Seq(11.0, 11.0))
+
+    val out = SimilarityOps.pqEncode(df, "vec_id", "embedding",
+      m = 2, cells = 2, iters = 1)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // codes against the trained codebooks; v2's first subspace [1,1]
+    // is now nearer cell0 [0,.5] (1.25) than cell1 [5,5] (32)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 0, 1), (2L, 0, 1), (3L, 0, 1), (4L, 1, 0)))
+    // exact binary-representable MSEs: (0.25+2)/4 and (1.25+0)/4
+    assert(out(0)._4 == 0.5625)
+    assert(out(1)._4 == 0.3125)
+    assert(out(2)._4 == 0.3125)
+  }
 }
