@@ -151,11 +151,15 @@ object Oracles {
     * cell, means rounded 6 dp, empty cells carry), then final codes +
     * per-subspace min distances; recon_mse averages over all dims.
     * Mirrors [[graft.operators.SimilarityOps.pqEncode]] exactly. */
-  private def pqEncodeSql(m: Int, sub: Int, cells: Int): String = {
-    val dim = m * sub
-    def d2(sv: String, cv: String) =
-      s"list_sum(list_transform(range(1, ${sub + 1}), " +
-        s"i -> ($sv[i]-$cv[i])*($sv[i]-$cv[i])))"
+  private def pqD2(sub: Int)(sv: String, cv: String): String =
+    s"list_sum(list_transform(range(1, ${sub + 1}), " +
+      s"i -> ($sv[i]-$cv[i])*($sv[i]-$cv[i])))"
+
+  /** The WITH prefix shared by the PQ oracles: per subspace j —
+    * init codebook c{j}_0, one L2 Lloyd round (a{j}, m{j}, c{j}_1),
+    * final codes + min distances f{j}. */
+  private def pqChainsSql(m: Int, sub: Int, cells: Int): String = {
+    val d2 = pqD2(sub) _
     val chains = (0 until m).map { j =>
       val lo = j * sub + 1
       val hi = (j + 1) * sub
@@ -195,17 +199,55 @@ object Oracles {
         |      FROM s$j CROSS JOIN c${j}_1)) WHERE rn = 1)"""
         .stripMargin
     }
+    s"""WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+      |  FROM embeddings),
+      |${chains.mkString(",\n")}""".stripMargin
+  }
+
+  private def pqEncodeSql(m: Int, sub: Int, cells: Int): String = {
+    val dim = m * sub
     val joins = (1 until m)
       .map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
     val codeCols = (0 until m).map(j => s"code_$j").mkString(", ")
     val mseSum = (0 until m).map(j => s"f$j.d2").mkString(" + ")
-    s"""WITH v AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
-      |  FROM embeddings),
-      |${chains.mkString(",\n")}
+    s"""${pqChainsSql(m, sub, cells)}
       |SELECT vec_id, $codeCols,
       |  round(($mseSum) / $dim, 8) + 0 AS recon_mse
       |FROM f0 $joins ORDER BY vec_id""".stripMargin
+  }
+
+  /** PQ-ADC top-k (q116): every corpus vector is represented by its m
+    * codes only; distance = Σ_j L2²(query slice j, centroid(code_j)),
+    * ranked (distance asc, neighbor asc) per query. */
+  private def pqAdcSql(m: Int, sub: Int, cells: Int, k: Int,
+      nQueries: Int): String = {
+    val d2 = pqD2(sub) _
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(j => s"code_$j").mkString(", ")
+    val cbJoins = (0 until m)
+      .map(j => s"JOIN c${j}_1 b$j ON b$j.cell = cd.code_$j")
+      .mkString(" ")
+    val adSum = (0 until m).map { j =>
+      val off = j * sub
+      d2(s"(q.vv[${off + 1}:${off + sub}])", s"b$j.cv")
+    }.mkString(" + ")
+    s"""${pqChainsSql(m, sub, cells)},
+      |codes AS (
+      |  SELECT f0.vec_id, $codeCols FROM f0 $codeJoins),
+      |qv AS (SELECT vec_id AS query_id, vv FROM v
+      |  WHERE vec_id < $nQueries),
+      |scored AS (
+      |  SELECT q.query_id, cd.vec_id AS neighbor_id, $adSum AS ad
+      |  FROM qv q CROSS JOIN codes cd $cbJoins
+      |  WHERE cd.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, round(ad, 8) + 0 AS adc_d2,
+      |  CAST(rn AS INT) AS rn
+      |FROM (SELECT query_id, neighbor_id, ad, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY ad, neighbor_id) AS rn
+      |  FROM scored)
+      |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
   }
 
   private def bpeMerges(steps: Int): String =
@@ -2039,5 +2081,8 @@ object Oracles {
         |    ORDER BY order_key, doc_id) AS BIGINT) AS pos
         |FROM h ORDER BY doc_id""".stripMargin,
 
-    "q115_pq_encode" -> pqEncodeSql(m = 4, sub = 16, cells = 16))
+    "q115_pq_encode" -> pqEncodeSql(m = 4, sub = 16, cells = 16),
+
+    "q116_pq_adc" -> pqAdcSql(m = 4, sub = 16, cells = 16, k = 5,
+      nQueries = 10))
 }

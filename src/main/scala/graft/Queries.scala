@@ -1494,6 +1494,17 @@ object Queries {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- PQ asymmetric-distance search --------------------------------
+    "q116_pq_adc" -> ((s, d) => {
+      // candidates scored from their m PQ codes only (no raw corpus
+      // vectors in the scoring join); distance asc, id asc, top-5
+      val emb = t(s, d, "embeddings")
+      graft.operators.SimilarityOps.pqAdcTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "vec_id", k = 5, m = 4, cells = 16, iters = 1)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // ---- deterministic training-order permutation ---------------------
     "q114_training_order" -> ((s, d) => {
       // seeded hash-order (shard, pos) addressing — the reproducible

@@ -389,6 +389,42 @@ object SimilarityOps {
         + lit(0)).as("recon_mse"): _*)
   }
 
+  /** PQ asymmetric-distance top-k (ADC): corpus vectors participate
+    * ONLY through their m PQ codes — the scoring join never touches a
+    * raw corpus vector, which is the entire point of PQ at 100 TB (the
+    * scanned state per candidate is m bytes, not dim floats). Each
+    * (query, candidate) distance is Σ_j L2²(query-slice_j,
+    * centroid(code_j)), evaluated in-row against codebook literals;
+    * ranking is the bounded-heap top-k (distance asc, id asc), so the
+    * exchange carries queries×k rows. Exact-vector re-ranking of the
+    * ADC shortlist is the standard second stage and composes with
+    * [[bruteForceTopK]] on the shortlist ids. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, m: Int = 4,
+      cells: Int = 16, iters: Int = 1): DataFrame = {
+    val cbs = pqTrain(corpus, idCol, vecCol, m, cells, iters)
+    val sub = cbs.head.head.length
+    val enc = corpus.select(col(idCol).as("neighbor_id") +:
+      (0 until m).map { j =>
+        argminCell(slice(col(vecCol).cast("array<double>"),
+          j * sub + 1, sub), cbs(j)).as(s"__code$j")
+      }: _*)
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv")))
+    val ad = (0 until m).map { j =>
+      sqDist(slice(col("__qv"), j * sub + 1, sub),
+        element_at(cbLiteral(cbs(j)), col(s"__code$j") + 1))
+    }.reduce(_ + _)
+    val scored = enc.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__negd2", -ad)
+    graft.functions.TopKByScore.explodeTopK(scored, Seq("query_id"),
+        col("__negd2"), col("neighbor_id").cast("long"), k,
+        outId = "neighbor_id", outScore = "__negd2")
+      .select(col("query_id"), col("neighbor_id"),
+        (dround(-col("__negd2"), 8) + lit(0)).as("adc_d2"), col("rn"))
+  }
+
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
       cells: Int = 16, iters: Int = 2): Array[Array[Double]] = {
     var cb = initCodebook(df, idCol, vecCol, cells)

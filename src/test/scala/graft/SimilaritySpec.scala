@@ -280,4 +280,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(1)._4 == 0.3125)
     assert(out(2)._4 == 0.3125)
   }
+
+  test("PQ ADC ranks by code distance with deterministic ties") {
+    // same fixture/codebooks as above; v2 and v3 share v1's codes, so
+    // their ADC distances tie exactly (2.25) → id asc; v4 is far
+    val df = Seq(
+      (1L, Seq(0f, 0f, 10f, 10f)),
+      (2L, Seq(1f, 1f, 11f, 11f)),
+      (3L, Seq(0f, 1f, 10f, 11f)),
+      (4L, Seq(9f, 9f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.pqAdcTopK(df,
+      df.filter(col("vec_id") === 1), "vec_id", "embedding",
+      "vec_id", k = 3, m = 2, cells = 2, iters = 1)
+      .orderBy("rn").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L))
+    assert(out(0).getDouble(2) == 2.25)
+    assert(out(1).getDouble(2) == 2.25)
+  }
 }
