@@ -155,10 +155,11 @@ object Oracles {
     s"list_sum(list_transform(range(1, ${sub + 1}), " +
       s"i -> ($sv[i]-$cv[i])*($sv[i]-$cv[i])))"
 
-  /** The WITH prefix shared by the PQ oracles: per subspace j —
-    * init codebook c{j}_0, one L2 Lloyd round (a{j}, m{j}, c{j}_1),
-    * final codes + min distances f{j}. */
-  private def pqChainsSql(m: Int, sub: Int, cells: Int): String = {
+  /** The per-subspace CTE chain shared by the PQ oracles (assumes a
+    * `v(vec_id, vv)` CTE is already in scope): init codebook c{j}_0,
+    * one L2 Lloyd round (a{j}, m{j}, c{j}_1), final codes + min
+    * distances f{j}. */
+  private def pqChainsBody(m: Int, sub: Int, cells: Int): String = {
     val d2 = pqD2(sub) _
     val chains = (0 until m).map { j =>
       val lo = j * sub + 1
@@ -199,11 +200,14 @@ object Oracles {
         |      FROM s$j CROSS JOIN c${j}_1)) WHERE rn = 1)"""
         .stripMargin
     }
+    chains.mkString(",\n")
+  }
+
+  private def pqChainsSql(m: Int, sub: Int, cells: Int): String =
     s"""WITH v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
       |  FROM embeddings),
-      |${chains.mkString(",\n")}""".stripMargin
-  }
+      |${pqChainsBody(m, sub, cells)}""".stripMargin
 
   private def pqEncodeSql(m: Int, sub: Int, cells: Int): String = {
     val dim = m * sub
@@ -2084,5 +2088,62 @@ object Oracles {
     "q115_pq_encode" -> pqEncodeSql(m = 4, sub = 16, cells = 16),
 
     "q116_pq_adc" -> pqAdcSql(m = 4, sub = 16, cells = 16, k = 5,
-      nQueries = 10))
+      nQueries = 10),
+
+    // full IVF-PQ: coarse probe (trained cb2, as q40) → ADC shortlist
+    // from PQ codes → exact-cosine re-rank of the top-20
+    "q117_ivfpq" -> (lloyd2cb16 + ",\n" +
+      pqChainsBody(m = 4, sub = 16, cells = 16) + """,
+        |codes AS (
+        |  SELECT f0.vec_id, code_0, code_1, code_2, code_3
+        |  FROM f0 JOIN f1 USING (vec_id) JOIN f2 USING (vec_id)
+        |    JOIN f3 USING (vec_id)),
+        |asn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, cb2.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb2) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT v.vec_id AS query_id, cb2.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb2 WHERE v.vec_id < 10) WHERE rn <= 4),
+        |adc AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (qv.vv[i]-b0.cv[i])*(qv.vv[i]-b0.cv[i])))
+        |    + list_sum(list_transform(range(1, 17),
+        |      i -> (qv.vv[16+i]-b1.cv[i])*(qv.vv[16+i]-b1.cv[i])))
+        |    + list_sum(list_transform(range(1, 17),
+        |      i -> (qv.vv[32+i]-b2.cv[i])*(qv.vv[32+i]-b2.cv[i])))
+        |    + list_sum(list_transform(range(1, 17),
+        |      i -> (qv.vv[48+i]-b3.cv[i])*(qv.vv[48+i]-b3.cv[i])))
+        |      AS ad
+        |  FROM probes p JOIN asn a ON p.cell = a.cell
+        |  JOIN codes cd ON cd.vec_id = a.vec_id
+        |  JOIN c0_1 b0 ON b0.cell = cd.code_0
+        |  JOIN c1_1 b1 ON b1.cell = cd.code_1
+        |  JOIN c2_1 b2 ON b2.cell = cd.code_2
+        |  JOIN c3_1 b3 ON b3.cell = cd.code_3
+        |  JOIN v qv ON qv.vec_id = p.query_id
+        |  WHERE a.vec_id <> p.query_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ad, neighbor_id) AS rn
+        |    FROM adc) WHERE rn <= 20),
+        |rr AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_cosine_similarity(qv.vv, nv.vv) AS cs
+        |  FROM short s
+        |  JOIN v qv ON qv.vec_id = s.query_id
+        |  JOIN v nv ON nv.vec_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+        |  CAST(rn AS INT) AS rn
+        |FROM (SELECT query_id, neighbor_id, cs, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+        |  FROM rr)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin))
 }

@@ -1505,6 +1505,18 @@ object Queries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // ---- full IVF-PQ pipeline -----------------------------------------
+    "q117_ivfpq" -> ((s, d) => {
+      // coarse probe (trained cells, as q40) → ADC shortlist from PQ
+      // codes → exact-cosine re-rank of the top-20 → final top-5
+      val emb = t(s, d, "embeddings")
+      graft.operators.SimilarityOps.ivfPqTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "vec_id", k = 5, cells = 16, nprobe = 4, coarseIters = 2,
+        m = 4, pqCells = 16, pqIters = 1, rerank = 20)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // ---- deterministic training-order permutation ---------------------
     "q114_training_order" -> ((s, d) => {
       // seeded hash-order (shard, pos) addressing — the reproducible

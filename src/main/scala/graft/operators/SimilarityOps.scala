@@ -425,6 +425,56 @@ object SimilarityOps {
         (dround(-col("__negd2"), 8) + lit(0)).as("adc_d2"), col("rn"))
   }
 
+  /** Full IVF-PQ search — the standard billion-scale ANN architecture
+    * (Jégou 2011), assembled from the pieces above:
+    *  1. coarse prune: queries probe their `nprobe` nearest trained
+    *     cells, so each query touches ~nprobe/cells of the corpus;
+    *  2. ADC shortlist: surviving candidates are scored from their m
+    *     PQ codes only (m small ints per candidate in the join);
+    *  3. exact re-rank: the top-`rerank` shortlist re-joins its raw
+    *     vectors by id for true-cosine ordering — rerank×queries rows,
+    *     independent of corpus size.
+    * Corpus vectors are touched exactly twice (cell+code assignment,
+    * both narrow maps) plus the id-keyed shortlist re-join. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, cells: Int = 16,
+      nprobe: Int = 4, coarseIters: Int = 2, m: Int = 4,
+      pqCells: Int = 16, pqIters: Int = 1, rerank: Int = 20)
+      : DataFrame = {
+    val coarse =
+      if (coarseIters > 0) kmeansTrain(corpus, idCol, vecCol, cells,
+        coarseIters)
+      else initCodebook(corpus, idCol, vecCol, cells)
+    val cbs = pqTrain(corpus, idCol, vecCol, m, pqCells, pqIters)
+    val sub = cbs.head.head.length
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val encoded = assignCells(c, "__cv", coarse)
+      .select(col("cell") +: col("neighbor_id") +: (0 until m).map(j =>
+        argminCell(slice(col("__cv"), j * sub + 1, sub), cbs(j))
+          .as(s"__code$j")): _*)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val probes = q.withColumn("cell",
+      explode(graft.functions.NearestCells.column(col("__qv"), coarse,
+        nprobe)))
+    val ad = (0 until m).map { j =>
+      sqDist(slice(col("__qv"), j * sub + 1, sub),
+        element_at(cbLiteral(cbs(j)), col(s"__code$j") + 1))
+    }.reduce(_ + _)
+    val scored = encoded.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__negd2", -ad)
+    val short = graft.functions.TopKByScore.explodeTopK(scored,
+      Seq("query_id"), col("__negd2"), col("neighbor_id").cast("long"),
+      rerank, outId = "neighbor_id", outScore = "__negd2")
+    val rr = short.select(col("query_id"), col("neighbor_id"))
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+    rankTopK(rr, k)
+  }
+
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
       cells: Int = 16, iters: Int = 2): Array[Array[Double]] = {
     var cb = initCodebook(df, idCol, vecCol, cells)

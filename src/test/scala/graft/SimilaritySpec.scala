@@ -80,6 +80,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head.getAs[Double]("cos_sim") > 0.999)
   }
 
+  test("ivfPqTopK recovers the planted duplicate through ADC + rerank") {
+    // 8-dim vectors, m=2 subspaces; the near-identical copy of vec 13
+    // must survive coarse probing, rank into the ADC shortlist, and
+    // come out first after the exact re-rank
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(8)(d =>
+        math.cos(i * 29.0 + d * 11.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probe = Seq((777L, Seq.tabulate(8)(d =>
+      (math.cos(13 * 29.0 + d * 11.0) * 1.001).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfPqTopK(corpus.union(probe), probe,
+      "vec_id", "embedding", "vec_id", k = 1, cells = 8, nprobe = 3,
+      coarseIters = 1, m = 2, pqCells = 8, pqIters = 1, rerank = 10)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("neighbor_id") == 13L)
+    assert(out.head.getAs[Double]("cos_sim") > 0.999)
+  }
+
   test("NearestCells matches brute-force argmax ranking") {
     val codebook = Array.tabulate(6, 8)((j, d) =>
       math.cos(j * 17.0 + d * 5.0))
