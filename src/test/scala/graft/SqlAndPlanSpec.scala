@@ -73,7 +73,8 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q52_tfidf", "q68_corpus_mix", "q83_winsorize",
       "q84_pmi_bigrams", "q89_heavy_hitters",
       "q93_containment", // q93: q26's bounded broadcast verifier shape
-      "q108_dsir_weights") // 1-row totals attached to the 256-bucket LR table
+      "q108_dsir_weights", // 1-row totals attached to the 256-bucket LR table
+      "q116_pq_adc") // q28's deliberate shape: corpus codes × 10 broadcast queries
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
@@ -207,6 +208,16 @@ class SqlAndPlanSpec extends SparkTestBase {
     }
     assert(docScans.length == 1,
       s"expected 1 documents scan, got ${docScans.length}")
+  }
+
+  test("PQ encode is a narrow pass: only the output sort exchanges") {
+    // training runs as separate collect jobs; the returned encode plan
+    // must be scan → in-row codes/mse → orderBy (one range exchange)
+    val exchanges = executedNodes("q115_pq_encode").collect {
+      case e: Exchange => e
+    }
+    assert(exchanges.length <= 1,
+      s"expected ≤1 exchange, got ${exchanges.length}")
   }
 
   test("cluster-best ranks representatives without a window sort") {
