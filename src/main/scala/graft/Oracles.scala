@@ -1987,15 +1987,22 @@ object Oracles {
         |    / (CAST(cs + 1 AS DOUBLE) / CAST(ns + 256 AS DOUBLE))), 6)
         |    AS lrv
         |  FROM cnt CROSS JOIN tot),
-        |sc AS (
-        |  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-        |    round(sum(lrv), 4) + 0 AS weight
-        |  FROM fb JOIN lr USING (fbk) GROUP BY fb.doc_id)
-        |SELECT d.doc_id,
-        |  coalesce(sc.n_feats, 0) AS n_feats,
-        |  coalesce(sc.weight, 0.0) AS weight
-        |FROM documents d LEFT JOIN sc USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |lrt AS (
+        |  SELECT list(coalesce(lr.lrv, 0.0) ORDER BY r.range) AS lrl
+        |  FROM range(0, 256) r LEFT JOIN lr ON lr.fbk = r.range),
+        |bl AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END AS bgl
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents))
+        |SELECT bl.doc_id, CAST(len(bgl) AS BIGINT) AS n_feats,
+        |  round(coalesce(list_sum(list_transform(bgl, g ->
+        |    lrl[(CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT)
+        |      % 256) + 1])), 0.0), 4) + 0 AS weight
+        |FROM bl CROSS JOIN lrt
+        |ORDER BY bl.doc_id""".stripMargin,
 
     "q109_winnowing" ->
       (winnowFp + """
@@ -2092,7 +2099,43 @@ object Oracles {
 
     // full IVF-PQ: coarse probe (trained cb2, as q40) → ADC shortlist
     // from PQ codes → exact-cosine re-rank of the top-20
-    "q117_ivfpq" -> (lloyd2cb16 + ",\n" +
+    "q117_ivfpq" -> (ivfPqCtes + """
+        |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
+        |  CAST(rn AS INT) AS rn
+        |FROM (SELECT query_id, neighbor_id, cs, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+        |  FROM rr)
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+
+    // ANN quality audit: IVF-PQ top-5 overlap vs exact top-5
+    "q118_ann_recall" -> (ivfPqCtes + """,
+        |appr AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |      AS rn FROM rr) WHERE rn <= 5),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT qv.vec_id AS query_id, nv.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qv.vec_id
+        |        ORDER BY list_cosine_similarity(qv.vv, nv.vv) DESC,
+        |          nv.vec_id) AS rn
+        |    FROM v qv JOIN v nv ON nv.vec_id <> qv.vec_id
+        |    WHERE qv.vec_id < 10) WHERE rn <= 5)
+        |SELECT q.query_id, CAST(coalesce(o.n, 0) AS BIGINT)
+        |  AS recall_at_5
+        |FROM (SELECT vec_id AS query_id FROM v WHERE vec_id < 10) q
+        |LEFT JOIN (SELECT a.query_id, count(*) AS n FROM appr a
+        |  JOIN ex USING (query_id, neighbor_id)
+        |  GROUP BY a.query_id) o USING (query_id)
+        |ORDER BY query_id""".stripMargin))
+
+  /** Shared CTE stack for the IVF-PQ oracles (q117/q118): trained
+    * coarse codebook (lloyd2cb16) + PQ chains + codes/assignment/
+    * probes/ADC/shortlist/re-rank, ending at `rr(query_id,
+    * neighbor_id, cs)`. */
+  private lazy val ivfPqCtes: String =
+    (lloyd2cb16 + ",\n" +
       pqChainsBody(m = 4, sub = 16, cells = 16) + """,
         |codes AS (
         |  SELECT f0.vec_id, code_0, code_1, code_2, code_3
@@ -2139,11 +2182,5 @@ object Oracles {
         |    list_cosine_similarity(qv.vv, nv.vv) AS cs
         |  FROM short s
         |  JOIN v qv ON qv.vec_id = s.query_id
-        |  JOIN v nv ON nv.vec_id = s.neighbor_id)
-        |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
-        |  CAST(rn AS INT) AS rn
-        |FROM (SELECT query_id, neighbor_id, cs, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
-        |  FROM rr)
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin))
+        |  JOIN v nv ON nv.vec_id = s.neighbor_id)""".stripMargin)
 }

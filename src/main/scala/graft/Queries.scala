@@ -1517,6 +1517,28 @@ object Queries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // ---- ANN recall audit (IVF-PQ vs exact) ---------------------------
+    "q118_ann_recall" -> ((s, d) => {
+      // per-query overlap of q117's IVF-PQ top-5 with the exact top-5
+      // — the production quality monitor for an ANN index
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val ops = graft.operators.SimilarityOps
+      val exact = ops.bruteForceTopK(emb, q, "vec_id", "embedding",
+        "vec_id", k = 5).select(col("query_id"), col("neighbor_id"))
+      val approx = ops.ivfPqTopK(emb, q, "vec_id", "embedding",
+        "vec_id", k = 5, cells = 16, nprobe = 4, coarseIters = 2,
+        m = 4, pqCells = 16, pqIters = 1, rerank = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+      q.select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n"), lit(0L)).as("recall_at_5"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- deterministic training-order permutation ---------------------
     "q114_training_order" -> ((s, d) => {
       // seeded hash-order (shard, pos) addressing — the reproducible
