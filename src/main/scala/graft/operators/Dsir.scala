@@ -16,16 +16,22 @@ import graft.functions.{Rounding, TextFunctions}
   *  - each bigram maps to one of [[Buckets]] hashed feature buckets,
   *    so BOTH distributions reduce to a `Buckets`-row count table via
   *    one map-side-combined aggregate — corpus-size-independent;
-  *  - the per-bucket log-likelihood-ratio table is broadcast back and
-  *    documents re-aggregate (id → Σ log-ratio) with partial
-  *    aggregation, so the only wide exchange carries (id, partial sum)
-  *    pairs.
+  *  - the per-bucket log-likelihood-ratio table (≤ `Buckets` rows) is
+  *    collected as model metadata — like a codebook — and rides the
+  *    plan as an array literal, so per-doc scoring is a NARROW in-row
+  *    fold over the doc's bigrams in document order: no explode, no
+  *    join, no per-doc aggregation exchange at all.
   *
   * The feature hash is the first 8 hex chars of md5 (mod buckets) —
   * deliberately engine-portable (the DuckDB oracle replicates it
   * bit-for-bit), unlike xxhash64. Per-bucket smoothing is add-1 over
-  * `Buckets` cells; ratios are rounded to 6 dp before the per-doc sum
-  * so the oracle's libm and summation order cannot drift the result.
+  * `Buckets` cells; ratios are rounded to 6 dp before the per-doc sum.
+  * The in-row fold is also what makes the 4-dp doc weight
+  * bit-reproducible: a groupBy sum's association order is
+  * partition-dependent, and at sf0.1 ~0.4% of docs landed on 4-dp
+  * rounding boundaries where that last-bit drift flipped the digit vs
+  * the oracle — a left fold in document order is the same
+  * parenthesization on both engines.
   */
 object Dsir {
 
@@ -55,29 +61,33 @@ object Dsir {
     val base = df.select(col(idCol), col(textCol),
       isTarget.cast("boolean").as("__t"))
     val feats = base
-      .select(col(idCol), col("__t"),
-        explode(bigrams(col(textCol))).as("__bg"))
+      .select(col("__t"), explode(bigrams(col(textCol))).as("__bg"))
       .withColumn("__fb", featBucket(col("__bg")))
     val counts = feats.groupBy(col("__fb")).agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("__cs"))
     val totals = counts.agg(sum(col("__ct")).as("__nt"),
       sum(col("__cs")).as("__ns"))
-    val ratio = counts.crossJoin(broadcast(totals))
-      .withColumn("__lr", Rounding.dround(
+    // bounded collect: the ≤Buckets-row LR table is model metadata
+    // (buckets no bigram maps to never get referenced; 0.0 fill)
+    val lrRows = counts.crossJoin(broadcast(totals))
+      .select(col("__fb"), Rounding.dround(
         log(((col("__ct") + 1).cast("double")
             / (col("__nt") + Buckets).cast("double"))
           / ((col("__cs") + 1).cast("double")
-            / (col("__ns") + Buckets).cast("double"))), 6))
-    val scored = feats
-      .join(broadcast(ratio.select(col("__fb"), col("__lr"))), "__fb")
-      .groupBy(col(idCol)).agg(
-        count(lit(1)).as("n_feats"),
-        (Rounding.dround(sum(col("__lr")), 4) + lit(0)).as("weight"))
-    base.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("weight"), lit(0.0)).as("weight"))
+            / (col("__ns") + Buckets).cast("double"))), 6).as("__lr"))
+      .collect()
+    val lrArr = Array.fill(Buckets)(0.0)
+    lrRows.foreach(r => lrArr(r.getLong(0).toInt) = r.getDouble(1))
+    val lrLit = array(lrArr.map(lit(_)): _*)
+    // narrow scoring: left fold over the doc's bigrams in document
+    // order — deterministic parenthesization, no shuffle
+    val bg = bigrams(col(textCol))
+    base.select(col(idCol),
+      size(bg).cast("long").as("n_feats"),
+      (Rounding.dround(aggregate(
+        transform(bg, b => element_at(lrLit,
+          featBucket(b).cast("int") + 1)),
+        lit(0.0d), (acc, v) => acc + v), 4) + lit(0)).as("weight"))
   }
 }

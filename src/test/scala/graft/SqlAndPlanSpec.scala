@@ -74,7 +74,8 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q84_pmi_bigrams", "q89_heavy_hitters",
       "q93_containment", // q93: q26's bounded broadcast verifier shape
       "q108_dsir_weights", // 1-row totals attached to the 256-bucket LR table
-      "q116_pq_adc") // q28's deliberate shape: corpus codes × 10 broadcast queries
+      "q116_pq_adc", // q28's deliberate shape: corpus codes × 10 broadcast queries
+      "q118_ann_recall") // composes q28's exact top-5 as the recall reference
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
