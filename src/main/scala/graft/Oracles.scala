@@ -2099,6 +2099,29 @@ object Oracles {
 
     // full IVF-PQ: coarse probe (trained cb2, as q40) → ADC shortlist
     // from PQ codes → exact-cosine re-rank of the top-20
+    "q119_dup_spans" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 5
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 3),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          || ' ' || toks[i+3] || ' ' || toks[i+4]) END)) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |d AS (SELECT doc_id, md5(s) AS dg FROM sh),
+        |dfr AS (SELECT dg, count(*) AS dfreq FROM d GROUP BY dg)
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  round(CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS dup_fraction
+        |FROM d JOIN dfr USING (dg)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q120_quality_classifier" -> lrGdOracle(iters = 3),
+
     "q117_ivfpq" -> (ivfPqCtes + """
         |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
         |  CAST(rn AS INT) AS rn
@@ -2129,6 +2152,57 @@ object Oracles {
         |  JOIN ex USING (query_id, neighbor_id)
         |  GROUP BY a.query_id) o USING (query_id)
         |ORDER BY query_id""".stripMargin))
+
+  /** Unrolled full-batch logistic-GD oracle replicating
+    * [[graft.operators.QualityClassifier.scoreDF]] (lr = 0.5, zero
+    * init): per-doc residuals are 6-dp-rounded, scaled to BIGINT and
+    * integer-summed (order-free — the same determinism contract as the
+    * Spark side), weights re-rounded to 6 dp each iteration. */
+  private def lrGdOracle(iters: Int): String = {
+    val stopList = graft.functions.TextFunctions.EnglishStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val z = "wa + wb*f1 + wc*f2 + wd*f3"
+    val header = s"""WITH f AS (
+      |  SELECT doc_id, (source = 'src0') AS y,
+      |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0), 6)
+      |      AS f1,
+      |    round(sqrt(CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / greatest(CAST(len(toks) AS DOUBLE), 1.0)), 6) AS f2,
+      |    round(CAST(len(list_filter(toks,
+      |        t -> list_contains($stopList, t))) AS DOUBLE)
+      |      / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS f3
+      |  FROM (SELECT doc_id, source, text,
+      |      CASE WHEN trim(text) = '' THEN []
+      |      ELSE string_split_regex(trim(lower(text)), '\\s+') END
+      |      AS toks FROM documents)),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM f),
+      |w0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc, 0.0 AS wd)"""
+    val iterCtes = (0 until iters).map { i =>
+      s""",
+      |g${i + 1} AS (
+      |  SELECT sum(CAST(round(rs * 1000000.0, 0) AS BIGINT)) AS s0,
+      |    sum(CAST(round(rs * f1 * 1000000.0, 0) AS BIGINT)) AS s1,
+      |    sum(CAST(round(rs * f2 * 1000000.0, 0) AS BIGINT)) AS s2,
+      |    sum(CAST(round(rs * f3 * 1000000.0, 0) AS BIGINT)) AS s3
+      |  FROM (SELECT f1, f2, f3,
+      |      (CASE WHEN y THEN 1.0 ELSE 0.0 END)
+      |        - round(1.0 / (1.0 + exp(-($z))), 6) AS rs
+      |    FROM f CROSS JOIN w$i)),
+      |w${i + 1} AS (
+      |  SELECT round(wa + 0.5 * s0 / (1000000.0 * nv), 6) AS wa,
+      |    round(wb + 0.5 * s1 / (1000000.0 * nv), 6) AS wb,
+      |    round(wc + 0.5 * s2 / (1000000.0 * nv), 6) AS wc,
+      |    round(wd + 0.5 * s3 / (1000000.0 * nv), 6) AS wd
+      |  FROM w$i CROSS JOIN g${i + 1} CROSS JOIN n)"""
+    }.mkString
+    val tail = s"""
+      |SELECT doc_id, y AS label,
+      |  round(1.0 / (1.0 + exp(-($z))), 4) + 0 AS score,
+      |  (round(1.0 / (1.0 + exp(-($z))), 4) + 0) >= 0.5 AS pred
+      |FROM f CROSS JOIN w$iters
+      |ORDER BY doc_id"""
+    (header + iterCtes + tail).stripMargin
+  }
 
   /** Shared CTE stack for the IVF-PQ oracles (q117/q118): trained
     * coarse codebook (lloyd2cb16) + PQ chains + codes/assignment/

@@ -1539,6 +1539,22 @@ object Queries {
         .orderBy(col("query_id"))
     }),
 
+    // ---- duplicated-span fraction (exact-substring dedup signal) ------
+    "q119_dup_spans" -> ((s, d) => {
+      graft.operators.SpanDedup.dupSpanStats(
+        t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- trained quality classifier (logistic GD, integer-summed) -----
+    "q120_quality_classifier" -> ((s, d) => {
+      // positives = src0 docs; 3 full-batch iterations, lr 0.5
+      graft.operators.QualityClassifier.scoreDF(
+        t(s, d, "documents"), "doc_id", "text",
+        isPositive = col("source") === "src0")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- deterministic training-order permutation ---------------------
     "q114_training_order" -> ((s, d) => {
       // seeded hash-order (shard, pos) addressing — the reproducible

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.dround
+import graft.functions.TextFunctions
+
+/** Trained quality classifier: full-batch logistic regression over
+  * cheap in-row text features — the stand-in for the fasttext-style
+  * quality filters real pretraining pipelines train on a curated
+  * positive set and apply corpus-wide (GPT-3 §2.2, LLaMA's CCNet
+  * filtering).
+  *
+  * Scale design:
+  *  - each gradient-descent iteration is ONE corpus scan ending in a
+  *    single map-side-combined aggregate that reduces to 4 longs — the
+  *    driver holds only the weight vector, never data;
+  *  - per-document gradient contributions are rounded to 6 dp and
+  *    scaled to 64-bit integers BEFORE the sum, so the distributed
+  *    reduction is integer addition — associative and therefore
+  *    independent of partitioning and combine order. (A double sum's
+  *    association order is partition-dependent; q108 hit exactly that
+  *    class of last-bit drift.) Headroom: |contrib| ≤ 10⁶ per doc, so
+  *    the sum stays inside Long up to ~9·10¹² documents — comfortably
+  *    past 100 TB corpora;
+  *  - all in-row math is IEEE doubles with the same literal operand
+  *    order the DuckDB oracle uses, so both engines compute
+  *    bit-identical values; `exp` is the only libm call (1-ulp
+  *    divergence risk ~1e-10 per cell after 6-dp rounding).
+  *
+  * Determinism contract: weights after each iteration are a pure
+  * function of (corpus, label rule, lr, iters) — the oracle unrolls the
+  * same iterations in SQL CTEs and must land on the same weights.
+  */
+object QualityClassifier {
+
+  /** Feature columns (all 6-dp rounded): bias-less triple of
+    * length score, type/token diversity, stopword ratio — the same
+    * signals [[TextFunctions.qualityScore]] composes heuristically,
+    * here left free for the classifier to weight. */
+  def featureFrame(df: DataFrame, idCol: String, textCol: String,
+      isPositive: Column): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val total = greatest(size(toks).cast("double"), lit(1.0))
+    df.select(col(idCol), isPositive.as("__y"),
+      dround(least(length(col(textCol)).cast("double") / lit(500.0),
+        lit(1.0)), 6).as("f1"),
+      dround(sqrt(size(array_distinct(toks)).cast("double") / total), 6)
+        .as("f2"),
+      dround(size(filter(toks,
+        t => t.isin(TextFunctions.EnglishStopwords: _*)))
+        .cast("double") / total, 6).as("f3"))
+  }
+
+  /** z = w·(1, f1, f2, f3) with the exact literal order the oracle
+    * uses (left-associated adds). */
+  private def zCol(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+      lit(w(3)) * col("f3")
+
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Driver-side 6-dp rounding mirroring [[dround]]'s scale-first
+    * sequence (IEEE multiply, HALF_UP on the exact expansion) so
+    * driver-held weights equal what Spark/DuckDB would round. */
+  private def r6(x: Double): Double = {
+    val y = x * 1e6
+    new java.math.BigDecimal(y)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e6
+  }
+
+  /** The one-job-per-iteration gradient aggregate for weights `w`:
+    * per-doc residual×feature contributions rounded, integer-scaled
+    * and summed to 4 longs (map-side combinable). */
+  def gradientFrame(feats: DataFrame, w: Array[Double]): DataFrame = {
+    val p = dround(sigmoid(zCol(w)), 6)
+    val resid = when(col("__y"), 1.0).otherwise(0.0) - p
+    def g(x: Column) = sum(round(x * lit(1000000.0), 0).cast("long"))
+    feats.select(g(resid).as("s0"), g(resid * col("f1")).as("s1"),
+      g(resid * col("f2")).as("s2"), g(resid * col("f3")).as("s3"))
+  }
+
+  /** Full-batch GD: w ← round₆(w + lr·Σround₆ₛ((y−p)·x)/(10⁶·N)),
+    * starting from 0⃗. One aggregate job per iteration. */
+  def train(feats: DataFrame, lr: Double = 0.5, iters: Int = 3)
+      : Array[Double] = {
+    val n = feats.count().toDouble
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    var it = 0
+    while (it < iters) {
+      val r = gradientFrame(feats, w).collect()(0)
+      w = Array.tabulate(4)(j =>
+        r6(w(j) + lr * r.getLong(j) / (1000000.0 * n)))
+      it += 1
+    }
+    w
+  }
+
+  /** Train on the full frame, then score every document: (id, label,
+    * score, pred) with score = σ(w·x) at 4 dp and pred thresholded on
+    * the rounded score. iters+1 corpus scans total. */
+  def scoreDF(df: DataFrame, idCol: String, textCol: String,
+      isPositive: Column, lr: Double = 0.5, iters: Int = 3): DataFrame = {
+    val feats = featureFrame(df, idCol, textCol, isPositive)
+    val w = train(feats, lr, iters)
+    feats.select(col(idCol), col("__y").as("label"),
+      (dround(sigmoid(zCol(w)), 4) + lit(0)).as("score"))
+      .withColumn("pred", col("score") >= 0.5)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{QualityClassifier, SpanDedup}
+
+class SpanQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- SpanDedup ------------------------------------------------------
+
+  test("dup-span fraction: shared and unique windows") {
+    val df = Seq(
+      (1L, "a b c d e f"), // windows: "a b c d e", "b c d e f"
+      (2L, "a b c d e"),   // single window, shared with doc1
+      (3L, "x y z"),       // <5 tokens -> whole-stream window
+      (4L, "x y z"))       // exact dup of doc3's window
+      .toDF("doc_id", "text")
+    val out = SpanDedup.dupSpanStats(df, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 1L, 1L, 1.0),
+      (3L, 1L, 1L, 1.0),
+      (4L, 1L, 1L, 1.0)))
+  }
+
+  test("dup-span: in-doc repeats count once, alone in corpus -> 0 dup") {
+    val df = Seq((1L, "a b c d e a b c d e a b c d e"))
+      .toDF("doc_id", "text")
+    val r = SpanDedup.dupSpanStats(df, "doc_id", "text", k = 5)
+      .collect()(0)
+    // 11 window positions but only 5 distinct cyclic windows
+    assert(r.getLong(1) == 5L && r.getLong(2) == 0L &&
+      r.getDouble(3) == 0.0)
+  }
+
+  // ---- QualityClassifier ----------------------------------------------
+
+  private def corpus = Seq(
+    // positives: longer, diverse, stopword-bearing
+    (1L, "the quick brown fox jumps over the lazy dog and runs on", true),
+    (2L, "a curious reader walks in the park with an open book", true),
+    (3L, "it was the best of times and it was a bright day for all", true),
+    // negatives: short / degenerate repetition
+    (4L, "spam spam spam spam spam spam", false),
+    (5L, "buy buy buy", false),
+    (6L, "zz", false))
+    .toDF("doc_id", "text", "pos")
+
+  test("classifier separates diverse stopword-rich docs from spam") {
+    val scored = QualityClassifier.scoreDF(corpus, "doc_id", "text",
+      col("pos"), iters = 30)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getDouble(2))).toSeq.sortBy(_._1)
+    val posMean = scored.filter(_._2).map(_._3).sum / 3
+    val negMean = scored.filterNot(_._2).map(_._3).sum / 3
+    assert(posMean > negMean,
+      s"positives should score higher: $posMean vs $negMean")
+    scored.foreach { case (_, _, s) =>
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("trained weights are independent of partitioning") {
+    val feats = QualityClassifier.featureFrame(corpus, "doc_id",
+      "text", col("pos"))
+    val w2 = QualityClassifier.train(feats.repartition(2), iters = 5)
+    val w7 = QualityClassifier.train(feats.repartition(7), iters = 5)
+    // integer-summed gradients: bit-identical, not approximately equal
+    assert(w2.toSeq == w7.toSeq)
+  }
+}

@@ -175,6 +175,38 @@ class SqlAndPlanSpec extends SparkTestBase {
       s"cell assignment shuffled: ${exchanges.length} exchanges")
   }
 
+  test("dup-span shuffles digests only, never text or raw windows") {
+    val exchanges = executedNodes("q119_dup_spans").collect {
+      case e: Exchange => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text") && !cols.contains("__s"),
+        s"raw text/window crossed an exchange: $cols")
+    }
+  }
+
+  test("classifier gradient reduces to 4 longs before its exchange") {
+    // one corpus scan per GD iteration ending in a map-side-combined
+    // aggregate: the only exchange carries the 4 partial integer sums
+    val docs = core.Tables.load(spark, sfDir, "documents")
+    val feats = graft.operators.QualityClassifier.featureFrame(
+      docs, "doc_id", "text",
+      org.apache.spark.sql.functions.col("source") === "src0")
+    val g = graft.operators.QualityClassifier.gradientFrame(
+      feats, Array(0.1, -0.2, 0.3, 0.05))
+    g.collect()
+    val exchanges = collectPlan(g.queryExecution.executedPlan)
+      .collect { case e: Exchange => e }
+    assert(exchanges.length == 1, s"expected 1 exchange")
+    val crossing = exchanges.head.child.output
+    assert(crossing.length == 4 &&
+      crossing.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType),
+      s"gradient exchange carries: $crossing")
+  }
+
   test("funnel scans events once with a single aggregation exchange") {
     // q99's staged formulation re-joined events three times; the fused
     // single-agg version must read the table once and shuffle once on
