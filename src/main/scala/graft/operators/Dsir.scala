@@ -37,13 +37,14 @@ object Dsir {
 
   val Buckets = 256
 
-  /** In-row lowercase word bigrams; <2 tokens → empty array. */
+  /** In-row lowercase word bigrams via the native shingle expression
+    * (the builtin transform/sequence/concat_ws chain costs tens of
+    * seconds per corpus pass at sf0.1 — see [[graft.functions
+    * .WordShingles]]); <2 tokens → empty array. */
   def bigrams(text: Column): Column = {
     val toks = TextFunctions.tokens(lower(text))
     when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1),
-          element_at(toks, i + 2))))
+      .otherwise(graft.functions.WordShingles.column(toks, 2))
   }
 
   /** Engine-portable feature bucket: first 8 md5 hex chars mod B. */
@@ -79,7 +80,9 @@ object Dsir {
       .collect()
     val lrArr = Array.fill(Buckets)(0.0)
     lrRows.foreach(r => lrArr(r.getLong(0).toInt) = r.getDouble(1))
-    val lrLit = array(lrArr.map(lit(_)): _*)
+    // typedLit → a single constant ArrayType Literal; array(lit...)
+    // would be a CreateArray re-evaluating 256 children on every row
+    val lrLit = typedLit(lrArr.toSeq)
     // narrow scoring: left fold over the doc's bigrams in document
     // order — deterministic parenthesization, no shuffle
     val bg = bigrams(col(textCol))
