@@ -1626,6 +1626,30 @@ object Oracles {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q121_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    round(sum(CASE WHEN sn.n_name = 'NATION_1'
+        |      THEN l_extendedprice * (1 - l_discount)
+        |      ELSE CAST(0 AS DOUBLE) END), 2) AS nation_volume,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |      AS total_volume
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |    AND r_name = 'AMERICA'
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |    AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31'
+        |  GROUP BY 1)
+        |SELECT o_year, nation_volume, total_volume,
+        |  round(nation_volume / total_volume, 4) AS mkt_share
+        |FROM base ORDER BY o_year""".stripMargin,
+
     "q96_span_corrupt" ->
       """WITH docs AS (
         |  SELECT doc_id,

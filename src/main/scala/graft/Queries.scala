@@ -1290,6 +1290,48 @@ object Queries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ---- TPC-H Q8 shape: market share ----------------------------------
+    "q121_market_share" -> ((s, d) => {
+      // 6-table traversal: per order-year, NATION_1 suppliers' share
+      // of ECONOMY-part revenue sold into AMERICA. All four dims
+      // (part filter, supplier+nation, customer-side chain) broadcast;
+      // the only big shuffles are lineitem⋈orders and the year agg —
+      // the join-reorder/broadcast stress test at 100 TB
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val supN = t(s, d, "supplier")
+        .join(t(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val custAmerica = t(s, d, "customer")
+        .join(t(s, d, "nation")
+          .join(t(s, d, "region").filter(col("r_name") === "AMERICA"),
+            col("n_regionkey") === col("r_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = t(s, d, "orders")
+        .filter(to_date(col("o_orderdate")) >=
+            lit("1995-01-01").cast("date") &&
+          to_date(col("o_orderdate")) <=
+            lit("1996-12-31").cast("date"))
+        .join(custAmerica, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          dround(sum(when(col("supp_nation") === "NATION_1", vol)
+            .otherwise(lit(0.0))), 2).as("nation_volume"),
+          dround(sum(vol), 2).as("total_volume"))
+        .withColumn("mkt_share",
+          dround(col("nation_volume") / col("total_volume"), 4))
+        .orderBy(col("o_year"))
+    }),
+
     // ---- ordered funnel analysis ---------------------------------------
     "q99_funnel" -> ((s, d) => {
       // signup → click → purchase, each step strictly after the
