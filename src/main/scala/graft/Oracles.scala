@@ -1626,6 +1626,92 @@ object Oracles {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q123_curation_funnel" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, md5(text) AS dg,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    (round(
+        |      (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |       * (1.0 - least(
+        |           (CAST(len(regexp_extract_all(text, '[[:punct:]]'))
+        |              AS DOUBLE)
+        |            / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |           * 4.0, 1.0) * 0.5))
+        |      * sqrt(
+        |          CAST(len(list_distinct(CASE WHEN trim(text) = ''
+        |            THEN [] ELSE string_split_regex(
+        |              trim(lower(text)), '\s+') END)) AS DOUBLE)
+        |          / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+        |            ELSE len(string_split_regex(trim(text), '\s+'))
+        |            END AS DOUBLE), 1.0)), 4) >= 0.3) AS gated
+        |  FROM documents),
+        |k AS (SELECT min(doc_id) AS doc_id FROM b WHERE gated
+        |  GROUP BY dg)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN gated THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gated,
+        |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN n_tokens
+        |    ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM b LEFT JOIN k USING (doc_id)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q122_training_export" ->
+      """WITH g AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE round(
+        |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |     * (1.0 - least(
+        |         (CAST(len(regexp_extract_all(text, '[[:punct:]]'))
+        |            AS DOUBLE)
+        |          / greatest(CAST(length(text) AS DOUBLE), 1.0))
+        |         * 4.0, 1.0) * 0.5))
+        |    * sqrt(
+        |        CAST(len(list_distinct(CASE WHEN trim(text) = ''
+        |          THEN [] ELSE string_split_regex(
+        |            trim(lower(text)), '\s+') END)) AS DOUBLE)
+        |        / greatest(CAST(CASE WHEN trim(text) = '' THEN 0
+        |          ELSE len(string_split_regex(trim(text), '\s+'))
+        |          END AS DOUBLE), 1.0)), 4) >= 0.3),
+        |k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+        |c AS (SELECT g.doc_id, g.text FROM g JOIN k USING (doc_id)),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 4 AS INT) AS shard
+        |  FROM c),
+        |o AS (
+        |  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS stream_offset
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(
+        |    md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    AS order_key
+        |  FROM c),
+        |ord AS (
+        |  SELECT doc_id, order_key % 4 AS order_shard,
+        |    CAST(row_number() OVER (PARTITION BY order_key % 4
+        |      ORDER BY order_key, doc_id) AS BIGINT) AS order_pos
+        |  FROM h)
+        |SELECT o.doc_id, n_tokens, shard,
+        |  CAST(shard AS BIGINT) * 1099511627776
+        |    + CAST(floor(stream_offset / 512) AS BIGINT) AS pack_id,
+        |  CAST(stream_offset % 512 AS BIGINT) AS offset_in_pack,
+        |  order_shard, order_pos
+        |FROM o JOIN ord USING (doc_id)
+        |ORDER BY o.doc_id""".stripMargin,
+
     "q121_market_share" ->
       """WITH base AS (
         |  SELECT year(o_orderdate) AS o_year,

@@ -1290,6 +1290,63 @@ object Queries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ---- end-to-end training export (capstone composition) -----------
+    "q122_training_export" -> ((s, d) => {
+      // quality gate → exact dedup → 512-token sequence packing across
+      // 4 shards → seeded training-order address: each stage is the
+      // already-oracle-proven operator (q21/q23/q63/q114), composed
+      // the way a production export job runs them. Text never crosses
+      // an exchange after the gate — dedup shuffles digests, packing
+      // and ordering shuffle (id, n_tokens)-sized rows
+      val docs = t(s, d, "documents")
+      // one text-reading pass: gate, digest, count — everything
+      // downstream shuffles (id, digest, n_tokens) rows only
+      val base = docs
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.3)
+        .select(col("doc_id"), md5(col("text")).as("__dg"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+      val keepers = base.groupBy(col("__dg"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val clean = base.join(keepers, Seq("__dg", "doc_id"))
+        .select(col("doc_id"), col("n_tokens"))
+      val packed = graft.operators.Chunking.packCounts(
+        clean, "doc_id", budget = 512, shards = 4)
+        .select(col("doc_id"), col("n_tokens"), col("shard"),
+          col("pack_id"), col("offset_in_pack"))
+      val order = graft.operators.ShardExport.trainingOrder(
+        clean, "doc_id", seed = 7L, shards = 4)
+        .select(col("doc_id"), col("shard").as("order_shard"),
+          col("pos").as("order_pos"))
+      packed.join(order, Seq("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // ---- per-source curation funnel report ----------------------------
+    "q123_curation_funnel" -> ((s, d) => {
+      // the pipeline observability query: per source, how many docs
+      // and tokens survive the quality gate and exact dedup. One
+      // text-reading pass; the digest agg and source rollup shuffle
+      // narrow rows only
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("source"),
+        md5(col("text")).as("__dg"),
+        TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tokens"),
+        (TextFunctions.qualityScore(col("text")) >= 0.3).as("__gated"))
+      val keepers = base.filter(col("__gated"))
+        .groupBy(col("__dg")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("__kept"))
+      base.join(keepers, Seq("doc_id"), "left")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__gated"), 1L).otherwise(0L)).as("n_gated"),
+          sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("__kept"), col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy(col("source"))
+    }),
+
     // ---- TPC-H Q8 shape: market share ----------------------------------
     "q121_market_share" -> ((s, d) => {
       // 6-table traversal: per order-year, NATION_1 suppliers' share

@@ -60,6 +60,15 @@ object Chunking {
     * Pack ids are globally unique: `shard * 2^40 + pack_in_shard`.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int): DataFrame =
+    packCounts(docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long")
+        .as("n_tokens")), idCol, budget, shards)
+
+  /** [[packSequences]] over a precomputed `n_tokens` column — the form
+    * a composed pipeline uses so document text never reaches the
+    * packing exchange (only (id, n_tokens) rows shuffle). */
+  def packCounts(docs: DataFrame, idCol: String,
       budget: Int, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0)
     // shard = id mod shards must be integral arithmetic: a string id
@@ -72,8 +81,7 @@ object Chunking {
     }, s"packSequences needs an integral id column, got " +
       s"${docs.schema(idCol).dataType.simpleString}")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
-    docs.select(col(idCol),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+    docs.select(col(idCol), col("n_tokens"),
       pmod(col(idCol), lit(shards)).cast("int").as("shard"))
       .withColumn("stream_offset",
         coalesce(sum(col("n_tokens")).over(

@@ -88,6 +88,7 @@ object QualityClassifier {
       : Array[Double] = {
     val n = feats.count().toDouble
     var w = Array(0.0, 0.0, 0.0, 0.0)
+    if (n == 0) return w // no docs: zero weights, not NaN updates
     var it = 0
     while (it < iters) {
       val r = gradientFrame(feats, w).collect()(0)

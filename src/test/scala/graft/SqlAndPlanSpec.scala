@@ -175,6 +175,28 @@ class SqlAndPlanSpec extends SparkTestBase {
       s"cell assignment shuffled: ${exchanges.length} exchanges")
   }
 
+  test("market share broadcasts every dimension chain") {
+    // region/nation/customer and part/supplier must all arrive at the
+    // fact scan as broadcasts; only lineitem⋈orders may shuffle
+    val joins = executedNodes("q121_market_share").collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.size >= 4,
+      s"expected >=4 broadcast joins, got ${joins.size}")
+  }
+
+  test("training export never shuffles text past the quality gate") {
+    val exchanges = executedNodes("q122_training_export").collect {
+      case e: Exchange => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"document text crossed an exchange: $cols")
+    }
+  }
+
   test("dup-span shuffles digests only, never text or raw windows") {
     val exchanges = executedNodes("q119_dup_spans").collect {
       case e: Exchange => e
