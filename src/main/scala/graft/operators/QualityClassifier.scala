@@ -110,4 +110,15 @@ object QualityClassifier {
       (dround(sigmoid(zCol(w)), 4) + lit(0)).as("score"))
       .withColumn("pred", col("score") >= 0.5)
   }
+
+  /** Score an arbitrary document frame with already-trained weights —
+    * the deployment shape: train once in batch, apply everywhere. A
+    * pure narrow map (features, σ, threshold all in-row), so the same
+    * call scores a Structured Streaming micro-batch unchanged. */
+  def scoreWith(df: DataFrame, idCol: String, textCol: String,
+      w: Array[Double]): DataFrame =
+    featureFrame(df, idCol, textCol, lit(false))
+      .select(col(idCol),
+        (dround(sigmoid(zCol(w)), 4) + lit(0)).as("score"))
+      .withColumn("pred", col("score") >= 0.5)
 }

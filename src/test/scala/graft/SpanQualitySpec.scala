@@ -65,6 +65,31 @@ class SpanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("stream scoring with batch-trained weights matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val feats = QualityClassifier.featureFrame(corpus, "doc_id",
+      "text", col("pos"))
+    val w = QualityClassifier.train(feats, iters = 10)
+    val batch = QualityClassifier
+      .scoreWith(corpus, "doc_id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getBoolean(2))).toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+    val q = QualityClassifier.scoreWith(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", w)
+      .writeStream.format("memory").queryName("qc_scores")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qc_scores")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getBoolean(2))).toSeq.sortBy(_._1)
+    assert(streamed == batch)
+  }
+
   test("trained weights are independent of partitioning") {
     val feats = QualityClassifier.featureFrame(corpus, "doc_id",
       "text", col("pos"))
