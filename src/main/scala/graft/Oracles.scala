@@ -1626,6 +1626,18 @@ object Oracles {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q124_blocklist" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_filter(
+        |    ['slow fast', 'big table', 'key agg', 'forbidden phrase'],
+        |    p -> contains(text, p)) AS hits
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+        |  CASE WHEN len(hits) > 0 THEN hits[1] ELSE NULL END
+        |    AS first_hit,
+        |  len(hits) > 0 AS blocked
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "q123_curation_funnel" ->
       """WITH b AS (
         |  SELECT doc_id, source, md5(text) AS dg,

@@ -1321,6 +1321,16 @@ object Queries {
       packed.join(order, Seq("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // ---- blocklist phrase filtering -----------------------------------
+    "q124_blocklist" -> ((s, d) => {
+      // substring semantics across token boundaries — the compliance
+      // stage; a bounded list needs no join: one in-row array filter
+      graft.operators.Blocklist.flagPhrases(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq("slow fast", "big table", "key agg", "forbidden phrase"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-source curation funnel report ----------------------------
     "q123_curation_funnel" -> ((s, d) => {
       // the pipeline observability query: per source, how many docs

@@ -38,6 +38,37 @@ class SpanQualitySpec extends SparkTestBase {
       r.getDouble(3) == 0.0)
   }
 
+  // ---- Blocklist ------------------------------------------------------
+
+  test("blocklist: substring hits across token boundaries, list order") {
+    val df = Seq(
+      (1L, "totally clean document"),
+      (2L, "contains bad phrase here"),
+      (3L, "bad phrase and also worse phrase"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Blocklist.flagPhrases(df, "doc_id",
+      "text", Seq("worse phrase", "bad phrase"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, None, false),
+      (2L, 1L, Some("bad phrase"), true),
+      // first_hit follows BLOCKLIST order, not text order
+      (3L, 2L, Some("worse phrase"), true)))
+  }
+
+  test("blocklist flagging plans zero exchanges (narrow map)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val out = graft.operators.Blocklist.flagPhrases(df, "doc_id",
+      "text", Seq("x"))
+    out.collect()
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty, s"blocklist shuffled: $exchanges")
+  }
+
   // ---- QualityClassifier ----------------------------------------------
 
   private def corpus = Seq(
