@@ -254,6 +254,64 @@ object Oracles {
       |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Per-doc BPE token counts under the `steps`-merge vocab: appends
+    * CTEs ending in `nt(doc_id, n_tokens)` — the length table the
+    * packing oracles (q63/q122) consume. Token-less docs count 0. */
+  private def bpeCountChain(steps: Int): String =
+    bpeChain(steps) + s""",
+      |enc AS (
+      |  SELECT word,
+      |    CAST(len(string_split_regex(trim(sym), ' +')) AS BIGINT)
+      |      AS nsym
+      |  FROM v$steps),
+      |dw AS (
+      |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+      |      ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+      |    AS word FROM documents),
+      |pd AS (
+      |  SELECT dw.doc_id, CAST(sum(e.nsym) AS BIGINT) AS nbpe
+      |  FROM dw JOIN enc e USING (word) GROUP BY dw.doc_id),
+      |nt AS (
+      |  SELECT d.doc_id, coalesce(pd.nbpe, 0) AS n_tokens
+      |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)"""
+      .stripMargin
+
+  /** BPE token-id sequences (q125): symbol ids are sorted-symbol ranks
+    * over the post-merge vocab's distinct symbols; each doc's sequence
+    * splices its words' id runs in document order. */
+  private def bpeTokenIds(steps: Int): String =
+    bpeChain(steps) + s""",
+      |syms AS (
+      |  SELECT DISTINCT unnest(string_split_regex(trim(sym), ' +'))
+      |    AS s FROM v$steps),
+      |ids AS (
+      |  SELECT s, CAST(row_number() OVER (ORDER BY s) - 1 AS INT)
+      |    AS sid FROM syms),
+      |wsym AS (
+      |  SELECT word, generate_subscripts(sy, 1) AS si, unnest(sy) AS s
+      |  FROM (SELECT word, string_split_regex(trim(sym), ' +') AS sy
+      |    FROM v$steps)),
+      |wids AS (
+      |  SELECT word, list(sid ORDER BY si) AS ids
+      |  FROM wsym JOIN ids USING (s) GROUP BY word),
+      |dw AS (
+      |  SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+      |    unnest(ws) AS word
+      |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+      |      ELSE string_split_regex(trim(lower(text)), '\\s+') END
+      |      AS ws FROM documents)),
+      |seqs AS (
+      |  SELECT dw.doc_id, flatten(list(w.ids ORDER BY dw.pos))
+      |    AS token_ids
+      |  FROM dw JOIN wids w USING (word) GROUP BY dw.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(array_to_string(s2.token_ids, ','), '')
+      |    AS token_ids_csv,
+      |  CAST(coalesce(len(s2.token_ids), 0) AS BIGINT)
+      |    AS n_bpe_tokens
+      |FROM documents d LEFT JOIN seqs s2 ON d.doc_id = s2.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   private def bpeMerges(steps: Int): String =
     bpeChain(steps) + (1 to steps).map(s =>
         s"SELECT $s AS step, l AS lhs, r AS rhs, cnt AS pair_count " +
@@ -988,13 +1046,10 @@ object Oracles {
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q63_sequence_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN trim(text) = '' THEN 0
-        |      ELSE len(string_split_regex(trim(text), '\s+')) END
-        |      AS BIGINT) AS n_tokens,
-        |    CAST(doc_id % 8 AS INT) AS shard
-        |  FROM documents),
+      (bpeCountChain(5) + """,
+        |t AS (
+        |  SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard
+        |  FROM nt),
         |o AS (
         |  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
         |    PARTITION BY shard ORDER BY doc_id
@@ -1006,7 +1061,7 @@ object Oracles {
         |    + CAST(floor(stream_offset / 512) AS BIGINT) AS pack_id,
         |  CAST(stream_offset % 512 AS BIGINT) AS offset_in_pack,
         |  (stream_offset % 512) + n_tokens > 512 AS spans_boundary
-        |FROM o ORDER BY doc_id""".stripMargin,
+        |FROM o ORDER BY doc_id""".stripMargin),
 
     "q64_unpivot" ->
       """WITH wide AS (
@@ -1675,7 +1730,8 @@ object Oracles {
         |ORDER BY source""".stripMargin,
 
     "q122_training_export" ->
-      """WITH g AS (
+      (bpeCountChain(5) + """,
+        |g AS (
         |  SELECT doc_id, text FROM documents
         |  WHERE round(
         |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
@@ -1694,12 +1750,9 @@ object Oracles {
         |k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
         |c AS (SELECT g.doc_id, g.text FROM g JOIN k USING (doc_id)),
         |t AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN trim(text) = '' THEN 0
-        |      ELSE len(string_split_regex(trim(text), '\s+')) END
-        |      AS BIGINT) AS n_tokens,
-        |    CAST(doc_id % 4 AS INT) AS shard
-        |  FROM c),
+        |  SELECT c.doc_id, nt.n_tokens,
+        |    CAST(c.doc_id % 4 AS INT) AS shard
+        |  FROM c JOIN nt ON c.doc_id = nt.doc_id),
         |o AS (
         |  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
         |    PARTITION BY shard ORDER BY doc_id
@@ -1722,7 +1775,7 @@ object Oracles {
         |  CAST(stream_offset % 512 AS BIGINT) AS offset_in_pack,
         |  order_shard, order_pos
         |FROM o JOIN ord USING (doc_id)
-        |ORDER BY o.doc_id""".stripMargin,
+        |ORDER BY o.doc_id""".stripMargin),
 
     "q121_market_share" ->
       """WITH base AS (
@@ -2145,6 +2198,8 @@ object Oracles {
     "q111_bpe_merges" -> bpeMerges(5),
 
     "q112_bpe_encode" -> bpeEncode(5),
+
+    "q125_bpe_token_ids" -> bpeTokenIds(5),
 
     // q59's exact-Jaccard closure + q21's quality formula; the
     // representative is the (quality desc, doc_id asc) argmax

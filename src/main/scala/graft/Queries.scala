@@ -815,10 +815,15 @@ object Queries {
 
     "q63_sequence_pack" -> ((s, d) => {
       // concat-then-cut packing into 512-token training sequences,
-      // 8 independent shards (per-shard cumsum — no global ordering)
-      graft.operators.Chunking.packSequences(
-        t(s, d, "documents"), "doc_id", "text",
-        budget = 512, shards = 8)
+      // 8 independent shards (per-shard cumsum — no global ordering).
+      // Lengths are BPE token counts under the 5-merge tokenizer
+      // (q111's vocab), not whitespace words — the budget a training
+      // run actually consumes; counting is a broadcast word→vocab
+      // join, packing shuffles (id, n_tokens) rows only
+      graft.operators.Chunking.packCounts(
+        graft.operators.Bpe.encodeCounts(
+          t(s, d, "documents"), "doc_id", "text", merges = 5),
+        "doc_id", budget = 512, shards = 8)
         .orderBy(col("doc_id"))
     }),
 
@@ -1295,17 +1300,29 @@ object Queries {
       // quality gate → exact dedup → 512-token sequence packing across
       // 4 shards → seeded training-order address: each stage is the
       // already-oracle-proven operator (q21/q23/q63/q114), composed
-      // the way a production export job runs them. Text never crosses
-      // an exchange after the gate — dedup shuffles digests, packing
-      // and ordering shuffle (id, n_tokens)-sized rows
+      // the way a production export job runs them. Sequence lengths
+      // are BPE token counts under the 5-merge tokenizer (q111's
+      // vocab — trained over the FULL corpus, applied post-gate), the
+      // budget a training run actually consumes. Text never crosses
+      // an exchange after the gate: the word→vocab count join is
+      // broadcast, dedup shuffles digests, packing and ordering
+      // shuffle (id, n_tokens)-sized rows
       val docs = t(s, d, "documents")
-      // one text-reading pass: gate, digest, count — everything
-      // downstream shuffles (id, digest, n_tokens) rows only
+      val (_, vocab) = graft.operators.Bpe.trainWithVocab(
+        docs, "text", merges = 5)
+      // one gated text-reading pass: digest and exploded words ride
+      // the same scan; after the partial agg, only (id, digest,
+      // n_tokens) rows reach an exchange
       val base = docs
         .filter(TextFunctions.qualityScore(col("text")) >= 0.3)
         .select(col("doc_id"), md5(col("text")).as("__dg"),
-          TextFunctions.tokenCount(col("text")).cast("long")
-            .as("n_tokens"))
+          explode_outer(TextFunctions.tokens(lower(col("text"))))
+            .as("word"))
+        .join(broadcast(graft.operators.Bpe.perWordCounts(vocab)),
+          Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(first(col("__dg")).as("__dg"),
+          coalesce(sum(col("__nsym")), lit(0L)).as("n_tokens"))
       val keepers = base.groupBy(col("__dg"))
         .agg(min(col("doc_id")).as("doc_id"))
       val clean = base.join(keepers, Seq("__dg", "doc_id"))
@@ -1575,6 +1592,21 @@ object Queries {
       // applications run on the vocab table, never on the corpus text
       graft.operators.Bpe.encodeStats(
         t(s, d, "documents"), "doc_id", "text", merges = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- BPE tokenization (real token-id sequences) -------------------
+    "q125_bpe_token_ids" -> ((s, d) => {
+      // the tokenizer's true output: per-doc BPE token-id sequences
+      // under the 5-merge vocab; ids are sorted-symbol ranks the
+      // oracle re-derives in SQL. The sequence is serialized to csv
+      // for the compare (the driver's comparator can't hash array
+      // cells) — Bpe.encode itself returns the array<int>
+      graft.operators.Bpe.encode(
+        t(s, d, "documents"), "doc_id", "text", merges = 5)
+        .select(col("doc_id"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          col("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
 

@@ -62,15 +62,27 @@ object Bpe {
 
   /** Train `merges` BPE merges; returns them in learning order plus
     * the post-merge vocab (word, n, sym) for the encode path.
-    * Single-symbol vocab (no pairs left) stops early. */
-  def trainWithVocab(df: DataFrame, textCol: String,
-      merges: Int): (Seq[Merge], DataFrame) = {
+    * Single-symbol vocab (no pairs left) stops early.
+    *
+    * Lineage stays BOUNDED at any merge budget: each merge stacks one
+    * `regexp_replace` on the vocab plan, so every `rematerializeEvery`
+    * merges the merged vocab is re-written to scratch and the chain
+    * restarts from a plain scan — without this, iteration *i* re-runs
+    * all *i−1* prior replaces and a 32k-merge production vocab would
+    * carry a 32k-deep plan. Superseded scratch generations are dropped
+    * eagerly, so peak scratch is two vocab copies. */
+  def trainWithVocab(df: DataFrame, textCol: String, merges: Int,
+      rematerializeEvery: Int = 16): (Seq[Merge], DataFrame) = {
+    require(rematerializeEvery >= 1, "rematerializeEvery must be >= 1")
     // materialize the vocab ONCE: every merge iteration (and the encode
     // join) would otherwise re-execute the corpus scan + groupBy through
     // lazy lineage — the exact cost the vocab reduction exists to avoid
-    var v = graft.core.Scratch.materialize(vocab(df, textCol), "bpe_vocab")
+    var (v, vPath) = graft.core.Scratch.materializeWithPath(
+      vocab(df, textCol), "bpe_vocab")
+    val spark = df.sparkSession
     val out = Seq.newBuilder[Merge]
     var step = 1
+    var sinceMat = 0
     var done = false
     while (step <= merges && !done) {
       val top = pairCounts(v)
@@ -85,6 +97,13 @@ object Bpe {
           regexp_replace(col("sym"),
             java.util.regex.Pattern.quote(s" $l  $r "),
             java.util.regex.Matcher.quoteReplacement(s" $l$r ")))
+        sinceMat += 1
+        if (sinceMat >= rematerializeEvery && step < merges) {
+          val (nv, np) = graft.core.Scratch.materializeWithPath(
+            v, s"bpe_vocab_$step")
+          graft.core.Scratch.drop(spark, vPath)
+          v = nv; vPath = np; sinceMat = 0
+        }
         step += 1
       }
     }
@@ -112,11 +131,78 @@ object Bpe {
     * side of the join is small enough to broadcast in practice. Docs
     * with no tokens survive with zero counts (left join + coalesce).
     */
+  /** (word, __nsym) — per-word BPE token count under a trained vocab;
+    * the broadcast-able side of the encode/count joins. */
+  def perWordCounts(v: DataFrame): DataFrame =
+    v.select(col("word"),
+      size(split(trim(col("sym")), " +")).cast("long").as("__nsym"))
+
+  /** The trained tokenizer's symbol→id table, collected to the driver:
+    * distinct symbols of the post-merge vocab, ids assigned in sorted
+    * order. BOUNDED model metadata — at most |character set| + merges
+    * entries (each merge mints exactly one new symbol), independent of
+    * corpus size; the same class of driver-held artifact as the k-means
+    * codebook or the merge table itself. */
+  def symbolIds(v: DataFrame): Map[String, Int] =
+    v.select(explode(split(trim(col("sym")), " +")).as("s"))
+      .distinct().collect().map(_.getString(0))
+      .sorted.zipWithIndex.toMap
+
+  /** REAL tokenization: encode every document to its BPE token-id
+    * sequence — (id, token_ids array<int>, n_bpe_tokens), the artifact
+    * a training export actually ships.
+    *
+    * Scale shape: all merge applications ran on the corpus-size-
+    * independent vocab table ([[trainWithVocab]]); encoding is then a
+    * word→vocab equi-join with the vocab side BROADCAST (the weighted
+    * word list is ~10⁷ rows by Heaps' law on a 100 TB corpus — ~100 MB,
+    * executor-resident), so the only exchange is the per-document
+    * reassembly groupBy carrying (id, pos, array<int>) rows: token ids,
+    * never text. Per-word symbol→id mapping is an in-row map-literal
+    * lookup. Documents with no tokens encode to the empty sequence.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame = {
+    val (_, v) = trainWithVocab(df, textCol, merges)
+    val symMap = typedLit(symbolIds(v))
+    val perWord = v.select(col("word"),
+      transform(split(trim(col("sym")), " +"),
+        s => element_at(symMap, s)).as("__ids"))
+    val words = df.select(col(idCol),
+      posexplode_outer(TextFunctions.tokens(lower(col(textCol))))
+        .as(Seq("__pos", "word")))
+    // sort by in-doc position, drop the null row token-less docs emit
+    // through posexplode_outer, then splice the per-word id runs
+    val packed = words.join(broadcast(perWord), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        filter(array_sort(collect_list(
+            struct(col("__pos").as("p"), col("__ids").as("ids")))),
+          x => x.getField("ids").isNotNull),
+        x => x.getField("ids"))).as("token_ids"))
+    packed.select(col(idCol), col("token_ids"),
+      size(col("token_ids")).cast("long").as("n_bpe_tokens"))
+  }
+
+  /** Per-document BPE token count under a freshly trained `merges`-step
+    * vocab: (id, n_tokens) — the length column sequence packing
+    * ([[Chunking.packCounts]]) consumes. Broadcast word→vocab join +
+    * one map-side-combined sum; token-less docs count 0. */
+  def encodeCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame = {
+    val (_, v) = trainWithVocab(df, textCol, merges)
+    df.select(col(idCol),
+        explode_outer(TextFunctions.tokens(lower(col(textCol))))
+          .as("word"))
+      .join(broadcast(perWordCounts(v)), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(col("__nsym")), lit(0L)).as("n_tokens"))
+  }
+
   def encodeStats(df: DataFrame, idCol: String, textCol: String,
       merges: Int): DataFrame = {
     val (_, v) = trainWithVocab(df, textCol, merges)
-    val perWord = v.select(col("word"),
-      size(split(trim(col("sym")), " +")).cast("long").as("__nsym"))
+    val perWord = perWordCounts(v)
     // single corpus scan: n_chars rides along the explode (explode_outer
     // keeps token-less docs as a null word the left join passes through)
     val words = df.select(col(idCol),

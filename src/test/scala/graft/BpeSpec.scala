@@ -59,6 +59,39 @@ class BpeSpec extends SparkTestBase {
     assert(st(1) == ((2L, 0L, 0L, 0.0)))
   }
 
+  test("encode emits per-doc token-id sequences in document order") {
+    // corpus word counts: low×3, lower×1, lowest×1 → merges (l,o),
+    // (lo,w), then (low,</w>) (count 3 beats (low,e)=2); final syms
+    // low=[low</w>], lower=[low,e,r,</w>], lowest=[low,e,s,t,</w>];
+    // distinct symbols sorted: </w>=0, e=1, low=2, low</w>=3, r=4,
+    // s=5, t=6
+    val df = Seq((1L, "low lower lowest"), (2L, ""),
+      (3L, "low low")).toDF("id", "text")
+    val enc = graft.operators.Bpe.encode(df, "id", "text", merges = 3)
+      .orderBy("id").collect()
+    assert(enc(0).getSeq[Int](1) == Seq(3, 2, 1, 4, 0, 2, 1, 5, 6, 0))
+    assert(enc(0).getLong(2) == 10L)
+    assert(enc(1).getSeq[Int](1).isEmpty && enc(1).getLong(2) == 0L)
+    // repeated words repeat their id run, in order
+    assert(enc(2).getSeq[Int](1) == Seq(3, 3))
+  }
+
+  test("merge-loop lineage stays bounded at large merge budgets") {
+    // 40 distinct 4-char words sustain >=160 merge rules; at 50 merges
+    // the vocab must have been re-materialized (every 16) so its plan
+    // carries at most 16 stacked replaces, not 50
+    val words = (0 until 40).map(i =>
+      s"${('a' + i % 26).toChar}${('a' + (i * 7) % 26).toChar}" +
+        s"${('a' + (i * 3) % 26).toChar}${('a' + (i * 11 + 5) % 26).toChar}")
+    val df = Seq((words ++ words.take(13)).mkString(" ")).toDF("text")
+    val (ms, v) = Bpe.trainWithVocab(df, "text", 50)
+    assert(ms.size == 50)
+    val plan = v.queryExecution.analyzed.toString
+    val depth = "regexp_replace".r.findAllIn(plan).size
+    assert(depth <= 16, s"vocab lineage carries $depth stacked replaces")
+    assert(v.count() == words.distinct.size)
+  }
+
   test("weighted counts: frequent words dominate merge choice") {
     // zzz×10: (z,z) counts 2 per occurrence = 20, beating (z,</w>)=10
     val df = Seq(("zzz " * 10) + "qx").toDF("text")
