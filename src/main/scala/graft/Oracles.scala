@@ -2297,6 +2297,53 @@ object Oracles {
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Lee 2022 span removal: same window digests as q119 but with
+    // start positions; covered positions are dropped from the
+    // original-case token stream and the remainder re-joined
+    "q126_span_removal" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        |    CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS lt
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n, s,
+        |    md5(array_to_string(lt[s+1 : s+5], ' ')) AS dg
+        |  FROM (SELECT doc_id, lt, len(lt) AS n,
+        |      unnest(CASE WHEN len(lt) >= 5
+        |        THEN range(0, len(lt) - 4) ELSE [0] END) AS s
+        |    FROM tk)),
+        |dfr AS (
+        |  SELECT dg FROM (SELECT DISTINCT doc_id, dg FROM w)
+        |  GROUP BY dg HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(range(s, least(s + 5, n))) AS p
+        |  FROM w JOIN dfr USING (dg)),
+        |pt AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p,
+        |    unnest(toks) AS t
+        |  FROM tk),
+        |kept AS (
+        |  SELECT pt.doc_id, pt.p, pt.t
+        |  FROM pt LEFT JOIN cov
+        |    ON pt.doc_id = cov.doc_id AND pt.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |res AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS cleaned,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id)
+        |SELECT tk.doc_id,
+        |  coalesce(res.cleaned, '') AS cleaned_text,
+        |  CAST(coalesce(res.nk, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(tk.toks) - coalesce(res.nk, 0) AS BIGINT)
+        |    AS n_removed
+        |FROM tk LEFT JOIN res ON tk.doc_id = res.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
+
     "q120_quality_classifier" -> lrGdOracle(iters = 3),
 
     "q117_ivfpq" -> (ivfPqCtes + """

@@ -1610,6 +1610,18 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- duplicated-span removal (Lee 2022 remedy) --------------------
+    "q126_span_removal" -> ((s, d) => {
+      // drop corpus-repeated 5-token windows, keep the rest of the
+      // document: the exact-substring dedup fix that preserves
+      // documents instead of discarding them (q119 is the signal,
+      // this is the edit). Digests and int start-positions shuffle;
+      // the one text exchange is the rewrite join itself
+      graft.operators.SpanDedup.removeDupSpans(
+        t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- keep-best-quality cluster representative ---------------------
     "q113_cluster_best" -> ((s, d) => {
       // near-dup clusters (q59's pair graph) ranked by quality score:
