@@ -1308,12 +1308,15 @@ object Queries {
       // broadcast, dedup shuffles digests, packing and ordering
       // shuffle (id, n_tokens)-sized rows
       val docs = t(s, d, "documents")
-      val (_, vocab) = graft.operators.Bpe.trainWithVocab(
+      val (_, vocab) = graft.operators.Bpe.trainWithVocabCached(
         docs, "text", merges = 5)
       // one gated text-reading pass: digest and exploded words ride
       // the same scan; after the partial agg, only (id, digest,
-      // n_tokens) rows reach an exchange
-      val base = docs
+      // n_tokens) rows reach an exchange. `base` feeds keepers, clean,
+      // packing AND ordering — materialize it so the gated corpus scan
+      // runs ONCE, not once per downstream consumer (at 100 TB the
+      // corpus re-read would quadruple the dominant I/O)
+      val base = graft.core.Scratch.materialize(docs
         .filter(TextFunctions.qualityScore(col("text")) >= 0.3)
         .select(col("doc_id"), md5(col("text")).as("__dg"),
           explode_outer(TextFunctions.tokens(lower(col("text"))))
@@ -1322,11 +1325,16 @@ object Queries {
           Seq("word"), "left")
         .groupBy(col("doc_id"))
         .agg(first(col("__dg")).as("__dg"),
-          coalesce(sum(col("__nsym")), lit(0L)).as("n_tokens"))
+          coalesce(sum(col("__nsym")), lit(0L)).as("n_tokens")),
+        "q122_base")
       val keepers = base.groupBy(col("__dg"))
         .agg(min(col("doc_id")).as("doc_id"))
-      val clean = base.join(keepers, Seq("__dg", "doc_id"))
-        .select(col("doc_id"), col("n_tokens"))
+      // clean feeds both packing and ordering — materialize so the
+      // digest-dedup shuffle also runs once
+      val clean = graft.core.Scratch.materialize(
+        base.join(keepers, Seq("__dg", "doc_id"))
+          .select(col("doc_id"), col("n_tokens")),
+        "q122_clean")
       val packed = graft.operators.Chunking.packCounts(
         clean, "doc_id", budget = 512, shards = 4)
         .select(col("doc_id"), col("n_tokens"), col("shard"),
@@ -1355,11 +1363,17 @@ object Queries {
       // text-reading pass; the digest agg and source rollup shuffle
       // narrow rows only
       val docs = t(s, d, "documents")
-      val base = docs.select(col("doc_id"), col("source"),
-        md5(col("text")).as("__dg"),
-        TextFunctions.tokenCount(col("text")).cast("long")
-          .as("n_tokens"),
-        (TextFunctions.qualityScore(col("text")) >= 0.3).as("__gated"))
+      // base feeds both the keeper derivation and the rollup —
+      // materialize so the text-reading pass (digest + token count +
+      // quality score over every doc) runs once
+      val base = graft.core.Scratch.materialize(
+        docs.select(col("doc_id"), col("source"),
+          md5(col("text")).as("__dg"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_tokens"),
+          (TextFunctions.qualityScore(col("text")) >= 0.3)
+            .as("__gated")),
+        "q123_base")
       val keepers = base.filter(col("__gated"))
         .groupBy(col("__dg")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), lit(true).as("__kept"))

@@ -114,11 +114,52 @@ object Bpe {
   def train(df: DataFrame, textCol: String, merges: Int): Seq[Merge] =
     trainWithVocab(df, textCol, merges)._1
 
+  // -------- session-scoped trained-vocab cache ----------------------
+  // One benchmark/export session trains the identical tokenizer for
+  // several queries (merge table, packing, encode, stats). Training is
+  // deterministic in (input plan, textCol, merges), so the trained
+  // artifact is cached per canonicalized input plan — the same
+  // input-identity notion Spark itself uses for plan reuse. The cache
+  // holds only bounded model artifacts: the merge list plus the scratch
+  // PATH of the materialized post-merge vocab (corpus-size-independent
+  // by the vocab reduction). Caveat: keyed on the plan, not file
+  // contents — if the underlying table is rewritten mid-session, call
+  // [[clearVocabCache]].
+  // keyed on the canonicalized PLAN OBJECT (not its string form —
+  // LocalRelation's string omits the data, so two in-memory test
+  // corpora with the same schema would collide); plan equality is the
+  // same notion Spark's own plan-reuse uses
+  private val vocabCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, Int), (Seq[Merge], String)]()
+
+  def clearVocabCache(): Unit = vocabCache.synchronized {
+    vocabCache.clear()
+  }
+
+  /** [[trainWithVocab]] behind the session cache: first call trains and
+    * materializes the post-merge vocab; subsequent calls with the same
+    * (input plan, textCol, merges) reuse the scratch copy. */
+  def trainWithVocabCached(df: DataFrame, textCol: String,
+      merges: Int): (Seq[Merge], DataFrame) = {
+    val key = (df.queryExecution.analyzed.canonicalized,
+      textCol, merges)
+    val (ms, path) = vocabCache.synchronized {
+      vocabCache.getOrElseUpdate(key, {
+        val (m, v) = trainWithVocab(df, textCol, merges)
+        val (_, p) =
+          graft.core.Scratch.materializeWithPath(v, "bpe_vocab_final")
+        (m, p)
+      })
+    }
+    (ms, df.sparkSession.read.parquet(path))
+  }
+
   /** The learned merge list as a DataFrame (query/oracle surface). */
   def mergesDF(spark: SparkSession, df: DataFrame, textCol: String,
       merges: Int): DataFrame = {
     import spark.implicits._
-    train(df, textCol, merges)
+    trainWithVocabCached(df, textCol, merges)._1
       .toDF("step", "lhs", "rhs", "pair_count")
   }
 
@@ -137,16 +178,35 @@ object Bpe {
     v.select(col("word"),
       size(split(trim(col("sym")), " +")).cast("long").as("__nsym"))
 
+  /** Compare by Unicode code point — identical to UTF-8 binary byte
+    * order (UTF-8 preserves code-point order), which is what DuckDB's
+    * default binary collation sorts by. Java's `String.compareTo` is
+    * UTF-16 code-UNIT order, which diverges when supplementary-plane
+    * characters meet BMP chars in U+E000..U+FFFF (surrogates sort
+    * below them), so it would assign different ids than the oracle on
+    * such corpora. */
+  private[operators] def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** The trained tokenizer's symbol→id table, collected to the driver:
-    * distinct symbols of the post-merge vocab, ids assigned in sorted
-    * order. BOUNDED model metadata — at most |character set| + merges
-    * entries (each merge mints exactly one new symbol), independent of
-    * corpus size; the same class of driver-held artifact as the k-means
-    * codebook or the merge table itself. */
+    * distinct symbols of the post-merge vocab, ids assigned in UTF-8
+    * binary order (matching DuckDB/ICU-binary `ORDER BY`, so the
+    * oracle re-derives identical ids). BOUNDED model metadata — at
+    * most |character set| + merges entries (each merge mints exactly
+    * one new symbol), independent of corpus size; the same class of
+    * driver-held artifact as the k-means codebook or the merge table
+    * itself. */
   def symbolIds(v: DataFrame): Map[String, Int] =
     v.select(explode(split(trim(col("sym")), " +")).as("s"))
       .distinct().collect().map(_.getString(0))
-      .sorted.zipWithIndex.toMap
+      .sortWith(codePointCompare(_, _) < 0).zipWithIndex.toMap
 
   /** REAL tokenization: encode every document to its BPE token-id
     * sequence — (id, token_ids array<int>, n_bpe_tokens), the artifact
@@ -163,7 +223,7 @@ object Bpe {
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
       merges: Int): DataFrame = {
-    val (_, v) = trainWithVocab(df, textCol, merges)
+    val (_, v) = trainWithVocabCached(df, textCol, merges)
     val symMap = typedLit(symbolIds(v))
     val perWord = v.select(col("word"),
       transform(split(trim(col("sym")), " +"),
@@ -190,7 +250,7 @@ object Bpe {
     * one map-side-combined sum; token-less docs count 0. */
   def encodeCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Int): DataFrame = {
-    val (_, v) = trainWithVocab(df, textCol, merges)
+    val (_, v) = trainWithVocabCached(df, textCol, merges)
     df.select(col(idCol),
         explode_outer(TextFunctions.tokens(lower(col(textCol))))
           .as("word"))
@@ -201,7 +261,7 @@ object Bpe {
 
   def encodeStats(df: DataFrame, idCol: String, textCol: String,
       merges: Int): DataFrame = {
-    val (_, v) = trainWithVocab(df, textCol, merges)
+    val (_, v) = trainWithVocabCached(df, textCol, merges)
     val perWord = perWordCounts(v)
     // single corpus scan: n_chars rides along the explode (explode_outer
     // keeps token-less docs as a null word the left join passes through)
