@@ -46,7 +46,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * manifest and publish a carried file list missing the winner's rows
   * (lost update). A claim whose writer crashed before close is
   * recovered by the next committer once it is older than
-  * `spark.graft.manifest.staleMs` (default 60 s).
+  * `spark.graft.manifest.staleMs` (default 60 s); unpinned readers
+  * that outlive the poll window on such a claim fall back to the
+  * newest COMPLETE version (a crashed writer must not take the table
+  * offline). Reclaim is FENCED: the reclaimer renames the manifest
+  * aside before deleting (restoring it if the writer's close landed
+  * mid-inspection), and every committer re-reads its manifest after
+  * close — a stalled writer whose claim was reclaimed and reused gets
+  * a `ConcurrentModificationException` instead of a silent lost
+  * update, so exactly one of the racing committers reports success.
+  * Tables written by a pre-terminator build are readable by setting
+  * `spark.graft.manifest.formatCutoffMs` to the upgrade timestamp:
+  * older terminator-less manifests are treated as complete.
   *
   * `vacuum` deletes data files unreferenced by the retained manifests
   * — the storage-reclaim half of time travel.
@@ -59,15 +70,17 @@ object VersionedTable {
   private def manifestDir(path: String) = s"$path/_manifests"
   private def manifestPath(path: String, v: Int) =
     new Path(manifestDir(path), f"v$v%05d.json")
-  private def versionOf(p: Path): Int =
-    p.getName.stripPrefix("v").stripSuffix(".json").toInt
 
-  /** Latest committed version, 0 if the table does not exist yet. */
+  /** Latest committed version, 0 if the table does not exist yet.
+    * Only well-formed `vNNNNN.json` names count — reclaim temp files
+    * (`*.reclaim-*`) and stray files are ignored. */
   def latestVersion(spark: SparkSession, path: String): Int = {
     val dir = new Path(manifestDir(path))
     val f = fs(spark, path)
     if (!f.exists(dir)) 0
-    else f.listStatus(dir).map(s => versionOf(s.getPath))
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("v\\d+\\.json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
       .foldLeft(0)(math.max)
   }
 
@@ -84,10 +97,36 @@ object VersionedTable {
     finally in.close()
   }
 
+  /** Manifests written before this epoch-ms cutoff predate the
+    * terminator protocol: treat them as COMPLETE as-is instead of
+    * polling/reclaiming them (the upgrade path for tables written by
+    * a pre-terminator build — set it to the upgrade timestamp).
+    * Default 0 = no legacy manifests. */
+  private def formatCutoff(spark: SparkSession): Long =
+    confMs(spark, "spark.graft.manifest.formatCutoffMs", 0L)
+
+  /** One non-polling completeness check: Some(file list) if `mp` is
+    * terminated — or predates the terminator format — else None. */
+  private def completeNow(spark: SparkSession, f: FileSystem,
+      mp: Path): Option[List[String]] =
+    try {
+      val lines = readManifest(f, mp)
+      if (lines.lastOption.contains(Terminator)) Some(lines.dropRight(1))
+      else if (f.getFileStatus(mp).getModificationTime <
+          formatCutoff(spark)) Some(lines)
+      else None
+    } catch { case _: java.io.IOException => None }
+
   /** The complete data-file list at `version` (default: latest).
     * A manifest missing its terminator is IN-FLIGHT (its writer is
     * between create and close): poll until complete rather than
-    * resolve a truncated file list. */
+    * resolve a truncated file list. When no version was pinned and the
+    * LATEST manifest never completes (its writer crashed mid-publish),
+    * fall back to the newest terminated manifest below it — a crashed
+    * writer must not make the whole table unreadable; its half-claimed
+    * version is reclaimed by the next committer. An explicitly
+    * requested version still fails loudly: the caller asked for
+    * exactly that snapshot. */
   def files(spark: SparkSession, path: String,
       version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(latestVersion(spark, path))
@@ -98,17 +137,28 @@ object VersionedTable {
       "(never committed, or vacuumed away)")
     val deadline = System.currentTimeMillis() +
       confMs(spark, "spark.graft.manifest.pollMs", 10000L)
-    while (true) {
-      val lines = readManifest(f, mp)
-      if (lines.lastOption.contains(Terminator))
-        return lines.dropRight(1)
-      if (System.currentTimeMillis() > deadline)
-        throw new IllegalStateException(s"manifest $mp is incomplete " +
-          "(no terminator) — writer crashed mid-publish, or raise " +
-          "spark.graft.manifest.pollMs")
-      Thread.sleep(10)
+    while (System.currentTimeMillis() <= deadline) {
+      completeNow(spark, f, mp) match {
+        case Some(fl) => return fl
+        case None => Thread.sleep(10)
+      }
     }
-    Nil // unreachable
+    if (version.isEmpty) {
+      // the poll window expired on an abandoned half-publish: serve
+      // the newest COMPLETE snapshot instead of failing every read
+      var w = v - 1
+      while (w >= 1) {
+        val wp = manifestPath(path, w)
+        if (f.exists(wp)) completeNow(spark, f, wp) match {
+          case Some(fl) => return fl
+          case None => // also abandoned; keep walking down
+        }
+        w -= 1
+      }
+    }
+    throw new IllegalStateException(s"manifest $mp is incomplete " +
+      "(no terminator) — writer crashed mid-publish, or raise " +
+      "spark.graft.manifest.pollMs")
   }
 
   /** Read the table as of `version` (default: latest). An empty table
@@ -161,10 +211,19 @@ object VersionedTable {
           // create(overwrite = false) is the atomic claim on version v;
           // the terminator line marks the content complete (readers
           // poll for it — see files())
+          val written = (prev ++ newFiles :+ Terminator).toList
           val out = f.create(target, false)
-          try out.write((prev ++ newFiles :+ Terminator)
-            .mkString("", "\n", "\n").getBytes("UTF-8"))
+          try out.write(written.mkString("", "\n", "\n")
+            .getBytes("UTF-8"))
           finally out.close()
+          // fencing verify: a writer stalled past staleMs may have had
+          // its claim reclaimed and the version reused by a concurrent
+          // committer — its close() then lands on an orphaned inode
+          // and BOTH committers would report success (silent lost
+          // update). Success is only success if the manifest at
+          // `target` holds OUR content (the commit-UUID data paths
+          // make it unique per writer).
+          verifyOwnPublish(spark, f, target, written)
           return v
         } catch {
           case _: java.io.IOException =>
@@ -183,17 +242,62 @@ object VersionedTable {
     -1 // unreachable
   }
 
-  /** Delete a claimed-but-unterminated manifest older than
-    * `spark.graft.manifest.staleMs` (its writer crashed mid-publish). */
+  /** Post-close fencing check: block until the manifest at `target`
+    * holds exactly the lines this writer wrote, or fail the commit.
+    * Throws [[java.util.ConcurrentModificationException]] (distinct
+    * from the retry-signal exceptions in the commit loop — this must
+    * NOT be retried blindly) when the claim was reclaimed out from
+    * under a stalled writer: exactly one of the racing committers
+    * returns success, the fenced one gets this error. The brief poll
+    * absorbs the reclaimer's rename→inspect→restore window. */
+  private[graft] def verifyOwnPublish(spark: SparkSession,
+      f: FileSystem, target: Path, written: List[String]): Unit = {
+    val deadline = System.currentTimeMillis() +
+      confMs(spark, "spark.graft.manifest.pollMs", 10000L)
+    while (true) {
+      val ok =
+        try readManifest(f, target) == written
+        catch { case _: java.io.IOException => false }
+      if (ok) return
+      if (System.currentTimeMillis() > deadline)
+        throw new java.util.ConcurrentModificationException(
+          s"commit fenced off: manifest $target no longer holds this " +
+            "writer's content — the claim went stale (writer paused " +
+            "past spark.graft.manifest.staleMs) and was reclaimed by " +
+            "a concurrent committer; this commit did NOT publish")
+      Thread.sleep(10)
+    }
+  }
+
+  /** Reclaim a claimed-but-unterminated manifest older than
+    * `spark.graft.manifest.staleMs` (its writer crashed mid-publish).
+    * Fenced against the check-then-delete race: the manifest is first
+    * RENAMED aside (atomic on HDFS/local — the fence point), then
+    * re-inspected; if the stalled writer's close() landed in the
+    * window and the content is now complete, it is restored intact
+    * (rename preserves the inode an open stream writes to), otherwise
+    * the orphan is deleted. A plain delete-after-check could destroy
+    * a manifest that completed (and was verified by its writer)
+    * between the check and the delete. Legacy pre-terminator
+    * manifests (older than `spark.graft.manifest.formatCutoffMs`)
+    * are complete by definition and never reclaimed. */
   private def reclaimIfStale(spark: SparkSession, f: FileSystem,
       target: Path): Unit = {
     val stale = confMs(spark, "spark.graft.manifest.staleMs", 60000L)
     try {
       val st = f.getFileStatus(target)
-      if (!readManifest(f, target).lastOption.contains(Terminator)
-          && st.getModificationTime <
-            System.currentTimeMillis() - stale) {
-        f.delete(target, false); ()
+      if (st.getModificationTime < formatCutoff(spark)) return
+      if (readManifest(f, target).lastOption.contains(Terminator)) return
+      if (st.getModificationTime >=
+        System.currentTimeMillis() - stale) return
+      val aside = new Path(target.getParent,
+        s"${target.getName}.reclaim-${java.util.UUID.randomUUID()}")
+      if (f.rename(target, aside)) {
+        val completed =
+          try readManifest(f, aside).lastOption.contains(Terminator)
+          catch { case _: java.io.IOException => false }
+        if (completed) { f.rename(aside, target); () }
+        else { f.delete(aside, false); () }
       }
     } catch { case _: java.io.IOException => () }
   }

@@ -103,6 +103,106 @@ class VersionedTableSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.manifest.pollMs")
   }
 
+  test("unpinned reads fall back past a crashed writer's manifest") {
+    // a writer died mid-publish at the LATEST version: readers that
+    // didn't pin a version must serve the newest complete snapshot
+    // instead of failing every read until a committer reclaims it
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_manifests/v00002.json"),
+      "/nonexistent/part-0.parquet\n") // no terminator: half-publish
+    spark.conf.set("spark.graft.manifest.pollMs", "200")
+    try {
+      assert(VersionedTable.read(spark, path)
+        .select("id").as[Long].collect().toSeq == Seq(1L))
+      // an explicitly pinned read of the broken version still fails
+      // loudly — the caller asked for exactly that snapshot
+      intercept[IllegalStateException] {
+        VersionedTable.files(spark, path, Some(2))
+      }
+    } finally spark.conf.unset("spark.graft.manifest.pollMs")
+  }
+
+  test("stalled writer past staleMs: one committer wins, loser errors") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    // the stalled writer's claim on v2: created, never closed, now
+    // older than staleMs (its content is what it WILL have written
+    // once its stalled close() lands on the orphaned inode)
+    val m2 = java.nio.file.Paths.get(s"$path/_manifests/v00002.json")
+    val stalledLines = List("/stalled/part-0.parquet", "#done")
+    java.nio.file.Files.writeString(m2, "/stalled/part-0.parquet\n")
+    java.nio.file.Files.setLastModifiedTime(m2,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000L))
+    spark.conf.set("spark.graft.manifest.pollMs", "200")
+    try {
+      // committer B finds the stale claim, reclaims it, wins v2
+      val v = VersionedTable.commitAppend(
+        Seq((2L, "b")).toDF("id", "v"), path)
+      assert(v == 2)
+      // the stalled writer resumes: its post-close fencing verify sees
+      // B's content at v2, not its own → errors instead of reporting
+      // a success that silently lost B's commit
+      val f = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.verifyOwnPublish(spark, f,
+          new org.apache.hadoop.fs.Path(s"$path/_manifests/v00002.json"),
+          stalledLines)
+      }
+      // exactly one winner: B's rows are the table state
+      assert(VersionedTable.read(spark, path)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally spark.conf.unset("spark.graft.manifest.pollMs")
+  }
+
+  test("pre-terminator manifests read as complete past the cutoff") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    // rewrite v1 as a legacy-format manifest: same file list, no
+    // terminator, mtime before the declared format cutoff
+    val m1 = java.nio.file.Paths.get(s"$path/_manifests/v00001.json")
+    val legacyLines = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(m1)).asScala
+      .filterNot(_ == "#done")
+    java.nio.file.Files.writeString(m1,
+      legacyLines.mkString("", "\n", "\n"))
+    // the original commit left a Hadoop LocalFileSystem checksum for
+    // the terminated content — drop it, as a genuinely legacy-written
+    // manifest's crc would match its own content
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/_manifests/.v00001.json.crc"))
+    spark.conf.set("spark.graft.manifest.pollMs", "200")
+    spark.conf.set("spark.graft.manifest.formatCutoffMs",
+      (System.currentTimeMillis() + 1000L).toString)
+    try {
+      // readable as-is, and a new commit builds on it instead of
+      // reclaiming it as a crashed half-publish
+      assert(VersionedTable.read(spark, path)
+        .select("id").as[Long].collect().toSeq == Seq(1L))
+      VersionedTable.commitAppend(Seq((2L, "b")).toDF("id", "v"), path)
+      assert(VersionedTable.read(spark, path)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally {
+      spark.conf.unset("spark.graft.manifest.pollMs")
+      spark.conf.unset("spark.graft.manifest.formatCutoffMs")
+    }
+  }
+
+  test("latestVersion ignores reclaim temp files") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        s"$path/_manifests/v00002.json.reclaim-dead"),
+      "/leftover/part-0.parquet\n")
+    assert(VersionedTable.latestVersion(spark, path) == 1)
+    assert(VersionedTable.commitAppend(
+      Seq((2L, "b")).toDF("id", "v"), path) == 2)
+  }
+
   test("vacuum reclaims unreferenced files, keeps the retained window") {
     val path = tbl()
     VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
