@@ -9,6 +9,12 @@ package graft
   */
 object Oracles {
 
+  /** Words as a SQL list literal, with `''` doubling — a word
+    * containing an apostrophe (don't, it's) must not terminate the
+    * string literal early. */
+  private[graft] def sqlStringList(ws: Seq[String]): String =
+    ws.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
+
   /** Shared CTE prefix replicating [[graft.operators.SimilarityOps
     * .kmeansTrain]] (cells = 16, iters = 2) in DuckDB: deterministic
     * first-16-by-id init (cb0), then two unrolled Lloyd rounds — argmax
@@ -2300,6 +2306,53 @@ object Oracles {
     // Lee 2022 span removal: same window digests as q119 but with
     // start positions; covered positions are dropped from the
     // original-case token stream and the remainder re-joined
+    // q127/q128: the engine decodes REAL container bytes (BMP pixel
+    // rows / WAV PCM samples); the oracle re-derives the expected
+    // stats from the generator's closed-form pixel/sample formulas —
+    // independent paths that agree only if the byte-level decode
+    // (row padding, BGR order, chunk walk, sign extension) is right.
+    "q127_bmp_decode" ->
+      """WITH img AS (
+        |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 120) t(i)
+        |  WHERE i % 3 = 0),
+        |dims AS (
+        |  SELECT i, 8 + i % 9 AS w, 6 + i % 7 AS h FROM img),
+        |xs AS (
+        |  SELECT i, w, h, unnest(range(0, w)) AS x FROM dims),
+        |px AS (
+        |  SELECT i, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT i AS asset_id,
+        |  CAST(any_value(w) AS BIGINT) AS width,
+        |  CAST(any_value(h) AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  round(CAST(sum((i*7 + x*3 + y*5) % 256) AS DOUBLE)
+        |    / count(*), 6) + 0 AS mean_r,
+        |  round(CAST(sum((i*11 + x*13 + y*17) % 256) AS DOUBLE)
+        |    / count(*), 6) + 0 AS mean_g,
+        |  round(CAST(sum((i*19 + x*23 + y*29) % 256) AS DOUBLE)
+        |    / count(*), 6) + 0 AS mean_b
+        |FROM px GROUP BY i ORDER BY asset_id""".stripMargin,
+
+    "q128_wav_decode" ->
+      """WITH aud AS (
+        |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 120) t(i)
+        |  WHERE i % 3 = 1),
+        |ts AS (
+        |  SELECT i, unnest(range(0, 60 + (i % 50) * 3)) AS t
+        |  FROM aud),
+        |smp AS (
+        |  SELECT i, ((i*37 + t*101) % 65536) - 32768 AS s FROM ts)
+        |SELECT i AS asset_id,
+        |  CAST(any_value(8000 + 200 * (i % 5)) AS BIGINT)
+        |    AS sample_rate,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) + 0
+        |    AS mean_amp,
+        |  round(sqrt(CAST(sum(s*s) AS DOUBLE) / count(*)), 6) + 0
+        |    AS rms,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak_abs
+        |FROM smp GROUP BY i ORDER BY asset_id""".stripMargin,
+
     "q126_span_removal" ->
       """WITH tk AS (
         |  SELECT doc_id,
@@ -2383,8 +2436,8 @@ object Oracles {
     * integer-summed (order-free — the same determinism contract as the
     * Spark side), weights re-rounded to 6 dp each iteration. */
   private def lrGdOracle(iters: Int): String = {
-    val stopList = graft.functions.TextFunctions.EnglishStopwords
-      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val stopList = sqlStringList(
+      graft.functions.TextFunctions.EnglishStopwords)
     val z = "wa + wb*f1 + wc*f2 + wd*f3"
     val header = s"""WITH f AS (
       |  SELECT doc_id, (source = 'src0') AS y,
@@ -2474,7 +2527,7 @@ object Oracles {
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id, row_number() OVER (
         |      PARTITION BY query_id ORDER BY ad, neighbor_id) AS rn
-        |    FROM adc) WHERE rn <= 20),
+        |    FROM adc) WHERE rn <= 100),
         |rr AS (
         |  SELECT s.query_id, s.neighbor_id,
         |    list_cosine_similarity(qv.vv, nv.vv) AS cs

@@ -7,9 +7,20 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter for targeted
-    // re-checks at larger SFs (driver always passes 2 args = full dump)
+    // re-checks at larger SFs (driver always passes 2 args = full dump).
+    // Queries whose ORACLE reads a Spark-dumped fixture from this same
+    // out dir pull their fixture query in automatically — a filter
+    // selecting only q24 would otherwise compare against a missing or
+    // stale fixture and silently mis-verify.
+    val fixtureDeps = Map(
+      "q24_minhash_neardups" -> "q104_minhash_band_fixture",
+      "q25_simhash_neardups" -> "q103_simhash_fixture",
+      "q30_embedding_neardups" -> "q105_lsh_bucket_fixture")
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) {
+        val asked = args(2).split(",").toSet
+        Some(asked ++ asked.flatMap(fixtureDeps.get))
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

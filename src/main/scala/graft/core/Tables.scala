@@ -12,6 +12,10 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // one normalized-events scratch copy per (session, sfDir) — see load()
+  private val normalizedEvents =
+    scala.collection.mutable.Map[String, String]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet has shipped as TIMESTAMP(NANOS) (which Spark's
     // vectorized reader rejects — read the ns epoch as long and
@@ -19,14 +23,45 @@ object Tables {
     // UTC flag (reads as TIMESTAMP_NTZ). Normalize both layouts to a
     // session-TZ TimestampType `ts` so every downstream query and the
     // DuckDB oracle see identical µs instants (session TZ is UTC).
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ =>
-          raw.withColumn("ts", col("ts").cast("timestamp"))
+    //
+    // The NANOS layout needs `spark.sql.legacy.parquet.nanosAsLong`,
+    // which Spark only honours as a SESSION conf (ParquetFileFormat
+    // copies it from the session's SQLConf into the scan's hadoopConf
+    // at planning time — a per-reader option is overwritten). Leaving
+    // it set session-wide would silently read any UNRELATED nanos
+    // column elsewhere as long, so the conf is scoped: set, normalize
+    // the table to a µs scratch copy (executing the one scan that
+    // needs it), restore, and serve plain reads of the copy. The
+    // rewrite is a one-time linear, partition-parallel ingest
+    // normalization per session — the job a production pipeline runs
+    // once at landing time, not per query.
+    if (name == "events") Tables.synchronized {
+      val key = s"${System.identityHashCode(spark)}:$sfDir"
+      normalizedEvents.get(key) match {
+        case Some(path) => spark.read.parquet(path)
+        case None =>
+          val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+          val prior = spark.conf.getOption(confKey)
+          spark.conf.set(confKey, "true")
+          try {
+            val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+            raw.schema("ts").dataType match {
+              case org.apache.spark.sql.types.LongType =>
+                val (df, path) = Scratch.materializeWithPath(
+                  raw.withColumn("ts",
+                    expr("timestamp_micros(ts div 1000)")),
+                  "events_us")
+                normalizedEvents(key) = path
+                df
+              case _ =>
+                // µs/NTZ layout: no legacy conf needed at execution —
+                // serve the source directly, nothing to copy
+                raw.withColumn("ts", col("ts").cast("timestamp"))
+            }
+          } finally prior match {
+            case Some(v) => spark.conf.set(confKey, v)
+            case None => spark.conf.unset(confKey)
+          }
       }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")

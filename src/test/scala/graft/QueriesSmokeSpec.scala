@@ -26,4 +26,18 @@ class QueriesSmokeSpec extends SparkTestBase {
     val missing = Oracles.all.keySet -- Queries.all.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("loading events leaves the nanosAsLong conf untouched") {
+    // the legacy conf must be scoped to the one scan that needs it —
+    // session-wide it would silently read unrelated nanos columns as
+    // long
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val df = core.Tables.load(spark, sfDir, "events")
+    assert(df.count() > 0)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(spark.conf.getOption(key) == before,
+      "events load leaked the nanosAsLong session conf")
+  }
 }
