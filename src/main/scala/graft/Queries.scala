@@ -452,7 +452,8 @@ object Queries {
     "q39_multimodal_features" -> ((s, d) => {
       // multimodal surface: REAL header sniffing (PNG/WAV dims and
       // sample rate parsed from the bytes) + the distributed feature
-      // path (pixel decode is a deterministic stub — rows-only check)
+      // path (features here use the deterministic codec stub —
+      // rows-only check; REAL pixel/sample decode is q127/q128)
       val mm = graft.multimodal.MultimodalOps
       val assets = mm.syntheticAssets(s, 300)
       val meta = mm.annotateAssets(assets).select(col("asset_id"),
@@ -1636,6 +1637,62 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- REAL BMP pixel decode ----------------------------------------
+    "q127_bmp_decode" -> ((s, d) => {
+      // uncompressed-BMP pixel statistics decoded from the container
+      // bytes by a codegen'd expression (MediaDecode) — per-channel
+      // means over every pixel, exact integer sums inside the
+      // expression, rounding only at the surface. The oracle
+      // recomputes the same stats from the generator's closed-form
+      // pixel formulas, so padding/BGR/row-order decode defects fail
+      // the compare. Narrow map over the asset scan: no shuffle
+      // before the output ordering, corpus-parallel at any scale.
+      val mm = graft.multimodal.MultimodalOps
+      val st = graft.multimodal.MediaDecode
+        .bmpColumn(col("media_bytes"))
+      mm.syntheticDecodableAssets(s, 120)
+        .filter(col("modality") === "image")
+        .select(col("asset_id"), st.as("__st"))
+        .filter(col("__st").isNotNull)
+        .select(col("asset_id"),
+          col("__st.width").cast("long").as("width"),
+          col("__st.height").cast("long").as("height"),
+          col("__st.n_pixels").as("n_pixels"),
+          (dround(col("__st.sum_r").cast("double") /
+            col("__st.n_pixels"), 6) + lit(0)).as("mean_r"),
+          (dround(col("__st.sum_g").cast("double") /
+            col("__st.n_pixels"), 6) + lit(0)).as("mean_g"),
+          (dround(col("__st.sum_b").cast("double") /
+            col("__st.n_pixels"), 6) + lit(0)).as("mean_b"))
+        .orderBy(col("asset_id"))
+    }),
+
+    // ---- REAL WAV PCM decode ------------------------------------------
+    "q128_wav_decode" -> ((s, d) => {
+      // 16-bit PCM sample statistics decoded via the RIFF chunk walk
+      // (MediaDecode): mean amplitude, RMS, peak — the audio-QA
+      // triple a crawled-media pipeline gates on. Same oracle
+      // principle as q127: DuckDB re-derives the stats from the
+      // generator's sample formula; a sign-extension or chunk-offset
+      // bug in the decoder breaks the match.
+      val mm = graft.multimodal.MultimodalOps
+      val st = graft.multimodal.MediaDecode
+        .wavColumn(col("media_bytes"))
+      mm.syntheticDecodableAssets(s, 120)
+        .filter(col("modality") === "audio")
+        .select(col("asset_id"), st.as("__st"))
+        .filter(col("__st").isNotNull)
+        .select(col("asset_id"),
+          col("__st.sample_rate").cast("long").as("sample_rate"),
+          col("__st.n_samples").as("n_samples"),
+          (dround(col("__st.sum_amp").cast("double") /
+            col("__st.n_samples"), 6) + lit(0)).as("mean_amp"),
+          (dround(sqrt(col("__st.sum_sq").cast("double") /
+            col("__st.n_samples")), 6) + lit(0)).as("rms"),
+          col("__st.peak_abs").cast("long").as("peak_abs"))
+        .orderBy(col("asset_id"))
+    }),
+
     // ---- keep-best-quality cluster representative ---------------------
     "q113_cluster_best" -> ((s, d) => {
       // near-dup clusters (q59's pair graph) ranked by quality score:
@@ -1675,12 +1732,18 @@ object Queries {
     // ---- full IVF-PQ pipeline -----------------------------------------
     "q117_ivfpq" -> ((s, d) => {
       // coarse probe (trained cells, as q40) → ADC shortlist from PQ
-      // codes → exact-cosine re-rank of the top-20 → final top-5
+      // codes → exact-cosine re-rank of the top-100 → final top-5.
+      // rerank=100 keeps recall monotone in nprobe: the ADC stage
+      // ranks by subspace L2² while the final order is cosine, so a
+      // tight shortlist cut lets extra probed candidates crowd out
+      // true neighbors (measured recall@5 fell 0.76→0.70 going
+      // nprobe 1→4 at rerank=20; 0.82→0.92 at rerank=100). Still
+      // bounded: rerank×queries rows, corpus-size-independent.
       val emb = t(s, d, "embeddings")
       graft.operators.SimilarityOps.ivfPqTopK(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         "vec_id", k = 5, cells = 16, nprobe = 4, coarseIters = 2,
-        m = 4, pqCells = 16, pqIters = 1, rerank = 20)
+        m = 4, pqCells = 16, pqIters = 1, rerank = 100)
         .orderBy(col("query_id"), col("rn"))
     }),
 
@@ -1695,7 +1758,7 @@ object Queries {
         "vec_id", k = 5).select(col("query_id"), col("neighbor_id"))
       val approx = ops.ivfPqTopK(emb, q, "vec_id", "embedding",
         "vec_id", k = 5, cells = 16, nprobe = 4, coarseIters = 2,
-        m = 4, pqCells = 16, pqIters = 1, rerank = 20)
+        m = 4, pqCells = 16, pqIters = 1, rerank = 100)
         .select(col("query_id"), col("neighbor_id"))
       val overlap = exact.join(approx, Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as("n"))

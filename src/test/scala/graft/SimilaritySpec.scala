@@ -159,6 +159,20 @@ class SimilaritySpec extends SparkTestBase {
       s"max bucket $maxBucket of $n rows — too skewed")
   }
 
+  test("IVF-PQ recall@5 holds the measured floor at q118's config") {
+    // the q118 audit must not just OBSERVE recall — pin it, so a
+    // codebook/probe regression (e.g. nprobe silently dropping to 1,
+    // which measures 0.82 here) turns this red instead of passing.
+    // Current config (nprobe=4, rerank=100) measures 0.92 at sf0.01;
+    // the search is deterministic, so 0.90 is real headroom.
+    val recalls = Queries.all("q118_ann_recall")(
+      spark, "/root/testdata/sf0.01")
+      .select(col("recall_at_5").cast("double")).collect()
+      .map(_.getDouble(0))
+    val mean = recalls.sum / (5.0 * recalls.length)
+    assert(mean >= 0.90, f"mean recall@5 $mean%.3f below 0.90 floor")
+  }
+
   test("embeddingNearDups reports exact duplicates with cos 1.0") {
     val df = Seq(
       (1L, Seq(0.5f, 0.5f, 0.1f)),

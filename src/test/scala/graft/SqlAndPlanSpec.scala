@@ -35,6 +35,14 @@ class SqlAndPlanSpec extends SparkTestBase {
     assert(viaSql.values.sum == 6000)
   }
 
+  test("oracle string-list literals escape embedded apostrophes") {
+    // a stopword like don't spliced unescaped would terminate the SQL
+    // literal early and break the q120 oracle
+    assert(Oracles.sqlStringList(Seq("don't", "the")) ==
+      "['don''t', 'the']")
+    assert(Oracles.sqlStringList(Seq("it's")) == "['it''s']")
+  }
+
   // ---- plan assertions: the scale contract ---------------------------
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
