@@ -7,10 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing for a training-data
   * pipeline. Media are opaque `binary` columns with typed metadata; the
   * Spark-side concerns — schema, partitioning, batch iteration shape,
-  * deterministic feature output — are real and tested. The actual codec
-  * work is STUBBED (this container has no image/audio libraries): the
-  * stub derives deterministic pseudo-features from the bytes, so tests
-  * exercise the full distributed path end-to-end.
+  * deterministic feature output — are real and tested. Header sniffing
+  * ([[MediaHeader]]) and fixed-layout decode (uncompressed BMP pixels,
+  * 16-bit PCM WAV samples — [[MediaDecode]], oracle-checked as
+  * q127/q128) are REAL byte-level implementations; only
+  * codec-REQUIRING formats (JPEG/PNG pixel data, compressed audio)
+  * are STUBBED in [[extractFeatures]] (this container has no codec
+  * libraries): the stub derives deterministic pseudo-features from
+  * the bytes, so tests exercise the full distributed path end-to-end.
   *
   * At scale: decode runs via `mapPartitions` so a real implementation
   * amortizes per-partition library init (model load, codec contexts) —
@@ -130,6 +134,86 @@ object MultimodalOps {
     }
     rows.toDF("asset_id", "modality", "media_bytes", "mime_type",
       "width", "height", "duration_ms")
+  }
+
+  /** Deterministic FULLY-DECODABLE asset table: complete 24-bpp BMP
+    * images and 16-bit PCM WAV clips whose pixel/sample values follow
+    * closed-form formulas in (asset index, position) — so an oracle
+    * can recompute the decoded statistics from the formulas alone
+    * while the engine decodes the actual container bytes
+    * ([[MediaDecode]]): any decode defect (row padding, BGR order,
+    * chunk walk, sign extension) breaks the comparison. Every third
+    * asset is headerless noise (the undecodable case). */
+  def syntheticDecodableAssets(spark: SparkSession, n: Int)
+      : DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      i % 3 match {
+        case 0 =>
+          val w = 8 + i % 9
+          val h = 6 + i % 7
+          (i.toLong, "image", bmpFile(w, h, (x, y) => (
+            (i * 7 + x * 3 + y * 5) % 256,
+            (i * 11 + x * 13 + y * 17) % 256,
+            (i * 19 + x * 23 + y * 29) % 256)))
+        case 1 =>
+          val m = 60 + (i % 50) * 3
+          val samples = Array.tabulate[Short](m)(t =>
+            (((i * 37 + t * 101) % 65536) - 32768).toShort)
+          (i.toLong, "audio", wavFile(8000 + 200 * (i % 5), samples))
+        case _ =>
+          (i.toLong, "video",
+            Array.tabulate[Byte](96)(j => ((i * 31 + j * 7) % 251)
+              .toByte))
+      }
+    }
+    rows.toDF("asset_id", "modality", "media_bytes")
+  }
+
+  /** A complete uncompressed 24-bpp BMP file: 14-byte file header +
+    * 40-byte BITMAPINFOHEADER + bottom-up BGR rows padded to 4-byte
+    * boundaries. `px(x, y)` is (r, g, b) in top-down image coords. */
+  private[graft] def bmpFile(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val imgSize = rowSize * h
+    val b = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var yf = 0
+    while (yf < h) {
+      val y = h - 1 - yf // file rows run bottom-up
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = px(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowSize) { b.put(0.toByte); pad += 1 }
+      yf += 1
+    }
+    b.array()
+  }
+
+  /** A complete 16-bit PCM mono WAV file (RIFF + fmt + data). */
+  private[graft] def wavFile(sampleRate: Int, samples: Array[Short])
+      : Array[Byte] = {
+    val dataSize = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2.toShort).putShort(16.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(b.putShort)
+    b.array()
   }
 
   /** Minimal valid PNG signature + IHDR prefix with the given dims. */

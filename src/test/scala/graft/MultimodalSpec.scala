@@ -89,4 +89,113 @@ class MultimodalSpec extends SparkTestBase {
       .orderBy("frame_ms").collect().map(_.getLong(1)).toSeq
     assert(frames == Seq(0L, 1000L, 2000L, 3000L, 4000L, 5000L))
   }
+
+  // ---- REAL pixel/sample decode --------------------------------------
+
+  import graft.multimodal.MediaDecode
+
+  private def bmpRow(bytes: Array[Byte]) = {
+    import spark.implicits._
+    Seq(Tuple1(bytes)).toDF("b")
+      .select(MediaDecode.bmpColumn(col("b")).as("st"))
+      .collect().head
+  }
+
+  private def wavRow(bytes: Array[Byte]) = {
+    import spark.implicits._
+    Seq(Tuple1(bytes)).toDF("b")
+      .select(MediaDecode.wavColumn(col("b")).as("st"))
+      .collect().head
+  }
+
+  test("BMP decode matches hand-built pixels through row padding") {
+    // 2x2, w*3=6 → each row padded by 2 bytes; known channel values
+    val px = Map((0, 0) -> (10, 20, 30), (1, 0) -> (40, 50, 60),
+      (0, 1) -> (70, 80, 90), (1, 1) -> (200, 250, 255))
+    val bytes = MultimodalOps.bmpFile(2, 2, (x, y) => px((x, y)))
+    val st = bmpRow(bytes).getStruct(0)
+    assert(st.getInt(0) == 2 && st.getInt(1) == 2)
+    assert(st.getLong(2) == 4L)
+    assert(st.getLong(3) == 10L + 40 + 70 + 200) // sum_r
+    assert(st.getLong(4) == 20L + 50 + 80 + 250) // sum_g
+    assert(st.getLong(5) == 30L + 60 + 90 + 255) // sum_b
+  }
+
+  test("BMP decode handles top-down (negative height) layout") {
+    val bytes = MultimodalOps.bmpFile(3, 2, (x, y) => (x, y, x + y))
+    // flip to top-down: height = -2 at offset 22 (LE)
+    val neg = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(neg)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2)
+    val st = bmpRow(neg).getStruct(0)
+    // aggregates are pixel-order-free: identical sums either way
+    assert(st.getInt(1) == 2 && st.getLong(2) == 6L)
+    assert(st.getLong(3) == 0L + 1 + 2 + 0 + 1 + 2)   // sum_r = Σx
+    assert(st.getLong(4) == 0L + 0 + 0 + 1 + 1 + 1)   // sum_g = Σy
+  }
+
+  test("BMP decode nulls out unsupported or truncated containers") {
+    val good = MultimodalOps.bmpFile(2, 2, (_, _) => (1, 2, 3))
+    // 8-bpp: unsupported
+    val bpp8 = good.clone()
+    java.nio.ByteBuffer.wrap(bpp8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(28, 8)
+    assert(bmpRow(bpp8).isNullAt(0))
+    // compressed (BI_RLE8)
+    val comp = good.clone()
+    java.nio.ByteBuffer.wrap(comp)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1)
+    assert(bmpRow(comp).isNullAt(0))
+    // truncated pixel data
+    assert(bmpRow(good.dropRight(3)).isNullAt(0))
+    // not a BMP at all
+    assert(bmpRow(Array[Byte](1, 2, 3)).isNullAt(0))
+  }
+
+  test("WAV decode matches hand-computed PCM stats incl. negatives") {
+    val samples = Array[Short](100, -200, 32767, -32768, 0)
+    val bytes = MultimodalOps.wavFile(44100, samples)
+    val st = wavRow(bytes).getStruct(0)
+    assert(st.getInt(0) == 44100 && st.getInt(1) == 1)
+    assert(st.getLong(2) == 5L)
+    assert(st.getLong(3) == 100L - 200 + 32767 - 32768 + 0)
+    assert(st.getLong(4) == 100L * 100 + 200L * 200 +
+      32767L * 32767 + 32768L * 32768)
+    assert(st.getInt(5) == 32768)
+  }
+
+  test("WAV decode walks past an inserted chunk and rejects non-PCM") {
+    // splice a LIST chunk between fmt and data: the walk must skip it
+    val base = MultimodalOps.wavFile(8000, Array[Short](5, -5))
+    val fmtEnd = 12 + 8 + 16
+    val extra = java.nio.ByteBuffer.allocate(8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII")).array()
+    val spliced = base.take(fmtEnd) ++ extra ++ base.drop(fmtEnd)
+    val st = wavRow(spliced).getStruct(0)
+    assert(st.getLong(2) == 2L && st.getInt(5) == 5)
+    // IEEE-float format tag (3): not PCM → null
+    val f32 = base.clone()
+    java.nio.ByteBuffer.wrap(f32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(20, 3)
+    assert(wavRow(f32).isNullAt(0))
+    // truncated data chunk → null
+    assert(wavRow(base.dropRight(1)).isNullAt(0))
+  }
+
+  test("decode queries agree with the generator's closed forms") {
+    // spot-check one BMP asset end-to-end: decoded means equal the
+    // formula means (the full cross-check is the q127/q128 oracle)
+    val df = Queries.all("q127_bmp_decode")(spark, "unused")
+    val r = df.filter(col("asset_id") === 12).collect().head
+    val (w, h) = (8 + 12 % 9, 6 + 12 % 7)
+    val pix = for (x <- 0 until w; y <- 0 until h)
+      yield (12 * 7 + x * 3 + y * 5) % 256
+    val expected = math.rint(
+      pix.sum.toDouble / pix.length * 1e6) / 1e6
+    assert(r.getAs[Long]("n_pixels") == w.toLong * h)
+    assert(math.abs(r.getAs[Double]("mean_r") - expected) < 1e-9)
+  }
 }
