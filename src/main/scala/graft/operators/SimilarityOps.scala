@@ -330,6 +330,15 @@ object SimilarityOps {
     * previous centroid. */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, cells: Int = 16, iters: Int = 1)
+      : Array[Array[Array[Double]]] =
+    // same train-once-reuse as kmeansTrain: m×cells×(dim/m) doubles
+    graft.core.ModelCache.cached(df,
+      s"pq:$idCol:$vecCol:$m:$cells:$iters") {
+      pqTrainUncached(df, idCol, vecCol, m, cells, iters)
+    }.map(_.map(_.clone()))
+
+  private def pqTrainUncached(df: DataFrame, idCol: String,
+      vecCol: String, m: Int, cells: Int, iters: Int)
       : Array[Array[Array[Double]]] = {
     val init = df.select(col(idCol),
         col(vecCol).cast("array<double>").as("__v"))
@@ -476,7 +485,19 @@ object SimilarityOps {
   }
 
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
-      cells: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+      cells: Int = 16, iters: Int = 2): Array[Array[Double]] =
+    // train-once-reuse: several queries of one session train the
+    // identical codebook (assign, SemDeDup, IVF probe, recall audit);
+    // the cached artifact is 16×dim doubles of driver-held metadata.
+    // Deep-copied per access — callers must not see shared mutable
+    // arrays.
+    graft.core.ModelCache.cached(df,
+      s"kmeans:$idCol:$vecCol:$cells:$iters") {
+      kmeansTrainUncached(df, idCol, vecCol, cells, iters)
+    }.map(_.clone())
+
+  private def kmeansTrainUncached(df: DataFrame, idCol: String,
+      vecCol: String, cells: Int, iters: Int): Array[Array[Double]] = {
     var cb = initCodebook(df, idCol, vecCol, cells)
     var it = 0
     while (it < iters) {

@@ -79,5 +79,12 @@ object GraftExtensions {
     "quantile_sketch_merge" -> (exprs =>
       QuantileSketchMergeAgg(exprs.head).toAggregateExpression()),
     "quantile_sketch_query" -> (exprs =>
-      QSketchQuery(exprs(0), exprs(1))))
+      QSketchQuery(exprs(0), exprs(1))),
+    // media byte-level parsing/decode (multimodal QA from plain SQL)
+    "media_header" -> (exprs =>
+      graft.multimodal.MediaHeaderExpr(exprs.head)),
+    "bmp_pixel_stats" -> (exprs =>
+      graft.multimodal.BmpPixelStatsExpr(exprs.head)),
+    "wav_pcm_stats" -> (exprs =>
+      graft.multimodal.WavPcmStatsExpr(exprs.head)))
 }

@@ -75,4 +75,30 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(entries.map(_.getLong(1)) == Seq(20L, 30L))
     } finally spark.stop()
   }
+
+  test("media parse/decode functions resolve in plain SQL") {
+    val spark2 = sessionWithExtensions
+    try {
+      import spark2.implicits._
+      val mm = graft.multimodal.MultimodalOps
+      Seq(
+        (1L, mm.bmpFile(2, 1, (x, _) => (10 * (x + 1), 0, 5))),
+        (2L, mm.wavFile(16000, Array[Short](3, -4))))
+        .toDF("id", "b").createOrReplaceTempView("media")
+      val bmp = spark2.sql(
+        """SELECT media_header(b).format AS fmt,
+          |  bmp_pixel_stats(b).sum_r AS sr,
+          |  bmp_pixel_stats(b).n_pixels AS np
+          |FROM media WHERE id = 1""".stripMargin).collect().head
+      assert(bmp.getString(0) == "bmp")
+      assert(bmp.getLong(1) == 30L && bmp.getLong(2) == 2L)
+      val wav = spark2.sql(
+        """SELECT media_header(b).sample_rate AS rate,
+          |  wav_pcm_stats(b).n_samples AS n,
+          |  wav_pcm_stats(b).peak_abs AS peak
+          |FROM media WHERE id = 2""".stripMargin).collect().head
+      assert(wav.getInt(0) == 16000)
+      assert(wav.getLong(1) == 2L && wav.getInt(2) == 4)
+    } finally spark2.stop()
+  }
 }
