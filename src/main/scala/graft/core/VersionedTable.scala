@@ -28,11 +28,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    create succeeds — the loser re-reads the new state and retries
   *    (optimistic concurrency, the Delta protocol's shape).
   *
-  * ATOMICITY REQUIREMENT: the commit protocol relies on
-  * `FileSystem.create(path, overwrite = false)` failing atomically
-  * when the target exists. HDFS and local filesystems guarantee this;
-  * object-store connectors like S3A do NOT (two racing creates can
-  * both "succeed", silently losing one manifest). On such stores an
+  * ATOMICITY REQUIREMENT: the commit protocol relies on an atomic
+  * create-fails-if-exists claim. HDFS `create(overwrite = false)`
+  * guarantees this; Hadoop's LOCAL filesystem does NOT (its create is
+  * an exists-check then open — two racers can both pass, the second
+  * truncating the first), so local paths claim via NIO `CREATE_NEW`
+  * (O_CREAT|O_EXCL) instead — see `atomicClaim`. Object-store
+  * connectors like S3A offer no such primitive at all; there an
   * external coordination layer is required — the same constraint the
   * Delta protocol documents for its LogStore implementations.
   *
@@ -91,11 +93,52 @@ object VersionedTable {
     spark.conf.getOption(key).map(_.toLong).getOrElse(default)
 
   private def readManifest(f: FileSystem, mp: Path): List[String] = {
-    val in = f.open(mp)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
+    def readVia(fs: FileSystem): List[String] = {
+      val in = fs.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    try readVia(f)
+    catch {
+      // a stale .crc sidecar (left by a reclaimed writer's checksummed
+      // stream racing the version's next claimant, which writes
+      // through O_EXCL and never updates the sidecar) must not make a
+      // valid manifest unreadable — fall back to the raw filesystem
+      case _: org.apache.hadoop.fs.ChecksumException => f match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+          readVia(c.getRawFileSystem)
+        case _ => throw new java.io.IOException(
+          s"checksum mismatch reading $mp")
+      }
+    }
   }
+
+  /** Atomically claim `target`: an output stream iff this caller
+    * created the file, IOException if it already exists — even under
+    * a concurrent claim. Hadoop's LOCAL filesystem implements
+    * `create(overwrite = false)` as a non-atomic exists-check (two
+    * racers can both pass, the second truncating the first — a silent
+    * lost manifest), so local paths claim via NIO `CREATE_NEW`
+    * (O_CREAT|O_EXCL, atomic at the kernel). HDFS `create` is
+    * genuinely atomic and takes the plain path. Object stores are
+    * excluded either way (see the class doc). */
+  private def atomicClaim(f: FileSystem, target: Path)
+      : java.io.OutputStream =
+    if (f.getScheme == "file") {
+      val p = java.nio.file.Paths.get(target.toUri.getPath)
+      java.nio.file.Files.createDirectories(p.getParent)
+      val out = java.nio.file.Files.newOutputStream(p,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      // the claim is ours: clear any stale checksum sidecar a prior
+      // reclaimed writer left for this name (we write raw bytes, so a
+      // leftover .crc would poison checksummed readers)
+      try f.delete(new Path(target.getParent,
+        s".${target.getName}.crc"), false)
+      catch { case _: java.io.IOException => () }
+      out
+    } else f.create(target, false)
 
   /** Manifests written before this epoch-ms cutoff predate the
     * terminator protocol: treat them as COMPLETE as-is instead of
@@ -208,11 +251,11 @@ object VersionedTable {
         f.mkdirs(new Path(manifestDir(path)))
         val target = manifestPath(path, v)
         try {
-          // create(overwrite = false) is the atomic claim on version v;
-          // the terminator line marks the content complete (readers
-          // poll for it — see files())
+          // the atomic claim on version v (O_EXCL on local, atomic
+          // create on HDFS); the terminator line marks the content
+          // complete (readers poll for it — see files())
           val written = (prev ++ newFiles :+ Terminator).toList
-          val out = f.create(target, false)
+          val out = atomicClaim(f, target)
           try out.write(written.mkString("", "\n", "\n")
             .getBytes("UTF-8"))
           finally out.close()
