@@ -2306,6 +2306,44 @@ object Oracles {
     // Lee 2022 span removal: same window digests as q119 but with
     // start positions; covered positions are dropped from the
     // original-case token stream and the remainder re-joined
+    // q129/q130: the md5 term hash and scaled-integer aggregation make
+    // the hashing-trick vectors engine-portable; cosine numerators are
+    // exact integer sums, so ranks agree bit-for-bit.
+    "q129_hashed_tfidf" -> (hashedVectorCtes + """
+        |SELECT doc_id, bucket,
+        |  round(CAST(ws AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 6) + 0
+        |    AS weight
+        |FROM bb JOIN norms USING (doc_id)
+        |ORDER BY doc_id, bucket""".stripMargin),
+
+    "q130_text_ann" -> (hashedVectorCtes + """,
+        |qv AS (SELECT doc_id AS query_id, bucket, ws AS wq, n2 AS nq
+        |  FROM bb JOIN norms USING (doc_id) WHERE doc_id < 10),
+        |cv AS (SELECT doc_id AS neighbor_id, bucket, ws AS wc,
+        |    n2 AS nc
+        |  FROM bb JOIN norms USING (doc_id)),
+        |num AS (
+        |  SELECT query_id, neighbor_id, sum(wq * wc) AS num
+        |  FROM qv JOIN cv USING (bucket)
+        |  WHERE neighbor_id <> query_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    CAST(coalesce(n.num, 0) AS DOUBLE)
+        |      / (sqrt(CAST(q.nq AS DOUBLE))
+        |         * sqrt(CAST(c.nc AS DOUBLE))) AS cs
+        |  FROM (SELECT DISTINCT query_id, nq FROM qv) q
+        |  CROSS JOIN (SELECT DISTINCT neighbor_id, nc FROM cv) c
+        |  LEFT JOIN num n USING (query_id, neighbor_id)
+        |  WHERE c.neighbor_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, round(cs, 4) + 0 AS cos_sim,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |      AS INTEGER) AS rn
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, cos_sim, rn FROM ranked
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+
     // q127/q128: the engine decodes REAL container bytes (BMP pixel
     // rows / WAV PCM samples); the oracle re-derives the expected
     // stats from the generator's closed-form pixel/sample formulas —
@@ -2485,6 +2523,37 @@ object Oracles {
     * coarse codebook (lloyd2cb16) + PQ chains + codes/assignment/
     * probes/ADC/shortlist/re-rank, ending at `rr(query_id,
     * neighbor_id, cs)`. */
+  /** Shared CTE prefix replicating
+    * [[graft.operators.HashingVectorizer]]: q52's TF-IDF base, term →
+    * md5-bucket (dim 64), TF-IDF scaled to integers (×10⁴) so the
+    * bucket sums `ws` and squared norms `n2` are exact. Ends at
+    * `bb` (doc_id, bucket, ws) and `norms` (doc_id, n2). */
+  private lazy val hashedVectorCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+      |    ELSE string_split_regex(trim(lower(text)), '\s+') END)
+      |    AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf
+      |  FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, tf,
+      |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4)
+      |      AS tfidf
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+      |bucketed AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64
+      |      AS bucket,
+      |    CAST(round(tfidf * 10000.0, 0) AS BIGINT) AS w
+      |  FROM scored),
+      |bb AS (SELECT doc_id, bucket, sum(w) AS ws
+      |  FROM bucketed GROUP BY 1, 2),
+      |norms AS (SELECT doc_id, sum(ws * ws) AS n2 FROM bb GROUP BY 1)
+      |""".stripMargin
+
   private lazy val ivfPqCtes: String =
     (lloyd2cb16 + ",\n" +
       pqChainsBody(m = 4, sub = 16, cells = 16) + """,

@@ -1693,6 +1693,28 @@ object Queries {
         .orderBy(col("asset_id"))
     }),
 
+    // ---- hashing-trick TF-IDF document vectors ------------------------
+    "q129_hashed_tfidf" -> ((s, d) => {
+      // fixed-dim lexical vectors without an embedding model
+      // (Weinberger 2009): md5-bucketed, scaled-integer aggregation
+      // (no float sum crosses a shuffle), L2-normalized at the surface
+      graft.operators.HashingVectorizer.hashedTfIdf(
+        t(s, d, "documents"), "doc_id", "text", dim = 64)
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+    // ---- text ANN over hashed vectors ---------------------------------
+    "q130_text_ann" -> ((s, d) => {
+      // brute-force cosine top-5 for the first 10 docs against the
+      // corpus on q129's vectors — the text twin of q28; the cosine
+      // numerator is an exact integer sum, so Spark and the oracle
+      // agree bit-for-bit including rank ties
+      graft.operators.HashingVectorizer.textTopK(
+        t(s, d, "documents"), "doc_id", "text",
+        q => q < 10, k = 5, dim = 64)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // ---- keep-best-quality cluster representative ---------------------
     "q113_cluster_best" -> ((s, d) => {
       // near-dup clusters (q59's pair graph) ranked by quality score:

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.dround
+
+/** Hashing-trick TF-IDF document vectors (Weinberger et al. 2009,
+  * "Feature Hashing for Large Scale Multitask Learning") — fixed-dim
+  * sparse vectors for text similarity WITHOUT an embedding model: the
+  * lexical-overlap complement to the embedding-based ANN path, and the
+  * standard cheap vectorizer a curation pipeline runs corpus-wide.
+  *
+  * Engine-portable by construction: the term→bucket hash is the first
+  * 8 hex digits of md5 (identical in Spark and DuckDB, so the oracle
+  * re-derives the same buckets — unlike xxhash64), and every
+  * aggregation happens on SCALED INTEGERS (TF-IDF rounded to 4 dp ×
+  * 10⁴), so sums are exact and association-order-free; doubles appear
+  * only in the final normalize/cosine step as a fixed op chain on
+  * exact inputs. No floating-point sum ever crosses a shuffle.
+  *
+  * Shape at scale: tokenize→explode narrow; TF one (doc, term)
+  * shuffle; DF a vocabulary-sized shuffle; bucket aggregation shuffles
+  * at most `dim` rows per doc; the norm join is id-keyed. The
+  * vocabulary/bucket tables are corpus-size-independent.
+  */
+object HashingVectorizer {
+
+  /** Term→bucket: first 32 bits of md5 mod `dim` — the same value
+    * DuckDB's `CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % dim`
+    * produces. */
+  def bucket(token: Column, dim: Int): Column =
+    pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"),
+      lit(dim.toLong))
+
+  /** Long-form vectors before normalization: (`idCol`, bucket, __ws
+    * scaled-int weight, __n2 scaled-int squared norm). */
+  private def scaledBuckets(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int): DataFrame = {
+    val byBucket = TfIdf.score(docs, idCol, textCol)
+      .withColumn("bucket", bucket(col("token"), dim))
+      .withColumn("__w", round(col("tfidf") * 1e4).cast("long"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__w")).as("__ws"))
+    val norms = byBucket.groupBy(col(idCol))
+      .agg(sum(col("__ws") * col("__ws")).as("__n2"))
+    byBucket.join(norms, Seq(idCol))
+  }
+
+  /** L2-normalized hashed TF-IDF vectors in long form:
+    * (`idCol`, bucket, weight) — only nonzero buckets appear. */
+  def hashedTfIdf(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame =
+    scaledBuckets(docs, idCol, textCol, dim)
+      .select(col(idCol), col("bucket"),
+        (dround(col("__ws").cast("double") /
+          sqrt(col("__n2").cast("double")), 6) + lit(0)).as("weight"))
+
+  /** Brute-force cosine top-k between documents over the hashed
+    * vectors — text ANN with no embedding model. The cosine numerator
+    * is an EXACT integer sum over shared buckets (Σ ws_q·ws_d), the
+    * denominator one sqrt-product on exact ints, so the score is
+    * bit-identical across engines and partitionings; ranking is the
+    * bounded-heap top-k (score desc, id asc). Pairs sharing no bucket
+    * score 0 via the left join from the full query×corpus frame —
+    * this is the exhaustive BASELINE (queries×corpus work, the text
+    * twin of q28); the scale path is IVF over [[hashedTfIdf]]'s
+    * output, exactly as for embeddings. */
+  def textTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryPred: Column => Column, k: Int, dim: Int = 64): DataFrame = {
+    val sb = graft.core.Scratch.materialize(
+      scaledBuckets(docs, idCol, textCol, dim), "hashvec")
+    val q = sb.select(col(idCol).as("query_id"),
+      col("bucket"), col("__ws").as("__wq"), col("__n2").as("__nq"))
+      .where(queryPred(col("query_id")))
+    val c = sb.select(col(idCol).as("neighbor_id"),
+      col("bucket"), col("__ws").as("__wc"), col("__n2").as("__nc"))
+    val num = q.join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__wq") * col("__wc")).as("__num"),
+        first(col("__nq")).as("__nq"), first(col("__nc")).as("__nc"))
+    val allPairs = q.select(col("query_id"), col("__nq")).distinct()
+      .crossJoin(c.select(col("neighbor_id"), col("__nc")).distinct())
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(num.select(col("query_id"), col("neighbor_id"),
+        col("__num")), Seq("query_id", "neighbor_id"), "left")
+      .withColumn("__cos",
+        coalesce(col("__num"), lit(0L)).cast("double") /
+          (sqrt(col("__nq").cast("double")) *
+            sqrt(col("__nc").cast("double"))))
+    graft.functions.TopKByScore.explodeTopK(allPairs,
+        Seq("query_id"), col("__cos"), col("neighbor_id"), k,
+        outId = "neighbor_id", outScore = "__cos")
+      .select(col("query_id"), col("neighbor_id"),
+        (dround(col("__cos"), 4) + lit(0)).as("cos_sim"), col("rn"))
+  }
+}

@@ -83,7 +83,9 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q93_containment", // q93: q26's bounded broadcast verifier shape
       "q108_dsir_weights", // 1-row totals attached to the 256-bucket LR table
       "q116_pq_adc", // q28's deliberate shape: corpus codes × 10 broadcast queries
-      "q118_ann_recall") // composes q28's exact top-5 as the recall reference
+      "q118_ann_recall", // composes q28's exact top-5 as the recall reference
+      "q129_hashed_tfidf", // q52's scalar-attach (corpus N) via TfIdf.score
+      "q130_text_ann") // q28's deliberate brute-force query×corpus baseline
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
