@@ -56,6 +56,23 @@ object HashingVectorizer {
         (dround(col("__ws").cast("double") /
           sqrt(col("__n2").cast("double")), 6) + lit(0)).as("weight"))
 
+  /** Dense `array<double>` form of [[hashedTfIdf]] — the bridge onto
+    * the embedding ANN stack: the output plugs directly into
+    * [[SimilarityOps.ivfTopK]] / [[SimilarityOps.ivfPqTopK]], which IS
+    * the scale path for text similarity search (brute-force
+    * [[textTopK]] is the exactness baseline). One extra id-keyed
+    * aggregation; `dim` doubles per doc. */
+  def denseVectors(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame =
+    hashedTfIdf(docs, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("weight")))).as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0)))
+          .as("vec"))
+
   /** Brute-force cosine top-k between documents over the hashed
     * vectors — text ANN with no embedding model. The cosine numerator
     * is an EXACT integer sum over shared buckets (Σ ws_q·ws_d), the

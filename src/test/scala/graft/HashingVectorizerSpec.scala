@@ -30,6 +30,29 @@ class HashingVectorizerSpec extends SparkTestBase {
     assert(!v.exists(_.getLong(0) == 3L))
   }
 
+  test("dense vectors feed the IVF stack: planted dup found via cells") {
+    // text → hashed vectors → the embedding ANN path: the scale route
+    // for text similarity (textTopK is the exhaustive baseline)
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"tok${i % 7} tok${(i * 3) % 11} tok${(i * 5) % 13}"))
+      .toDF("doc_id", "text")
+      .union(Seq((1000L, "tok0 tok0 tok0")).toDF("doc_id", "text"))
+    val vecs = graft.operators.HashingVectorizer
+      .denseVectors(docs, "doc_id", "text", dim = 32)
+    assert(vecs.select(size(col("vec"))).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(32))
+    val hits = graft.operators.SimilarityOps.ivfTopK(
+      vecs, vecs.filter(col("doc_id") === 1000L), "doc_id", "vec",
+      "doc_id", k = 3, cells = 4, nprobe = 2, trainIters = 1)
+      .collect()
+    // doc 0's text is tok0 tok0 tok0's nearest lexical neighborhood
+    // (same dominant token); the probe must surface a tok0 document
+    val top = hits.filter(_.getAs[Int]("rn") == 1).head
+      .getAs[Long]("neighbor_id")
+    assert(Seq(0L, 7L, 14L, 21L, 28L, 35L).contains(top),
+      s"nearest=$top not a tok0 doc")
+  }
+
   test("textTopK ranks an exact duplicate first with cosine 1") {
     val docs = Seq(
       (0L, "big table scan fast"),
