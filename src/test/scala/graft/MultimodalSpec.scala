@@ -185,6 +185,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(wavRow(base.dropRight(1)).isNullAt(0))
   }
 
+  test("BMP encode→decode roundtrip law over random dims and pixels") {
+    // property: for arbitrary (w, h, pixel function), decoding the
+    // encoded file reproduces the direct channel sums — pins padding
+    // arithmetic at every width mod 4 and both dimension parities
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { _ =>
+      val w = 1 + rnd.nextInt(9)
+      val h = 1 + rnd.nextInt(6)
+      val px = Array.fill(w, h)(
+        (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val st = bmpRow(MultimodalOps.bmpFile(w, h,
+        (x, y) => px(x)(y))).getStruct(0)
+      val flat = px.flatten
+      assert(st.getInt(0) == w && st.getInt(1) == h)
+      assert(st.getLong(2) == w.toLong * h)
+      assert(st.getLong(3) == flat.map(_._1.toLong).sum, s"w=$w h=$h")
+      assert(st.getLong(4) == flat.map(_._2.toLong).sum)
+      assert(st.getLong(5) == flat.map(_._3.toLong).sum)
+    }
+  }
+
+  test("WAV encode→decode roundtrip law over random sample runs") {
+    val rnd = new scala.util.Random(11)
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      val samples = Array.fill(n)(
+        (rnd.nextInt(65536) - 32768).toShort)
+      val rate = 4000 + rnd.nextInt(44100)
+      val st = wavRow(MultimodalOps.wavFile(rate, samples)).getStruct(0)
+      assert(st.getInt(0) == rate && st.getLong(2) == n.toLong)
+      assert(st.getLong(3) == samples.map(_.toLong).sum)
+      assert(st.getLong(4) ==
+        samples.map(s => s.toLong * s.toLong).sum)
+      assert(st.getInt(5) ==
+        samples.map(s => math.abs(s.toInt)).max)
+    }
+  }
+
   test("decode queries agree with the generator's closed forms") {
     // spot-check one BMP asset end-to-end: decoded means equal the
     // formula means (the full cross-check is the q127/q128 oracle)
