@@ -10,11 +10,13 @@ import graft.core.Tables
   * Catalyst expressions as SQL functions, then passes queries through
   * to Catalyst.
   *
-  * SQL surface:
-  *   simhash64(array<string>)            → bigint
-  *   minhash_signature(array<string>, k) → array<bigint>
-  *   word_shingles(array<string>, n)     → array<string>
-  *   hyperplane_lsh(array<float|double>, bits[, seed]) → bigint
+  * SQL surface: every entry of [[GraftExtensions.functions]] — the
+  * dedup/ANN expressions (simhash64, minhash_signature, word_shingles,
+  * hyperplane_lsh, cosine_sim), the bounded-heap top-k aggregate, the
+  * mergeable count-min and GK-quantile sketches, and the media
+  * byte-parsers (media_header, bmp_pixel_stats, wav_pcm_stats). The
+  * single builder table keeps this path and the cluster-wide
+  * `spark.sql.extensions` path from drifting.
   */
 object GraftSql {
 
