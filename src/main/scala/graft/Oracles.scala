@@ -1011,6 +1011,49 @@ object Oracles {
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab ORDER BY doc_id""".stripMargin,
 
+    // q131: q59's exact-jaccard closure (LSH recall 1-4e-12 at 0.95,
+    // same argument as q44/q59) + q74's md5 split hash on cluster_id
+    "q131_leakage_safe_split" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |    >= 0.95),
+        |sym AS (SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT s.src AS doc_id, r.r FROM sym s
+        |    JOIN reach r ON s.dst = r.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach
+        |  GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, cluster_id,
+        |    (position(substring(md5('graft:'
+        |        || CAST(cluster_id AS VARCHAR)), 1, 1)
+        |      IN '0123456789abcdef') - 1) * 16
+        |    + position(substring(md5('graft:'
+        |        || CAST(cluster_id AS VARCHAR)), 2, 1)
+        |      IN '0123456789abcdef') - 1 AS bucket
+        |  FROM lab)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN bucket < 205 THEN 'train'
+        |       WHEN bucket < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // floor(x/s + 0.5) on both sides — engine-identical tie-break
     "q60_embedding_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x

@@ -1715,6 +1715,16 @@ object Queries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // ---- leakage-safe train/val/test split ----------------------------
+    "q131_leakage_safe_split" -> ((s, d) => {
+      // the split unit is the near-dup cluster: a val doc whose
+      // near-duplicate sits in train is memorizable eval leakage, so
+      // every member inherits the split hashed from the cluster id
+      graft.ops.Splits.leakageSafe(
+        t(s, d, "documents"), "doc_id", "text", seed = "graft")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- keep-best-quality cluster representative ---------------------
     "q113_cluster_best" -> ((s, d) => {
       // near-dup clusters (q59's pair graph) ranked by quality score:

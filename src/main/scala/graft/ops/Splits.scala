@@ -36,4 +36,27 @@ object Splits {
     df.withColumn("split",
       when(b < 205, "train").when(b < 230, "val").otherwise("test"))
   }
+
+  /** Leakage-safe split: the split unit is the NEAR-DUP CLUSTER, not
+    * the document. Splitting per-document leaks evaluation data — a
+    * val doc whose near-duplicate sits in train is effectively
+    * memorizable — so every cluster member inherits the split hashed
+    * from its cluster id (the component min). Composition of the
+    * oracle-proven pieces: MinHash-LSH pairs → connected components →
+    * pure-function split of the cluster id. Singleton docs hash on
+    * their own id, identical to [[assign]].
+    *
+    * Scale shape: inherits the dedup pipeline's (banded hash
+    * equi-joins, O(log n) CC rounds on edge-sized rows); the split
+    * itself is an in-row projection. Output: (`idCol`, cluster_id,
+    * split). */
+  def leakageSafe(docs: DataFrame, idCol: String, textCol: String,
+      seed: String, threshold: Double = 0.95): DataFrame = {
+    val pairs = graft.operators.DedupOps.minhashNearDups(
+      docs, idCol, textCol, threshold = threshold)
+    val cl = graft.operators.DedupClusters.clusters(
+      docs.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+    assign(cl, col("cluster_id"), seed)
+      .select(col(idCol), col("cluster_id"), col("split"))
+  }
 }

@@ -182,4 +182,32 @@ class TopKBloomSpec extends SparkTestBase {
     val reseeded = graft.ops.Splits.assign(docs, col("doc_id"), "other")
     assert(once.except(reseeded).count() > 0)
   }
+
+  test("leakage-safe split keeps every near-dup cluster in one split") {
+    // 40 distinct docs + 8 planted near-identical pairs: per-doc
+    // hashing WOULD split some pair across train/val eventually; the
+    // cluster-unit split must never
+    val base = (0 until 40).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val dups = (0 until 8).map(i =>
+      (1000L + i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val out = graft.ops.Splits.leakageSafe(
+      docs, "doc_id", "text", seed = "graft", threshold = 0.9)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 48)
+    // every cluster is split-homogeneous
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cl spans splits: ${members.toSeq}")
+    }
+    // the planted pairs actually clustered (the property isn't vacuous)
+    (0 until 8).foreach { i =>
+      val a = out.find(_._1 == i.toLong).get
+      val b = out.find(_._1 == 1000L + i).get
+      assert(a._2 == b._2, s"pair $i not clustered")
+      assert(a._3 == b._3)
+    }
+  }
 }
