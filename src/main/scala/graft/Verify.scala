@@ -19,6 +19,11 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) {
         val asked = args(2).split(",").toSet
+        // a typo must fail loudly, not produce an empty "all green" run
+        val unknown = asked -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"unknown query name(s): ${unknown.mkString(", ")} — " +
+            s"valid names are in SparkEntry.queries")
         Some(asked ++ asked.flatMap(fixtureDeps.get))
       } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
