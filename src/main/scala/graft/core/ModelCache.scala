@@ -27,14 +27,29 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 object ModelCache {
 
+  /** Entry cap: the VALUES are bounded model metadata, but the plan
+    * KEYS are not — a LocalRelation's canonicalized plan embeds its
+    * row data, so an unbounded cache in a long-lived session (test
+    * JVMs train over many in-memory corpora) would pin every such
+    * corpus in driver memory. Insertion-order eviction; an evicted
+    * model simply retrains on next use. */
+  private val MaxEntries = 64
+
   private val cache =
-    scala.collection.mutable.Map[(LogicalPlan, String), Any]()
+    scala.collection.mutable.LinkedHashMap[(LogicalPlan, String), Any]()
 
   def cached[T](df: DataFrame, key: String)(train: => T): T =
     cache.synchronized {
-      cache.getOrElseUpdate(
-        (df.queryExecution.analyzed.canonicalized, key), train)
-        .asInstanceOf[T]
+      val k = (df.queryExecution.analyzed.canonicalized, key)
+      cache.get(k) match {
+        case Some(v) => v.asInstanceOf[T]
+        case None =>
+          val v = train
+          if (cache.size >= MaxEntries)
+            cache.remove(cache.head._1)
+          cache.put(k, v)
+          v
+      }
     }
 
   def clear(): Unit = cache.synchronized { cache.clear() }

@@ -40,27 +40,29 @@ object Tables {
       normalizedEvents.get(key) match {
         case Some(path) => spark.read.parquet(path)
         case None =>
-          val confKey = "spark.sql.legacy.parquet.nanosAsLong"
-          val prior = spark.conf.getOption(confKey)
-          spark.conf.set(confKey, "true")
-          try {
-            val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-            raw.schema("ts").dataType match {
-              case org.apache.spark.sql.types.LongType =>
-                val (df, path) = Scratch.materializeWithPath(
-                  raw.withColumn("ts",
-                    expr("timestamp_micros(ts div 1000)")),
-                  "events_us")
-                normalizedEvents(key) = path
-                df
-              case _ =>
-                // µs/NTZ layout: no legacy conf needed at execution —
-                // serve the source directly, nothing to copy
-                raw.withColumn("ts", col("ts").cast("timestamp"))
-            }
-          } finally prior match {
-            case Some(v) => spark.conf.set(confKey, v)
-            case None => spark.conf.unset(confKey)
+          // the legacy conf is set on a THROWAWAY child session only
+          // (own SQLConf, shared SparkContext): the main session's
+          // conf is never touched, so concurrent queries can't race a
+          // set/restore window and misread an unrelated nanos column
+          val probe = spark.newSession()
+          probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val raw = probe.read.parquet(s"$sfDir/$name.parquet")
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              // NANOS layout: normalize to a µs scratch copy — the
+              // one job that needs the conf executes entirely under
+              // the probe session
+              val (_, path) = Scratch.materializeWithPath(
+                raw.withColumn("ts",
+                  expr("timestamp_micros(ts div 1000)")),
+                "events_us")
+              normalizedEvents(key) = path
+              spark.read.parquet(path)
+            case _ =>
+              // µs/NTZ layout: no legacy conf involved — serve it
+              // from the MAIN session (frames must not cross sessions)
+              spark.read.parquet(s"$sfDir/$name.parquet")
+                .withColumn("ts", col("ts").cast("timestamp"))
           }
       }
     } else {

@@ -339,10 +339,40 @@ object VersionedTable {
         val completed =
           try readManifest(f, aside).lastOption.contains(Terminator)
           catch { case _: java.io.IOException => false }
-        if (completed) { f.rename(aside, target); () }
+        if (completed) restoreNoOverwrite(f, aside, target)
         else { f.delete(aside, false); () }
       }
     } catch { case _: java.io.IOException => () }
+  }
+
+  /** Put a renamed-aside manifest back at `target` WITHOUT clobbering:
+    * between our rename-aside and this restore, a successor committer
+    * may have claimed `target` via O_EXCL and already verified its
+    * publish — a blind rename (POSIX rename REPLACES an existing
+    * destination on the local filesystem) would silently destroy that
+    * commit. Local paths restore via an atomic hard link
+    * (fails-if-exists at the kernel); HDFS rename already refuses an
+    * existing destination. If the restore loses, the aside is deleted
+    * and the original writer's post-close verify reports the fencing
+    * error — exactly-one-winner is preserved either way. */
+  private def restoreNoOverwrite(f: FileSystem, aside: Path,
+      target: Path): Unit = {
+    val restored =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(aside.toUri.getPath))
+          true
+        } catch { case _: java.io.IOException => false }
+      } else {
+        // HDFS rename is atomic and fails (returns false) when the
+        // destination exists
+        try f.rename(aside, target)
+        catch { case _: java.io.IOException => false }
+      }
+    if (restored && f.getScheme == "file") { f.delete(aside, false); () }
+    else if (!restored) { f.delete(aside, false); () }
   }
 
   /** Idempotent streaming sink: a `foreachBatch` writer that commits

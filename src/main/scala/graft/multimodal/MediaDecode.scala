@@ -71,14 +71,20 @@ object MediaDecode {
     val infoSize = le32(b, 14)
     val w = le32(b, 18)
     val hRaw = le32(b, 22)
-    val h = math.abs(hRaw)
+    // abs(Int.MinValue) is still negative — fold it into the h<=0
+    // reject rather than produce a garbage non-null row
+    val h = if (hRaw == Int.MinValue) 0 else math.abs(hRaw)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (infoSize < 40 || w <= 0 || h == 0 || bpp != 24 ||
+    if (infoSize < 40 || w <= 0 || h <= 0 || bpp != 24 ||
       compression != 0) return null
-    val rowSize = (w * 3 + 3) / 4 * 4
-    if (offset < 54 || offset.toLong + rowSize.toLong * h > b.length)
+    // rowSize in Long: a crafted width near Int.MaxValue would wrap
+    // (w*3+3) negative, defeat the bounds guard, and crash the task
+    // on one bad asset instead of nulling it out
+    val rowSizeL = (w.toLong * 3 + 3) / 4 * 4
+    if (offset < 54 || offset.toLong + rowSizeL * h > b.length)
       return null
+    val rowSize = rowSizeL.toInt // bounded by b.length after the guard
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0
     while (y < h) {
@@ -105,33 +111,37 @@ object MediaDecode {
     if (b == null || b.length < 44 || b(0) != 'R' || b(1) != 'I' ||
       b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'A' ||
       b(10) != 'V' || b(11) != 'E') return null
-    var pos = 12
+    // walk position in Long: a crafted chunk size near Int.MaxValue
+    // would wrap `pos` negative and index the array out of bounds —
+    // undecodable bytes must null out, never crash the task
+    var pos = 12L
     var rate = -1; var channels = -1
-    var dataPos = -1; var dataLen = -1
+    var dataPos = -1L; var dataLen = -1
     while (pos + 8 <= b.length && (rate < 0 || dataPos < 0)) {
-      val sz = le32(b, pos + 4)
+      val p = pos.toInt // safe: pos + 8 <= b.length
+      val sz = le32(b, p + 4)
       if (sz < 0) return null
-      if (b(pos) == 'f' && b(pos + 1) == 'm' && b(pos + 2) == 't' &&
-        b(pos + 3) == ' ') {
-        if (sz < 16 || pos + 8 + 16 > b.length) return null
-        val audioFormat = le16(b, pos + 8)
-        channels = le16(b, pos + 10)
-        rate = le32(b, pos + 12)
-        val bits = le16(b, pos + 22)
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
+        b(p + 3) == ' ') {
+        if (sz < 16 || p + 8 + 16 > b.length) return null
+        val audioFormat = le16(b, p + 8)
+        channels = le16(b, p + 10)
+        rate = le32(b, p + 12)
+        val bits = le16(b, p + 22)
         if (audioFormat != 1 || bits != 16 || channels < 1) return null
-      } else if (b(pos) == 'd' && b(pos + 1) == 'a' &&
-        b(pos + 2) == 't' && b(pos + 3) == 'a') {
-        dataPos = pos + 8; dataLen = sz
+      } else if (b(p) == 'd' && b(p + 1) == 'a' &&
+        b(p + 2) == 't' && b(p + 3) == 'a') {
+        dataPos = p + 8L; dataLen = sz
       }
-      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      pos += 8L + sz + (sz & 1) // chunks are word-aligned
     }
     if (rate < 0 || dataPos < 0 ||
-      dataPos.toLong + dataLen > b.length) return null
+      dataPos + dataLen > b.length) return null
     val n = dataLen / 2
     var sum = 0L; var sumSq = 0L; var peak = 0
     var i = 0
     while (i < n) {
-      val s = le16s(b, dataPos + 2 * i)
+      val s = le16s(b, (dataPos + 2L * i).toInt) // bounded by guard
       sum += s; sumSq += s.toLong * s
       val a = math.abs(s)
       if (a > peak) peak = a

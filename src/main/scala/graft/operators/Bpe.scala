@@ -114,43 +114,21 @@ object Bpe {
   def train(df: DataFrame, textCol: String, merges: Int): Seq[Merge] =
     trainWithVocab(df, textCol, merges)._1
 
-  // -------- session-scoped trained-vocab cache ----------------------
-  // One benchmark/export session trains the identical tokenizer for
-  // several queries (merge table, packing, encode, stats). Training is
-  // deterministic in (input plan, textCol, merges), so the trained
-  // artifact is cached per canonicalized input plan — the same
-  // input-identity notion Spark itself uses for plan reuse. The cache
-  // holds only bounded model artifacts: the merge list plus the scratch
-  // PATH of the materialized post-merge vocab (corpus-size-independent
-  // by the vocab reduction). Caveat: keyed on the plan, not file
-  // contents — if the underlying table is rewritten mid-session, call
-  // [[clearVocabCache]].
-  // keyed on the canonicalized PLAN OBJECT (not its string form —
-  // LocalRelation's string omits the data, so two in-memory test
-  // corpora with the same schema would collide); plan equality is the
-  // same notion Spark's own plan-reuse uses
-  private val vocabCache = scala.collection.mutable.Map[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      String, Int), (Seq[Merge], String)]()
-
-  def clearVocabCache(): Unit = vocabCache.synchronized {
-    vocabCache.clear()
-  }
-
-  /** [[trainWithVocab]] behind the session cache: first call trains and
-    * materializes the post-merge vocab; subsequent calls with the same
-    * (input plan, textCol, merges) reuse the scratch copy. */
+  /** [[trainWithVocab]] behind the session model cache
+    * ([[graft.core.ModelCache]] — train-once-reuse, keyed on the
+    * canonicalized input plan): first call trains and materializes
+    * the post-merge vocab; subsequent calls with the same (input
+    * plan, textCol, merges) reuse the scratch copy. The cached value
+    * is bounded model metadata: the merge list plus the vocab's
+    * scratch PATH (corpus-size-independent by the vocab reduction). */
   def trainWithVocabCached(df: DataFrame, textCol: String,
       merges: Int): (Seq[Merge], DataFrame) = {
-    val key = (df.queryExecution.analyzed.canonicalized,
-      textCol, merges)
-    val (ms, path) = vocabCache.synchronized {
-      vocabCache.getOrElseUpdate(key, {
-        val (m, v) = trainWithVocab(df, textCol, merges)
-        val (_, p) =
-          graft.core.Scratch.materializeWithPath(v, "bpe_vocab_final")
-        (m, p)
-      })
+    val (ms, path) = graft.core.ModelCache.cached(
+      df, s"bpe:$textCol:$merges") {
+      val (m, v) = trainWithVocab(df, textCol, merges)
+      val (_, p) =
+        graft.core.Scratch.materializeWithPath(v, "bpe_vocab_final")
+      (m, p)
     }
     (ms, df.sparkSession.read.parquet(path))
   }

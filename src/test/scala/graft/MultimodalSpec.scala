@@ -153,6 +153,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(bmpRow(Array[Byte](1, 2, 3)).isNullAt(0))
   }
 
+  test("crafted overflow headers null out instead of crashing the task") {
+    // BMP with width near Int.MaxValue: naive Int rowSize wraps
+    // negative, defeats the bounds guard, and indexes out of bounds
+    val hugeW = MultimodalOps.bmpFile(2, 2, (_, _) => (1, 2, 3)).clone()
+    java.nio.ByteBuffer.wrap(hugeW)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(18, 0x40000000)
+    assert(bmpRow(hugeW).isNullAt(0))
+    // height = Int.MinValue: math.abs stays negative
+    val minH = MultimodalOps.bmpFile(2, 2, (_, _) => (1, 2, 3)).clone()
+    java.nio.ByteBuffer.wrap(minH)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, Int.MinValue)
+    assert(bmpRow(minH).isNullAt(0))
+    // WAV whose first chunk declares a near-Int.MaxValue size: naive
+    // Int walk wraps pos negative and reads a negative array index
+    val hugeChunk = MultimodalOps.wavFile(8000, Array[Short](1)).clone()
+    java.nio.ByteBuffer.wrap(hugeChunk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(16, 0x7ffffff8)
+    assert(wavRow(hugeChunk).isNullAt(0))
+  }
+
   test("WAV decode matches hand-computed PCM stats incl. negatives") {
     val samples = Array[Short](100, -200, 32767, -32768, 0)
     val bytes = MultimodalOps.wavFile(44100, samples)
