@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern substring search (Aho & Corasick 1975,
+  * "Efficient String Matching: An Aid to Bibliographic Search") as a
+  * Catalyst expression: one pass over the document finds ALL blocklist
+  * phrases — O(|text| + matches) per row, independent of phrase-list
+  * size, where the per-phrase `contains` filter is
+  * O(|phrases| × |text|). At a production blocklist size (thousands
+  * of phrases) over 100 TB of corpus, that factor is the difference
+  * between one scan and thousands.
+  *
+  * The automaton is built ONCE per executor from the phrase list
+  * (a `@transient lazy val` — the expression ships only the phrase
+  * seq; goto/fail/output tables rebuild on first use per JVM), the
+  * same bounded-driver-metadata shape as a broadcast join's hash
+  * table. Output: the matched phrases, distinct, in blocklist order —
+  * exactly the semantics of `filter(phrases, p → contains(text, p))`,
+  * which the equivalence property test pins.
+  */
+case class AhoContains(child: Expression, phrases: Seq[String])
+    extends UnaryExpression {
+
+  require(phrases.nonEmpty, "empty phrase list")
+  require(phrases.forall(_.nonEmpty), "empty phrase in blocklist")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"aho_contains expects STRING, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  // built once per JVM on first use; ships as the phrase list only
+  @transient private lazy val trie: AhoAutomaton =
+    new AhoAutomaton(phrases.toArray)
+  @transient private lazy val utf8Phrases: Array[UTF8String] =
+    phrases.map(UTF8String.fromString).toArray
+
+  /** Scan `s`, return matched phrases distinct in blocklist order.
+    * Public: the generated code calls it via a reference object. */
+  def matchesOf(s: UTF8String): ArrayData = {
+    val hit = trie.findAll(s.toString)
+    val out = new Array[AnyRef](hit.count(identity))
+    var j = 0
+    var i = 0
+    while (i < hit.length) {
+      if (hit(i)) { out(j) = utf8Phrases(i); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    matchesOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("ahoExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $ref.matchesOf($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : AhoContains = copy(child = c)
+  override def prettyName: String = "aho_contains"
+}
+
+object AhoContains {
+  def column(c: org.apache.spark.sql.Column,
+      phrases: Seq[String]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      AhoContains(org.apache.spark.sql.GraftBridge.expression(c),
+        phrases))
+}
+
+/** The goto/fail/output automaton. Nodes are HashMap-edged (sparse —
+  * blocklists are word-like, not byte-dense); fail links computed by
+  * the standard BFS. Thread-safe after construction (immutable reads).
+  */
+private[functions] class AhoAutomaton(patterns: Array[String])
+    extends Serializable {
+
+  private val goto =
+    scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.HashMap[Char, Int]())
+  private val out = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+  private val fail = scala.collection.mutable.ArrayBuffer(0)
+
+  // trie
+  patterns.zipWithIndex.foreach { case (p, pi) =>
+    var node = 0
+    p.foreach { ch =>
+      node = goto(node).getOrElseUpdate(ch, {
+        goto += scala.collection.mutable.HashMap[Char, Int]()
+        out += Nil
+        fail += 0
+        goto.size - 1
+      })
+    }
+    out(node) = pi :: out(node)
+  }
+  // fail links (BFS)
+  locally {
+    val queue = scala.collection.mutable.Queue[Int]()
+    goto(0).values.foreach(queue.enqueue)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      goto(u).foreach { case (ch, v) =>
+        queue.enqueue(v)
+        var f = fail(u)
+        while (f != 0 && !goto(f).contains(ch)) f = fail(f)
+        fail(v) = goto(f).get(ch).filter(_ != v).getOrElse(0)
+        out(v) = out(v) ++ out(fail(v))
+      }
+    }
+  }
+
+  /** One pass; hit(i) = pattern i occurred. Early-exits once every
+    * pattern has been seen. */
+  def findAll(text: String): Array[Boolean] = {
+    val hit = new Array[Boolean](patterns.length)
+    var remaining = patterns.length
+    var node = 0
+    var i = 0
+    while (i < text.length && remaining > 0) {
+      val ch = text.charAt(i)
+      while (node != 0 && !goto(node).contains(ch)) node = fail(node)
+      node = goto(node).getOrElse(ch, 0)
+      var o = out(node)
+      while (o.nonEmpty) {
+        if (!hit(o.head)) { hit(o.head) = true; remaining -= 1 }
+        o = o.tail
+      }
+      i += 1
+    }
+    hit
+  }
+}

@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * boundaries), deliberately distinct from [[Decontam]]'s token-n-gram
   * membership.
   *
-  * Scale design: a bounded blocklist needs NO join at all — the phrase
-  * list rides the plan as one constant array literal and each document
-  * is checked in-row (`filter` + `contains`, codegen'd). Zero
-  * exchanges, zero broadcast memory beyond the list itself; 100 TB of
-  * corpus streams through as a narrow map. (A blocklist too large for
-  * a literal would switch to the [[Decontam]]-style broadcast-hash
-  * n-gram prefilter + verify shape.)
+  * Scale design: a bounded blocklist needs NO join at all — the
+  * phrase list rides the plan inside the expression and each document
+  * is scanned in-row by an Aho–Corasick automaton
+  * ([[graft.functions.AhoContains]]): ONE pass over the text finds
+  * all phrases, O(|text| + matches) per row regardless of phrase
+  * count, where a per-phrase `contains` filter is
+  * O(|phrases| × |text|) — at a production blocklist size (thousands
+  * of phrases) that factor decides whether the compliance stage is a
+  * scan or a thousand scans. Zero exchanges; the automaton rebuilds
+  * once per executor from the shipped phrase list (the broadcast-
+  * hash-table shape). 100 TB of corpus streams through as a narrow
+  * map.
   */
 object Blocklist {
 
@@ -24,8 +29,8 @@ object Blocklist {
   def flagPhrases(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "empty blocklist")
-    val hits = filter(typedLit(phrases),
-      p => contains(col(textCol), p))
+    val hits = graft.functions.AhoContains.column(
+      col(textCol), phrases)
     df.select(col(idCol), hits.as("__hits"))
       .select(col(idCol),
         size(col("__hits")).cast("long").as("n_hits"),

@@ -69,6 +69,36 @@ class SpanQualitySpec extends SparkTestBase {
     assert(exchanges.isEmpty, s"blocklist shuffled: $exchanges")
   }
 
+  test("Aho-Corasick matches equal the naive per-phrase contains scan") {
+    // property: over random texts and overlapping phrase lists, the
+    // automaton's hit set (distinct, blocklist order) is exactly the
+    // per-phrase `contains` filter's — including phrases that are
+    // prefixes/suffixes/infixes of each other, which exercise the
+    // fail links
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abc "
+    def randStr(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    (1 to 40).foreach { _ =>
+      val phrases = scala.util.Random.shuffle(
+        (1 to (2 + rnd.nextInt(5)))
+          .map(_ => randStr(1 + rnd.nextInt(5))).distinct.toList)
+      val texts = (1 to 20).map(i => (i.toLong, randStr(rnd.nextInt(30))))
+      val df = texts.toDF("doc_id", "text")
+      val viaAc = graft.operators.Blocklist
+        .flagPhrases(df, "doc_id", "text", phrases)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(1), Option(r.getString(2))))
+      val naive = texts.sortBy(_._1).map { case (_, t) =>
+        val hits = phrases.filter(t.contains)
+        (hits.length.toLong, hits.headOption)
+      }
+      assert(viaAc.toSeq == naive,
+        s"phrases=$phrases texts=${texts.take(3)}")
+    }
+  }
+
   // ---- QualityClassifier ----------------------------------------------
 
   private def corpus = Seq(
