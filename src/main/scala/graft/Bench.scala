@@ -4,16 +4,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every catalog query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Each query runs twice: the first run pays Janino codegen + broadcast
-  * + JIT warmup, the second is the steady-state time we report (the
-  * cluster-relevant number — on a 1000-executor job the plan compiles
-  * once and runs over thousands of partitions). `cold_total_sec` is
-  * also reported for transparency.
+  * Each query runs cold once (Janino codegen + broadcast + JIT warmup)
+  * then `SPARK_GRAFT_BENCH_REPS` warm repetitions (default 3); the
+  * reported per-query number is the MIN of the warm reps — the
+  * steady-state, load-noise-free time (the cluster-relevant number: on
+  * a 1000-executor job the plan compiles once and runs over thousands
+  * of partitions). `spread_sec` (Σ per-query (max−min) across reps)
+  * quantifies how noisy this VM was during the run, so a per-query
+  * swing on byte-identical code reads as measured noise, not a
+  * regression. `cold_total_sec` is also reported for transparency.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,6 +33,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
     var coldTotal = 0.0
+    var spreadTotal = 0.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map {
@@ -38,12 +45,16 @@ object Bench {
         val cold = (System.nanoTime() - t0) / 1e9
         coldTotal += cold
         val warm = if (ok) {
-          val t1 = System.nanoTime()
-          val okWarm =
-            try { fn(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
-          // a failed warm run must read as a failure, not a fast time
-          if (okWarm) (System.nanoTime() - t1) / 1e9 else -1.0
+          val times = (1 to reps).map { _ =>
+            val t1 = System.nanoTime()
+            val okWarm =
+              try { fn(spark, sfDir).count(); true }
+              catch { case _: Throwable => false }
+            // a failed warm run must read as a failure, not a fast time
+            if (okWarm) (System.nanoTime() - t1) / 1e9 else -1.0
+          }
+          if (times.contains(-1.0)) -1.0
+          else { spreadTotal += times.max - times.min; times.min }
         } else -1.0
         name -> warm
     }
@@ -58,7 +69,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""cold_total_sec":${ms(coldTotal)},"queries":$qs,""" +
+      s""""cold_total_sec":${ms(coldTotal)},"reps":$reps,""" +
+      s""""spread_sec":${ms(spreadTotal)},"queries":$qs,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

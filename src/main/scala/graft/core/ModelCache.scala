@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Session-scoped cache for DRIVER-HELD model artifacts (k-means /
   * PQ codebooks, BPE merge tables) trained deterministically from a
@@ -9,21 +10,33 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * model for several queries (encode, search, audit), and production
   * pipelines train once and reuse.
   *
-  * Keyed on the canonicalized analyzed PLAN plus a parameter string —
-  * the same input-identity notion Spark's plan-reuse uses. The plan
-  * OBJECT, not its string form: LocalRelation's string omits the
-  * data, so two in-memory test corpora with the same schema would
-  * collide on strings. Cached values must be bounded model metadata
-  * (KBs), never data-sized.
+  * Keyed on (session UUID, canonicalized analyzed PLAN, file snapshot,
+  * parameter string):
+  *  - the plan OBJECT, not its string form — LocalRelation's string
+  *    omits the data, so two in-memory test corpora with the same
+  *    schema would collide on strings;
+  *  - the SESSION UUID so a new SparkSession never inherits artifacts
+  *    holding another session's state (e.g. a BPE vocab scratch path
+  *    under a stopped session's cleaned-up scratch dir);
+  *  - for file-backed plans, a SNAPSHOT FINGERPRINT (path + size +
+  *    mtime of every input file, from the plan's FileIndex) — a table
+  *    overwritten mid-session changes its snapshot, so the next
+  *    consumer retrains instead of serving a stale model (the
+  *    silent-wrong-answer shape a plan-only key allowed).
   *
-  * Deliberately NOT for derived DataFrames / intermediate results —
-  * caching those would skip the distributed work a per-query
+  * Cached values must be bounded model metadata (KBs), never
+  * data-sized. Deliberately NOT for derived DataFrames / intermediate
+  * results — caching those would skip the distributed work a per-query
   * isolation contract is supposed to measure; only the trained
-  * artifact (which a real deployment persists and reuses) is
-  * memoized.
+  * artifact (which a real deployment persists and reuses) is memoized.
   *
-  * Caveat: the key is the plan, not file contents — a table
-  * rewritten mid-session needs [[clear]].
+  * Concurrency: training runs OUTSIDE the global map lock — a
+  * k-means/BPE train is minutes of Spark jobs, and holding a global
+  * monitor across it would serialize every concurrent trainer in the
+  * JVM. Each key gets a per-key latch object instead: two threads
+  * asking for the SAME artifact still train once (the second blocks on
+  * the first's latch), while trainers of different artifacts proceed
+  * in parallel.
   */
 object ModelCache {
 
@@ -35,22 +48,63 @@ object ModelCache {
     * model simply retrains on next use. */
   private val MaxEntries = 64
 
-  private val cache =
-    scala.collection.mutable.LinkedHashMap[(LogicalPlan, String), Any]()
+  private type Key = (String, LogicalPlan, String, String)
 
-  def cached[T](df: DataFrame, key: String)(train: => T): T =
-    cache.synchronized {
-      val k = (df.queryExecution.analyzed.canonicalized, key)
-      cache.get(k) match {
+  private val cache =
+    scala.collection.mutable.LinkedHashMap[Key, Any]()
+  private val inflight =
+    new java.util.concurrent.ConcurrentHashMap[Key, Object]()
+
+  /** Session identity for the cache key (via the bridge —
+    * `sessionUUID` is `private[sql]`). */
+  private def sessionId(df: DataFrame): String =
+    org.apache.spark.sql.GraftBridge.sessionUUID(df.sparkSession)
+
+  /** MD5 over (path, length, mtime) of every file a file-backed scan
+    * in the plan reads — empty for fully in-memory plans. The listing
+    * comes from the plan's own (already materialized) FileIndex, so
+    * this is driver-memory work, not a filesystem walk. */
+  private def fileSnapshot(df: DataFrame): String = {
+    val entries = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fsr: HadoopFsRelation =>
+          fsr.location.listFiles(Nil, Nil).flatMap(_.files).map(f =>
+            s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
+        case _ => Nil
+      }
+    }.flatten.sorted
+    if (entries.isEmpty) ""
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(entries.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+  }
+
+  def cached[T](df: DataFrame, key: String)(train: => T): T = {
+    val k: Key = (sessionId(df),
+      df.queryExecution.analyzed.canonicalized, fileSnapshot(df), key)
+    // fast path: already trained
+    cache.synchronized(cache.get(k)) match {
+      case Some(v) => return v.asInstanceOf[T]
+      case None =>
+    }
+    // per-key latch: same-key trainers serialize, others run free
+    val latch = inflight.computeIfAbsent(k, _ => new Object)
+    latch.synchronized {
+      cache.synchronized(cache.get(k)) match {
         case Some(v) => v.asInstanceOf[T]
         case None =>
-          val v = train
-          if (cache.size >= MaxEntries)
-            cache.remove(cache.head._1)
-          cache.put(k, v)
+          val v = train // Spark jobs run here, no global lock held
+          cache.synchronized {
+            if (cache.size >= MaxEntries) cache.remove(cache.head._1)
+            cache.put(k, v)
+          }
+          inflight.remove(k)
           v
       }
     }
+  }
 
   def clear(): Unit = cache.synchronized { cache.clear() }
 }

@@ -176,14 +176,26 @@ object VersionedTable {
     if (v == 0) return Nil
     val mp = manifestPath(path, v)
     val f = fs(spark, path)
-    require(f.exists(mp), s"version $v of $path does not exist " +
-      "(never committed, or vacuumed away)")
+    // only an explicitly pinned version fails loudly on a missing
+    // manifest — for an unpinned read, "latest vanished between
+    // latestVersion() and here" is just a concurrent reclaimer winning
+    // the race on a stale claim: treat it like an incomplete manifest
+    // (completeNow maps the read IOException to None) and engage the
+    // same poll/fall-back-to-complete path instead of throwing
+    if (version.isDefined)
+      require(f.exists(mp), s"version $v of $path does not exist " +
+        "(never committed, or vacuumed away)")
     val deadline = System.currentTimeMillis() +
       confMs(spark, "spark.graft.manifest.pollMs", 10000L)
-    while (System.currentTimeMillis() <= deadline) {
+    var gone = version.isEmpty && !f.exists(mp)
+    while (!gone && System.currentTimeMillis() <= deadline) {
       completeNow(spark, f, mp) match {
         case Some(fl) => return fl
-        case None => Thread.sleep(10)
+        case None =>
+          // a reclaimed (deleted/renamed-aside) latest never completes
+          // — skip the rest of the poll window and fall back now
+          if (version.isEmpty && !f.exists(mp)) gone = true
+          else Thread.sleep(10)
       }
     }
     if (version.isEmpty) {

@@ -40,14 +40,15 @@ case class AhoContains(child: Expression, phrases: Seq[String])
 
   // built once per JVM on first use; ships as the phrase list only
   @transient private lazy val trie: AhoAutomaton =
-    new AhoAutomaton(phrases.toArray)
+    new AhoAutomaton(phrases.map(
+      _.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray)
   @transient private lazy val utf8Phrases: Array[UTF8String] =
     phrases.map(UTF8String.fromString).toArray
 
   /** Scan `s`, return matched phrases distinct in blocklist order.
     * Public: the generated code calls it via a reference object. */
   def matchesOf(s: UTF8String): ArrayData = {
-    val hit = trie.findAll(s.toString)
+    val hit = trie.findAll(s.getBytes)
     val out = new Array[AnyRef](hit.count(identity))
     var j = 0
     var i = 0
@@ -81,16 +82,21 @@ object AhoContains {
         phrases))
 }
 
-/** The goto/fail/output automaton. Nodes are HashMap-edged (sparse —
-  * blocklists are word-like, not byte-dense); fail links computed by
-  * the standard BFS. Thread-safe after construction (immutable reads).
+/** The goto/fail/output automaton, over raw UTF-8 BYTES — the same
+  * alphabet `UTF8String.contains` compares, so the equivalence with
+  * the per-phrase `contains` filter holds even for documents carrying
+  * invalid UTF-8 sequences (a decoded-String scan would replace those
+  * with U+FFFD and could match differently). Nodes are HashMap-edged
+  * (sparse — blocklists are word-like, not byte-dense); fail links
+  * computed by the standard BFS. Thread-safe after construction
+  * (immutable reads).
   */
-private[functions] class AhoAutomaton(patterns: Array[String])
+private[functions] class AhoAutomaton(patterns: Array[Array[Byte]])
     extends Serializable {
 
   private val goto =
     scala.collection.mutable.ArrayBuffer(
-      scala.collection.mutable.HashMap[Char, Int]())
+      scala.collection.mutable.HashMap[Byte, Int]())
   private val out = scala.collection.mutable.ArrayBuffer(List.empty[Int])
   private val fail = scala.collection.mutable.ArrayBuffer(0)
 
@@ -99,7 +105,7 @@ private[functions] class AhoAutomaton(patterns: Array[String])
     var node = 0
     p.foreach { ch =>
       node = goto(node).getOrElseUpdate(ch, {
-        goto += scala.collection.mutable.HashMap[Char, Int]()
+        goto += scala.collection.mutable.HashMap[Byte, Int]()
         out += Nil
         fail += 0
         goto.size - 1
@@ -125,13 +131,13 @@ private[functions] class AhoAutomaton(patterns: Array[String])
 
   /** One pass; hit(i) = pattern i occurred. Early-exits once every
     * pattern has been seen. */
-  def findAll(text: String): Array[Boolean] = {
+  def findAll(text: Array[Byte]): Array[Boolean] = {
     val hit = new Array[Boolean](patterns.length)
     var remaining = patterns.length
     var node = 0
     var i = 0
     while (i < text.length && remaining > 0) {
-      val ch = text.charAt(i)
+      val ch = text(i)
       while (node != 0 && !goto(node).contains(ch)) node = fail(node)
       node = goto(node).getOrElse(ch, 0)
       var o = out(node)

@@ -80,9 +80,13 @@ object MediaDecode {
       compression != 0) return null
     // rowSize in Long: a crafted width near Int.MaxValue would wrap
     // (w*3+3) negative, defeat the bounds guard, and crash the task
-    // on one bad asset instead of nulling it out
+    // on one bad asset instead of nulling it out. The h-side guard is
+    // a DIVISION, not rowSizeL*h: with w and h both near Int.MaxValue
+    // the product overflows Long too (~1.4e19 > Long.MaxValue), wraps
+    // negative, and would pass a multiply-form check
     val rowSizeL = (w.toLong * 3 + 3) / 4 * 4
-    if (offset < 54 || offset.toLong + rowSizeL * h > b.length)
+    if (offset < 54 || offset >= b.length ||
+      rowSizeL > (b.length.toLong - offset) / h)
       return null
     val rowSize = rowSizeL.toInt // bounded by b.length after the guard
     var sr = 0L; var sg = 0L; var sb = 0L

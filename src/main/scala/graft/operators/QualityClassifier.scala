@@ -73,25 +73,37 @@ object QualityClassifier {
 
   /** The one-job-per-iteration gradient aggregate for weights `w`:
     * per-doc residual×feature contributions rounded, integer-scaled
-    * and summed to 4 longs (map-side combinable). */
+    * and summed to 4 longs, plus the row count N in the SAME aggregate
+    * (all map-side combinable) — train needs N every update and a
+    * separate `count()` would cost one whole extra corpus scan. */
   def gradientFrame(feats: DataFrame, w: Array[Double]): DataFrame = {
     val p = dround(sigmoid(zCol(w)), 6)
     val resid = when(col("__y"), 1.0).otherwise(0.0) - p
     def g(x: Column) = sum(round(x * lit(1000000.0), 0).cast("long"))
     feats.select(g(resid).as("s0"), g(resid * col("f1")).as("s1"),
-      g(resid * col("f2")).as("s2"), g(resid * col("f3")).as("s3"))
+      g(resid * col("f2")).as("s2"), g(resid * col("f3")).as("s3"),
+      count(lit(1)).as("n"))
   }
 
   /** Full-batch GD: w ← round₆(w + lr·Σround₆ₛ((y−p)·x)/(10⁶·N)),
-    * starting from 0⃗. One aggregate job per iteration. */
+    * starting from 0⃗. One aggregate job per iteration, N folded into
+    * the first iteration's aggregate (no standalone count job).
+    *
+    * `feats` is consumed `iters` times — pass a materialized frame
+    * ([[graft.core.Scratch.materialize]], as [[scoreDF]] does) when it
+    * is derived from raw text, or each iteration re-tokenizes the
+    * corpus and the (dominant at 100 TB) feature-extraction I/O
+    * multiplies by the iteration count. */
   def train(feats: DataFrame, lr: Double = 0.5, iters: Int = 3)
       : Array[Double] = {
-    val n = feats.count().toDouble
     var w = Array(0.0, 0.0, 0.0, 0.0)
-    if (n == 0) return w // no docs: zero weights, not NaN updates
     var it = 0
     while (it < iters) {
       val r = gradientFrame(feats, w).collect()(0)
+      // empty corpus: sums are NULL and any update would be NaN — the
+      // zero vector is the defined result (read n before the sums)
+      if (r.getLong(4) == 0L) return w
+      val n = r.getLong(4).toDouble
       w = Array.tabulate(4)(j =>
         r6(w(j) + lr * r.getLong(j) / (1000000.0 * n)))
       it += 1
@@ -101,10 +113,19 @@ object QualityClassifier {
 
   /** Train on the full frame, then score every document: (id, label,
     * score, pred) with score = σ(w·x) at 4 dp and pred thresholded on
-    * the rounded score. iters+1 corpus scans total. */
+    * the rounded score.
+    *
+    * The feature frame is MATERIALIZED once (scratch write + read):
+    * tokenization + array ops dominate the per-scan cost, and the
+    * unmaterialized form re-derived them for every one of the `iters`
+    * gradient jobs plus the final scoring pass — iters+1 full
+    * feature-extraction scans where one suffices. After
+    * materialization each gradient job is a scan of a 5-column
+    * (id, label, 3 doubles) parquet — the shape you want at 100 TB. */
   def scoreDF(df: DataFrame, idCol: String, textCol: String,
       isPositive: Column, lr: Double = 0.5, iters: Int = 3): DataFrame = {
-    val feats = featureFrame(df, idCol, textCol, isPositive)
+    val feats = graft.core.Scratch.materialize(
+      featureFrame(df, idCol, textCol, isPositive), "clf_feats")
     val w = train(feats, lr, iters)
     feats.select(col(idCol), col("__y").as("label"),
       (dround(sigmoid(zCol(w)), 4) + lit(0)).as("score"))

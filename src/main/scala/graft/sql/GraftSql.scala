@@ -27,7 +27,13 @@ object GraftSql {
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     GraftExtensions.functions.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      // idempotent: skip names already present (earlier call on this
+      // session, or the cluster-wide extensions path) — re-registering
+      // logs a "replaced a previously registered function" warning per
+      // name per call, which a 131-query bench run turns into noise
+      val id = new org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 

@@ -10,4 +10,12 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Stable per-session identity (`sessionUUID` is `private[sql]`).
+    * Exotic non-classic sessions fall back to JVM object identity —
+    * still never shared across distinct session objects. */
+  def sessionUUID(spark: SparkSession): String = spark match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => s"ident-${System.identityHashCode(other)}"
+  }
 }

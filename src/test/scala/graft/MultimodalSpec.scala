@@ -165,6 +165,15 @@ class MultimodalSpec extends SparkTestBase {
     java.nio.ByteBuffer.wrap(minH)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, Int.MinValue)
     assert(bmpRow(minH).isNullAt(0))
+    // width AND height both near Int.MaxValue: rowSizeL*h (~1.4e19)
+    // overflows even Long and wraps negative — a multiply-form bounds
+    // guard passes and the pixel loop crashes; the division-form
+    // guard must null out instead
+    val hugeWH = MultimodalOps.bmpFile(2, 2, (_, _) => (1, 2, 3)).clone()
+    java.nio.ByteBuffer.wrap(hugeWH)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, Int.MaxValue - 2).putInt(22, Int.MaxValue - 2)
+    assert(bmpRow(hugeWH).isNullAt(0))
     // WAV whose first chunk declares a near-Int.MaxValue size: naive
     // Int walk wraps pos negative and reads a negative array index
     val hugeChunk = MultimodalOps.wavFile(8000, Array[Short](1)).clone()

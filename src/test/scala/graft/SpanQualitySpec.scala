@@ -99,6 +99,46 @@ class SpanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("Aho-Corasick matches raw UTF-8 bytes, incl. invalid sequences") {
+    // the automaton runs over UTF8String BYTES — the alphabet the
+    // per-phrase UTF8String.contains it replaces compares. A document
+    // carrying invalid UTF-8 (truncated multi-byte sequence, stray
+    // continuation byte) must match exactly as byte-contains does; a
+    // decoded-String scan would U+FFFD-replace the bad bytes and
+    // could diverge
+    import org.apache.spark.unsafe.types.UTF8String
+    val phrases = Seq("bad", "péché")
+    val expr = graft.functions.AhoContains(
+      org.apache.spark.sql.GraftBridge.expression(
+        org.apache.spark.sql.functions.col("text")), phrases)
+    val utf8Phrases = phrases.map(UTF8String.fromString)
+    def viaAc(bytes: Array[Byte]): Seq[String] = {
+      val arr = expr.matchesOf(UTF8String.fromBytes(bytes))
+      (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+    }
+    def naive(bytes: Array[Byte]): Seq[String] = {
+      val s = UTF8String.fromBytes(bytes)
+      phrases.zip(utf8Phrases).filter(p => s.contains(p._2)).map(_._1)
+    }
+    val cases = Seq[Array[Byte]](
+      "clean bad text".getBytes("UTF-8"),
+      "un péché véniel".getBytes("UTF-8"),
+      // invalid: stray continuation byte inside, then a real phrase
+      Array[Byte](0x80.toByte) ++ "bad".getBytes("UTF-8"),
+      // invalid: truncated 2-byte sequence (é = C3 A9 missing A9)
+      // right before a phrase — must not shift/replace bytes
+      "p".getBytes("UTF-8") ++ Array[Byte](0xC3.toByte) ++
+        "bad".getBytes("UTF-8"),
+      // phrase bytes split by a lone 0xFF must NOT match
+      "ba".getBytes("UTF-8") ++ Array[Byte](0xFF.toByte) ++
+        "d".getBytes("UTF-8"))
+    cases.foreach { b =>
+      assert(viaAc(b) == naive(b),
+        s"bytes=${b.map(x => f"$x%02x").mkString(" ")}")
+    }
+  }
+
   // ---- QualityClassifier ----------------------------------------------
 
   private def corpus = Seq(

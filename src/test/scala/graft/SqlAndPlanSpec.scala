@@ -219,9 +219,10 @@ class SqlAndPlanSpec extends SparkTestBase {
     }
   }
 
-  test("classifier gradient reduces to 4 longs before its exchange") {
+  test("classifier gradient reduces to 5 longs before its exchange") {
     // one corpus scan per GD iteration ending in a map-side-combined
     // aggregate: the only exchange carries the 4 partial integer sums
+    // plus the fused row count (no standalone count() job)
     val docs = core.Tables.load(spark, sfDir, "documents")
     val feats = graft.operators.QualityClassifier.featureFrame(
       docs, "doc_id", "text",
@@ -233,7 +234,7 @@ class SqlAndPlanSpec extends SparkTestBase {
       .collect { case e: Exchange => e }
     assert(exchanges.length == 1, s"expected 1 exchange")
     val crossing = exchanges.head.child.output
-    assert(crossing.length == 4 &&
+    assert(crossing.length == 5 &&
       crossing.forall(_.dataType ==
         org.apache.spark.sql.types.LongType),
       s"gradient exchange carries: $crossing")

@@ -150,6 +150,34 @@ class VersionedTableSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.manifest.pollMs")
   }
 
+  test("unpinned read survives the latest manifest vanishing mid-poll") {
+    // a concurrent reclaimer can rename/delete the stale latest
+    // manifest AFTER a reader resolved its version number: the reader
+    // must treat the vanished manifest like an incomplete one and fall
+    // back to the newest complete snapshot — without waiting out the
+    // whole poll window, and without an IllegalArgumentException from
+    // an up-front existence require
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    val v2 = java.nio.file.Paths.get(s"$path/_manifests/v00002.json")
+    java.nio.file.Files.writeString(v2,
+      "/nonexistent/part-0.parquet\n") // no terminator: half-publish
+    spark.conf.set("spark.graft.manifest.pollMs", "30000")
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val reader = Future { VersionedTable.files(spark, path) }
+      Thread.sleep(300) // reader is inside its poll loop on v2
+      java.nio.file.Files.delete(v2) // the reclaimer wins
+      // well before the 30 s poll window: the vanish short-circuits
+      val fl = Await.result(reader, 10.seconds)
+      assert(fl.nonEmpty && fl.forall(_.contains("/data/")))
+      assert(spark.read.parquet(fl: _*)
+        .select("id").as[Long].collect().toSeq == Seq(1L))
+    } finally spark.conf.unset("spark.graft.manifest.pollMs")
+  }
+
   test("stalled writer past staleMs: one committer wins, loser errors") {
     val path = tbl()
     VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
