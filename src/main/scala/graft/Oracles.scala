@@ -2387,6 +2387,58 @@ object Oracles {
         |SELECT query_id, neighbor_id, cos_sim, rn FROM ranked
         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
 
+    // q132: the SCALE path for text ANN — q129's hashed vectors
+    // densified, then the exact IVF replica q40 uses: first-16-by-id
+    // codebook, cosine-argmax cell assignment (ties → smaller cell),
+    // nprobe=4 probing, (cos desc, id asc) top-5 within probed cells
+    "q132_text_ann_ivf" -> (hashedVectorCtes + """,
+        |w AS (
+        |  SELECT doc_id, bucket,
+        |    round(CAST(ws AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 6) + 0
+        |      AS weight
+        |  FROM bb JOIN norms USING (doc_id)),
+        |grid AS (
+        |  SELECT doc_id, unnest(range(0, 64)) AS b
+        |  FROM (SELECT DISTINCT doc_id FROM w)),
+        |dense AS (
+        |  SELECT g.doc_id, g.b, coalesce(w.weight, 0.0) AS x
+        |  FROM grid g LEFT JOIN w
+        |    ON w.doc_id = g.doc_id AND w.bucket = g.b),
+        |dv AS (
+        |  SELECT doc_id, list(x ORDER BY b) AS vv
+        |  FROM dense GROUP BY doc_id),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+        |      AS INTEGER) AS cell, vv AS cv
+        |  FROM (SELECT doc_id, vv FROM dv ORDER BY doc_id LIMIT 16)),
+        |asn AS (
+        |  SELECT doc_id, cell FROM (
+        |    SELECT dv.doc_id, cb.cell, row_number() OVER (
+        |      PARTITION BY dv.doc_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM dv CROSS JOIN cb) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT dv.doc_id AS query_id, cb.cell, row_number() OVER (
+        |      PARTITION BY dv.doc_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM dv CROSS JOIN cb WHERE dv.doc_id < 10) WHERE rn <= 4),
+        |probescore AS (
+        |  SELECT p.query_id, a.doc_id AS neighbor_id,
+        |    list_cosine_similarity(qv.vv, nv.vv) AS cs
+        |  FROM probes p JOIN asn a ON p.cell = a.cell
+        |  JOIN dv qv ON qv.doc_id = p.query_id
+        |  JOIN dv nv ON nv.doc_id = a.doc_id
+        |  WHERE a.doc_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cs, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |    AS INTEGER) AS rn
+        |  FROM probescore)
+        |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin),
+
     // q127/q128: the engine decodes REAL container bytes (BMP pixel
     // rows / WAV PCM samples); the oracle re-derives the expected
     // stats from the generator's closed-form pixel/sample formulas —

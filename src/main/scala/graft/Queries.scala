@@ -1715,6 +1715,25 @@ object Queries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // ---- text ANN, the SCALE path: hashed vectors → IVF ---------------
+    "q132_text_ann_ivf" -> ((s, d) => {
+      // what a 100-TB user actually runs for text similarity: q129's
+      // hashed dense vectors bridged onto the IVF stack — coarse cells
+      // from the deterministic first-16-by-id codebook, queries probe
+      // their 4 nearest cells, exact cosine inside probed cells only.
+      // q130's queries×corpus frame never forms; each query touches
+      // ~nprobe/cells of the corpus. The vector table is materialized
+      // once (codebook init + corpus assign + query probe would
+      // otherwise re-derive the whole TF-IDF pipeline thrice).
+      val dv = graft.core.Scratch.materialize(
+        graft.operators.HashingVectorizer.denseVectors(
+          t(s, d, "documents"), "doc_id", "text", dim = 64), "textdv")
+      graft.operators.SimilarityOps.ivfTopK(
+        dv, dv.filter(col("doc_id") < 10), "doc_id", "vec",
+        "doc_id", k = 5, cells = 16, nprobe = 4, trainIters = 0)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // ---- leakage-safe train/val/test split ----------------------------
     "q131_leakage_safe_split" -> ((s, d) => {
       // the split unit is the near-dup cluster: a val doc whose

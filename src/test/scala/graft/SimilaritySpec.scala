@@ -173,6 +173,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.90, f"mean recall@5 $mean%.3f below 0.90 floor")
   }
 
+  test("text-ANN IVF path holds a recall floor vs the q130 baseline") {
+    // q132 (hashed vectors → IVF, the scale path) against q130 (the
+    // exhaustive queries×corpus baseline): with 16 first-by-id cells
+    // and nprobe=4 the probed fraction is ~1/4 of the corpus, yet the
+    // deterministic search must keep recall@5 high — this pins the
+    // cell-assignment + probe plumbing, so a silent nprobe/codebook
+    // regression turns red instead of passing on "50 rows came back"
+    val sf = "/root/testdata/sf0.01"
+    def pairs(q: String) = Queries.all(q)(spark, sf)
+      .select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q130_text_ann")
+    val ivf = pairs("q132_text_ann_ivf")
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.70, f"IVF text-ANN recall@5 $recall%.3f < 0.70")
+  }
+
   test("embeddingNearDups reports exact duplicates with cos 1.0") {
     val df = Seq(
       (1L, Seq(0.5f, 0.5f, 0.1f)),
