@@ -1742,6 +1742,40 @@ object Oracles {
         |  len(hits) > 0 AS blocked
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // q133: table-driven blocklist — re-derives the same top-20
+    // doc-frequency bigram table (count desc, phrase asc), then the
+    // contains scan; blocklist order is lexicographic, so first_hit
+    // is the min matched phrase
+    "q133_blocklist_table" ->
+      """WITH tk AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |    AS toks
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 2
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END)) AS phrase
+        |  FROM tk),
+        |top AS (
+        |  SELECT phrase FROM (
+        |    SELECT phrase, count(*) AS df FROM big
+        |    WHERE len(phrase) > 0
+        |    GROUP BY phrase ORDER BY df DESC, phrase LIMIT 20)),
+        |hits AS (
+        |  SELECT d.doc_id, t.phrase
+        |  FROM documents d JOIN top t
+        |    ON contains(lower(d.text), t.phrase)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    min(phrase) AS first_hit
+        |  FROM hits GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_hits, 0) AS n_hits, a.first_hit,
+        |  (a.n_hits IS NOT NULL) AS blocked
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q123_curation_funnel" ->
       """WITH b AS (
         |  SELECT doc_id, source, md5(text) AS dg,

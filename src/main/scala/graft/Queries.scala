@@ -1734,6 +1734,29 @@ object Queries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // ---- table-driven blocklist ---------------------------------------
+    "q133_blocklist_table" -> ((s, d) => {
+      // the production compliance shape: the blocklist is a TABLE (here
+      // derived in-pipeline — top-20 doc-frequency bigrams), pulled
+      // through flagPhrasesFrom's size-guarded collect and shipped
+      // inside the Aho–Corasick automaton (broadcast-build shape).
+      // Blocklist order is lexicographic, so first_hit = the smallest
+      // matched phrase — which is what the oracle's min() re-derives
+      val docs = t(s, d, "documents")
+      val phrases = docs
+        .select(explode(array_distinct(
+          graft.functions.WordShingles.column(
+            TextFunctions.tokens(lower(col("text"))), 2))).as("phrase"))
+        .filter(length(col("phrase")) > 0)
+        .groupBy(col("phrase")).agg(count(lit(1)).as("__df"))
+        .orderBy(col("__df").desc, col("phrase")).limit(20)
+        .select(col("phrase"))
+      graft.operators.Blocklist.flagPhrasesFrom(
+        docs.withColumn("__lc", lower(col("text"))), "doc_id", "__lc",
+        phrases, "phrase")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- leakage-safe train/val/test split ----------------------------
     "q131_leakage_safe_split" -> ((s, d) => {
       // the split unit is the near-dup cluster: a val doc whose

@@ -99,6 +99,40 @@ class SpanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("table-driven blocklist: parquet phrase table, lexicographic order") {
+    val docs = Seq(
+      (1L, "totally clean document"),
+      (2L, "contains bad phrase here"),
+      (3L, "bad phrase and also worse phrase"))
+      .toDF("doc_id", "text")
+    // phrase TABLE (with dupes, a null, and an empty row to clean)
+    val dir = java.nio.file.Files.createTempDirectory("bl").toString
+    Seq(Some("worse phrase"), Some("bad phrase"), Some("bad phrase"),
+      None, Some("")).toDF("phrase").write.parquet(s"$dir/p")
+    val phrases = spark.read.parquet(s"$dir/p")
+    val out = graft.operators.Blocklist.flagPhrasesFrom(
+      docs, "doc_id", "text", phrases, "phrase")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, None, false),
+      (2L, 1L, Some("bad phrase"), true),
+      // lexicographic blocklist order: "bad phrase" < "worse phrase"
+      (3L, 2L, Some("bad phrase"), true)))
+  }
+
+  test("table-driven blocklist enforces the automaton size cap") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val phrases = Seq("aaaaaaaaaa", "bbbbbbbbbb").toDF("phrase")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Blocklist.flagPhrasesFrom(
+        docs, "doc_id", "text", phrases, "phrase",
+        maxPhraseChars = 15L)
+    }
+    assert(e.getMessage.contains("automaton cap"))
+  }
+
   test("Aho-Corasick matches raw UTF-8 bytes, incl. invalid sequences") {
     // the automaton runs over UTF8String BYTES — the alphabet the
     // per-phrase UTF8String.contains it replaces compares. A document
