@@ -113,6 +113,49 @@ object DedupClusters {
       .distinct()
   }
 
+  /** The (id, cluster_id) near-dup cluster map for `docs` — THE
+    * shared prefix of every cluster-consuming operator (cluster stats,
+    * best-representative curation, leakage-safe splits). At 100 TB the
+    * minhash→CC transitive closure is the single most expensive
+    * curation stage, and a real pipeline runs it ONCE and fans its
+    * consumers out from the artifact rather than recomputing the
+    * closure per consumer.
+    *
+    * Computed once per session per (corpus plan, file snapshot,
+    * params) and MATERIALIZED to scratch parquet; repeat calls —
+    * including from other catalog queries in the same session — read
+    * the artifact back instead of re-running the closure. This is the
+    * deliberate, documented exception to per-query isolation, the same
+    * trade [[graft.core.ModelCache]] makes for trained codebooks: the
+    * cluster map is a first-class pipeline ARTIFACT (production
+    * pipelines persist it — see [[publishClusterMap]]), not a
+    * per-query intermediate; what the cache stores in-heap is only the
+    * scratch PATH, and staleness/invalidations (session identity, file
+    * snapshot) are ModelCache's. Deterministic (cluster_id = component
+    * min), so consumers' oracle results are unchanged either way. */
+  def clusterMap(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val path = graft.core.ModelCache.cached(docs,
+      s"clustermap:$idCol:$textCol:$threshold") {
+      val pairs = DedupOps.minhashNearDups(docs, idCol, textCol,
+        threshold = threshold)
+      val cl = clusters(docs.select(col(idCol)), idCol, pairs,
+        "id_a", "id_b")
+      graft.core.Scratch.materializeWithPath(cl, "clustermap")._2
+    }
+    docs.sparkSession.read.parquet(path)
+  }
+
+  /** Durable form of [[clusterMap]]: commit the map as a
+    * [[graft.core.VersionedTable]] version at `path` (time-travelable,
+    * snapshot-isolated — downstream jobs in OTHER sessions read a
+    * pinned version while a refresh commits the next). Returns the
+    * committed version. */
+  def publishClusterMap(docs: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.95): Int =
+    graft.core.VersionedTable.commitOverwrite(
+      clusterMap(docs, idCol, textCol, threshold), path)
+
   /** Cluster assignment for EVERY id in `ids`: nodes in `pairs` get
     * their component min, untouched ids are singleton clusters of
     * themselves. Output: (`idCol`, cluster_id). */
@@ -138,13 +181,22 @@ object DedupClusters {
     * no row wider than a struct of two numbers. Output:
     * (`idCol`, cluster_id, quality, rep_id, keep). */
   def bestRepresentatives(scored: DataFrame, idCol: String,
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cl = clusters(scored.select(col(idCol)), idCol, pairs, aCol, bCol)
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    bestRepresentativesFrom(scored, idCol,
+      clusters(scored.select(col(idCol)), idCol, pairs, aCol, bCol))
+
+  /** [[bestRepresentatives]] over a PRECOMPUTED (`idCol`, cluster_id)
+    * map — the artifact-consuming form: pair generation and the CC
+    * closure are paid once in [[clusterMap]]/[[publishClusterMap]] and
+    * every downstream consumer joins the map instead of re-running
+    * them. */
+  def bestRepresentativesFrom(scored: DataFrame, idCol: String,
+      clusterMap: DataFrame): DataFrame = {
     // (id, cluster, quality) feeds BOTH the argmax agg and the final
     // join — materialize the narrow triple once instead of running the
     // scan + score + cluster join twice
     val withQ = graft.core.Scratch.materialize(
-      scored.join(cl, Seq(idCol)), "cluster_best")
+      scored.join(clusterMap, Seq(idCol)), "cluster_best")
     val reps = withQ.groupBy(col("cluster_id"))
       .agg(max(struct(col("quality"),
         negate(col(idCol)).as("__negid"))).as("__best"))

@@ -51,12 +51,17 @@ object Splits {
     * itself is an in-row projection. Output: (`idCol`, cluster_id,
     * split). */
   def leakageSafe(docs: DataFrame, idCol: String, textCol: String,
-      seed: String, threshold: Double = 0.95): DataFrame = {
-    val pairs = graft.operators.DedupOps.minhashNearDups(
-      docs, idCol, textCol, threshold = threshold)
-    val cl = graft.operators.DedupClusters.clusters(
-      docs.select(col(idCol)), idCol, pairs, "id_a", "id_b")
-    assign(cl, col("cluster_id"), seed)
+      seed: String, threshold: Double = 0.95): DataFrame =
+    leakageSafeFrom(graft.operators.DedupClusters.clusterMap(
+      docs, idCol, textCol, threshold), idCol, seed)
+
+  /** [[leakageSafe]] over a PRECOMPUTED (`idCol`, cluster_id) map
+    * (from [[graft.operators.DedupClusters.clusterMap]] or a published
+    * artifact table): the split is a pure in-row projection of
+    * (seed, cluster_id), so consuming the artifact makes this a single
+    * narrow pass. */
+  def leakageSafeFrom(clusterMap: DataFrame, idCol: String,
+      seed: String): DataFrame =
+    assign(clusterMap, col("cluster_id"), seed)
       .select(col(idCol), col("cluster_id"), col("split"))
-  }
 }

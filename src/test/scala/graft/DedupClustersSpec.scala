@@ -83,4 +83,45 @@ class DedupClustersSpec extends SparkTestBase {
     assert(out(5L) == ((4L, 4L, false)))
     assert(out(6L) == ((6L, 6L, true)))
   }
+
+  test("clusterMap artifact: computed once per session, reused, durable") {
+    // back the corpus with files so the ModelCache snapshot key
+    // engages (a LocalRelation would also work, but the file path is
+    // the production shape)
+    val dir = java.nio.file.Files.createTempDirectory("cmap").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // near-dup of 1
+      (3L, "completely different text entirely here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    val m1 = DedupClusters.clusterMap(docs, "doc_id", "text")
+    val m2 = DedupClusters.clusterMap(docs, "doc_id", "text")
+    // same session + unchanged snapshot: both reads come from the SAME
+    // materialized artifact — the closure ran once
+    assert(m1.inputFiles.sorted.sameElements(m2.inputFiles.sorted))
+    val lab = m1.as[(Long, Long)].collect().toMap
+    assert(lab(1L) == lab(2L) && lab(3L) != lab(1L))
+    // durable publish: a versioned table other sessions time-travel
+    val v = DedupClusters.publishClusterMap(
+      docs, "doc_id", "text", s"$dir/artifact")
+    assert(v == 1)
+    val back = graft.core.VersionedTable
+      .read(spark, s"$dir/artifact")
+      .as[(Long, Long)].collect().toMap
+    assert(back == lab)
+    // consumers over the artifact equal the recomputing form
+    val scored = docs.select(col("doc_id"),
+      functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    val viaArtifact = DedupClusters
+      .bestRepresentativesFrom(scored, "doc_id", back.toSeq
+        .toDF("doc_id", "cluster_id"))
+      .orderBy("doc_id").collect().toSeq
+    val pairs = graft.operators.DedupOps.minhashNearDups(
+      docs, "doc_id", "text", threshold = 0.95)
+    val direct = DedupClusters
+      .bestRepresentatives(scored, "doc_id", pairs, "id_a", "id_b")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaArtifact == direct)
+  }
 }
