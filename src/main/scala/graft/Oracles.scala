@@ -773,11 +773,16 @@ object Oracles {
         |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
         |      ELSE string_split_regex(trim(lower(text)), '\s+') END
         |      AS toks FROM documents)),
+        |shu AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM shu a JOIN shu b ON a.g = b.g AND a.doc_id < b.doc_id),
         |neardup_drops AS (
-        |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
-        |    ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |  SELECT DISTINCT c.dst AS doc_id FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.src
+        |  JOIN sh sb ON sb.doc_id = c.dst
+        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
         |    >= 0.95)
         |SELECT a.doc_id, a.n_tokens, a.n_units, a.quality
         |FROM ann a JOIN keepers k ON a.doc_id = k.doc_id
@@ -980,65 +985,23 @@ object Oracles {
         |ORDER BY event_type, rn""".stripMargin,
 
     // exact-jaccard edge set (same formulation q44 hash-matched) +
-    // transitive closure via recursive CTE = the clustering oracle
-    "q59_dedup_clusters" ->
-      """WITH RECURSIVE
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
-        |      THEN [array_to_string(toks, ' ')]
-        |      ELSE list_transform(range(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |      END) AS s
-        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
-        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
-        |      AS toks FROM documents)),
-        |edges AS (
-        |  SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b
-        |    ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-        |    >= 0.95),
-        |sym AS (SELECT src, dst FROM edges
-        |  UNION SELECT dst AS src, src AS dst FROM edges),
-        |reach AS (
-        |  SELECT doc_id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT s.src AS doc_id, r.r FROM sym s
-        |    JOIN reach r ON s.dst = r.doc_id),
-        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach
-        |  GROUP BY doc_id)
+    // transitive closure — shared scale-safe CTEs (inverted-index
+    // candidates, unrolled label prop with fixpoint guard)
+    "q59_dedup_clusters" -> (closureCtes() + """
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        |FROM lab ORDER BY doc_id""".stripMargin,
+        |FROM lab ORDER BY doc_id""".stripMargin),
+
+    // q134: incremental admission must equal the full-corpus closure
+    // (old components enter as star edges, which have the same
+    // transitive closure as the old intra-corpus jaccard edges)
+    "q134_incremental_clusters" -> (closureCtes() + """
+        |SELECT doc_id, cluster_id FROM lab
+        |ORDER BY doc_id""".stripMargin),
 
     // q131: q59's exact-jaccard closure (LSH recall 1-4e-12 at 0.95,
     // same argument as q44/q59) + q74's md5 split hash on cluster_id
-    "q131_leakage_safe_split" ->
-      """WITH RECURSIVE
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
-        |      THEN [array_to_string(toks, ' ')]
-        |      ELSE list_transform(range(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |      END) AS s
-        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
-        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
-        |      AS toks FROM documents)),
-        |edges AS (
-        |  SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b
-        |    ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-        |    >= 0.95),
-        |sym AS (SELECT src, dst FROM edges
-        |  UNION SELECT dst AS src, src AS dst FROM edges),
-        |reach AS (
-        |  SELECT doc_id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT s.src AS doc_id, r.r FROM sym s
-        |    JOIN reach r ON s.dst = r.doc_id),
-        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach
-        |  GROUP BY doc_id),
+    "q131_leakage_safe_split" -> (closureCtes() + """,
         |b AS (
         |  SELECT doc_id, cluster_id,
         |    (position(substring(md5('graft:'
@@ -1052,7 +1015,7 @@ object Oracles {
         |  CASE WHEN bucket < 205 THEN 'train'
         |       WHEN bucket < 230 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin,
+        |FROM b ORDER BY doc_id""".stripMargin),
 
     // floor(x/s + 0.5) on both sides — engine-identical tie-break
     "q60_embedding_quantize" ->
@@ -1285,11 +1248,16 @@ object Oracles {
         |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
         |      ELSE string_split_regex(trim(lower(text)), '\s+') END
         |      AS toks FROM benchd)),
+        |shu AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM shu a JOIN shu b ON a.g = b.g AND a.doc_id < b.doc_id),
         |neardup_drops AS (
-        |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
-        |    ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |  SELECT DISTINCT c.dst AS doc_id FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.src
+        |  JOIN sh sb ON sb.doc_id = c.dst
+        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
         |    >= 0.95),
         |ov AS (
         |  SELECT cs.doc_id, count(*) AS n_overlap
@@ -2286,32 +2254,7 @@ object Oracles {
 
     // q59's exact-Jaccard closure + q21's quality formula; the
     // representative is the (quality desc, doc_id asc) argmax
-    "q113_cluster_best" ->
-      """WITH RECURSIVE
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
-        |      THEN [array_to_string(toks, ' ')]
-        |      ELSE list_transform(range(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |      END) AS s
-        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
-        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
-        |      AS toks FROM documents)),
-        |edges AS (
-        |  SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a JOIN sh b
-        |    ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-        |    >= 0.95),
-        |sym AS (SELECT src, dst FROM edges
-        |  UNION SELECT dst AS src, src AS dst FROM edges),
-        |reach AS (
-        |  SELECT doc_id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT s.src AS doc_id, r.r FROM sym s
-        |    JOIN reach r ON s.dst = r.doc_id),
-        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach
-        |  GROUP BY doc_id),
+    "q113_cluster_best" -> (closureCtes() + """,
         |q AS (SELECT doc_id,
         |  round(
         |    (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
@@ -2337,7 +2280,7 @@ object Oracles {
         |SELECT j.doc_id, j.cluster_id, j.quality, r.rep_id,
         |  j.doc_id = r.rep_id AS keep
         |FROM j JOIN r ON j.cluster_id = r.cluster_id AND r.rn = 1
-        |ORDER BY j.doc_id""".stripMargin,
+        |ORDER BY j.doc_id""".stripMargin),
 
     // same md5-prefix hash as the Spark side → identical permutation
     "q114_training_order" ->
@@ -2657,6 +2600,78 @@ object Oracles {
     * md5-bucket (dim 64), TF-IDF scaled to integers (×10⁴) so the
     * bucket sums `ws` and squared norms `n2` are exact. Ends at
     * `bb` (doc_id, bucket, ws) and `norms` (doc_id, n2). */
+  /** Shared near-dup/closure machinery for the q59/q113/q131 family,
+    * scale-safe at sf0.1 (where the previous all-pairs + recursive-CTE
+    * form ground for hours):
+    *
+    *  - candidate pairs come from an INVERTED-INDEX join (docs sharing
+    *    ≥ 1 shingle) — LOSSLESS for any jaccard threshold > 0, since
+    *    jaccard ≥ t > 0 implies a shared shingle — instead of the
+    *    all-pairs N² frame;
+    *  - the transitive closure is UNROLLED min-label propagation with
+    *    pointer jumping (new label = min of label-of-label and
+    *    neighbors' labels; monotone nonincreasing, O(log n) rounds to
+    *    the component min), with a fail-loud fixpoint guard: if
+    *    `rounds` did not reach the fixpoint, `lab` is emptied and the
+    *    compare fails RED rather than silently under-merging.
+    *
+    * Emits CTEs: sh (doc shingle sets), shu, cand, edges, sym,
+    * l0..lN, conv, lab(doc_id, cluster_id). Callers append their
+    * consumers of `lab`. */
+  private def closureCtes(rounds: Int = 8): String = {
+    val head =
+      """WITH sh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END) AS s
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |shu AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM shu a JOIN shu b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |edges AS MATERIALIZED (
+        |  SELECT c.src, c.dst FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.src
+        |  JOIN sh sb ON sb.doc_id = c.dst
+        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+        |    >= 0.95),
+        |sym AS MATERIALIZED (SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |l0 AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS lab
+        |  FROM documents d LEFT JOIN (
+        |    SELECT src AS doc_id, min(dst) AS mn FROM sym
+        |    GROUP BY src) m USING (doc_id))""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s""",
+         |l$k AS MATERIALIZED (
+         |  SELECT t.doc_id, min(t.v) AS lab FROM (
+         |    SELECT cur.doc_id, ptr.lab AS v
+         |    FROM l${k - 1} cur JOIN l${k - 1} ptr
+         |      ON ptr.doc_id = cur.lab
+         |    UNION ALL
+         |    SELECT s.src AS doc_id, x.lab AS v
+         |    FROM sym s JOIN l${k - 1} x ON x.doc_id = s.dst) t
+         |  GROUP BY t.doc_id)""".stripMargin
+    }.mkString
+    val guard =
+      s""",
+         |conv AS (
+         |  SELECT count(*) AS n FROM l${rounds - 1} a
+         |  JOIN l$rounds b ON a.doc_id = b.doc_id
+         |  WHERE a.lab <> b.lab),
+         |lab AS (
+         |  SELECT doc_id, lab AS cluster_id FROM l$rounds
+         |  WHERE (SELECT n FROM conv) = 0)""".stripMargin
+    head + steps + guard
+  }
+
   private lazy val hashedVectorCtes: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []

@@ -1735,6 +1735,27 @@ object Queries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // ---- incremental cluster-map maintenance --------------------------
+    "q134_incremental_clusters" -> ((s, d) => {
+      // growing-corpus cluster maintenance: publish the map on the
+      // 80% "already ingested" slice, then fold the rest in as an
+      // arriving batch — signature-store candidates, delta-subgraph
+      // closure, relabel-on-merge. The oracle is the FULL-corpus
+      // closure: incremental admission must equal the recompute
+      val docs = t(s, d, "documents")
+      val path = s"${graft.core.Scratch.root(docs)}/incrclusters_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(path)
+      val old = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      graft.operators.IncrementalClusters.publish(
+        old, "doc_id", "text", path)
+      graft.operators.IncrementalClusters.update(
+        batch, old, "doc_id", "text", path)
+      graft.operators.IncrementalClusters.read(s, path)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- table-driven blocklist ---------------------------------------
     "q133_blocklist_table" -> ((s, d) => {
       // the production compliance shape: the blocklist is a TABLE (here

@@ -62,6 +62,15 @@ object Scratch {
   def materialize(df: DataFrame, tag: String): DataFrame =
     materializeWithPath(df, tag)._1
 
+  /** Register an externally-created path (e.g. a scratch-rooted
+    * VersionedTable) for the same delete-at-JVM-exit lifecycle as
+    * materialized tables. */
+  def registerForCleanup(path: String): Unit = {
+    hookInstalled
+    created.add(path)
+    ()
+  }
+
   /** Delete a scratch table that is no longer referenced. The caller
     * must not hold live DataFrames over it. */
   def drop(spark: org.apache.spark.sql.SparkSession, path: String)

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.VersionedTable
+
+/** Incremental maintenance of the near-dup CLUSTER MAP — the growing-
+  * corpus shape of [[DedupClusters.clusterMap]]. A production corpus
+  * ingests batches continuously; re-running the corpus-wide pair join
+  * + transitive closure to admit a 10 GB batch into 100 TB is a 10⁴×
+  * overspend (the same argument as [[DedupOps.incrementalNearDups]],
+  * which supplies the pair machinery). Per batch this does:
+  *
+  *  1. new-vs-corpus and new-vs-new candidate pairs from the persisted
+  *     SIGNATURE STORE band join (tens of bytes per stored doc; the
+  *     corpus text is touched only for candidate verification, by
+  *     id-keyed join);
+  *  2. the closure on the DELTA SUBGRAPH only: old components enter as
+  *     star edges (doc → cluster_id) restricted to clusters actually
+  *     touched by a new edge, so merges propagate (two old clusters
+  *     bridged by a new doc collapse correctly) without re-running the
+  *     corpus-wide closure;
+  *  3. relabel: touched docs take the merged component min, untouched
+  *     rows are carried unchanged, edge-free batch docs become
+  *     singletons; commit the new map + append the batch's signatures.
+  *
+  * The result is IDENTICAL to a full recompute over old ∪ new: old
+  * intra-corpus jaccard edges are subsumed by their components (star
+  * edges have the same transitive closure), and labels are component
+  * MINIMA in both formulations — which is exactly what the q134
+  * DuckDB oracle (a full-corpus closure) checks.
+  *
+  * Artifact layout (both [[graft.core.VersionedTable]]s — snapshot-
+  * isolated, time-travelable):
+  * {{{
+  *   path/clusters     (idCol, cluster_id)   current map
+  *   path/signatures   (idCol, band, band_hash)  LSH store
+  * }}}
+  */
+object IncrementalClusters {
+
+  private def clustersPath(path: String) = s"$path/clusters"
+  private def signaturesPath(path: String) = s"$path/signatures"
+
+  /** Publish the initial artifact from a full corpus: the cluster map
+    * (corpus-wide closure, once) plus the signature store every later
+    * [[update]] band-joins against. Returns the clusters version. */
+  def publish(docs: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.95, shingleN: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4): Int = {
+    val pairs = DedupOps.minhashNearDups(docs, idCol, textCol,
+      shingleN, bands, rowsPerBand, threshold)
+    val cl = DedupClusters.clusters(
+      docs.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+    val v = VersionedTable.commitOverwrite(cl, clustersPath(path))
+    VersionedTable.commitOverwrite(
+      DedupOps.signatureStore(docs, idCol, textCol, shingleN, bands,
+        rowsPerBand),
+      signaturesPath(path))
+    v
+  }
+
+  /** Fold `batch` into the published map. `corpus` is the previously
+    * admitted document table (text is joined BY ID for candidate
+    * verification only — its body is never rescanned). Returns the new
+    * clusters version. */
+  def update(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, path: String, threshold: Double = 0.95,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): Int = {
+    val spark = batch.sparkSession
+    val oldMap = VersionedTable.read(spark, clustersPath(path))
+    val store = VersionedTable.read(spark, signaturesPath(path))
+    // (id_new, id_dup, jaccard, match_in) — store band join + exact-
+    // jaccard verification; already scratch-materialized inside
+    val edges = DedupOps.incrementalNearDups(batch, corpus, store,
+      idCol, textCol, shingleN, bands, rowsPerBand, threshold)
+      .select(col("id_new").as("src"), col("id_dup").as("dst"))
+    // clusters an old endpoint belongs to — these must enter the delta
+    // closure as star edges so bridged clusters merge and relabel
+    val touched = oldMap
+      .join(edges.select(col("dst").as(idCol)).distinct(), Seq(idCol))
+      .select(col("cluster_id")).distinct()
+    val starEdges = oldMap
+      .join(broadcast(touched), Seq("cluster_id"))
+      .select(col(idCol).as("src"), col("cluster_id").as("dst"))
+    val sub = edges.unionByName(starEdges)
+    val comp = DedupClusters.components(sub, "src", "dst")
+      .select(col("node").as(idCol), col("component"))
+    // untouched old rows carry over; touched docs (old or new) take
+    // the merged component min; edge-free batch docs are singletons
+    val relabeled = oldMap.join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col("cluster_id")).as("cluster_id"))
+    val batchLabels = batch.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+    val v = VersionedTable.commitOverwrite(
+      relabeled.unionByName(batchLabels), clustersPath(path))
+    VersionedTable.commitAppend(
+      DedupOps.signatureStore(batch, idCol, textCol, shingleN, bands,
+        rowsPerBand),
+      signaturesPath(path))
+    v
+  }
+
+  /** The current (or pinned) cluster map. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame =
+    VersionedTable.read(spark, clustersPath(path), version)
+}

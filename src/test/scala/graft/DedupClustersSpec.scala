@@ -124,4 +124,46 @@ class DedupClustersSpec extends SparkTestBase {
       .orderBy("doc_id").collect().toSeq
     assert(viaArtifact == direct)
   }
+
+  test("incremental cluster admission equals the full recompute") {
+    // old corpus: cluster {1,2} (near-dups), singletons 3 and 4.
+    // batch exercises every admission shape: 10 dups doc 1 (joins
+    // the existing {1,2} cluster), 11 dups doc 3 (upgrades a
+    // singleton to a cluster), 12 and 13 dup each other (a brand-new
+    // cluster), and 14 is edge-free (stays a singleton)
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight nine"
+    val tC = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val tD = "pack my box with five dozen brown liquor jugs today"
+    val old = Seq(1L -> tA, 2L -> tA, 3L -> tB, 4L -> tC)
+      .toDF("doc_id", "text")
+    val batch = Seq(10L -> tA, 11L -> tB, 12L -> tD, 13L -> tD,
+      14L -> "entirely novel content nothing like the rest at all")
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ic").toString
+    val path = s"$dir/artifact"
+    graft.operators.IncrementalClusters.publish(
+      old, "doc_id", "text", path)
+    graft.operators.IncrementalClusters.update(
+      batch, old, "doc_id", "text", path)
+    val incr = graft.operators.IncrementalClusters.read(spark, path)
+      .as[(Long, Long)].collect().toMap
+    // full recompute over old ∪ batch
+    val all = old.unionByName(batch)
+    val pairs = graft.operators.DedupOps.minhashNearDups(
+      all, "doc_id", "text", threshold = 0.95)
+    val full = DedupClusters.clusters(all.select(col("doc_id")),
+      "doc_id", pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(incr == full)
+    // spot semantics: merge into old cluster, new-new cluster,
+    // singleton carry-over
+    assert(incr(10L) == 1L && incr(1L) == 1L && incr(2L) == 1L)
+    assert(incr(11L) == 3L)
+    assert(incr(12L) == 12L && incr(13L) == 12L)
+    assert(incr(14L) == 14L && incr(4L) == 4L)
+    // version history: publish=v1, update=v2; v1 still readable
+    assert(graft.operators.IncrementalClusters
+      .read(spark, path, Some(1)).count() == 4)
+  }
 }
