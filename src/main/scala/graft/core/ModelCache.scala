@@ -44,8 +44,8 @@ object ModelCache {
     * KEYS are not — a LocalRelation's canonicalized plan embeds its
     * row data, so an unbounded cache in a long-lived session (test
     * JVMs train over many in-memory corpora) would pin every such
-    * corpus in driver memory. Insertion-order eviction; an evicted
-    * model simply retrains on next use. */
+    * corpus in driver memory. LRU eviction (a hit refreshes recency);
+    * an evicted model simply retrains on next use. */
   private val MaxEntries = 64
 
   private type Key = (String, LogicalPlan, String, String)
@@ -81,18 +81,25 @@ object ModelCache {
     }
   }
 
+  /** Lookup that refreshes recency (true LRU, not FIFO): a hit
+    * re-inserts the entry at the tail so hot artifacts survive a
+    * session training many one-off models. */
+  private def touch(k: Key): Option[Any] = cache.synchronized {
+    cache.remove(k).map { v => cache.put(k, v); v }
+  }
+
   def cached[T](df: DataFrame, key: String)(train: => T): T = {
     val k: Key = (sessionId(df),
       df.queryExecution.analyzed.canonicalized, fileSnapshot(df), key)
     // fast path: already trained
-    cache.synchronized(cache.get(k)) match {
+    touch(k) match {
       case Some(v) => return v.asInstanceOf[T]
       case None =>
     }
     // per-key latch: same-key trainers serialize, others run free
     val latch = inflight.computeIfAbsent(k, _ => new Object)
     latch.synchronized {
-      cache.synchronized(cache.get(k)) match {
+      touch(k) match {
         case Some(v) => v.asInstanceOf[T]
         case None =>
           val v = train // Spark jobs run here, no global lock held

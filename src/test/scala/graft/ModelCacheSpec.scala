@@ -57,6 +57,24 @@ class ModelCacheSpec extends SparkTestBase {
     assert(vals.toSet == Set(1))
   }
 
+  test("eviction is LRU: a recent hit survives a cold-key flood") {
+    ModelCache.clear()
+    val hot = Seq((1L, "hot")).toDF("id", "v")
+    var hotTrains = 0
+    def getHot() = ModelCache.cached(hot, "hot") { hotTrains += 1 }
+    getHot()
+    // 70 cold entries overflow the 64-slot cache (7 evictions);
+    // touching hot mid-flood must keep it resident — under FIFO the
+    // touch is a no-op and hot (the oldest insert) is evicted first
+    (0 until 70).foreach { i =>
+      ModelCache.cached(hot, s"cold-$i") { () }
+      if (i == 35) getHot() // refresh recency mid-flood
+    }
+    getHot()
+    assert(hotTrains == 1, "LRU evicted a recently-touched artifact")
+    ModelCache.clear()
+  }
+
   test("distinct sessions do not share artifacts") {
     // a new session must never inherit another session's state (e.g.
     // scratch paths under a stopped session's cleaned-up temp dir)
