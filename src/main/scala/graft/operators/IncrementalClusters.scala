@@ -88,8 +88,15 @@ object IncrementalClusters {
     val comp = DedupClusters.components(sub, "src", "dst")
       .select(col("node").as(idCol), col("component"))
     // untouched old rows carry over; touched docs (old or new) take
-    // the merged component min; edge-free batch docs are singletons
-    val relabeled = oldMap.join(comp, Seq(idCol), "left")
+    // the merged component min; edge-free batch docs are singletons.
+    // Batch ids are excluded from the carried map (anti join): on a
+    // crash-replay of an already-admitted batch the old map contains
+    // them, and carrying them AND re-labeling them would emit
+    // duplicate rows — the exclusion makes update() idempotent, the
+    // property the streaming sink's at-least-once replay relies on
+    val relabeled = oldMap
+      .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(comp, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col("cluster_id")).as("cluster_id"))
     val batchLabels = batch.select(col(idCol))
@@ -109,4 +116,46 @@ object IncrementalClusters {
   def read(spark: SparkSession, path: String,
       version: Option[Int] = None): DataFrame =
     VersionedTable.read(spark, clustersPath(path), version)
+
+  private def docsPath(path: String) = s"$path/docs"
+
+  /** Streaming admission: a `foreachBatch` sink that folds every
+    * micro-batch of documents into the artifact — the continuous-
+    * ingestion shape of cluster maintenance (a crawler feeding a
+    * corpus while dedup clusters stay current). The artifact becomes
+    * self-contained under `path`: `docs` (admitted documents, the
+    * verification corpus), `clusters`, `signatures` — all
+    * VersionedTables. The first batch publishes; later batches
+    * [[update]].
+    *
+    * Exactly-once per batch via the same claimed-marker protocol as
+    * [[graft.core.VersionedTable.foreachBatchAppend]]: a replayed
+    * micro-batch (Structured Streaming re-runs the last batch after a
+    * restart) is skipped once its marker exists, and a crash BETWEEN
+    * the commits and the marker is absorbed because [[update]] is
+    * idempotent (re-admitting an already-admitted batch produces the
+    * identical map; duplicate store rows only add candidates that
+    * dedup away).
+    */
+  def foreachBatchAdmit(path: String, idCol: String, textCol: String,
+      threshold: Double = 0.95): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val spark = batch.sparkSession
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$path/_admits/b$batchId")
+      val f = marker.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(marker)) {
+        val docs = batch.select(col(idCol), col(textCol))
+        if (VersionedTable.latestVersion(spark, clustersPath(path)) == 0)
+          publish(docs, idCol, textCol, path, threshold)
+        else
+          update(docs, VersionedTable.read(spark, docsPath(path)),
+            idCol, textCol, path, threshold)
+        VersionedTable.commitAppend(docs, docsPath(path))
+        f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_admits"))
+        try f.create(marker, false).close()
+        catch { case _: java.io.IOException => () } // lost claim: done
+      }
+  }
 }

@@ -166,4 +166,45 @@ class DedupClustersSpec extends SparkTestBase {
     assert(graft.operators.IncrementalClusters
       .read(spark, path, Some(1)).count() == 4)
   }
+
+  test("streaming admission maintains the map across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight nine"
+    val root = java.nio.file.Files.createTempDirectory("ics").toString
+    val path = s"$root/artifact"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(graft.operators.IncrementalClusters
+        .foreachBatchAdmit(path, "doc_id", "text"))
+      .start()
+    try {
+      // batch 0 publishes: {1,2} near-dups, 3 singleton
+      mem.addData(1L -> tA, 2L -> tA, 3L -> tB)
+      q.processAllAvailable()
+      val m0 = graft.operators.IncrementalClusters.read(spark, path)
+        .as[(Long, Long)].collect().toMap
+      assert(m0 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+      // batch 1 updates: 10 joins {1,2}, 11 pairs with 3, 12 alone
+      mem.addData(10L -> tA, 11L -> tB,
+        12L -> "totally new content unlike anything previously seen")
+      q.processAllAvailable()
+      val m1 = graft.operators.IncrementalClusters.read(spark, path)
+        .as[(Long, Long)].collect().toMap
+      assert(m1 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 10L -> 1L,
+        11L -> 3L, 12L -> 12L))
+      // replaying an admitted batch is a no-op (marker protocol):
+      // same batch id, new versions must NOT appear
+      val vBefore = graft.core.VersionedTable
+        .latestVersion(spark, s"$path/clusters")
+      graft.operators.IncrementalClusters
+        .foreachBatchAdmit(path, "doc_id", "text")(
+          Seq(10L -> tA).toDF("doc_id", "text"), 1L)
+      assert(graft.core.VersionedTable
+        .latestVersion(spark, s"$path/clusters") == vBefore)
+    } finally q.stop()
+  }
 }

@@ -219,6 +219,33 @@ class SqlAndPlanSpec extends SparkTestBase {
     }
   }
 
+  test("classifier gradient jobs scan the materialized features, not text") {
+    // scoreDF materializes the feature frame once; every gradient
+    // iteration must then be a scan of the 5-column scratch parquet —
+    // if tokenization leaked back into the per-iteration plan, the
+    // dominant text-processing cost would multiply by iters at 100 TB
+    val docs = core.Tables.load(spark, sfDir, "documents")
+    val feats = graft.core.Scratch.materialize(
+      graft.operators.QualityClassifier.featureFrame(
+        docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("source") === "src0"),
+      "clf_feats_test")
+    val g = graft.operators.QualityClassifier.gradientFrame(
+      feats, Array(0.0, 0.0, 0.0, 0.0))
+    g.collect()
+    val scans = collectPlan(g.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+    val readCols = scans.head.schema.fieldNames.toSet
+    assert(!readCols.contains("text"),
+      s"gradient iteration re-reads raw text: $readCols")
+    // column pruning even drops the id — the scan reads exactly the
+    // label + 3 features the aggregate consumes
+    assert(readCols == Set("__y", "f1", "f2", "f3"),
+      s"gradient scan reads: $readCols")
+  }
+
   test("classifier gradient reduces to 5 longs before its exchange") {
     // one corpus scan per GD iteration ending in a map-side-combined
     // aggregate: the only exchange carries the 4 partial integer sums
