@@ -1723,12 +1723,11 @@ object Queries {
       // from the deterministic first-16-by-id codebook, queries probe
       // their 4 nearest cells, exact cosine inside probed cells only.
       // q130's queries×corpus frame never forms; each query touches
-      // ~nprobe/cells of the corpus. The vector table is materialized
-      // once (codebook init + corpus assign + query probe would
-      // otherwise re-derive the whole TF-IDF pipeline thrice).
-      val dv = graft.core.Scratch.materialize(
-        graft.operators.HashingVectorizer.denseVectors(
-          t(s, d, "documents"), "doc_id", "text", dim = 64), "textdv")
+      // ~nprobe/cells of the corpus. denseVectors is itself a
+      // materialized session artifact (codebook init + corpus assign
+      // + query probe all read the same dense table)
+      val dv = graft.operators.HashingVectorizer.denseVectors(
+        t(s, d, "documents"), "doc_id", "text", dim = 64)
       graft.operators.SimilarityOps.ivfTopK(
         dv, dv.filter(col("doc_id") < 10), "doc_id", "vec",
         "doc_id", k = 5, cells = 16, nprobe = 4, trainIters = 0)

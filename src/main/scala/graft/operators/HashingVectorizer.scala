@@ -34,17 +34,32 @@ object HashingVectorizer {
       lit(dim.toLong))
 
   /** Long-form vectors before normalization: (`idCol`, bucket, __ws
-    * scaled-int weight, __n2 scaled-int squared norm). */
+    * scaled-int weight, __n2 scaled-int squared norm).
+    *
+    * Computed once per session per (corpus snapshot, params) and
+    * MATERIALIZED to scratch parquet — the same first-class-ARTIFACT
+    * exception to per-query isolation as
+    * [[DedupClusters.clusterMap]]: a real pipeline vectorizes the
+    * corpus once and fans every consumer (normalized vectors, dense
+    * bridge, brute-force search, IVF search) out from the vector
+    * table. The in-heap cache stores only the scratch PATH; staleness
+    * semantics (session identity, file snapshot) are
+    * [[graft.core.ModelCache]]'s. */
   private def scaledBuckets(docs: DataFrame, idCol: String,
       textCol: String, dim: Int): DataFrame = {
-    val byBucket = TfIdf.score(docs, idCol, textCol)
-      .withColumn("bucket", bucket(col("token"), dim))
-      .withColumn("__w", round(col("tfidf") * 1e4).cast("long"))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(sum(col("__w")).as("__ws"))
-    val norms = byBucket.groupBy(col(idCol))
-      .agg(sum(col("__ws") * col("__ws")).as("__n2"))
-    byBucket.join(norms, Seq(idCol))
+    val path = graft.core.ModelCache.cached(docs,
+      s"hashvec:$idCol:$textCol:$dim") {
+      val byBucket = TfIdf.score(docs, idCol, textCol)
+        .withColumn("bucket", bucket(col("token"), dim))
+        .withColumn("__w", round(col("tfidf") * 1e4).cast("long"))
+        .groupBy(col(idCol), col("bucket"))
+        .agg(sum(col("__w")).as("__ws"))
+      val norms = byBucket.groupBy(col(idCol))
+        .agg(sum(col("__ws") * col("__ws")).as("__n2"))
+      graft.core.Scratch.materializeWithPath(
+        byBucket.join(norms, Seq(idCol)), "hashvec")._2
+    }
+    docs.sparkSession.read.parquet(path)
   }
 
   /** L2-normalized hashed TF-IDF vectors in long form:
@@ -63,15 +78,25 @@ object HashingVectorizer {
     * [[textTopK]] is the exactness baseline). One extra id-keyed
     * aggregation; `dim` doubles per doc. */
   def denseVectors(docs: DataFrame, idCol: String, textCol: String,
-      dim: Int = 64): DataFrame =
-    hashedTfIdf(docs, idCol, textCol, dim)
-      .groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(
-        struct(col("bucket"), col("weight")))).as("__m"))
-      .select(col(idCol),
-        transform(sequence(lit(0L), lit(dim - 1L)),
-          i => coalesce(element_at(col("__m"), i), lit(0.0)))
-          .as("vec"))
+      dim: Int = 64): DataFrame = {
+    // second-stage artifact over the scaledBuckets one: consumers
+    // (codebook init, corpus assignment, query probing) each scan the
+    // dense table — materialize the densify once per session
+    val path = graft.core.ModelCache.cached(docs,
+      s"hashvec-dense:$idCol:$textCol:$dim") {
+      graft.core.Scratch.materializeWithPath(
+        hashedTfIdf(docs, idCol, textCol, dim)
+          .groupBy(col(idCol))
+          .agg(map_from_entries(collect_list(
+            struct(col("bucket"), col("weight")))).as("__m"))
+          .select(col(idCol),
+            transform(sequence(lit(0L), lit(dim - 1L)),
+              i => coalesce(element_at(col("__m"), i), lit(0.0)))
+              .as("vec")),
+        "hashvec_dense")._2
+    }
+    docs.sparkSession.read.parquet(path)
+  }
 
   /** Brute-force cosine top-k between documents over the hashed
     * vectors — text ANN with no embedding model. The cosine numerator
@@ -85,8 +110,8 @@ object HashingVectorizer {
     * output, exactly as for embeddings. */
   def textTopK(docs: DataFrame, idCol: String, textCol: String,
       queryPred: Column => Column, k: Int, dim: Int = 64): DataFrame = {
-    val sb = graft.core.Scratch.materialize(
-      scaledBuckets(docs, idCol, textCol, dim), "hashvec")
+    // scaledBuckets is already a materialized session artifact
+    val sb = scaledBuckets(docs, idCol, textCol, dim)
     val q = sb.select(col(idCol).as("query_id"),
       col("bucket"), col("__ws").as("__wq"), col("__n2").as("__nq"))
       .where(queryPred(col("query_id")))
