@@ -55,10 +55,33 @@ object DedupOps {
 
   /** Full MinHash-LSH near-dup pipeline: returns candidate pairs
     * (id_a < id_b) with exact shingle-Jaccard similarity, filtered at
-    * `threshold`. */
+    * `threshold`.
+    *
+    * The pair set is a materialized SESSION ARTIFACT (one scratch
+    * parquet per (corpus snapshot, params), path held in
+    * [[graft.core.ModelCache]]) — the same documented per-query-
+    * isolation exception as [[DedupClusters.clusterMap]]: pair
+    * detection is the most expensive shared prefix of the curation
+    * family (drop-gates, cluster map, best-rep, splits), and a real
+    * pipeline runs it once per corpus snapshot. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
+    val path = graft.core.ModelCache.cached(df,
+      s"minhashpairs:$idCol:$textCol:$shingleN:$bands:$rowsPerBand:" +
+        threshold) {
+      minhashNearDupsUncached(df, idCol, textCol, shingleN, bands,
+        rowsPerBand, threshold)
+    }
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Runs the pipeline and returns the SCRATCH PATH of the
+    * materialized pair set (the bounded value the artifact cache
+    * holds). */
+  private def minhashNearDupsUncached(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): String = {
     val k = bands * rowsPerBand
     // cached: the signature subtree feeds the band explode AND both
     // sides of the candidate-verification join — without the persist the
@@ -88,9 +111,10 @@ object DedupOps {
     // executor storage for the session lifetime. Scratch-table
     // write+read (not localCheckpoint: its executor-local blocks die
     // with their executor and the truncated lineage cannot recompute)
-    val out = graft.core.Scratch.materialize(result, "minhash_neardups")
+    val path = graft.core.Scratch.materializeWithPath(
+      result, "minhash_neardups")._2
     withSig.unpersist(blocking = false)
-    out
+    path
   }
 
   /** (id, band, band_hash) rows for `df` — the PERSISTED artifact of
