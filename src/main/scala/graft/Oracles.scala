@@ -348,6 +348,47 @@ object Oracles {
       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  private val bm25FullCorpus: String =
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+        |    ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |    AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs,
+        |  avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |qraw AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id,
+        |    unnest(string_split_regex(trim(lower(qtext)), '\s+'))
+        |      AS token
+        |  FROM (VALUES (0, 'hash join table'), (1, 'window agg scan'),
+        |    (2, 'fast merge batch')) AS q(query_id, qtext)),
+        |qterms AS (SELECT DISTINCT query_id, token FROM qraw),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    sum(CAST(round(
+        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |      * 1000000.0) AS BIGINT)) AS score_s
+        |  FROM tf
+        |  JOIN qterms qt USING (token)
+        |  JOIN dfreq USING (token)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id,
+        |    round(CAST(score_s AS DOUBLE) / 1000000.0, 4) AS score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_s DESC, doc_id) AS INTEGER) AS rn
+        |  FROM scored)
+        |SELECT query_id, doc_id, score, rn FROM ranked
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q01_global_agg" ->
@@ -1015,6 +1056,43 @@ object Oracles {
         |  CASE WHEN bucket < 205 THEN 'train'
         |       WHEN bucket < 230 THEN 'val'
         |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin),
+
+    // q138: blocked fuzzy linkage — DuckDB levenshtein and Spark
+    // levenshtein share the unit-cost edit-distance definition
+    "q138_fuzzy_link" ->
+      """WITH vals AS (
+        |  SELECT p_name AS value, count(*) AS n_rows
+        |  FROM part GROUP BY 1),
+        |k AS (
+        |  SELECT string_split_regex(value, '\s+')[1] AS block,
+        |    value, n_rows FROM vals
+        |  UNION
+        |  SELECT string_split_regex(value, '\s+')[-1] AS block,
+        |    value, n_rows FROM vals),
+        |pairs AS (
+        |  SELECT DISTINCT a.value AS value_a, b.value AS value_b,
+        |    a.n_rows AS n_a, b.n_rows AS n_b
+        |  FROM k a JOIN k b USING (block)
+        |  WHERE a.value < b.value)
+        |SELECT value_a, value_b,
+        |  CAST(levenshtein(value_a, value_b) AS INTEGER) AS dist,
+        |  n_a, n_b
+        |FROM pairs WHERE levenshtein(value_a, value_b) <= 4
+        |ORDER BY value_a, value_b""".stripMargin,
+
+    // q137: same closure + md5 bucket as q131, folded mod k
+    "q137_kfold" -> (closureCtes() + """,
+        |b AS (
+        |  SELECT doc_id, cluster_id,
+        |    (position(substring(md5('graft:'
+        |        || CAST(cluster_id AS VARCHAR)), 1, 1)
+        |      IN '0123456789abcdef') - 1) * 16
+        |    + position(substring(md5('graft:'
+        |        || CAST(cluster_id AS VARCHAR)), 2, 1)
+        |      IN '0123456789abcdef') - 1 AS bucket
+        |  FROM lab)
+        |SELECT doc_id, cluster_id, bucket % 5 AS fold
         |FROM b ORDER BY doc_id""".stripMargin),
 
     // floor(x/s + 0.5) on both sides — engine-identical tie-break
@@ -1714,6 +1792,97 @@ object Oracles {
     // doc-frequency bigram table (count desc, phrase asc), then the
     // contains scan; blocklist order is lexicographic, so first_hit
     // is the min matched phrase
+    // PageRank: 3 unrolled power iterations mirroring ops/PageRank —
+    // scaled-integer ranks, per-edge contributions rounded from the
+    // identical IEEE multiply/divide, all cross-row sums over BIGINTs.
+    // Iterative CTEs are MATERIALIZED (each r_i is referenced twice by
+    // round i+1; inline expansion is exponential in iters).
+    "q136_pagerank" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT l_partkey AS src, l_suppkey + 1000000 AS dst,
+        |    count(*) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT l_suppkey + 1000000 AS src, l_partkey AS dst,
+        |    count(*) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e
+        |  UNION ALL SELECT dst AS node FROM e)),
+        |outw AS MATERIALIZED (
+        |  SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS n_nodes FROM nodes),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, CAST(round(1000000000.0 /
+        |    CAST(n_nodes AS DOUBLE)) AS BIGINT) AS rank_s
+        |  FROM nodes CROSS JOIN n),
+        |c1 AS MATERIALIZED (
+        |  SELECT dst, sum(CAST(round(CAST(rank_s AS DOUBLE)
+        |    * CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE)) AS BIGINT))
+        |    AS in_s
+        |  FROM r0 JOIN e ON r0.node = e.src JOIN outw USING (src)
+        |  GROUP BY 1),
+        |d1 AS (SELECT coalesce(sum(rank_s), 0) AS dangling_s
+        |  FROM r0 LEFT JOIN outw ON r0.node = outw.src
+        |  WHERE outw.src IS NULL),
+        |r1 AS MATERIALIZED (
+        |  SELECT node, CAST(round((1.0 - 0.85) * 1000000000.0
+        |      / CAST(n_nodes AS DOUBLE)
+        |      + 0.85 * (CAST(coalesce(in_s, 0) AS DOUBLE)
+        |        + CAST(dangling_s AS DOUBLE) / CAST(n_nodes AS DOUBLE)))
+        |    AS BIGINT) AS rank_s
+        |  FROM nodes LEFT JOIN c1 ON nodes.node = c1.dst
+        |  CROSS JOIN d1 CROSS JOIN n),
+        |c2 AS MATERIALIZED (
+        |  SELECT dst, sum(CAST(round(CAST(rank_s AS DOUBLE)
+        |    * CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE)) AS BIGINT))
+        |    AS in_s
+        |  FROM r1 JOIN e ON r1.node = e.src JOIN outw USING (src)
+        |  GROUP BY 1),
+        |d2 AS (SELECT coalesce(sum(rank_s), 0) AS dangling_s
+        |  FROM r1 LEFT JOIN outw ON r1.node = outw.src
+        |  WHERE outw.src IS NULL),
+        |r2 AS MATERIALIZED (
+        |  SELECT node, CAST(round((1.0 - 0.85) * 1000000000.0
+        |      / CAST(n_nodes AS DOUBLE)
+        |      + 0.85 * (CAST(coalesce(in_s, 0) AS DOUBLE)
+        |        + CAST(dangling_s AS DOUBLE) / CAST(n_nodes AS DOUBLE)))
+        |    AS BIGINT) AS rank_s
+        |  FROM nodes LEFT JOIN c2 ON nodes.node = c2.dst
+        |  CROSS JOIN d2 CROSS JOIN n),
+        |c3 AS MATERIALIZED (
+        |  SELECT dst, sum(CAST(round(CAST(rank_s AS DOUBLE)
+        |    * CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE)) AS BIGINT))
+        |    AS in_s
+        |  FROM r2 JOIN e ON r2.node = e.src JOIN outw USING (src)
+        |  GROUP BY 1),
+        |d3 AS (SELECT coalesce(sum(rank_s), 0) AS dangling_s
+        |  FROM r2 LEFT JOIN outw ON r2.node = outw.src
+        |  WHERE outw.src IS NULL),
+        |r3 AS MATERIALIZED (
+        |  SELECT node, CAST(round((1.0 - 0.85) * 1000000000.0
+        |      / CAST(n_nodes AS DOUBLE)
+        |      + 0.85 * (CAST(coalesce(in_s, 0) AS DOUBLE)
+        |        + CAST(dangling_s AS DOUBLE) / CAST(n_nodes AS DOUBLE)))
+        |    AS BIGINT) AS rank_s
+        |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.dst
+        |  CROSS JOIN d3 CROSS JOIN n)
+        |SELECT node, rank_s,
+        |  round(CAST(rank_s AS DOUBLE) / 1000000000.0, 6) AS rank
+        |FROM r3 ORDER BY node""".stripMargin,
+
+    // BM25: per-term contributions rounded at 1e-6 and summed as exact
+    // integers (mirrors Bm25.topK), so rank ties resolve identically.
+    // Float literals are spelled as the same arithmetic the Spark side
+    // performs ((1.2 + 1.0), not 2.2) so both engines evaluate the
+    // identical IEEE operation sequence.
+    "q135_bm25" -> bm25FullCorpus,
+
+    // q139: the incrementally-maintained index must produce the exact
+    // full-corpus BM25 result — same oracle as q135 by construction
+    "q139_bm25_incremental" -> bm25FullCorpus,
+
+
     "q133_blocklist_table" ->
       """WITH tk AS (
         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []

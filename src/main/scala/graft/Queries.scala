@@ -1734,6 +1734,90 @@ object Queries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // ---- BM25 lexical top-k retrieval ---------------------------------
+    "q135_bm25" -> ((s, d) => {
+      // the sparse-retrieval half of a hybrid RAG stack: Okapi BM25
+      // (Lucene idf) top-5 per query. Query terms broadcast onto the
+      // postings (tf) table, so only docs sharing a term are scored;
+      // per-term contributions are 1e-6-scaled integers before the
+      // per-(query, doc) sum — no float addition crosses an exchange
+      import s.implicits._
+      val qs = Seq(
+        (0L, "hash join table"),
+        (1L, "window agg scan"),
+        (2L, "fast merge batch")).toDF("query_id", "qtext")
+      graft.operators.Bm25.topK(
+        t(s, d, "documents"), "doc_id", "text",
+        qs, "query_id", "qtext", k = 5)
+    }),
+
+    // ---- incremental BM25 index maintenance ---------------------------
+    "q139_bm25_incremental" -> ((s, d) => {
+      // growing-corpus index maintenance: publish the index on the 80%
+      // "already ingested" slice, fold the rest in as an arriving
+      // batch (only the batch is tokenized; df merges at vocabulary
+      // size, postings/doclen append). The oracle is FULL-corpus BM25:
+      // incremental admission must equal the recompute exactly
+      val docs = t(s, d, "documents")
+      val path = s"${graft.core.Scratch.root(docs)}/bm25idx_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(path)
+      val old = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      graft.operators.Bm25Index.publish(old, "doc_id", "text", path)
+      graft.operators.Bm25Index.update(batch, "doc_id", "text", path)
+      import s.implicits._
+      val qs = Seq(
+        (0L, "hash join table"),
+        (1L, "window agg scan"),
+        (2L, "fast merge batch")).toDF("query_id", "qtext")
+      graft.operators.Bm25Index.searchFrom(
+        s, path, qs, "query_id", "qtext", "doc_id", k = 5)
+    }),
+
+    // ---- blocked fuzzy record linkage ---------------------------------
+    "q138_fuzzy_link" -> ((s, d) => {
+      // entity resolution over part names: distinct values first
+      // (vocabulary-sized), first+last-token blocking, levenshtein ≤ 4
+      // only within blocks — the all-pairs frame never forms
+      graft.ops.FuzzyLink.selfLink(
+        t(s, d, "part"), "p_name", maxDist = 4)
+    }),
+
+    // ---- leakage-safe k-fold cross-validation -------------------------
+    "q137_kfold" -> ((s, d) => {
+      // 5-fold CV where the fold unit is the near-dup cluster (the
+      // q131 leakage argument, k-fold shape): fold is a pure function
+      // of (seed, cluster_id), so no near-duplicates straddle folds
+      val docs = t(s, d, "documents")
+      val cl = graft.operators.DedupClusters.clusterMap(
+        docs, "doc_id", "text", threshold = 0.95)
+      graft.ops.Splits.kfold(cl, col("cluster_id"),
+        seed = "graft", k = 5)
+        .select(col("doc_id"), col("cluster_id"), col("fold"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PageRank link authority --------------------------------------
+    "q136_pagerank" -> ((s, d) => {
+      // crawl-curation graph signal: weighted PageRank (3 power
+      // iterations, d=0.85) over the part↔supplier co-occurrence
+      // graph from lineitem (supplier nodes offset by 1e6 to keep id
+      // spaces disjoint). Integer-scaled ranks — the oracle unrolls
+      // the identical iterations and matches bit-for-bit
+      val pairs = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+      val fwd = pairs.select(col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"), col("w"))
+      val rev = pairs.select(
+        (col("l_suppkey") + lit(1000000L)).as("src"),
+        col("l_partkey").as("dst"), col("w"))
+      graft.ops.PageRank.run(fwd.union(rev), "src", "dst", "w",
+        iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // ---- incremental cluster-map maintenance --------------------------
     "q134_incremental_clusters" -> ((s, d) => {
       // growing-corpus cluster maintenance: publish the map on the

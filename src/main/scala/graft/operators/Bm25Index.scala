@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.VersionedTable
+
+/** Incrementally-maintained BM25 index — the growing-corpus shape of
+  * [[Bm25]]. A production retrieval corpus ingests batches
+  * continuously; re-tokenizing 100 TB to admit a 10 GB batch is the
+  * same 10⁴× overspend the incremental cluster map avoids
+  * ([[IncrementalClusters]]). Per batch, ONLY the batch is tokenized;
+  * everything corpus-sized is merged by append or vocabulary-sized
+  * upsert:
+  *
+  *  - `postings` (id, token, tf) and `doclen` (id, dl): pure APPEND —
+  *    batch docs are new docs, their rows are disjoint from the old
+  *    corpus rows;
+  *  - `termstats` (token, df): vocabulary-sized ADD-merge (full-outer
+  *    join of old df with the batch's df);
+  *  - `stats` (n_docs, sum_dl): single-row add.
+  *
+  * Because every stored number is an exact integer count, a search
+  * over a published-then-updated index is IDENTICAL to [[Bm25.topK]]
+  * over the full corpus — which is exactly what the q139 DuckDB
+  * oracle (full-corpus BM25) checks.
+  *
+  * Contract: batches contain NEW doc ids only (append-only corpus —
+  * the standard ingestion discipline; re-ingesting an id would
+  * double-count its postings). All four tables are
+  * [[graft.core.VersionedTable]]s: snapshot-isolated, time-travelable,
+  * and a crashed update never publishes a half-merged index.
+  *
+  * Why avgdl is stored as (n_docs, sum_dl) and divided at read: the
+  * running mean can be updated without rescanning `doclen`, and the
+  * division `sum_dl / n_docs` is the same single IEEE op
+  * [[Bm25.buildPostings]]'s `avg` performs — bit-identical scores.
+  */
+object Bm25Index {
+
+  private def postingsPath(path: String) = s"$path/postings"
+  private def doclenPath(path: String) = s"$path/doclen"
+  private def termstatsPath(path: String) = s"$path/termstats"
+  private def statsPath(path: String) = s"$path/stats"
+
+  /** Publish the initial index from a full corpus (one tokenize pass).
+    * Returns the postings version. */
+  def publish(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Int = {
+    val p = Bm25.buildPostings(docs, idCol, textCol)
+    val v = VersionedTable.commitOverwrite(p.tf, postingsPath(path))
+    VersionedTable.commitOverwrite(p.dl, doclenPath(path))
+    VersionedTable.commitOverwrite(p.dfreq, termstatsPath(path))
+    VersionedTable.commitOverwrite(
+      p.dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl")),
+      statsPath(path))
+    v
+  }
+
+  /** Fold a batch of NEW documents into the index. Only the batch is
+    * tokenized. Returns the new postings version. */
+  def update(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Int = {
+    val spark = batch.sparkSession
+    val b = Bm25.buildPostings(batch, idCol, textCol)
+    val v = VersionedTable.commitAppend(b.tf, postingsPath(path))
+    VersionedTable.commitAppend(b.dl, doclenPath(path))
+    // vocabulary-sized add-merge: tokens seen in either side survive
+    val oldDf = VersionedTable.read(spark, termstatsPath(path))
+      .withColumnRenamed("df", "df_old")
+    val merged = oldDf.join(
+        b.dfreq.withColumnRenamed("df", "df_new"),
+        Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("df_old"), lit(0L))
+          + coalesce(col("df_new"), lit(0L))).as("df"))
+    VersionedTable.commitOverwrite(merged, termstatsPath(path))
+    val oldStats = VersionedTable.read(spark, statsPath(path))
+    val bStats = b.dl.agg(count(lit(1)).as("bn"),
+      coalesce(sum(col("dl")), lit(0L)).as("bs"))
+    VersionedTable.commitOverwrite(
+      oldStats.crossJoin(bStats).select(
+        (col("n_docs") + col("bn")).as("n_docs"),
+        (col("sum_dl") + col("bs")).as("sum_dl")),
+      statsPath(path))
+    v
+  }
+
+  /** BM25 top-k straight off the persisted index — no tokenization of
+    * anything but the (tiny) query strings.
+    *
+    * Consistency: each table is individually snapshot-isolated, but an
+    * [[update]] commits them in sequence — a search racing an in-flight
+    * update can pair new postings with old term stats. Searches racing
+    * ingestion should pin versions captured together (e.g. the return
+    * values of the last completed update), the same discipline as any
+    * multi-table lake transaction. */
+  def searchFrom(spark: SparkSession, path: String, queries: DataFrame,
+      qIdCol: String, qTextCol: String, idCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = VersionedTable.read(spark, statsPath(path))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val p = Bm25.Postings(
+      VersionedTable.read(spark, postingsPath(path)),
+      VersionedTable.read(spark, doclenPath(path)),
+      VersionedTable.read(spark, termstatsPath(path)),
+      stats)
+    Bm25.topKFrom(p, idCol, queries, qIdCol, qTextCol, k, k1, b)
+  }
+}

@@ -55,6 +55,19 @@ object Splits {
     leakageSafeFrom(graft.operators.DedupClusters.clusterMap(
       docs, idCol, textCol, threshold), idCol, seed)
 
+  /** k-fold cross-validation assignment: fold ∈ 0..k-1 as a pure
+    * function of (seed, id) — `bucket256 % k`. Same engine-portable
+    * determinism contract as [[assign]]; with 256 % k ≠ 0 the low
+    * folds carry at most one extra bucket out of 256 (~0.4% skew),
+    * which CV tolerates and determinism requires. Leakage-safe
+    * variant: pass a cluster id (the [[leakageSafeFrom]] pattern) so
+    * near-duplicates never straddle a fold boundary. */
+  def kfold(df: DataFrame, id: Column, seed: String, k: Int)
+      : DataFrame = {
+    require(k > 1 && k <= 256, s"k must be in 2..256, got $k")
+    df.withColumn("fold", pmod(bucket256(id, seed), lit(k)))
+  }
+
   /** [[leakageSafe]] over a PRECOMPUTED (`idCol`, cluster_id) map
     * (from [[graft.operators.DedupClusters.clusterMap]] or a published
     * artifact table): the split is a pure in-row projection of

@@ -33,4 +33,26 @@ object StreamStreamJoin {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"),
       "inner")
   }
+
+  /** Left-outer variant of [[intervalJoin]]: a left event with no
+    * matching right event inside the interval still emits — with the
+    * right side NULL — once the right watermark passes `left_ts +
+    * within` and Spark can prove no match can arrive. The monitoring
+    * shape ("which readings were never acknowledged?"): the inner join
+    * silently drops exactly the rows an alerting pipeline exists to
+    * surface. Same two-sided time bound, so join state stays exactly
+    * as bounded as the inner variant; the null-emission just waits for
+    * the watermark proof.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      delayThreshold: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delayThreshold).alias("l")
+    val r = right.withWatermark(rightTs, delayThreshold).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"),
+      "leftOuter")
+  }
 }

@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bm25
+import graft.ops.{FuzzyLink, PageRank, Splits}
+
+/** BM25 retrieval, PageRank, blocked fuzzy linkage, k-fold CV. */
+class RetrievalGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- BM25 -----------------------------------------------------------
+
+  private def bm25Ref(docs: Seq[(Long, String)], query: String,
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    // straight-line single-threaded reference of the same formula
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty) }
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val dfm = toks.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val qts = query.trim.toLowerCase.split("\\s+").toSeq.distinct
+    toks.map { case (id, ts) =>
+      val dl = ts.size
+      val scoreS = qts.flatMap { t =>
+        val tf = ts.count(_ == t)
+        if (tf == 0) None else {
+          val df = dfm(t)
+          val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+          val c = idf * tf * (k1 + 1.0) /
+            (tf + k1 * (1.0 - b + b * dl / avgdl))
+          Some(math.round(c * 1e6))
+        }
+      }.sum
+      id -> math.rint(scoreS.toDouble / 1e6 * 1e4) / 1e4
+    }.filter(_._2 != 0.0).toMap
+  }
+
+  test("bm25: matches a single-threaded reference; ranks sensibly") {
+    val docs = Seq(
+      (1L, "spark joins tables with hash join"),
+      (2L, "join join join everywhere a join"),
+      (3L, "window aggregation over streams"),
+      (4L, "hash partitioned shuffle join strategy and more words here"),
+      (5L, "nothing relevant at all"))
+    val qs = Seq((0L, "hash join")).toDF("query_id", "qtext")
+    val out = Bm25.topK(docs.toDF("doc_id", "text"), "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val ref = bm25Ref(docs, "hash join")
+    // every returned (doc, score) matches the reference computation
+    out.foreach { case (id, s, _) =>
+      assert(math.abs(ref(id) - s) < 1e-9, s"doc $id: $s vs ${ref(id)}") }
+    assert(out.map(_._1).toSet == ref.keySet) // and nothing is missing
+    // doc 5 shares no term: absent
+    assert(!out.map(_._1).contains(5L))
+    // both-term docs (1, 4) outrank the tf-spam single-term doc 2
+    val rankOf = out.map(x => x._1 -> x._3).toMap
+    assert(rankOf(1L) < rankOf(2L))
+    assert(rankOf(4L) < rankOf(2L))
+  }
+
+  test("bm25: query terms are a set (duplicates don't double-count)") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    def run(q: String) = Bm25.topK(docs, "doc_id", "text",
+        Seq((0L, q)).toDF("query_id", "qtext"), "query_id", "qtext", 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(run("alpha") == run("alpha alpha alpha"))
+  }
+
+  test("bm25 index: publish + update equals full-corpus search") {
+    val docs = Seq(
+      (1L, "spark joins tables with hash join"),
+      (2L, "join join join everywhere a join"),
+      (3L, "window aggregation over streams"),
+      (4L, "hash partitioned shuffle join strategy and more words here"),
+      (5L, "nothing relevant at all"),
+      (6L, "hash maps and hash sets"),
+      (7L, "")).toDF("doc_id", "text")
+    val qs = Seq((0L, "hash join"), (1L, "streams")).toDF("query_id", "qtext")
+    val path = graft.core.Scratch.root(docs) +
+      s"/bm25idx_spec_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(path)
+    graft.operators.Bm25Index.publish(
+      docs.filter($"doc_id" <= 4), "doc_id", "text", path)
+    graft.operators.Bm25Index.update(
+      docs.filter($"doc_id" > 4), "doc_id", "text", path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val incremental = rows(graft.operators.Bm25Index.searchFrom(
+      spark, path, qs, "query_id", "qtext", "doc_id", k = 10))
+    val full = rows(Bm25.topK(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 10))
+    assert(incremental == full)
+    // a second update batch keeps the equivalence (df add-merge path)
+    val more = Seq((8L, "hash join hash join")).toDF("doc_id", "text")
+    graft.operators.Bm25Index.update(more, "doc_id", "text", path)
+    val incremental2 = rows(graft.operators.Bm25Index.searchFrom(
+      spark, path, qs, "query_id", "qtext", "doc_id", k = 10))
+    val full2 = rows(Bm25.topK(docs.union(more), "doc_id", "text",
+      qs, "query_id", "qtext", k = 10))
+    assert(incremental2 == full2)
+  }
+
+  // ---- PageRank -------------------------------------------------------
+
+  private def pageRankRef(edges: Seq[(Long, Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r: Map[Long, Long] = nodes.map(_ -> math.round(1e9 / n)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) =>
+          math.round(r(s).toDouble * w.toDouble / outw(s).toDouble) }.sum }
+      val dangling = nodes.filterNot(outw.contains).map(r).sum
+      r = nodes.map { nd =>
+        nd -> math.round((1.0 - d) * 1e9 / n +
+          d * (in.getOrElse(nd, 0L).toDouble + dangling.toDouble / n))
+      }.toMap
+    }
+    r
+  }
+
+  test("pagerank: matches reference bit-for-bit, incl. dangling mass") {
+    // 4 is dangling (no out-edges); 1 is the hub everyone links to
+    val edges = Seq(
+      (2L, 1L, 3L), (3L, 1L, 1L),
+      (1L, 2L, 1L), (2L, 4L, 1L), (3L, 4L, 2L))
+    val out = PageRank.run(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = pageRankRef(edges, 3)
+    assert(out == ref)
+    // node 3 has no in-edges: it holds exactly the teleport + dangling
+    // base and nothing else — the minimum
+    assert(out(3L) == out.values.min)
+    // total mass conserved within per-node rounding
+    assert(math.abs(out.values.sum - 1000000000L) < 1000L)
+  }
+
+  test("pagerank: partitioning never changes the result") {
+    val edges = (1L to 40L).map(i => (i, i % 7 + 1, i % 3 + 1))
+    val df1 = edges.toDF("src", "dst", "w").repartition(1)
+    val df8 = edges.toDF("src", "dst", "w").repartition(8)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      PageRank.run(df, "src", "dst", "w", iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(df1) == res(df8))
+  }
+
+  // ---- FuzzyLink ------------------------------------------------------
+
+  test("fuzzy link: blocked pairs found, cross-block pairs skipped") {
+    val df = Seq(
+      "small ring", "small rings",   // dist 1, share block "small"
+      "small ring",                  // dup row: support count 2
+      "smol ring",                   // dist 2 to "small ring" via "ring"
+      "big widget", "bag widget",    // dist 1 via "widget"
+      "zzz", "zzy",                  // single tokens: blocks differ
+      "red bolt", "rod belt"         // dist 2 but NO shared block token
+    ).toDF("name")
+    val out = FuzzyLink.selfLink(df, "name", maxDist = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    val pairs = out.map(x => (x._1, x._2)).toSet
+    assert(pairs.contains(("small ring", "small rings")))
+    assert(pairs.contains(("small ring", "smol ring")))
+    assert(pairs.contains(("bag widget", "big widget")))
+    // blocking recall bound: pairs sharing NO block token are skipped
+    // (single-token values block on the whole token)
+    assert(!pairs.contains(("zzy", "zzz")))
+    assert(!pairs.contains(("red bolt", "rod belt")))
+    // support counts surface the pre-dedup row counts
+    val sr = out.find(x => x._1 == "small ring" && x._2 == "small rings").get
+    assert(sr._4 == 2L && sr._5 == 1L)
+    // no duplicate pairs despite two blocking passes
+    assert(pairs.size == out.length)
+  }
+
+  // ---- k-fold ---------------------------------------------------------
+
+  test("kfold: deterministic, in range, cluster-stable") {
+    val df = (1L to 500L).map(i => (i, i / 5)).toDF("id", "cluster_id")
+    val out = Splits.kfold(df, col("cluster_id"), "s", k = 5)
+    val folds = out.select("cluster_id", "fold").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(folds.forall { case (_, f) => f >= 0 && f < 5 })
+    // same cluster → same fold, always
+    assert(folds.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1))
+    // deterministic across invocations
+    val out2 = Splits.kfold(df, col("cluster_id"), "s", k = 5)
+      .select("cluster_id", "fold").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(folds.toSeq == out2.toSeq)
+    // all 5 folds are populated at this size
+    assert(folds.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3, 4))
+  }
+}

@@ -85,7 +85,10 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q116_pq_adc", // q28's deliberate shape: corpus codes × 10 broadcast queries
       "q118_ann_recall", // composes q28's exact top-5 as the recall reference
       "q129_hashed_tfidf", // q52's scalar-attach (corpus N) via TfIdf.score
-      "q130_text_ann") // q28's deliberate brute-force query×corpus baseline
+      "q130_text_ann", // q28's deliberate brute-force query×corpus baseline
+      "q135_bm25", // scalar-attach: 1-row (N, avgdl) onto matched postings
+      "q136_pagerank", // scalar-attach: 1-row node count / dangling mass per round
+      "q139_bm25_incremental") // q135's scalar-attach + 1-row×1-row stats add
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
@@ -193,6 +196,28 @@ class SqlAndPlanSpec extends SparkTestBase {
     }
     assert(joins.size >= 4,
       s"expected >=4 broadcast joins, got ${joins.size}")
+  }
+
+  test("bm25 broadcasts query terms onto the postings table") {
+    // the corpus-sized tf relation must meet the query terms through a
+    // broadcast hash join — a shuffled join here would re-shuffle the
+    // postings for every query batch
+    val joins = executedNodes("q135_bm25").collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty,
+      "query terms should broadcast-join the postings table")
+  }
+
+  test("fuzzy linkage plans equi-joins only (blocking, no all-pairs)") {
+    val nodes = executedNodes("q138_fuzzy_link")
+    val cartesian = nodes.exists {
+      case _: CartesianProductExec => true
+      case _: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+    assert(!cartesian, "fuzzy linkage must never form the all-pairs frame")
   }
 
   test("training export never shuffles text past the quality gate") {

@@ -49,6 +49,46 @@ class StreamStreamJoinSpec extends SparkTestBase {
     assert(!out.exists(_._2 == "nokey"), "ack without reading joined")
   }
 
+  test("left-outer interval join emits unmatched lefts with nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val readings = MemoryStream[Reading]
+    val acks = MemoryStream[Ack]
+    val joined = StreamStreamJoin.intervalJoinLeftOuter(
+      readings.toDF(), acks.toDF(), "pool_id",
+      "read_ts", "ack_ts", delayThreshold = "10 minutes",
+      within = "5 minutes")
+    val q = joined
+      .select($"l.pool_id", $"read_ts", $"op")
+      .writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+
+    readings.addData(
+      Reading(1, ts("2026-01-25 10:00:00"), 7.2),   // will be acked
+      Reading(2, ts("2026-01-25 10:00:00"), 7.4))   // never acked
+    acks.addData(Ack(1, ts("2026-01-25 10:03:00"), "ok"))
+    q.processAllAvailable()
+    // before the watermark proves no match can arrive, the unmatched
+    // left must NOT have emitted a null row yet
+    val early = spark.table("ssj_outer")
+      .select("pool_id", "op").as[(Int, Option[String])].collect().toSet
+    assert(!early.contains((2, None)),
+      s"null row emitted before watermark proof: $early")
+    // advance both watermarks past read_ts + within + delay
+    readings.addData(Reading(9, ts("2026-01-25 11:00:00"), 7.0))
+    acks.addData(Ack(9, ts("2026-01-25 11:30:00"), "tick"))
+    q.processAllAvailable()
+    readings.addData(Reading(9, ts("2026-01-25 12:00:00"), 7.0))
+    acks.addData(Ack(9, ts("2026-01-25 12:30:00"), "tick"))
+    q.processAllAvailable()
+
+    val out = spark.table("ssj_outer")
+      .select("pool_id", "op").as[(Int, Option[String])].collect().toSet
+    q.stop()
+    assert(out.contains((1, Some("ok"))), s"matched row missing: $out")
+    assert(out.contains((2, None)),
+      s"unmatched left never emitted: $out")
+  }
+
   test("join state is bounded: stateful operator reports watermark eviction") {
     implicit val sqlCtx = spark.sqlContext
     val readings = MemoryStream[Reading]
