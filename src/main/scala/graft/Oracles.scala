@@ -348,10 +348,15 @@ object Oracles {
       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
-  private val bm25FullCorpus: String =
-      """WITH toks AS (
+  /** BM25 CTE chain (no leading WITH, no final SELECT): postings
+    * stats + 1e-6-scaled integer contribution sums, ending at `ranked`
+    * (query_id, doc_id, score, rn over ALL matched docs). `qrawSql` is
+    * a CTE body producing (query_id BIGINT, token) — the tokenized
+    * query set. */
+  private def bm25Ctes(qrawSql: String): String =
+      s"""toks AS (
         |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
-        |    ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |    ELSE string_split_regex(trim(lower(text)), '\\s+') END)
         |    AS token
         |  FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf
@@ -360,12 +365,7 @@ object Oracles {
         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
         |stats AS (SELECT count(*) AS n_docs,
         |  avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-        |qraw AS (
-        |  SELECT CAST(query_id AS BIGINT) AS query_id,
-        |    unnest(string_split_regex(trim(lower(qtext)), '\s+'))
-        |      AS token
-        |  FROM (VALUES (0, 'hash join table'), (1, 'window agg scan'),
-        |    (2, 'fast merge batch')) AS q(query_id, qtext)),
+        |qraw AS ($qrawSql),
         |qterms AS (SELECT DISTINCT query_id, token FROM qraw),
         |scored AS (
         |  SELECT qt.query_id, tf.doc_id,
@@ -385,9 +385,31 @@ object Oracles {
         |    round(CAST(score_s AS DOUBLE) / 1000000.0, 4) AS score,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY score_s DESC, doc_id) AS INTEGER) AS rn
-        |  FROM scored)
-        |SELECT query_id, doc_id, score, rn FROM ranked
-        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+        |  FROM scored)""".stripMargin
+
+  /** Corpus-derived query set shared by q141/q142: first 8 tokens of
+    * docs 0-2; the source doc is the known positive (pos_id ==
+    * query_id). */
+  private val bm25DerivedQueries: String =
+    """SELECT query_id, unnest(CASE WHEN qtext = '' THEN []
+      |    ELSE string_split_regex(qtext, '\s+') END) AS token
+      |  FROM (SELECT doc_id AS query_id,
+      |      array_to_string((CASE WHEN trim(text) = '' THEN []
+      |        ELSE string_split_regex(trim(lower(text)), '\s+')
+      |        END)[1:8], ' ') AS qtext
+      |    FROM documents WHERE doc_id < 3)""".stripMargin
+
+  private val bm25LiteralQueries: String =
+    """SELECT CAST(query_id AS BIGINT) AS query_id,
+      |    unnest(string_split_regex(trim(lower(qtext)), '\s+'))
+      |      AS token
+      |  FROM (VALUES (0, 'hash join table'), (1, 'window agg scan'),
+      |    (2, 'fast merge batch')) AS q(query_id, qtext)""".stripMargin
+
+  private val bm25FullCorpus: String =
+    "WITH " + bm25Ctes(bm25LiteralQueries) + """
+      |SELECT query_id, doc_id, score, rn FROM ranked
+      |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   val all: Map[String, String] = Map(
 
@@ -1057,6 +1079,93 @@ object Oracles {
         |       WHEN bucket < 230 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin),
+
+    // q141: BM25 hard negatives — the bm25 chain seeded from derived
+    // queries (first 8 tokens of docs 0-2, positive = source doc),
+    // then the closure's cluster map excludes the positive's near-dups
+    "q141_hard_negatives" -> (closureCtes() + ",\n" +
+      bm25Ctes(bm25DerivedQueries) + """,
+        |neg AS (
+        |  SELECT r.query_id, r.doc_id, r.score, r.rn
+        |  FROM ranked r
+        |  JOIN lab pl ON pl.doc_id = r.query_id
+        |  JOIN lab cl ON cl.doc_id = r.doc_id
+        |  WHERE r.rn <= 20 AND r.doc_id <> r.query_id
+        |    AND cl.cluster_id <> pl.cluster_id),
+        |fin AS (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rn) AS INTEGER) AS neg_rank
+        |  FROM neg)
+        |SELECT query_id, doc_id, score, neg_rank FROM fin
+        |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin),
+
+    // q142: retrieval eval metrics over the bm25 chain — pos_rank is
+    // an exact integer rank; rr replays the identical IEEE divide+round
+    "q142_retrieval_metrics" -> ("WITH " +
+      bm25Ctes(bm25DerivedQueries) + """,
+        |qr AS (SELECT doc_id AS query_id, doc_id AS pos_id
+        |  FROM documents WHERE doc_id < 3),
+        |top AS (SELECT query_id, doc_id, rn FROM ranked
+        |  WHERE rn <= 20),
+        |m AS (
+        |  SELECT qr.query_id, t.rn AS pos_rank
+        |  FROM qr LEFT JOIN top t
+        |    ON t.query_id = qr.query_id AND t.doc_id = qr.pos_id)
+        |SELECT query_id, pos_rank,
+        |  coalesce(round(1.0 / CAST(pos_rank AS DOUBLE), 6),
+        |    CAST(0.0 AS DOUBLE)) AS rr,
+        |  CASE WHEN pos_rank IS NULL THEN false
+        |    ELSE pos_rank <= 5 END AS hit_at_k
+        |FROM m ORDER BY query_id""".stripMargin),
+
+    // q140: Cavnar–Trenkle language ID — integer ranks and sums only;
+    // char n-grams are code-point substrings in both engines
+    "q140_langid_trained" ->
+      """WITH train AS (
+        |  SELECT lang, lower(text) AS t FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |tg AS (
+        |  SELECT lang, unnest(CASE WHEN length(t) = 0 THEN []
+        |    WHEN length(t) < 3 THEN [t]
+        |    ELSE list_transform(range(1, length(t) - 1),
+        |      i -> substring(t, i, 3)) END) AS gram
+        |  FROM train),
+        |tc AS (SELECT lang, gram, count(*) AS cnt FROM tg GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT lang, gram, rank FROM (
+        |    SELECT lang, gram, row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, gram) AS rank
+        |    FROM tc) WHERE rank <= 100),
+        |test AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id % 2 = 1),
+        |dg AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(t) = 0 THEN []
+        |    WHEN length(t) < 3 THEN [t]
+        |    ELSE list_transform(range(1, length(t) - 1),
+        |      i -> substring(t, i, 3)) END) AS gram
+        |  FROM test),
+        |dc AS (SELECT doc_id, gram, count(*) AS cnt FROM dg GROUP BY 1, 2),
+        |dt AS (
+        |  SELECT doc_id, gram, doc_rank FROM (
+        |    SELECT doc_id, gram, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, gram) AS doc_rank
+        |    FROM dc) WHERE doc_rank <= 50),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(coalesce(abs(doc_rank - rank), 100) AS BIGINT) AS oop
+        |  FROM dt CROSS JOIN langs LEFT JOIN prof USING (lang, gram)),
+        |dist AS (
+        |  SELECT doc_id, lang, sum(oop) AS distance FROM sc GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, lang AS lang_pred, distance,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY distance, lang) AS rn
+        |  FROM dist)
+        |SELECT doc_id, lang_pred, distance FROM best
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // q138: blocked fuzzy linkage — DuckDB levenshtein and Spark
     // levenshtein share the unit-cost edit-distance definition

@@ -1751,6 +1751,56 @@ object Queries {
         qs, "query_id", "qtext", k = 5)
     }),
 
+    // ---- hard-negative mining for retrieval training ------------------
+    "q141_hard_negatives" -> ((s, d) => {
+      // DPR-style BM25 hard negatives: queries are the first 8 tokens
+      // of docs 0-2 (the source doc is the known positive); candidates
+      // that ARE the positive or near-duplicates of it are excluded —
+      // they would be false negatives in contrastive training
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            TextFunctions.tokens(lower(col("text"))), 1, 8)).as("qtext"),
+          col("doc_id").as("pos_id"))
+      val cl = graft.operators.DedupClusters.clusterMap(
+        docs, "doc_id", "text", threshold = 0.95)
+      graft.operators.HardNegatives.mine(docs, "doc_id", "text",
+        qs, "query_id", "qtext", "pos_id", cl,
+        n = 5, candidateK = 20)
+    }),
+
+    // ---- retrieval evaluation metrics (MRR / hit@k) -------------------
+    "q142_retrieval_metrics" -> ((s, d) => {
+      // the eval half of the retrieval stack: rank of each query's
+      // known positive in the BM25 top-20, reciprocal rank, hit@5 —
+      // per-query rows so rr=0 rows ARE the error analysis
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            TextFunctions.tokens(lower(col("text"))), 1, 8)).as("qtext"),
+          col("doc_id").as("pos_id"))
+      val res = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 20)
+      graft.operators.RetrievalMetrics.evaluate(
+        res, "doc_id", qs, "pos_id", k = 5)
+    }),
+
+    // ---- trained language identification (Cavnar–Trenkle) -------------
+    "q140_langid_trained" -> ((s, d) => {
+      // profiles trained on even doc_ids (labeled), odd docs held out
+      // and classified by out-of-place rank distance — all integer
+      // ranks/sums, so the oracle matches bit-for-bit
+      val docs = t(s, d, "documents")
+      val profiles = graft.operators.LangId.trainProfiles(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "lang", "text")
+      graft.operators.LangId.classify(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", profiles)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- incremental BM25 index maintenance ---------------------------
     "q139_bm25_incremental" -> ((s, d) => {
       // growing-corpus index maintenance: publish the index on the 80%

@@ -55,12 +55,22 @@ object PageRank {
       weightCol: String, iters: Int, damping: Double = 0.85)
       : DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("w"))
-
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    // the loop references edges / nodes / out-weights EVERY round —
+    // materialize each once so iterations re-read small scratch
+    // parquet instead of replaying the upstream edge derivation
+    // (at scale: compute the partitioned edge table once, like any
+    // graph system's build step)
+    val (e, ePath) = Scratch.materializeWithPath(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w")),
+      "pagerank_edges")
+    val (nodes, nodesPath) = Scratch.materializeWithPath(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      "pagerank_nodes")
+    val (outw, outwPath) = Scratch.materializeWithPath(
+      e.groupBy(col("src")).agg(sum(col("w")).as("out_w")),
+      "pagerank_outw")
     val nCnt = nodes.agg(count(lit(1)).as("n_nodes"))
 
     val nD = col("n_nodes").cast("double")
@@ -96,6 +106,9 @@ object PageRank {
       Scratch.drop(spark, path)
       ranks = m; path = p
     }
+    Scratch.drop(spark, ePath)
+    Scratch.drop(spark, nodesPath)
+    Scratch.drop(spark, outwPath)
     ranks.select(col("node"), col("rank_s"),
       dround(col("rank_s").cast("double") / Scale, 6).as("rank"))
   }

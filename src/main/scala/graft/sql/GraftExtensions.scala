@@ -55,6 +55,8 @@ object GraftExtensions {
       MinHashSignature(exprs(0), intArg(exprs(1), "k"))),
     "word_shingles" -> (exprs =>
       WordShingles(exprs(0), intArg(exprs(1), "n"))),
+    "char_ngrams" -> (exprs =>
+      graft.functions.CharNgrams(exprs(0), intArg(exprs(1), "n"))),
     "hyperplane_lsh" -> (exprs =>
       HyperplaneLsh(exprs(0), intArg(exprs(1), "bits"),
         if (exprs.length > 2) intArg(exprs(2), "seed") else 42)),

@@ -104,6 +104,44 @@ class RetrievalGraphSpec extends SparkTestBase {
     assert(incremental2 == full2)
   }
 
+  test("hard negatives: positive and its near-dups are excluded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact dup of the positive
+      (3L, "alpha beta epsilon zeta"),
+      (4L, "alpha unrelated words here"),
+      (5L, "totally different content")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha beta gamma", 1L))
+      .toDF("query_id", "qtext", "pos_id")
+    val cl = graft.operators.DedupClusters.clusterMap(
+      docs, "doc_id", "text", threshold = 0.95)
+    val out = graft.operators.HardNegatives.mine(
+      docs, "doc_id", "text", qs, "query_id", "qtext", "pos_id",
+      cl, n = 3, candidateK = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    val negs = out.map(_._1)
+    assert(!negs.contains(1L), "positive itself leaked into negatives")
+    assert(!negs.contains(2L), "near-dup of positive is a false negative")
+    assert(negs.contains(3L)) // genuinely similar but distinct: the
+                              // hard negative the miner exists to find
+    assert(out.map(_._2).toSeq == (1 to out.length).toSeq)
+  }
+
+  test("retrieval metrics: ranks, reciprocal ranks, misses") {
+    val results = Seq(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      (1L, 10L, 1), (1L, 13L, 2)).toDF("query_id", "doc_id", "rn")
+    val qrels = Seq((0L, 11L), (1L, 99L)).toDF("query_id", "pos_id")
+    val out = graft.operators.RetrievalMetrics.evaluate(
+        results, "doc_id", qrels, "pos_id", k = 5)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      (0L, Some(2), 0.5, true),
+      (1L, None, 0.0, false)))  // unretrieved positive: rr 0, no hit
+  }
+
   // ---- PageRank -------------------------------------------------------
 
   private def pageRankRef(edges: Seq[(Long, Long, Long)], iters: Int,

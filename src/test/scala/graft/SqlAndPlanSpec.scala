@@ -88,7 +88,10 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q130_text_ann", // q28's deliberate brute-force query×corpus baseline
       "q135_bm25", // scalar-attach: 1-row (N, avgdl) onto matched postings
       "q136_pagerank", // scalar-attach: 1-row node count / dangling mass per round
-      "q139_bm25_incremental") // q135's scalar-attach + 1-row×1-row stats add
+      "q139_bm25_incremental", // q135's scalar-attach + 1-row×1-row stats add
+      "q140_langid_trained", // doc-grams × |langs|-row broadcast: the C&T scoring shape
+      "q141_hard_negatives", // q135's scalar-attach inside the candidate stage
+      "q142_retrieval_metrics") // same bm25 candidate stage feeding the eval join
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
