@@ -1100,6 +1100,46 @@ object Oracles {
         |SELECT query_id, doc_id, score, neg_rank FROM fin
         |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin),
 
+    // q143: incremental IVF admission must equal a full rebuild from
+    // the SAME (old-slice, first-16-by-id) frozen codebook
+    "q143_ivf_incremental" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |      AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 <> 0
+        |    ORDER BY vec_id LIMIT 16)),
+        |asn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, cb.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT v.vec_id AS query_id, cb.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb WHERE v.vec_id < 10) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv.vv, nv.vv) AS cs
+        |  FROM probes p JOIN asn a ON p.cell = a.cell
+        |  JOIN v qv ON qv.vec_id = p.query_id
+        |  JOIN v nv ON nv.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cs, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |    AS INT) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+
     // q142: retrieval eval metrics over the bm25 chain — pos_rank is
     // an exact integer rank; rr replays the identical IEEE divide+round
     "q142_retrieval_metrics" -> ("WITH " +

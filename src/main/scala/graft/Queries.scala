@@ -1770,6 +1770,29 @@ object Queries {
         n = 5, candidateK = 20)
     }),
 
+    // ---- incremental IVF index maintenance ----------------------------
+    "q143_ivf_incremental" -> ((s, d) => {
+      // the FAISS train-then-add discipline as a lake artifact:
+      // publish codebook + assignments on the 80% slice, admit the
+      // rest against the FROZEN codebook (narrow map + append), then
+      // search the persisted index. The oracle replays the old-slice
+      // codebook over the FULL corpus — admission must equal rebuild
+      val emb = t(s, d, "embeddings")
+      val path = s"${graft.core.Scratch.root(emb)}/ivfidx_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(path)
+      val old = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      graft.operators.IvfIndex.publish(
+        old, "vec_id", "embedding", path)
+      graft.operators.IvfIndex.update(
+        batch, "vec_id", "embedding", path)
+      graft.operators.IvfIndex.searchFrom(
+        s, path, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "vec_id", k = 5, nprobe = 4)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // ---- retrieval evaluation metrics (MRR / hit@k) -------------------
     "q142_retrieval_metrics" -> ((s, d) => {
       // the eval half of the retrieval stack: rank of each query's

@@ -87,6 +87,68 @@ object Bm25Index {
     v
   }
 
+  /** Streaming ingestion: a `foreachBatch` sink folding every
+    * micro-batch of NEW documents into the index — continuous corpus
+    * growth with retrieval staying current.
+    *
+    * Exactly-once per batch, CRASH-SAFE ACROSS THE MULTI-TABLE UPDATE:
+    * [[update]] spans four commits (postings, doclen, termstats,
+    * stats), and a marker-only protocol (the
+    * [[graft.core.VersionedTable.foreachBatchAppend]] shape) would
+    * double-append postings if the job died between the first commit
+    * and the marker. This sink writes a WRITE-AHEAD INTENT first — the
+    * current version of all four tables — so a replay that finds the
+    * intent without the done-marker ROLLS BACK (re-publishes each
+    * table's pinned pre-batch snapshot as a new version; append-only
+    * versioning makes rollback just another commit) and re-applies the
+    * batch. Rollback is itself idempotent: the pinned versions are
+    * fixed, so a crash mid-rollback re-rolls harmlessly. The first
+    * batch [[publish]]es, which is replay-safe as-is (all overwrites).
+    */
+  def foreachBatchIngest(path: String, idCol: String, textCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(s"$path/_txn/b$batchId.done")
+    val intent = new org.apache.hadoop.fs.Path(s"$path/_txn/b$batchId")
+    if (!f.exists(done)) {
+      val docs = batch.select(col(idCol), col(textCol))
+      if (VersionedTable.latestVersion(spark, postingsPath(path)) == 0) {
+        publish(docs, idCol, textCol, path)
+      } else {
+        val subs = Seq(postingsPath(path), doclenPath(path),
+          termstatsPath(path), statsPath(path))
+        if (f.exists(intent)) {
+          // crashed mid-update: restore every table to its pinned
+          // pre-batch snapshot before re-applying
+          val pinned = {
+            val in = f.open(intent)
+            val line = scala.io.Source.fromInputStream(in).mkString.trim
+            in.close()
+            line.split(" ").map(_.toInt).toSeq
+          }
+          subs.zip(pinned).foreach { case (sub, v) =>
+            if (VersionedTable.latestVersion(spark, sub) > v)
+              VersionedTable.commitOverwrite(
+                VersionedTable.read(spark, sub, Some(v)), sub)
+          }
+        } else {
+          val versions = subs
+            .map(sub => VersionedTable.latestVersion(spark, sub))
+          f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
+          val out = f.create(intent, false)
+          out.write(versions.mkString(" ").getBytes("UTF-8"))
+          out.close()
+        }
+        update(docs, idCol, textCol, path)
+      }
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
+      try f.create(done, false).close()
+      catch { case _: java.io.IOException => () } // lost claim: done
+    }
+  }
+
   /** BM25 top-k straight off the persisted index — no tokenization of
     * anything but the (tiny) query strings.
     *

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.VersionedTable
+
+/** Persisted, incrementally-maintained IVF ANN index — the dense twin
+  * of [[Bm25Index]], and the artifact shape a 100 TB similarity stack
+  * actually operates: train the coarse quantizer ONCE, persist
+  * codebook + cell assignments, then admit new embedding batches by
+  * assigning them against the FROZEN codebook (a narrow map + append)
+  * — never re-clustering the corpus per batch. Searches probe the
+  * persisted assignment table.
+  *
+  * Artifact layout (both [[graft.core.VersionedTable]]s):
+  * {{{
+  *   path/codebook  (cell INT, centroid ARRAY<DOUBLE>)   tiny
+  *   path/assigned  (cell, id, vec ARRAY<DOUBLE>)        corpus-sized
+  * }}}
+  *
+  * The frozen-codebook contract is the standard IVF discipline (FAISS
+  * `add` after `train`): cell boundaries stay fixed between retrains,
+  * so admission is append-only and search results over published +
+  * admitted batches are IDENTICAL to an index built on the full
+  * corpus with the same codebook — which is what the q143 oracle
+  * (full-corpus replay from the old-slice codebook) checks. Retraining
+  * on drift = a new [[publish]] (new versions; readers pin).
+  */
+object IvfIndex {
+
+  private def codebookPath(path: String) = s"$path/codebook"
+  private def assignedPath(path: String) = s"$path/assigned"
+
+  /** Train (optional) + assign + persist. Returns assigned version. */
+  def publish(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, cells: Int = 16, trainIters: Int = 0): Int = {
+    val spark = corpus.sparkSession
+    val codebook =
+      if (trainIters > 0)
+        SimilarityOps.kmeansTrain(corpus, idCol, vecCol, cells, trainIters)
+      else SimilarityOps.initCodebook(corpus, idCol, vecCol, cells)
+    import spark.implicits._
+    val cbDf = codebook.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    VersionedTable.commitOverwrite(cbDf, codebookPath(path))
+    VersionedTable.commitOverwrite(
+      assign(corpus, idCol, vecCol, codebook), assignedPath(path))
+  }
+
+  /** Admit a batch of NEW vectors against the frozen codebook: one
+    * narrow assignment map + one append. Returns assigned version. */
+  def update(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Int = {
+    val codebook = readCodebook(batch.sparkSession, path)
+    VersionedTable.commitAppend(
+      assign(batch, idCol, vecCol, codebook), assignedPath(path))
+  }
+
+  private def assign(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Double]]): DataFrame =
+    SimilarityOps.assignCells(
+      df.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__cv")), "__cv", codebook)
+      .select(col("cell"), col(idCol), col("__cv").as("vec"))
+
+  /** The persisted codebook, bounded cells×dim driver metadata. */
+  def readCodebook(spark: SparkSession, path: String)
+      : Array[Array[Double]] =
+    VersionedTable.read(spark, codebookPath(path))
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** IVF top-k straight off the persisted index: queries probe their
+    * `nprobe` nearest cells of the STORED codebook; exact cosine only
+    * inside probed cells of the STORED assignment table. Same
+    * ranking/tie-break semantics as [[SimilarityOps.ivfTopK]]. */
+  def searchFrom(spark: SparkSession, path: String, queries: DataFrame,
+      queryIdCol: String, vecCol: String, idCol: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val codebook = readCodebook(spark, path)
+    val assigned = VersionedTable.read(spark, assignedPath(path))
+      .select(col("cell"), col(idCol).as("neighbor_id"), col("vec"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val probes = q.withColumn("cell",
+        explode(graft.functions.NearestCells.column(col("__qv"),
+          codebook, nprobe)))
+      .select(col("cell"), col("query_id"), col("__qv"))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        SimilarityOps.cosine(col("__qv"), col("vec")))
+    SimilarityOps.rankTopK(scored, k)
+  }
+}

@@ -60,7 +60,7 @@ object SimilarityOps {
     * first) matches the window formulation; a null cos_sim (null
     * vector upstream) is DROPPED rather than ranked nulls-last — a
     * missing embedding is not a neighbor. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     graft.functions.TopKByScore.requireIntegralId(scored, "neighbor_id",
       "SimilarityOps top-k ranking")
     graft.functions.TopKByScore.explodeTopK(scored, Seq("query_id"),

@@ -142,6 +142,88 @@ class RetrievalGraphSpec extends SparkTestBase {
       (1L, None, 0.0, false)))  // unretrieved positive: rr 0, no hit
   }
 
+  test("bm25 ingest sink: exactly-once, crash-rollback mid-update") {
+    val d0 = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val d1 = Seq((3L, "alpha gamma delta")).toDF("doc_id", "text")
+    val d2 = Seq((4L, "beta beta epsilon")).toDF("doc_id", "text")
+    val qs = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    val path = graft.core.Scratch.root(d0) +
+      s"/bm25sink_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(path)
+    val sink = graft.operators.Bm25Index.foreachBatchIngest(
+      path, "doc_id", "text")
+    def search() = graft.operators.Bm25Index.searchFrom(
+        spark, path, qs, "query_id", "qtext", "doc_id", k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    def full(docs: org.apache.spark.sql.DataFrame) =
+      graft.operators.Bm25.topK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+
+    sink(d0, 0L)                       // first batch publishes
+    sink(d1, 1L)                       // second updates
+    assert(search() == full(d0.union(d1)))
+    sink(d1, 1L)                       // replay: done marker, no-op
+    assert(search() == full(d0.union(d1)))
+
+    // simulate a crash mid-batch-2: intent written, postings half-
+    // appended with junk, no done marker — the replay must roll back
+    // the junk and apply the batch cleanly
+    import graft.core.VersionedTable
+    val subs = Seq("postings", "doclen", "termstats", "stats")
+      .map(s => s"$path/$s")
+    val pinned = subs.map(s => VersionedTable.latestVersion(spark, s))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_txn/b2"), false)
+    out.write(pinned.mkString(" ").getBytes("UTF-8")); out.close()
+    VersionedTable.commitAppend(
+      Seq((999L, "zzz", 7L)).toDF("doc_id", "token", "tf"),
+      s"$path/postings")
+
+    sink(d2, 2L)                       // finds intent → rollback → apply
+    assert(search() == full(d0.union(d1).union(d2)))
+    // the junk row must be gone from the live postings snapshot
+    val junk = VersionedTable.read(spark, s"$path/postings")
+      .filter($"doc_id" === 999L).count()
+    assert(junk == 0L, "rolled-back partial append leaked")
+    sink(d2, 2L)                       // and batch 2 replays as a no-op
+    assert(search() == full(d0.union(d1).union(d2)))
+  }
+
+  test("ivf index: frozen codebook, batch-order-invariant admission") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = emb.filter(pmod($"vec_id", lit(5)) =!= 0)
+    val b1 = emb.filter(pmod($"vec_id", lit(5)) === 0 && $"vec_id" < 250)
+    val b2 = emb.filter(pmod($"vec_id", lit(5)) === 0 && $"vec_id" >= 250)
+    def freshPath() = {
+      val p = graft.core.Scratch.root(emb) +
+        s"/ivfidx_spec_${java.util.UUID.randomUUID()}"
+      graft.core.Scratch.registerForCleanup(p); p
+    }
+    val ops = graft.operators.IvfIndex
+    def results(p: String) = ops.searchFrom(spark, p,
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", "vec_id",
+        k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+
+    // one-shot admission
+    val pA = freshPath()
+    ops.publish(old, "vec_id", "embedding", pA)
+    val cbBefore = ops.readCodebook(spark, pA).map(_.toSeq).toSeq
+    ops.update(b1.union(b2), "vec_id", "embedding", pA)
+    // split admission must produce the identical index
+    val pB = freshPath()
+    ops.publish(old, "vec_id", "embedding", pB)
+    ops.update(b1, "vec_id", "embedding", pB)
+    ops.update(b2, "vec_id", "embedding", pB)
+    assert(results(pA) == results(pB))
+    assert(results(pA).nonEmpty)
+    // admission never retrains: the codebook is frozen
+    assert(ops.readCodebook(spark, pA).map(_.toSeq).toSeq == cbBefore)
+  }
+
   // ---- PageRank -------------------------------------------------------
 
   private def pageRankRef(edges: Seq[(Long, Long, Long)], iters: Int,
