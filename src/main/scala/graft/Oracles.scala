@@ -1100,6 +1100,47 @@ object Oracles {
         |SELECT query_id, doc_id, score, neg_rank FROM fin
         |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin),
 
+    // q144: PSI drift — bucket counts exact, per-bucket terms replay
+    // the identical IEEE op order, scaled to BIGINT before the sum
+    "q144_psi_drift" ->
+      """WITH rb AS (
+        |  SELECT (CASE WHEN value >= 10.0 THEN 1 ELSE 0 END
+        |    + CASE WHEN value >= 25.0 THEN 1 ELSE 0 END
+        |    + CASE WHEN value >= 50.0 THEN 1 ELSE 0 END
+        |    + CASE WHEN value >= 100.0 THEN 1 ELSE 0 END
+        |    + CASE WHEN value >= 200.0 THEN 1 ELSE 0 END) AS bucket
+        |  FROM events WHERE event_id % 2 = 0),
+        |rc AS (SELECT bucket, count(*) AS n_ref FROM rb GROUP BY 1),
+        |ub AS (
+        |  SELECT (CASE WHEN value >= 10.0 THEN 1 ELSE 0 END
+        |    + CASE WHEN value >= 25.0 THEN 1 ELSE 0 END
+        |    + CASE WHEN value >= 50.0 THEN 1 ELSE 0 END
+        |    + CASE WHEN value >= 100.0 THEN 1 ELSE 0 END
+        |    + CASE WHEN value >= 200.0 THEN 1 ELSE 0 END) AS bucket
+        |  FROM events WHERE event_id % 2 = 1),
+        |cc AS (SELECT bucket, count(*) AS n_cur FROM ub GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 6)) AS bucket),
+        |j AS (
+        |  SELECT spine.bucket, coalesce(n_ref, 0) AS n_ref,
+        |    coalesce(n_cur, 0) AS n_cur
+        |  FROM spine LEFT JOIN rc USING (bucket)
+        |  LEFT JOIN cc USING (bucket)),
+        |t AS (SELECT *, sum(n_ref) OVER () AS tr,
+        |  sum(n_cur) OVER () AS tc FROM j),
+        |s AS (
+        |  SELECT bucket, n_ref, n_cur,
+        |    CAST(round((greatest(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 1e-6)
+        |        - greatest(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 1e-6))
+        |      * ln(greatest(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 1e-6)
+        |        / greatest(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 1e-6))
+        |      * 1000000000.0) AS BIGINT) AS term_s
+        |  FROM t)
+        |SELECT bucket, n_ref, n_cur,
+        |  round(CAST(term_s AS DOUBLE) / 1000000000.0, 6) AS psi_term,
+        |  round(CAST(sum(term_s) OVER () AS DOUBLE) / 1000000000.0, 6)
+        |    AS psi
+        |FROM s ORDER BY bucket""".stripMargin,
+
     // q143: incremental IVF admission must equal a full rebuild from
     // the SAME (old-slice, first-16-by-id) frozen codebook
     "q143_ivf_incremental" ->

@@ -1770,6 +1770,19 @@ object Queries {
         n = 5, candidateK = 20)
     }),
 
+    // ---- distribution-drift monitor (PSI) -----------------------------
+    "q144_psi_drift" -> ((s, d) => {
+      // Population Stability Index of the event-value distribution,
+      // reference (even event ids) vs current (odd): per-bucket terms
+      // scaled to integers before the sum, so the oracle matches
+      // bit-for-bit; psi > 0.25 is the classic retrain threshold
+      val ev = t(s, d, "events")
+      graft.ops.DriftMonitor.psi(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value", edges = Seq(10.0, 25.0, 50.0, 100.0, 200.0))
+    }),
+
     // ---- incremental IVF index maintenance ----------------------------
     "q143_ivf_incremental" -> ((s, d) => {
       // the FAISS train-then-add discipline as a lake artifact:

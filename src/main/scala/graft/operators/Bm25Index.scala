@@ -114,7 +114,18 @@ object Bm25Index {
     val intent = new org.apache.hadoop.fs.Path(s"$path/_txn/b$batchId")
     if (!f.exists(done)) {
       val docs = batch.select(col(idCol), col(textCol))
-      if (VersionedTable.latestVersion(spark, postingsPath(path)) == 0) {
+      // the publish marker is written BEFORE publishing: a replay that
+      // finds it re-publishes (overwrite-idempotent) instead of taking
+      // the update path — without it, a crash after publish but before
+      // the done-marker would re-ingest the first batch as an APPEND
+      val pubMarker = new org.apache.hadoop.fs.Path(
+        s"$path/_txn/b$batchId.publish")
+      val isFirst = f.exists(pubMarker) ||
+        VersionedTable.latestVersion(spark, postingsPath(path)) == 0
+      if (isFirst) {
+        f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
+        try f.create(pubMarker, false).close()
+        catch { case _: java.io.IOException => () }
         publish(docs, idCol, textCol, path)
       } else {
         val subs = Seq(postingsPath(path), doclenPath(path),

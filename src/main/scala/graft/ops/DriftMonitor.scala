@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.dround
+
+/** Distribution-drift monitoring between a REFERENCE corpus slice and
+  * a CURRENT one — the Population Stability Index every production
+  * scoring/ingestion pipeline tracks (PSI > 0.25 = retrain/investigate
+  * is the standard banking-scorecard rule of thumb):
+  *
+  * {{{ PSI = Σ_buckets (p_ref − p_cur) · ln(p_ref / p_cur) }}}
+  *
+  * with proportions floored at `eps` so an empty bucket contributes a
+  * large-but-finite term instead of ±∞.
+  *
+  * Determinism (the q144 oracle replays this): bucket assignment is an
+  * integer count of edges ≤ value; bucket counts are exact BIGINTs;
+  * each per-bucket term is computed from (count, total) in a fixed
+  * IEEE op order and scaled to an integer at 1e-9 BEFORE the PSI sum,
+  * so no float addition crosses the (single tiny) exchange.
+  *
+  * Shape at scale: each side is ONE map-side-combined aggregation over
+  * its scan (bucketing is an in-row expression); everything after the
+  * two aggregations operates on |edges|+1 rows. The final total is a
+  * window over those rows — bounded, not corpus-sized.
+  */
+object DriftMonitor {
+
+  private val Scale = 1e9
+
+  /** Per-bucket drift table: (bucket, n_ref, n_cur, psi_term, psi) —
+    * `psi` is the total, repeated per row for one-table consumption.
+    * Buckets are `0..edges.size`: bucket b holds values with exactly b
+    * edges ≤ value (so bucket 0 is below every edge). */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      edges: Seq[Double], eps: Double = 1e-6): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      "edges must be a non-empty ascending sequence")
+    def bucket(c: Column): Column = edges
+      .map(e => when(c >= lit(e), 1).otherwise(0))
+      .reduce(_ + _)
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(bucket(col(valueCol)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val spine = (0 to edges.size).map(Tuple1(_)).toDF("bucket")
+    val joined = spine
+      .join(counts(ref, "n_ref"), Seq("bucket"), "left")
+      .join(counts(cur, "n_cur"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+
+    val wAll = Window.partitionBy(lit(1))
+    val totals = joined
+      .withColumn("__tr", sum(col("n_ref")).over(wAll))
+      .withColumn("__tc", sum(col("n_cur")).over(wAll))
+    val pRef = greatest(
+      col("n_ref").cast("double") / col("__tr").cast("double"), lit(eps))
+    val pCur = greatest(
+      col("n_cur").cast("double") / col("__tc").cast("double"), lit(eps))
+    val termS = round((pRef - pCur) * log(pRef / pCur) * lit(Scale))
+      .cast("long")
+    totals
+      .withColumn("__term_s", termS)
+      .withColumn("psi_term",
+        dround(col("__term_s").cast("double") / Scale, 6))
+      .withColumn("psi", dround(
+        sum(col("__term_s")).over(wAll).cast("double") / Scale, 6))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        col("psi_term"), col("psi"))
+      .orderBy(col("bucket"))
+  }
+}

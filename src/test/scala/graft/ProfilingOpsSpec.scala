@@ -164,4 +164,24 @@ class ProfilingOpsSpec extends SparkTestBase {
     val mean = vals.sum / vals.length
     assert(math.abs(out.getAs[Double]("mean_w") - mean) < 1e-3)
   }
+
+  test("psi drift: zero for identical slices, large for a shift, empty buckets finite") {
+    import org.apache.spark.sql.functions._
+    val base = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val edges = Seq(20.0, 40.0, 60.0, 80.0)
+    val same = graft.ops.DriftMonitor.psi(base, base, "v", edges).collect()
+    assert(same.forall(_.getAs[Double]("psi") == 0.0))
+    assert(same.length == edges.size + 1)
+    // shift the current slice up by 50: mass moves across buckets
+    val shifted = base.withColumn("v", col("v") + 50.0)
+    val drift = graft.ops.DriftMonitor.psi(base, shifted, "v", edges)
+      .collect()
+    assert(drift.head.getAs[Double]("psi") > 0.25)
+    // a bucket empty on one side stays finite (eps floor)
+    val cur = (1 to 100).map(i => (i.toLong, 95.0)).toDF("id", "v")
+    val oneBucket = graft.ops.DriftMonitor.psi(base, cur, "v", edges)
+      .collect()
+    assert(oneBucket.forall(r => !r.getAs[Double]("psi_term").isInfinite))
+    assert(oneBucket.forall(r => !r.getAs[Double]("psi_term").isNaN))
+  }
 }

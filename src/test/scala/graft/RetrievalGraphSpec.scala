@@ -190,6 +190,26 @@ class RetrievalGraphSpec extends SparkTestBase {
     assert(junk == 0L, "rolled-back partial append leaked")
     sink(d2, 2L)                       // and batch 2 replays as a no-op
     assert(search() == full(d0.union(d1).union(d2)))
+
+    // crash between first-batch publish and its done-marker: the
+    // replay must RE-PUBLISH (idempotent overwrite), never append the
+    // first batch on top of itself
+    val path2 = graft.core.Scratch.root(d0) +
+      s"/bm25sink2_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(path2)
+    val sink2 = graft.operators.Bm25Index.foreachBatchIngest(
+      path2, "doc_id", "text")
+    sink2(d0, 0L)
+    val fs2 = new org.apache.hadoop.fs.Path(path2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs2.delete(new org.apache.hadoop.fs.Path(s"$path2/_txn/b0.done"), false)
+    sink2(d0, 0L)                      // replay without done-marker
+    def search2() = graft.operators.Bm25Index.searchFrom(
+        spark, path2, qs, "query_id", "qtext", "doc_id", k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(search2() == full(d0), "publish replay double-ingested")
+    sink2(d1, 1L)
+    assert(search2() == full(d0.union(d1)))
   }
 
   test("ivf index: frozen codebook, batch-order-invariant admission") {
