@@ -123,10 +123,21 @@ object DedupOps {
   def signatureStore(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4)
       : DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = df.select(col(idCol), col(textCol)).withColumn("__sig",
-      minhashSignature(shingles(col(textCol), shingleN), k))
-    lshBands(sig, idCol, "__sig", bands, rowsPerBand)
+    // session artifact (the clusterMap / near-dup-pairs pattern): the
+    // store for one corpus snapshot is computed once — publishers and
+    // incremental admitters reuse the materialized table instead of
+    // re-shingling the corpus per call; the cached VALUE is the
+    // scratch path (bounded), invalidated by plan + file snapshot
+    val path = graft.core.ModelCache.cached(df,
+      s"sigstore:$idCol:$textCol:$shingleN:$bands:$rowsPerBand") {
+      val k = bands * rowsPerBand
+      val sig = df.select(col(idCol), col(textCol)).withColumn("__sig",
+        minhashSignature(shingles(col(textCol), shingleN), k))
+      graft.core.Scratch.materializeWithPath(
+        lshBands(sig, idCol, "__sig", bands, rowsPerBand),
+        "sigstore")._2
+    }
+    df.sparkSession.read.parquet(path)
   }
 
   /** Incremental near-dup detection — the arrival-time shape of dedup
