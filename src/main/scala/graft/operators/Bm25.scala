@@ -49,16 +49,39 @@ object Bm25 {
 
   private[operators] def buildPostings(docs: DataFrame, idCol: String,
       textCol: String): Postings = {
-    val toks = docs.select(col(idCol),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
-    val tf = toks.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // session artifact (the signature-store pattern): the postings
+    // statistics for one corpus snapshot are computed in one tokenize
+    // pass and materialized once — every consumer in the session
+    // (search, index publish, hard-negative mining, eval) reads the
+    // scratch tables instead of re-tokenizing the corpus. Cached
+    // VALUES are the three path strings (bounded); invalidated by
+    // plan + file snapshot.
+    val spark = docs.sparkSession
+    val (tfP, dlP, dfP) = graft.core.ModelCache.cached(docs,
+      s"bm25postings:$idCol:$textCol") {
+      val toks = docs.select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      val tf = toks.groupBy(col(idCol), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val tfPath = graft.core.Scratch
+        .materializeWithPath(tf, "bm25_tf")._2
+      val tfM = spark.read.parquet(tfPath)
+      // derive dl and df from the materialized tf, not the raw text —
+      // the tokenize pass runs exactly once
+      val dlPath = graft.core.Scratch.materializeWithPath(
+        tfM.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")),
+        "bm25_dl")._2
+      val dfPath = graft.core.Scratch.materializeWithPath(
+        tfM.groupBy(col("token")).agg(count(lit(1)).as("df")),
+        "bm25_df")._2
+      (tfPath, dlPath, dfPath)
+    }
+    val dl = spark.read.parquet(dlP)
     // N and avgdl in one single-row pass over the doc-length table
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
-    Postings(tf, dl, dfreq, stats)
+    Postings(spark.read.parquet(tfP), dl,
+      spark.read.parquet(dfP), stats)
   }
 
   /** Per-(query, doc) BM25 scores for the top `k` docs per query.
