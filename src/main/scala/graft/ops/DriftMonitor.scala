@@ -31,6 +31,33 @@ object DriftMonitor {
 
   private val Scale = 1e9
 
+  /** Streaming drift monitoring: a `foreachBatch` sink that scores
+    * every micro-batch against a STATIC reference distribution and
+    * appends the per-bucket drift table (tagged with the batch id) to
+    * a [[graft.core.VersionedTable]] monitor log — the alerting
+    * pipeline tails the log for `psi > 0.25` rows. The reference is
+    * materialized by the caller (a frozen training-time snapshot);
+    * each batch costs one aggregation over the batch plus the bounded
+    * bucket math. Exactly-once per batch via the marker protocol (a
+    * single commitAppend, so no multi-table journal needed). */
+  def foreachBatchPsi(ref: DataFrame, valueCol: String,
+      edges: Seq[Double], logPath: String, eps: Double = 1e-6)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$logPath/_psi_commits/b$batchId")
+    val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker)) {
+      graft.core.VersionedTable.commitAppend(
+        psi(ref, batch, valueCol, edges, eps)
+          .withColumn("batch_id", lit(batchId)),
+        logPath)
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$logPath/_psi_commits"))
+      try f.create(marker, false).close()
+      catch { case _: java.io.IOException => () } // lost claim: done
+    }
+  }
+
   /** Per-bucket drift table: (bucket, n_ref, n_cur, psi_term, psi) —
     * `psi` is the total, repeated per row for one-table consumption.
     * Buckets are `0..edges.size`: bucket b holds values with exactly b

@@ -184,4 +184,26 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(oneBucket.forall(r => !r.getAs[Double]("psi_term").isInfinite))
     assert(oneBucket.forall(r => !r.getAs[Double]("psi_term").isNaN))
   }
+
+  test("streaming psi sink: per-batch drift log, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ref = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val edges = Seq(20.0, 40.0, 60.0, 80.0)
+    val logPath = graft.core.Scratch.root(ref) +
+      s"/psilog_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(logPath)
+    val sink = graft.ops.DriftMonitor.foreachBatchPsi(ref, "v", edges, logPath)
+    // drive two batches directly (the same function foreachBatch calls)
+    sink((1 to 500).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v"), 0L)
+    sink((1 to 500).map(i => (i.toLong, 95.0)).toDF("id", "v"), 1L)
+    sink((1 to 500).map(i => (i.toLong, 95.0)).toDF("id", "v"), 1L) // replay
+    val log = graft.core.VersionedTable.read(spark, logPath)
+    val rows = log.collect()
+    assert(rows.length == 2 * (edges.size + 1), "replay duplicated rows")
+    val byBatch = rows.groupBy(_.getAs[Long]("batch_id"))
+    // batch 0 mirrors the reference: psi 0; batch 1 is all-one-bucket: large
+    assert(byBatch(0L).forall(_.getAs[Double]("psi") == 0.0))
+    assert(byBatch(1L).forall(_.getAs[Double]("psi") > 0.25))
+  }
 }
