@@ -145,12 +145,18 @@ object Bm25Index {
                 VersionedTable.read(spark, sub, Some(v)), sub)
           }
         } else {
+          // write-then-rename: a crash mid-write must never leave a
+          // truncated intent (an unparseable journal would poison
+          // every replay); the rename publishes it atomically
           val versions = subs
             .map(sub => VersionedTable.latestVersion(spark, sub))
           f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
-          val out = f.create(intent, false)
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$path/_txn/b$batchId.tmp")
+          val out = f.create(tmp, true)
           out.write(versions.mkString(" ").getBytes("UTF-8"))
           out.close()
+          if (!f.rename(tmp, intent)) f.delete(tmp, false)
         }
         update(docs, idCol, textCol, path)
       }

@@ -87,10 +87,15 @@ object DriftMonitor {
     val totals = joined
       .withColumn("__tr", sum(col("n_ref")).over(wAll))
       .withColumn("__tc", sum(col("n_cur")).over(wAll))
-    val pRef = greatest(
-      col("n_ref").cast("double") / col("__tr").cast("double"), lit(eps))
-    val pCur = greatest(
-      col("n_cur").cast("double") / col("__tc").cast("double"), lit(eps))
+    // nullif guards an EMPTY slice: 0/0 would be NaN, NaN wins Spark's
+    // greatest (it sorts above every double), and the ANSI long cast
+    // of NaN throws — an empty side instead floors every bucket at eps
+    def prop(n: Column, tot: Column): Column = greatest(
+      coalesce(n.cast("double") / nullif(tot.cast("double"), lit(0.0)),
+        lit(eps)),
+      lit(eps))
+    val pRef = prop(col("n_ref"), col("__tr"))
+    val pCur = prop(col("n_cur"), col("__tc"))
     val termS = round((pRef - pCur) * log(pRef / pCur) * lit(Scale))
       .cast("long")
     totals

@@ -60,9 +60,14 @@ object PageRank {
     // parquet instead of replaying the upstream edge derivation
     // (at scale: compute the partitioned edge table once, like any
     // graph system's build step)
+    // zero/negative weights are non-edges: kept in, a w<=0 row could
+    // zero a node's out_w and the contribution divide would produce
+    // Infinity (an ANSI-mode crash at the long cast), so drop them at
+    // the door
     val (e, ePath) = Scratch.materializeWithPath(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(weightCol).cast("long").as("w")),
+        col(weightCol).cast("long").as("w"))
+        .filter(col("w") > 0),
       "pagerank_edges")
     val (nodes, nodesPath) = Scratch.materializeWithPath(
       e.select(col("src").as("node"))

@@ -206,4 +206,15 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(byBatch(0L).forall(_.getAs[Double]("psi") == 0.0))
     assert(byBatch(1L).forall(_.getAs[Double]("psi") > 0.25))
   }
+
+  test("psi: an empty slice floors at eps instead of NaN-crashing") {
+    val base = (1 to 100).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val empty = base.filter(org.apache.spark.sql.functions.col("id") < 0)
+    val out = graft.ops.DriftMonitor.psi(base, empty, "v",
+      Seq(20.0, 40.0, 60.0, 80.0)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !r.getAs[Double]("psi").isNaN))
+    assert(out.forall(r => !r.getAs[Double]("psi").isInfinite))
+    assert(out.head.getAs[Double]("psi") > 0.25) // total drift, finite
+  }
 }

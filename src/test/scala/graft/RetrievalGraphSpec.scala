@@ -282,6 +282,17 @@ class RetrievalGraphSpec extends SparkTestBase {
     assert(math.abs(out.values.sum - 1000000000L) < 1000L)
   }
 
+  test("pagerank: zero-weight edges are non-edges") {
+    val clean = Seq((1L, 2L, 2L), (2L, 1L, 1L))
+    val noisy = clean ++ Seq((1L, 3L, 0L))   // w=0: must not register
+    def res(e: Seq[(Long, Long, Long)]) =
+      PageRank.run(e.toDF("src", "dst", "w"), "src", "dst", "w", 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // without the guard, node 3 would enter the graph and node 1's
+    // out_w division could blow up; with it, results are identical
+    assert(res(noisy) == res(clean))
+  }
+
   test("pagerank: partitioning never changes the result") {
     val edges = (1L to 40L).map(i => (i, i % 7 + 1, i % 3 + 1))
     val df1 = edges.toDF("src", "dst", "w").repartition(1)
