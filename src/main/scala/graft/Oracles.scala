@@ -411,6 +411,48 @@ object Oracles {
       |SELECT query_id, doc_id, score, rn FROM ranked
       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** PageRank power-iteration CTE rounds (no leading WITH): assumes a
+    * CTE `e(src, dst, w)` exists; defines nodes/outw/n/r0 and
+    * c_i/d_i/r_i for i = 1..iters, mirroring ops/PageRank bit-for-bit
+    * (scaled-int ranks, exact-IEEE contribution rounding, dangling
+    * redistribution). MATERIALIZED: round i references r_{i-1} twice.
+    */
+  private def pageRankRounds(iters: Int): String = {
+    val head =
+      """nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e
+        |  UNION ALL SELECT dst AS node FROM e)),
+        |outw AS MATERIALIZED (
+        |  SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS n_nodes FROM nodes),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, CAST(round(1000000000.0 /
+        |    CAST(n_nodes AS DOUBLE)) AS BIGINT) AS rank_s
+        |  FROM nodes CROSS JOIN n)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""",
+         |c$k AS MATERIALIZED (
+         |  SELECT dst, sum(CAST(round(CAST(rank_s AS DOUBLE)
+         |    * CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE)) AS BIGINT))
+         |    AS in_s
+         |  FROM r${k - 1} JOIN e ON r${k - 1}.node = e.src
+         |  JOIN outw USING (src)
+         |  GROUP BY 1),
+         |d$k AS (SELECT coalesce(sum(rank_s), 0) AS dangling_s
+         |  FROM r${k - 1} LEFT JOIN outw ON r${k - 1}.node = outw.src
+         |  WHERE outw.src IS NULL),
+         |r$k AS MATERIALIZED (
+         |  SELECT node, CAST(round((1.0 - 0.85) * 1000000000.0
+         |      / CAST(n_nodes AS DOUBLE)
+         |      + 0.85 * (CAST(coalesce(in_s, 0) AS DOUBLE)
+         |        + CAST(dangling_s AS DOUBLE) / CAST(n_nodes AS DOUBLE)))
+         |    AS BIGINT) AS rank_s
+         |  FROM nodes LEFT JOIN c$k ON nodes.node = c$k.dst
+         |  CROSS JOIN d$k CROSS JOIN n)""".stripMargin
+    }.mkString
+    head + steps
+  }
+
   val all: Map[String, String] = Map(
 
     "q01_global_agg" ->
@@ -1099,6 +1141,27 @@ object Oracles {
         |  FROM neg)
         |SELECT query_id, doc_id, score, neg_rank FROM fin
         |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin),
+
+    // q145: syndication graph — the closure's exact-jaccard pair CTE
+    // (same LSH-recall argument as q44/q59) aggregated to canonical
+    // cross-source edges, then the shared PageRank rounds
+    "q145_syndication_rank" -> (closureCtes() + """,
+        |und AS (
+        |  SELECT least(da.source, db.source) AS a,
+        |    greatest(da.source, db.source) AS b, count(*) AS w
+        |  FROM edges
+        |  JOIN documents da ON da.doc_id = edges.src
+        |  JOIN documents db ON db.doc_id = edges.dst
+        |  WHERE da.source <> db.source
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst, w FROM und
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst, w FROM und),
+        |""".stripMargin + pageRankRounds(3) + """
+        |SELECT node, rank_s,
+        |  round(CAST(rank_s AS DOUBLE) / 1000000000.0, 6) AS rank
+        |FROM r3 ORDER BY node""".stripMargin),
 
     // q144: PSI drift — bucket counts exact, per-bucket terms replay
     // the identical IEEE op order, scaled to BIGINT before the sum
@@ -1988,7 +2051,7 @@ object Oracles {
     // Iterative CTEs are MATERIALIZED (each r_i is referenced twice by
     // round i+1; inline expansion is exponential in iters).
     "q136_pagerank" ->
-      """WITH e AS MATERIALIZED (
+      ("""WITH e AS MATERIALIZED (
         |  SELECT l_partkey AS src, l_suppkey + 1000000 AS dst,
         |    count(*) AS w
         |  FROM lineitem GROUP BY 1, 2
@@ -1996,70 +2059,10 @@ object Oracles {
         |  SELECT l_suppkey + 1000000 AS src, l_partkey AS dst,
         |    count(*) AS w
         |  FROM lineitem GROUP BY 1, 2),
-        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
-        |  SELECT src AS node FROM e
-        |  UNION ALL SELECT dst AS node FROM e)),
-        |outw AS MATERIALIZED (
-        |  SELECT src, sum(w) AS out_w FROM e GROUP BY 1),
-        |n AS (SELECT count(*) AS n_nodes FROM nodes),
-        |r0 AS MATERIALIZED (
-        |  SELECT node, CAST(round(1000000000.0 /
-        |    CAST(n_nodes AS DOUBLE)) AS BIGINT) AS rank_s
-        |  FROM nodes CROSS JOIN n),
-        |c1 AS MATERIALIZED (
-        |  SELECT dst, sum(CAST(round(CAST(rank_s AS DOUBLE)
-        |    * CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE)) AS BIGINT))
-        |    AS in_s
-        |  FROM r0 JOIN e ON r0.node = e.src JOIN outw USING (src)
-        |  GROUP BY 1),
-        |d1 AS (SELECT coalesce(sum(rank_s), 0) AS dangling_s
-        |  FROM r0 LEFT JOIN outw ON r0.node = outw.src
-        |  WHERE outw.src IS NULL),
-        |r1 AS MATERIALIZED (
-        |  SELECT node, CAST(round((1.0 - 0.85) * 1000000000.0
-        |      / CAST(n_nodes AS DOUBLE)
-        |      + 0.85 * (CAST(coalesce(in_s, 0) AS DOUBLE)
-        |        + CAST(dangling_s AS DOUBLE) / CAST(n_nodes AS DOUBLE)))
-        |    AS BIGINT) AS rank_s
-        |  FROM nodes LEFT JOIN c1 ON nodes.node = c1.dst
-        |  CROSS JOIN d1 CROSS JOIN n),
-        |c2 AS MATERIALIZED (
-        |  SELECT dst, sum(CAST(round(CAST(rank_s AS DOUBLE)
-        |    * CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE)) AS BIGINT))
-        |    AS in_s
-        |  FROM r1 JOIN e ON r1.node = e.src JOIN outw USING (src)
-        |  GROUP BY 1),
-        |d2 AS (SELECT coalesce(sum(rank_s), 0) AS dangling_s
-        |  FROM r1 LEFT JOIN outw ON r1.node = outw.src
-        |  WHERE outw.src IS NULL),
-        |r2 AS MATERIALIZED (
-        |  SELECT node, CAST(round((1.0 - 0.85) * 1000000000.0
-        |      / CAST(n_nodes AS DOUBLE)
-        |      + 0.85 * (CAST(coalesce(in_s, 0) AS DOUBLE)
-        |        + CAST(dangling_s AS DOUBLE) / CAST(n_nodes AS DOUBLE)))
-        |    AS BIGINT) AS rank_s
-        |  FROM nodes LEFT JOIN c2 ON nodes.node = c2.dst
-        |  CROSS JOIN d2 CROSS JOIN n),
-        |c3 AS MATERIALIZED (
-        |  SELECT dst, sum(CAST(round(CAST(rank_s AS DOUBLE)
-        |    * CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE)) AS BIGINT))
-        |    AS in_s
-        |  FROM r2 JOIN e ON r2.node = e.src JOIN outw USING (src)
-        |  GROUP BY 1),
-        |d3 AS (SELECT coalesce(sum(rank_s), 0) AS dangling_s
-        |  FROM r2 LEFT JOIN outw ON r2.node = outw.src
-        |  WHERE outw.src IS NULL),
-        |r3 AS MATERIALIZED (
-        |  SELECT node, CAST(round((1.0 - 0.85) * 1000000000.0
-        |      / CAST(n_nodes AS DOUBLE)
-        |      + 0.85 * (CAST(coalesce(in_s, 0) AS DOUBLE)
-        |        + CAST(dangling_s AS DOUBLE) / CAST(n_nodes AS DOUBLE)))
-        |    AS BIGINT) AS rank_s
-        |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.dst
-        |  CROSS JOIN d3 CROSS JOIN n)
+        |""".stripMargin + pageRankRounds(3) + """
         |SELECT node, rank_s,
         |  round(CAST(rank_s AS DOUBLE) / 1000000000.0, 6) AS rank
-        |FROM r3 ORDER BY node""".stripMargin,
+        |FROM r3 ORDER BY node""".stripMargin),
 
     // BM25: per-term contributions rounded at 1e-6 and summed as exact
     // integers (mirrors Bm25.topK), so rank ties resolve identically.

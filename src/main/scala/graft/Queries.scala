@@ -1770,6 +1770,32 @@ object Queries {
         n = 5, candidateK = 20)
     }),
 
+    // ---- syndication-graph source ranking -----------------------------
+    "q145_syndication_rank" -> ((s, d) => {
+      // mirror-site detection: sources whose documents near-duplicate
+      // each other's form a syndication graph (edge weight = cross-
+      // source near-dup pair count); PageRank centrality flags the
+      // sources most entangled in copying — a downweight signal in
+      // crawl curation. Composes the cached near-dup pair artifact
+      // with the PageRank operator
+      val docs = t(s, d, "documents")
+      val pairs = graft.operators.DedupOps.minhashNearDups(
+        docs, "doc_id", "text", threshold = 0.95)
+      val srcOf = (side: String, out: String) => docs.select(
+        col("doc_id").as(side), col("source").as(out))
+      val und = pairs
+        .join(srcOf("id_a", "src_a"), "id_a")
+        .join(srcOf("id_b", "src_b"), "id_b")
+        .filter(col("src_a") =!= col("src_b"))
+        .select(least(col("src_a"), col("src_b")).as("a"),
+          greatest(col("src_a"), col("src_b")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      val sym = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      graft.ops.PageRank.run(sym, "src", "dst", "w", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // ---- distribution-drift monitor (PSI) -----------------------------
     "q144_psi_drift" -> ((s, d) => {
       // Population Stability Index of the event-value distribution,

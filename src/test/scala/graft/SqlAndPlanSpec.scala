@@ -91,7 +91,8 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q139_bm25_incremental", // q135's scalar-attach + 1-row×1-row stats add
       "q140_langid_trained", // doc-grams × |langs|-row broadcast: the C&T scoring shape
       "q141_hard_negatives", // q135's scalar-attach inside the candidate stage
-      "q142_retrieval_metrics") // same bm25 candidate stage feeding the eval join
+      "q142_retrieval_metrics", // same bm25 candidate stage feeding the eval join
+      "q145_syndication_rank") // PageRank's 1-row scalar-attach per round
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
