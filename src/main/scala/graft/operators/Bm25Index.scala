@@ -108,10 +108,9 @@ object Bm25Index {
   def foreachBatchIngest(path: String, idCol: String, textCol: String)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done = new org.apache.hadoop.fs.Path(s"$path/_txn/b$batchId.done")
-    val intent = new org.apache.hadoop.fs.Path(s"$path/_txn/b$batchId")
     if (!f.exists(done)) {
       val docs = batch.select(col(idCol), col(textCol))
       // the publish marker is written BEFORE publishing: a replay that
@@ -127,42 +126,17 @@ object Bm25Index {
         try f.create(pubMarker, false).close()
         catch { case _: java.io.IOException => () }
         publish(docs, idCol, textCol, path)
+        f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
+        try f.create(done, false).close()
+        catch { case _: java.io.IOException => () } // lost claim: done
       } else {
-        val subs = Seq(postingsPath(path), doclenPath(path),
-          termstatsPath(path), statsPath(path))
-        if (f.exists(intent)) {
-          // crashed mid-update: restore every table to its pinned
-          // pre-batch snapshot before re-applying
-          val pinned = {
-            val in = f.open(intent)
-            val line = scala.io.Source.fromInputStream(in).mkString.trim
-            in.close()
-            line.split(" ").map(_.toInt).toSeq
-          }
-          subs.zip(pinned).foreach { case (sub, v) =>
-            if (VersionedTable.latestVersion(spark, sub) > v)
-              VersionedTable.commitOverwrite(
-                VersionedTable.read(spark, sub, Some(v)), sub)
-          }
-        } else {
-          // write-then-rename: a crash mid-write must never leave a
-          // truncated intent (an unparseable journal would poison
-          // every replay); the rename publishes it atomically
-          val versions = subs
-            .map(sub => VersionedTable.latestVersion(spark, sub))
-          f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
-          val tmp = new org.apache.hadoop.fs.Path(
-            s"$path/_txn/b$batchId.tmp")
-          val out = f.create(tmp, true)
-          out.write(versions.mkString(" ").getBytes("UTF-8"))
-          out.close()
-          if (!f.rename(tmp, intent)) f.delete(tmp, false)
+        graft.core.TxnJournal.exactlyOnce(spark, path, batchId,
+          Seq(postingsPath(path), doclenPath(path),
+            termstatsPath(path), statsPath(path))) {
+          update(docs, idCol, textCol, path)
         }
-        update(docs, idCol, textCol, path)
+        ()
       }
-      f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
-      try f.create(done, false).close()
-      catch { case _: java.io.IOException => () } // lost claim: done
     }
   }
 

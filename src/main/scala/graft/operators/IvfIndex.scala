@@ -65,6 +65,45 @@ object IvfIndex {
         col(vecCol).cast("array<double>").as("__cv")), "__cv", codebook)
       .select(col("cell"), col(idCol), col("__cv").as("vec"))
 
+  /** Streaming admission: a `foreachBatch` sink assigning every
+    * micro-batch of new vectors against the frozen codebook and
+    * appending — the continuous-ingestion shape of ANN index
+    * maintenance. First batch [[publish]]es (training the codebook on
+    * it); later batches [[update]]. Exactly-once per batch via
+    * [[graft.core.TxnJournal]]: although an update is a single append,
+    * a crash between the append and a bare marker would double-admit
+    * the batch on replay, so the journal's rollback covers it too. */
+  def foreachBatchIngest(path: String, idCol: String, vecCol: String,
+      cells: Int = 16, trainIters: Int = 0)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(s"$path/_txn/b$batchId.done")
+    if (!f.exists(done)) {
+      val vecs = batch.select(col(idCol), col(vecCol))
+      val pubMarker = new org.apache.hadoop.fs.Path(
+        s"$path/_txn/b$batchId.publish")
+      val isFirst = f.exists(pubMarker) ||
+        VersionedTable.latestVersion(spark, assignedPath(path)) == 0
+      if (isFirst) {
+        f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
+        try f.create(pubMarker, false).close()
+        catch { case _: java.io.IOException => () }
+        publish(vecs, idCol, vecCol, path, cells, trainIters)
+        f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
+        try f.create(done, false).close()
+        catch { case _: java.io.IOException => () } // lost claim: done
+      } else {
+        graft.core.TxnJournal.exactlyOnce(spark, path, batchId,
+          Seq(assignedPath(path))) {
+          update(vecs, idCol, vecCol, path)
+        }
+        ()
+      }
+    }
+  }
+
   /** The persisted codebook, bounded cells×dim driver metadata. */
   def readCodebook(spark: SparkSession, path: String)
       : Array[Array[Double]] =

@@ -212,6 +212,50 @@ class RetrievalGraphSpec extends SparkTestBase {
     assert(search2() == full(d0.union(d1)))
   }
 
+  test("ivf ingest sink: exactly-once, crash-rollback, publish replay") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val d0 = emb.filter($"vec_id" < 300)
+    val d1 = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    val d2 = emb.filter($"vec_id" >= 400 && $"vec_id" < 500)
+    val path = graft.core.Scratch.root(emb) +
+      s"/ivfsink_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(path)
+    val ops = graft.operators.IvfIndex
+    val sink = ops.foreachBatchIngest(path, "vec_id", "embedding")
+    def admitted() = graft.core.VersionedTable
+      .read(spark, s"$path/assigned").count()
+
+    sink(d0, 0L); sink(d1, 1L)
+    assert(admitted() == d0.count() + d1.count())
+    sink(d1, 1L)                        // replay: no double-admit
+    assert(admitted() == d0.count() + d1.count())
+    // crash mid-batch-2: intent + junk append, no done-marker
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val pinned = graft.core.VersionedTable
+      .latestVersion(spark, s"$path/assigned")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_txn/b2"), false)
+    out.write(pinned.toString.getBytes("UTF-8")); out.close()
+    graft.core.VersionedTable.commitAppend(
+      Seq((0, 99999L, Seq(0.0))).toDF("cell", "vec_id", "vec"),
+      s"$path/assigned")
+    sink(d2, 2L)                        // rollback junk, apply cleanly
+    assert(admitted() == d0.count() + d1.count() + d2.count())
+    assert(graft.core.VersionedTable.read(spark, s"$path/assigned")
+      .filter($"vec_id" === 99999L).count() == 0L)
+    // publish-replay: lost done-marker on batch 0 re-publishes
+    val path2 = graft.core.Scratch.root(emb) +
+      s"/ivfsink2_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(path2)
+    val sink2 = ops.foreachBatchIngest(path2, "vec_id", "embedding")
+    sink2(d0, 0L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path2/_txn/b0.done"), false)
+    sink2(d0, 0L)
+    assert(graft.core.VersionedTable.read(spark, s"$path2/assigned")
+      .count() == d0.count(), "publish replay double-admitted")
+  }
+
   test("ivf index: frozen codebook, batch-order-invariant admission") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val old = emb.filter(pmod($"vec_id", lit(5)) =!= 0)
