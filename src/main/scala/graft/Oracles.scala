@@ -1348,6 +1348,17 @@ object Oracles {
         |SELECT doc_id, cluster_id, bucket % 5 AS fold
         |FROM b ORDER BY doc_id""".stripMargin),
 
+    // q148: soft dedup — every member kept, weight = 1/|cluster| over
+    // the same exact-jaccard closure the other cluster consumers pin
+    "q148_soft_dedup_weights" -> (closureCtes() + """,
+        |sizes AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM lab GROUP BY 1)
+        |SELECT doc_id, cluster_id, cluster_size,
+        |  round(1.0 / cluster_size, 6) + 0 AS weight
+        |FROM lab JOIN sizes USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin),
+
     // floor(x/s + 0.5) on both sides — engine-identical tie-break
     "q60_embedding_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
@@ -2074,6 +2085,181 @@ object Oracles {
     // q139: the incrementally-maintained index must produce the exact
     // full-corpus BM25 result — same oracle as q135 by construction
     "q139_bm25_incremental" -> bm25FullCorpus,
+
+    // q146: hybrid retrieval — the BM25 chain (bm25Ctes: toks/tf/dl/
+    // dfreq/stats/qraw/ranked) plus a dense side reusing the SAME
+    // toks/tf/dfreq postings, replicating HashingVectorizer's scaled-
+    // integer bucket discipline for corpus AND external query vectors,
+    // fused by 1/(60+rank). Both engines compute the two IEEE
+    // divisions and one fixed-order add on integer ranks, so the
+    // fusion scores are bit-identical.
+    "q146_hybrid_rrf" -> ("WITH " + bm25Ctes(bm25DerivedQueries) + """,
+      |hn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |hsc AS (
+      |  SELECT doc_id, token,
+      |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4)
+      |      AS tfidf
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN hn),
+      |hbb AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64
+      |      AS bucket,
+      |    sum(CAST(round(tfidf * 10000.0, 0) AS BIGINT)) AS ws
+      |  FROM hsc GROUP BY 1, 2),
+      |hnorm AS (SELECT doc_id, sum(ws * ws) AS n2
+      |  FROM hbb GROUP BY 1),
+      |qtf AS (SELECT query_id, token, count(*) AS tf
+      |  FROM qraw GROUP BY 1, 2),
+      |qsc AS (
+      |  SELECT query_id, token,
+      |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4)
+      |      AS tfidf
+      |  FROM qtf JOIN dfreq USING (token) CROSS JOIN hn),
+      |qbb AS (
+      |  SELECT query_id,
+      |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64
+      |      AS bucket,
+      |    sum(CAST(round(tfidf * 10000.0, 0) AS BIGINT)) AS ws
+      |  FROM qsc GROUP BY 1, 2),
+      |qnorm AS (SELECT query_id, sum(ws * ws) AS n2
+      |  FROM qbb GROUP BY 1),
+      |dnum AS (
+      |  SELECT q.query_id, h.doc_id, sum(q.ws * h.ws) AS num
+      |  FROM qbb q JOIN hbb h USING (bucket) GROUP BY 1, 2),
+      |dsc AS (
+      |  SELECT d.query_id, d.doc_id,
+      |    CAST(num AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE))
+      |      * sqrt(CAST(hn2.n2 AS DOUBLE))) AS cs
+      |  FROM dnum d JOIN qnorm qn USING (query_id)
+      |  JOIN hnorm hn2 USING (doc_id)),
+      |dranked AS (
+      |  SELECT query_id, doc_id, CAST(row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cs DESC, doc_id)
+      |    AS INTEGER) AS rn
+      |  FROM dsc),
+      |fused AS (
+      |  SELECT coalesce(s.query_id, dd.query_id) AS query_id,
+      |    coalesce(s.doc_id, dd.doc_id) AS doc_id,
+      |    coalesce(1.0 / (60 + s.rn), 0.0)
+      |      + coalesce(1.0 / (60 + dd.rn), 0.0) AS rrf,
+      |    s.rn AS rank_sparse, dd.rn AS rank_dense
+      |  FROM (SELECT query_id, doc_id, rn FROM ranked
+      |    WHERE rn <= 20) s
+      |  FULL JOIN (SELECT query_id, doc_id, rn FROM dranked
+      |    WHERE rn <= 20) dd
+      |    ON s.query_id = dd.query_id AND s.doc_id = dd.doc_id)
+      |SELECT query_id, doc_id, round(rrf, 6) + 0 AS rrf_score,
+      |  rank_sparse, rank_dense, rn
+      |FROM (
+      |  SELECT query_id, doc_id, rrf, rank_sparse, rank_dense,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
+      |  FROM fused)
+      |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+
+    // q147: nearest-centroid classification — per-label 6-dp-rounded
+    // mean centroids on the 80% slice (the k-means means discipline),
+    // held-out rows classified by cosine argmax (ties → smaller
+    // label), the same list_cosine_similarity ↔ CosineSim agreement
+    // the ANN oracles rely on.
+    "q147_centroid_classify" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, dim, round(avg(x), 6) + 0 AS mx FROM (
+        |    SELECT label,
+        |      CAST(generate_subscripts(vv, 1) - 1 AS INT) AS dim,
+        |      unnest(vv) AS x
+        |    FROM v WHERE vec_id % 5 <> 0)
+        |  GROUP BY label, dim),
+        |cb AS (
+        |  SELECT label, list(mx ORDER BY dim) AS cv
+        |  FROM cent GROUP BY label),
+        |scoredc AS (
+        |  SELECT te.vec_id, te.label AS true_label,
+        |    cb.label AS pred_label,
+        |    list_cosine_similarity(te.vv, cb.cv) AS cs,
+        |    row_number() OVER (PARTITION BY te.vec_id
+        |      ORDER BY list_cosine_similarity(te.vv, cb.cv) DESC,
+        |        cb.label) AS rk
+        |  FROM (SELECT * FROM v WHERE vec_id % 5 = 0) te
+        |  CROSS JOIN cb)
+        |SELECT vec_id, true_label, pred_label,
+        |  round(cs, 4) + 0 AS pred_cos,
+        |  (pred_label = true_label) AS correct
+        |FROM scoredc WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // q149: MMR re-rank — shortlist chosen on RAW cosine rank (the
+    // bruteForceTopK ordering), relevance consumed at its 4-dp surface
+    // rounding, 5 unrolled greedy rounds scoring
+    // 0.7·rel − (1.0−0.7)·max_sim (the (1.0 - 0.7) form keeps the
+    // IEEE constant identical to Spark's `lit(1.0 - lambda)`),
+    // argmax ties → smaller id.
+    "q149_mmr_rerank" -> {
+      val rounds = (2 to 5).map { i =>
+        s""",
+           |s$i AS (
+           |  SELECT query_id, neighbor_id, mmr, $i AS rn FROM (
+           |    SELECT c.query_id, c.neighbor_id,
+           |      0.7 * c.rel - (1.0 - 0.7) * coalesce(mx.msim, 0.0)
+           |        AS mmr,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY 0.7 * c.rel
+           |          - (1.0 - 0.7) * coalesce(mx.msim, 0.0) DESC,
+           |          c.neighbor_id) AS rk
+           |    FROM sl c
+           |    LEFT JOIN (
+           |      SELECT ps.query_id, ps.i AS neighbor_id,
+           |        max(ps.sim) AS msim
+           |      FROM ps JOIN sel${i - 1} s
+           |        ON ps.query_id = s.query_id
+           |        AND ps.j = s.neighbor_id
+           |      GROUP BY 1, 2) mx
+           |      ON mx.query_id = c.query_id
+           |      AND mx.neighbor_id = c.neighbor_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+           |      WHERE s2.query_id = c.query_id
+           |      AND s2.neighbor_id = c.neighbor_id))
+           |  WHERE rk = 1),
+           |sel$i AS (SELECT query_id, neighbor_id FROM sel${i - 1}
+           |  UNION ALL SELECT query_id, neighbor_id FROM s$i)""".stripMargin
+      }.mkString
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |sl AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, round(cs, 4) + 0 AS rel FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_cosine_similarity(q.vv, c.vv) AS cs,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.vv, c.vv) DESC,
+        |          c.vec_id) AS rk
+        |    FROM v q CROSS JOIN v c
+        |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |  WHERE rk <= 20),
+        |ps AS MATERIALIZED (
+        |  SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+        |    list_cosine_similarity(vi.vv, vj.vv) AS sim
+        |  FROM sl a JOIN sl b ON a.query_id = b.query_id
+        |    AND a.neighbor_id <> b.neighbor_id
+        |  JOIN v vi ON vi.vec_id = a.neighbor_id
+        |  JOIN v vj ON vj.vec_id = b.neighbor_id),
+        |s1 AS (
+        |  SELECT query_id, neighbor_id, mmr, 1 AS rn FROM (
+        |    SELECT query_id, neighbor_id, 0.7 * rel AS mmr,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY 0.7 * rel DESC, neighbor_id) AS rk
+        |    FROM sl) WHERE rk = 1),
+        |sel1 AS (SELECT query_id, neighbor_id FROM s1)""".stripMargin +
+        rounds + """
+        |SELECT query_id, neighbor_id, round(mmr, 4) + 0 AS mmr_score,
+        |  rn
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |  UNION ALL SELECT * FROM s5)
+        |ORDER BY query_id, rn""".stripMargin
+    },
 
 
     "q133_blocklist_table" ->

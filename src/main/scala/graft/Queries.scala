@@ -2084,5 +2084,79 @@ object Queries {
       graft.operators.ShardExport.trainingOrder(
         t(s, d, "documents"), "doc_id", seed = 42L, shards = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- hybrid retrieval: BM25 + dense, reciprocal-rank fusion -------
+    "q146_hybrid_rrf" -> ((s, d) => {
+      // the full hybrid search stack: sparse BM25 top-20 and dense
+      // hashed-vector top-20 (query text vectorized against CORPUS
+      // idf — the external-query path), fused by reciprocal rank
+      // (1/(60+rank), Cormack 2009) into a final top-5. Fusion never
+      // touches the corpus: two queries×20 lists, one equi-join
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            TextFunctions.tokens(lower(col("text"))), 1, 8)).as("qtext"))
+      val sparse = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 20)
+      val dense = graft.operators.HashingVectorizer.textTopKFor(
+        docs, "doc_id", "text", qs, "query_id", "qtext",
+        k = 20, dim = 64)
+      graft.operators.HybridSearch.rrf(sparse, "doc_id",
+        dense, "neighbor_id", k = 5)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // ---- nearest-centroid label classification ------------------------
+    "q147_centroid_classify" -> ((s, d) => {
+      // Rocchio topic routing over the embeddings table: per-label
+      // mean centroids trained on the 80% slice (labels×dim model
+      // metadata), held-out 20% classified by in-row cosine argmax —
+      // zero shuffles over the scored corpus. correct/pred per row so
+      // the result doubles as the confusion-matrix input
+      val emb = t(s, d, "embeddings")
+      val train = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val test = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val cents = graft.operators.CentroidClassifier.trainCentroids(
+        train, "label", "embedding")
+      graft.operators.CentroidClassifier.classify(
+          test, "vec_id", "embedding", cents)
+        .join(test.select(col("vec_id"),
+          col("label").as("true_label")), Seq("vec_id"))
+        .select(col("vec_id"), col("true_label"), col("pred_label"),
+          col("pred_cos"),
+          (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- duplication-aware sampling weights (soft dedup) --------------
+    "q148_soft_dedup_weights" -> ((s, d) => {
+      // keep every near-duplicate but down-weight it by cluster size
+      // (weight = 1/|cluster|): each cluster contributes one doc's
+      // worth of sampling mass. Consumes the shared cluster-map
+      // artifact — one size count + one map-sized join on top
+      val docs = t(s, d, "documents")
+      val cl = graft.operators.DedupClusters.clusterMap(
+        docs, "doc_id", "text", threshold = 0.95)
+      graft.operators.DedupClusters.duplicationWeights(cl, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- MMR diversified re-ranking -----------------------------------
+    "q149_mmr_rerank" -> ((s, d) => {
+      // diversify the ANN shortlist: brute-force top-20 per query
+      // (vec_id < 5), then 5 greedy MMR rounds (λ=0.7) trade
+      // relevance against similarity to the already-selected set.
+      // Shortlist + pair sims materialize once; each round is a
+      // bounded-heap argmax over queries×20 rows
+      val emb = t(s, d, "embeddings")
+      val shortlist = graft.operators.SimilarityOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        "vec_id", k = 20)
+      graft.operators.MmrRerank.rerank(
+        shortlist, "cos_sim", emb, "vec_id", "embedding",
+        k = 5, lambda = 0.7)
+        .orderBy(col("query_id"), col("rn"))
     }))
 }

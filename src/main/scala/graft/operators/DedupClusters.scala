@@ -206,4 +206,28 @@ object DedupClusters {
       .select(col(idCol), col("cluster_id"), col("quality"),
         col("rep_id"), (col(idCol) === col("rep_id")).as("keep"))
   }
+
+  /** SOFT dedup: instead of discarding near-duplicates (the
+    * [[bestRepresentativesFrom]] keep-one decision), keep every member
+    * and DOWN-WEIGHT it by its cluster size — `weight = 1/|cluster|`,
+    * so each near-dup cluster contributes one document's worth of
+    * sampling mass in total (the duplication-aware sampling used when
+    * duplicates carry signal — e.g. syndicated news with local edits —
+    * and hard removal would distort the source mix). Feed the weight
+    * into [[graft.ops.DeterministicSample.weightedTopK]] or a
+    * temperature mix.
+    *
+    * Consumes the cluster-map ARTIFACT; on top of it: one map-side-
+    * combined size count (clusters-sized) joined back on cluster_id.
+    * Output: (`idCol`, cluster_id, cluster_size, weight). */
+  def duplicationWeights(clusterMap: DataFrame, idCol: String)
+      : DataFrame = {
+    val sizes = clusterMap.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusterMap.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (graft.functions.Rounding.dround(
+          lit(1.0) / col("cluster_size").cast("double"), 6) + lit(0))
+          .as("weight"))
+  }
 }

@@ -98,6 +98,82 @@ object HashingVectorizer {
     docs.sparkSession.read.parquet(path)
   }
 
+  /** Query-SIDE hashed vectors: an external query relation vectorized
+    * against the CORPUS statistics — the piece a real search system
+    * needs that [[textTopK]]/q130 (queries drawn from the corpus)
+    * sidesteps. The query's TF comes from its own text; IDF comes from
+    * the corpus document frequencies (reused from the BM25 postings
+    * artifact, so the corpus tokenize pass is shared with the sparse
+    * retrieval stack and runs ONCE per session); the scaled-integer
+    * bucket discipline is identical to [[hashedTfIdf]], so query·doc
+    * cosine numerators stay exact integer sums. Query terms absent
+    * from the corpus vocabulary drop at the inner DF join — they can't
+    * match any document anyway (the same semantics BM25 has for
+    * out-of-vocabulary terms).
+    *
+    * Shape at scale: queries are a small relation; the only
+    * corpus-sized input is the materialized DF table (vocabulary-sized
+    * in practice), joined at query-term cardinality. */
+  private[operators] def queryScaledBuckets(docs: DataFrame,
+      idCol: String, textCol: String, queries: DataFrame,
+      qIdCol: String, qTextCol: String, dim: Int): DataFrame = {
+    val dfreq = Bm25.buildPostings(docs, idCol, textCol).dfreq
+    // corpus size for the smoothed IDF: count over the doc relation
+    // itself (docs with empty text still count, as in TfIdf.score)
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val qtf = queries.select(col(qIdCol).as("query_id"),
+        explode(graft.functions.TextFunctions.tokens(
+          lower(col(qTextCol)))).as("token"))
+      .groupBy(col("query_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val byBucket = qtf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("__tfidf", dround(
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0)) + 1.0), 4))
+      .withColumn("bucket", bucket(col("token"), dim))
+      .withColumn("__w", round(col("__tfidf") * 1e4).cast("long"))
+      .groupBy(col("query_id"), col("bucket"))
+      .agg(sum(col("__w")).as("__ws"))
+    val norms = byBucket.groupBy(col("query_id"))
+      .agg(sum(col("__ws") * col("__ws")).as("__n2"))
+    byBucket.join(norms, Seq("query_id"))
+  }
+
+  /** Cosine top-k retrieval for EXTERNAL text queries over the hashed
+    * corpus vectors — the dense half of a hybrid (BM25 + vector)
+    * search stack when no embedding model is in the loop. Unlike
+    * [[textTopK]] (the exhaustive baseline), candidates are only the
+    * documents sharing ≥1 hash bucket with the query — the inverted
+    * retrieval shape: the queries×corpus frame never forms, and a
+    * query touches only the postings of its own buckets. No self
+    * exclusion: queries are a separate relation, and retrieving the
+    * query's source document (if any) is correct retrieval behavior. */
+  def textTopKFor(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, dim: Int = 64): DataFrame = {
+    val c = scaledBuckets(docs, idCol, textCol, dim)
+      .select(col(idCol).as("neighbor_id"), col("bucket"),
+        col("__ws").as("__wc"), col("__n2").as("__nc"))
+    val q = queryScaledBuckets(docs, idCol, textCol,
+      queries, qIdCol, qTextCol, dim)
+      .select(col("query_id"), col("bucket"),
+        col("__ws").as("__wq"), col("__n2").as("__nq"))
+    val scored = q.join(c, Seq("bucket"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__wq") * col("__wc")).as("__num"),
+        first(col("__nq")).as("__nq"), first(col("__nc")).as("__nc"))
+      .withColumn("__cos", col("__num").cast("double") /
+        (sqrt(col("__nq").cast("double")) *
+          sqrt(col("__nc").cast("double"))))
+    graft.functions.TopKByScore.explodeTopK(scored,
+        Seq("query_id"), col("__cos"), col("neighbor_id"), k,
+        outId = "neighbor_id", outScore = "__cos")
+      .select(col("query_id"), col("neighbor_id"),
+        (dround(col("__cos"), 4) + lit(0)).as("cos_sim"), col("rn"))
+  }
+
   /** Brute-force cosine top-k between documents over the hashed
     * vectors — text ANN with no embedding model. The cosine numerator
     * is an EXACT integer sum over shared buckets (Σ ws_q·ws_d), the

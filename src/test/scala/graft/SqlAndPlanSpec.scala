@@ -92,7 +92,9 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q140_langid_trained", // doc-grams × |langs|-row broadcast: the C&T scoring shape
       "q141_hard_negatives", // q135's scalar-attach inside the candidate stage
       "q142_retrieval_metrics", // same bm25 candidate stage feeding the eval join
-      "q145_syndication_rank") // PageRank's 1-row scalar-attach per round
+      "q145_syndication_rank", // PageRank's 1-row scalar-attach per round
+      "q146_hybrid_rrf", // q135's scalar-attach in the sparse half + 1-row corpus N on the query vectors
+      "q149_mmr_rerank") // shortlist feed is q28's deliberate broadcast-queries baseline
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
