@@ -3057,6 +3057,63 @@ object Oracles {
 
     "q120_quality_classifier" -> lrGdOracle(iters = 3),
 
+    "q150_calibration_curve" ->
+      lrCalibrationOracle(iters = 3, buckets = 100),
+
+    // q151: kNN voting over the IVF probe — train slice provides the
+    // first-16-by-id codebook, test vectors probe 4 cells, top-5
+    // cosine neighbors vote; argmax (votes desc, label asc)
+    "q151_knn_classify" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |tr AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+        |te AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+        |      AS INTEGER) AS cell, vv AS cv
+        |  FROM (SELECT vec_id, vv FROM tr ORDER BY vec_id LIMIT 16)),
+        |asn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT tr.vec_id, cb.cell, row_number() OVER (
+        |      PARTITION BY tr.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM tr CROSS JOIN cb) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT te.vec_id AS query_id, cb.cell, row_number() OVER (
+        |      PARTITION BY te.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM te CROSS JOIN cb) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv.vv, nv.vv) AS cs
+        |  FROM probes p JOIN asn a USING (cell)
+        |  JOIN te qv ON qv.vec_id = p.query_id
+        |  JOIN tr nv ON nv.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.query_id),
+        |topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |      AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |votes AS (
+        |  SELECT t.query_id, nv.label,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM topk t JOIN tr nv ON nv.vec_id = t.neighbor_id
+        |  GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT query_id, label AS pred_label, votes FROM (
+        |    SELECT query_id, label, votes, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+        |    FROM votes) WHERE rk = 1)
+        |SELECT p.query_id AS vec_id, te.label AS true_label,
+        |  p.pred_label, p.votes,
+        |  (p.pred_label = te.label) AS correct
+        |FROM pick p JOIN te ON te.vec_id = p.query_id
+        |ORDER BY vec_id""".stripMargin,
+
     "q117_ivfpq" -> (ivfPqCtes + """
         |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim,
         |  CAST(rn AS INT) AS rn
@@ -3137,6 +3194,35 @@ object Oracles {
       |FROM f CROSS JOIN w$iters
       |ORDER BY doc_id"""
     (header + iterCtes + tail).stripMargin
+  }
+
+  /** q150: the q120 training chain (same CTEs up to w`iters`), then
+    * decile-bucketed calibration — bucket score sums as ×10⁴ integers,
+    * positive counts as longs, gap from the two ROUNDED values. */
+  private def lrCalibrationOracle(iters: Int, buckets: Int): String = {
+    val trained = lrGdOracle(iters)
+    val base = trained.substring(0, trained.indexOf("\nSELECT doc_id,"))
+    val z = "wa + wb*f1 + wc*f2 + wd*f3"
+    base + s""",
+      |sc AS (SELECT doc_id, y,
+      |  round(1.0 / (1.0 + exp(-($z))), 4) + 0 AS score
+      |  FROM f CROSS JOIN w$iters),
+      |b AS (
+      |  SELECT least(CAST(floor(score * $buckets) AS INT),
+      |      ${buckets - 1}) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(round(score * 10000.0, 0) AS BIGINT)) AS ss,
+      |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+      |  FROM sc GROUP BY 1),
+      |c AS (
+      |  SELECT bucket, n,
+      |    round(CAST(ss AS DOUBLE) / (10000.0 * n), 6) + 0
+      |      AS mean_score,
+      |    round(CAST(np AS DOUBLE) / n, 6) + 0 AS pos_rate
+      |  FROM b)
+      |SELECT bucket, n, mean_score, pos_rate,
+      |  round(abs(mean_score - pos_rate), 6) + 0 AS gap
+      |FROM c ORDER BY bucket""".stripMargin
   }
 
   /** Shared CTE stack for the IVF-PQ oracles (q117/q118): trained

@@ -2158,5 +2158,40 @@ object Queries {
         shortlist, "cos_sim", emb, "vec_id", "embedding",
         k = 5, lambda = 0.7)
         .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // ---- classifier calibration curve (reliability diagram) -----------
+    "q150_calibration_curve" -> ((s, d) => {
+      // is q120's score trustworthy as a probability? 1%-wide score
+      // bins (fine enough to resolve this classifier's narrow score
+      // band) vs empirical positive rate; `gap` is the per-bucket
+      // reliability deviation (n-weighted sum = ECE).
+      // Scaled-integer sums only — one aggregation over the scored
+      // frame, 10 output rows
+      graft.operators.QualityClassifier.calibrationCurve(
+        t(s, d, "documents"), "doc_id", "text",
+        isPositive = col("source") === "src0", buckets = 100)
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- kNN label voting on the IVF path -----------------------------
+    "q151_knn_classify" -> ((s, d) => {
+      // the ANN stack as a classifier: held-out vectors (vec_id%5==0)
+      // probe the labeled corpus' coarse cells, top-5 cosine neighbors
+      // vote (ties → smaller label). Multi-modal label regions that
+      // break q147's one-centroid assumption work here — cost is
+      // ~nprobe/cells of the labeled corpus per query
+      val emb = t(s, d, "embeddings")
+      val train = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val test = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      graft.operators.KnnClassifier.classify(
+          train, test, "vec_id", "embedding", "label",
+          k = 5, cells = 16, nprobe = 4)
+        .join(test.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .select(col("query_id").as("vec_id"), col("true_label"),
+          col("pred_label"), col("votes"),
+          (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy(col("vec_id"))
     }))
 }

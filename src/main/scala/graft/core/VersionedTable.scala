@@ -413,6 +413,68 @@ object VersionedTable {
     }
   }
 
+  /** Small-file compaction (the OPTIMIZE bin-packing maintenance op):
+    * rewrite the current version's small files into ~`targetBytes`
+    * outputs and commit the result as a NEW version whose manifest
+    * carries the untouched large files unchanged. Row content is
+    * identical; row order within the table may change (tables are
+    * unordered). Streaming sinks and incremental batch appends create
+    * one small commit dir per batch — without periodic compaction a
+    * long-lived table degrades every scan into an open-file storm
+    * (the classic lakehouse small-file problem).
+    *
+    * Files ≥ `targetBytes`/2 are left in place (rewriting them buys
+    * nothing); the small remainder is read once and `coalesce`d —
+    * no shuffle, compaction is IO-bound by design. Old versions still
+    * reference the old files, so time travel is intact; [[vacuum]]
+    * reclaims the superseded small files once the retention window
+    * passes.
+    *
+    * Concurrency: compaction claims the next version with the same
+    * O_EXCL manifest protocol as [[commitAppend]], but it does NOT
+    * retry on a version race — losing means a real commit landed
+    * first, and rewriting on top of it would compact a stale snapshot.
+    * The rewrite is dropped and the winner's version returned;
+    * compaction is an optimization, never a contended writer.
+    *
+    * @return the version holding the compacted layout: a fresh one on
+    *         success, the (possibly newer) latest on a no-op or a lost
+    *         race. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val f = fs(spark, path)
+    val vPrev = latestVersion(spark, path)
+    if (vPrev == 0) return 0
+    val sized = files(spark, path, Some(vPrev))
+      .map(p => (p, f.getFileStatus(new Path(p)).getLen))
+    val (small, big) = sized.partition(_._2 < targetBytes / 2)
+    if (small.length < 2) return vPrev // nothing worth rewriting
+    val totalSmall = small.map(_._2).sum
+    val nOut = math.max(1,
+      math.ceil(totalSmall.toDouble / targetBytes).toInt)
+    val commitDir = s"$path/data/${java.util.UUID.randomUUID()}"
+    spark.read.parquet(small.map(_._1): _*).coalesce(nOut)
+      .write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
+    val newFiles = f.listStatus(new Path(commitDir))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString).toSeq
+    val written = (big.map(_._1) ++ newFiles :+ Terminator).toList
+    val target = manifestPath(path, vPrev + 1)
+    f.mkdirs(new Path(manifestDir(path)))
+    try {
+      val out = atomicClaim(f, target)
+      try out.write(written.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      verifyOwnPublish(spark, f, target, written)
+      vPrev + 1
+    } catch {
+      case _: java.io.IOException =>
+        // a real commit won the version — abandon the rewrite
+        f.delete(new Path(commitDir), true)
+        latestVersion(spark, path)
+    }
+  }
+
   /** Delete data files referenced only by manifests OLDER than the
     * `retainLast` most recent ones, then drop those manifests. Keeps
     * time travel over the retained window, reclaims the rest.

@@ -142,4 +142,36 @@ object QualityClassifier {
       .select(col(idCol),
         (dround(sigmoid(zCol(w)), 4) + lit(0)).as("score"))
       .withColumn("pred", col("score") >= 0.5)
+
+  /** Reliability diagram for the trained classifier: bucket documents
+    * by predicted score (`buckets` equal-width bins) and compare the
+    * bucket's mean prediction with its empirical positive rate — the
+    * calibration check that decides whether the score can gate on a
+    * fixed threshold, or needs recalibration first. `gap` per bucket
+    * is the reliability-diagram deviation (its n-weighted sum is ECE).
+    *
+    * Cross-engine exactness: scores are 4-dp-rounded, so the bucket
+    * index is a deterministic floor; the bucket's score sum crosses
+    * the exchange as a ×10⁴-scaled integer and the positive count as a
+    * long — no float association order anywhere. One aggregation over
+    * the scored frame; output is `buckets` rows. */
+  def calibrationCurve(df: DataFrame, idCol: String, textCol: String,
+      isPositive: Column, buckets: Int = 10, lr: Double = 0.5,
+      iters: Int = 3): DataFrame = {
+    val scored = scoreDF(df, idCol, textCol, isPositive, lr, iters)
+    val agg = scored
+      .withColumn("bucket", least(
+        floor(col("score") * buckets).cast("int"), lit(buckets - 1)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("score") * 1e4).cast("long")).as("__ss"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("__np"))
+      .select(col("bucket"), col("n"),
+        (dround(col("__ss").cast("double") /
+          (lit(1e4) * col("n")), 6) + lit(0)).as("mean_score"),
+        (dround(col("__np").cast("double") / col("n"), 6) + lit(0))
+          .as("pos_rate"))
+    agg.withColumn("gap",
+      dround(abs(col("mean_score") - col("pos_rate")), 6) + lit(0))
+  }
 }

@@ -123,6 +123,66 @@ class HybridRerankSpec extends SparkTestBase {
     assert(out.map(_.getInt(3)).sorted.toSeq == Seq(1, 2))
   }
 
+  // ---- KnnClassifier ---------------------------------------------------
+
+  test("knn classifier: separable clumps classify correctly via the " +
+      "IVF probe") {
+    val train = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.95f, 0.05f)),
+      (3L, 0, Seq(0.9f, 0.1f)), (4L, 0, Seq(0.97f, 0.02f)),
+      (5L, 1, Seq(0.0f, 1.0f)), (6L, 1, Seq(0.05f, 0.95f)),
+      (7L, 1, Seq(0.1f, 0.9f)), (8L, 1, Seq(0.02f, 0.97f))
+    ).toDF("vec_id", "label", "embedding")
+    val test_ = Seq(
+      (100L, Seq(0.9f, 0.1f)), (101L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.KnnClassifier.classify(
+        train, test_, "vec_id", "embedding", "label",
+        k = 3, cells = 4, nprobe = 2)
+      .orderBy("query_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((100L, 0), (101L, 1)))
+    // the first-4-by-id codebook sits in the label-0 clump, so the
+    // probed cells can mix labels — majority is what matters
+    assert(out.forall(_.getLong(2) >= 2L))
+  }
+
+  test("knn classifier: vote ties break toward the smaller label") {
+    // four identical train vectors, labels 3 and 5 twice each → any
+    // k=4 vote is 2-2 → label 3 must win
+    val train = Seq(
+      (1L, 5, Seq(1.0f, 0.0f)), (2L, 3, Seq(1.0f, 0.0f)),
+      (3L, 5, Seq(1.0f, 0.0f)), (4L, 3, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.operators.KnnClassifier.classify(
+      train, Seq((9L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "label", k = 4, cells = 4, nprobe = 1)
+      .collect()
+    assert(out.head.getInt(1) == 3 && out.head.getLong(2) == 2L)
+  }
+
+  // ---- calibrationCurve ------------------------------------------------
+
+  test("calibration curve: buckets partition the corpus and gap is " +
+      "|mean_score − pos_rate|") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "src0"),
+      (2L, "alpha beta gamma delta epsilon zeta", "src0"),
+      (3L, "one two three four five six seven eight", "src1"),
+      (4L, "nine ten eleven twelve thirteen", "src1"),
+      (5L, "a b c d e f g h i j k l", "src1")
+    ).toDF("doc_id", "text", "source")
+    val cc = graft.operators.QualityClassifier.calibrationCurve(
+      docs, "doc_id", "text", isPositive = col("source") === "src0",
+      buckets = 10).collect()
+    assert(cc.map(_.getLong(1)).sum == 5L)
+    cc.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9)
+      val gap = math.abs(r.getDouble(2) - r.getDouble(3))
+      assert(math.abs(r.getDouble(4) - gap) < 1e-6)
+    }
+  }
+
   // ---- duplicationWeights ----------------------------------------------
 
   test("soft-dedup weights: each cluster contributes ~1 doc of mass, " +

@@ -349,4 +349,66 @@ class VersionedTableSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L))
   }
+
+  test("compact bin-packs small files, preserves rows, keeps history") {
+    val path = tbl()
+    // 4 tiny append commits → ≥4 small files in the current manifest
+    (1 to 4).foreach(i => VersionedTable.commitAppend(
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), path))
+    val before = VersionedTable.files(spark, path)
+    val vc = VersionedTable.compact(spark, path)
+    assert(vc == 5)
+    val after = VersionedTable.files(spark, path)
+    assert(after.size < before.size)
+    // identical row content, current and time-traveled
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(VersionedTable.read(spark, path, Some(4))
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // vacuum past the old versions reclaims the superseded small files
+    VersionedTable.vacuum(spark, path, retainLast = 1, graceMs = 0L)
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("compact is a no-op on an already-compacted or tiny table") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    assert(VersionedTable.compact(spark, path) == 1) // single file
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("id", "v"), path)
+    assert(VersionedTable.compact(spark, path) == 3)
+    // immediately re-compacting finds one packed file → no new version
+    assert(VersionedTable.compact(spark, path) == 3)
+  }
+
+  test("compact racing real committers never loses a committed row") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("id", "v"), path)
+    // compaction runs while appenders land: whichever side wins each
+    // version race, every committed row must survive — a compactor
+    // that lost must abandon its rewrite (stale snapshot), appenders
+    // retry on top of whatever won
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appends = Future.traverse(Seq(3L, 4L, 5L))(i => Future {
+      VersionedTable.commitAppend(Seq((i, s"v$i")).toDF("id", "v"), path)
+    })
+    val comp = Future { VersionedTable.compact(spark, path) }
+    Await.result(appends, 120.seconds)
+    Await.result(comp, 120.seconds)
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // and a quiesced compaction afterwards still converges the layout
+    val v = VersionedTable.compact(spark, path)
+    assert(VersionedTable.files(spark, path, Some(v)).size == 1)
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
