@@ -2843,6 +2843,50 @@ object Oracles {
         |    ORDER BY order_key, doc_id) AS BIGINT) AS pos
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // q152: the q112 encode chain grouped by language — fertility =
+    // Σtokens/Σwords on exact integer sums
+    "q152_tokenizer_fertility" -> (bpeChain(5) + s""",
+      |enc AS (
+      |  SELECT word, n,
+      |    CAST(len(string_split_regex(trim(sym), ' +')) AS BIGINT)
+      |      AS nsym
+      |  FROM v5),
+      |dw AS (
+      |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+      |      ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+      |    AS word FROM documents),
+      |pd AS (
+      |  SELECT dw.doc_id, CAST(sum(e.nsym) AS BIGINT) AS n_bpe_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_words
+      |  FROM dw JOIN enc e USING (word) GROUP BY dw.doc_id),
+      |pl AS (
+      |  SELECT d.lang, coalesce(pd.n_bpe_tokens, 0) AS nb,
+      |    coalesce(pd.n_words, 0) AS nw
+      |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(sum(nw) AS BIGINT) AS n_words,
+      |  round(CAST(sum(nb) AS DOUBLE)
+      |    / CAST(greatest(sum(nw), 1) AS DOUBLE), 4) + 0 AS fertility
+      |FROM pl GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // q153: q114's permutation ×3 epochs, epoch folded into the seed
+    "q153_epoch_orders" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest([0, 1, 2]) AS epoch FROM documents),
+        |h AS (
+        |  SELECT doc_id, epoch,
+        |    CAST(concat('0x', substring(
+        |      md5('42:' || CAST(epoch AS VARCHAR) || ':'
+        |        || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      AS order_key
+        |  FROM e)
+        |SELECT doc_id, epoch, order_key % 8 AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY epoch, order_key % 8
+        |    ORDER BY order_key, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id, epoch""".stripMargin,
+
     "q115_pq_encode" -> pqEncodeSql(m = 4, sub = 16, cells = 16),
 
     "q116_pq_adc" -> pqAdcSql(m = 4, sub = 16, cells = 16, k = 5,

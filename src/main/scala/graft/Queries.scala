@@ -2193,5 +2193,38 @@ object Queries {
           col("pred_label"), col("votes"),
           (col("pred_label") === col("true_label")).as("correct"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- per-language tokenizer fertility ------------------------------
+    "q152_tokenizer_fertility" -> ((s, d) => {
+      // tokens-per-word by language under the trained 5-merge BPE —
+      // the fairness audit run before fixing a token budget across
+      // languages (a high-fertility language pays more tokens for the
+      // same text). All integer sums; one corpus scan via the shared
+      // encodeStats artifact chain
+      val docs = t(s, d, "documents")
+      graft.operators.Bpe.encodeStats(docs, "doc_id", "text",
+          merges = 5)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(col("n_words")).as("n_words"))
+        .withColumn("fertility",
+          dround(col("n_bpe_tokens").cast("double") /
+            greatest(col("n_words"), lit(1L)).cast("double"), 4)
+            + lit(0))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- multi-epoch training order ------------------------------------
+    "q153_epoch_orders" -> ((s, d) => {
+      // 3 independent deterministic permutations (epoch folded into
+      // the hash seed): the multi-epoch data-loader address space,
+      // reproducible and resumable at any (epoch, shard, pos)
+      graft.operators.ShardExport.multiEpochOrder(
+        t(s, d, "documents"), "doc_id", seed = 42L, shards = 8,
+        epochs = 3)
+        .orderBy(col("doc_id"), col("epoch"))
     }))
 }

@@ -140,6 +140,20 @@ object Bm25Index {
     }
   }
 
+  /** Maintenance: bin-pack every component table's small files
+    * ([[graft.core.VersionedTable.compact]]). Each streaming batch /
+    * incremental update appends one small commit dir to `postings` and
+    * `doclen` — after N batches a search opens O(N) files per table;
+    * periodic compaction restores O(size/target) files while time
+    * travel and concurrent readers keep working (compaction is a new
+    * version; it loses any race with a real ingest on purpose). */
+  def compactIndex(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    Seq(postingsPath(path), doclenPath(path), termstatsPath(path),
+      statsPath(path))
+      .foreach(VersionedTable.compact(spark, _, targetBytes))
+  }
+
   /** BM25 top-k straight off the persisted index — no tokenization of
     * anything but the (tiny) query strings.
     *

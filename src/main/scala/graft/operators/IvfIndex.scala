@@ -58,6 +58,17 @@ object IvfIndex {
       assign(batch, idCol, vecCol, codebook), assignedPath(path))
   }
 
+  /** Maintenance: bin-pack the assignment table's accumulated small
+    * commit files (every admitted batch appends one); the codebook is
+    * a single tiny file and never needs it. Same semantics as
+    * [[Bm25Index.compactIndex]]: a new version, race-safe, time travel
+    * intact. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    VersionedTable.compact(spark, assignedPath(path), targetBytes)
+    ()
+  }
+
   private def assign(df: DataFrame, idCol: String, vecCol: String,
       codebook: Array[Array[Double]]): DataFrame =
     SimilarityOps.assignCells(

@@ -50,6 +50,34 @@ object ShardExport {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Multi-epoch variant of [[trainingOrder]]: one independent
+    * deterministic permutation PER EPOCH (epoch folded into the hash
+    * seed), so a multi-epoch training run sees genuinely different
+    * data orders — repeating epoch 0's order every epoch measurably
+    * hurts convergence — while staying fully reproducible and
+    * resumable from any (epoch, shard, pos) address.
+    *
+    * Same shape as the single-epoch form, ×`epochs`: the epoch column
+    * comes from an in-row explode (no extra scan of the corpus per
+    * epoch), each (epoch, shard) partition sorts its own hash-sized
+    * slice, no global sort. */
+  def multiEpochOrder(df: DataFrame, idCol: String, seed: Long,
+      shards: Int, epochs: Int): DataFrame = {
+    require(shards > 0 && epochs > 0)
+    val withEpoch = df.select(col(idCol),
+      explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+    val h = conv(substring(md5(concat(lit(s"$seed:"),
+      col("epoch").cast("string"), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    withEpoch.withColumn("order_key", h)
+      .withColumn("shard", pmod(col("order_key"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("order_key"), col(idCol))).cast("long"))
+      .select(col(idCol), col("epoch"), col("shard"), col("pos"))
+  }
+
   /** Shard audit: per output file, its row count and key range —
     * the loader-facing manifest, and the proof that shard ranges do
     * not overlap. */

@@ -102,6 +102,17 @@ class RetrievalGraphSpec extends SparkTestBase {
     val full2 = rows(Bm25.topK(docs.union(more), "doc_id", "text",
       qs, "query_id", "qtext", k = 10))
     assert(incremental2 == full2)
+    // maintenance: compaction bin-packs the appended postings files;
+    // search results are identical off the compacted layout
+    val postingsBefore = graft.core.VersionedTable.files(
+      spark, s"$path/postings").size
+    graft.operators.Bm25Index.compactIndex(spark, path)
+    val postingsAfter = graft.core.VersionedTable.files(
+      spark, s"$path/postings").size
+    assert(postingsAfter < postingsBefore)
+    val compacted = rows(graft.operators.Bm25Index.searchFrom(
+      spark, path, qs, "query_id", "qtext", "doc_id", k = 10))
+    assert(compacted == full2)
   }
 
   test("hard negatives: positive and its near-dups are excluded") {

@@ -85,4 +85,27 @@ class SessionizeShardSpec extends SparkTestBase {
       shards = 4).as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(!a.sameElements(c))
   }
+
+  test("multi-epoch order: per-epoch bijections, epochs differ, " +
+      "epoch 0 ≠ a reshuffle of itself") {
+    val ids = (1L to 200L).toDF("doc_id")
+    val o = ShardExport.multiEpochOrder(ids, "doc_id", seed = 7L,
+      shards = 4, epochs = 3)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(o.length == 600)
+    // each (epoch, shard) is a contiguous 1..n position space
+    o.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(1L to rows.length))
+    }
+    // epochs produce genuinely different addresses for the same doc
+    val byDoc = o.groupBy(_._1).values
+    assert(byDoc.exists(rows =>
+      rows.map(t => (t._3, t._4)).distinct.length > 1))
+    // and epoch 0 equals the run-again epoch 0 (determinism)
+    val o2 = ShardExport.multiEpochOrder(ids, "doc_id", seed = 7L,
+      shards = 4, epochs = 3)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(o.sortBy(t => (t._1, t._2)).sameElements(
+      o2.sortBy(t => (t._1, t._2))))
+  }
 }
