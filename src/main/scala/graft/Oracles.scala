@@ -353,12 +353,15 @@ object Oracles {
     * (query_id, doc_id, score, rn over ALL matched docs). `qrawSql` is
     * a CTE body producing (query_id BIGINT, token) — the tokenized
     * query set. */
-  private def bm25Ctes(qrawSql: String): String =
-      s"""toks AS (
+  private def bm25Ctes(qrawSql: String,
+      corpusSql: String = "SELECT doc_id, text FROM documents")
+      : String =
+      s"""corpus AS ($corpusSql),
+        |toks AS (
         |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
         |    ELSE string_split_regex(trim(lower(text)), '\\s+') END)
         |    AS token
-        |  FROM documents),
+        |  FROM corpus),
         |tf AS (SELECT doc_id, token, count(*) AS tf
         |  FROM toks GROUP BY 1, 2),
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
@@ -410,6 +413,128 @@ object Oracles {
     "WITH " + bm25Ctes(bm25LiteralQueries) + """
       |SELECT query_id, doc_id, score, rn FROM ranked
       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+
+  /** Hybrid-retrieval CTE chain shared by q146/q154: the full BM25
+    * chain (bm25Ctes over the derived queries) + the dense hashed-
+    * vector side reusing the same toks/tf/dfreq postings + 1/(60+rank)
+    * RRF fusion. Ends at `hout(query_id, doc_id, rrf, rank_sparse,
+    * rank_dense, rn)` over the fused candidate set; also leaves
+    * hbb/hnorm (corpus bucket vectors) for consumers needing dense
+    * vectors. */
+  private lazy val hybridFusedCtes: String =
+    "WITH " + bm25Ctes(bm25DerivedQueries) + """,
+      |hn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |hsc AS (
+      |  SELECT doc_id, token,
+      |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4)
+      |      AS tfidf
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN hn),
+      |hbb AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64
+      |      AS bucket,
+      |    sum(CAST(round(tfidf * 10000.0, 0) AS BIGINT)) AS ws
+      |  FROM hsc GROUP BY 1, 2),
+      |hnorm AS (SELECT doc_id, sum(ws * ws) AS n2
+      |  FROM hbb GROUP BY 1),
+      |qtf AS (SELECT query_id, token, count(*) AS tf
+      |  FROM qraw GROUP BY 1, 2),
+      |qsc AS (
+      |  SELECT query_id, token,
+      |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4)
+      |      AS tfidf
+      |  FROM qtf JOIN dfreq USING (token) CROSS JOIN hn),
+      |qbb AS (
+      |  SELECT query_id,
+      |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64
+      |      AS bucket,
+      |    sum(CAST(round(tfidf * 10000.0, 0) AS BIGINT)) AS ws
+      |  FROM qsc GROUP BY 1, 2),
+      |qnorm AS (SELECT query_id, sum(ws * ws) AS n2
+      |  FROM qbb GROUP BY 1),
+      |dnum AS (
+      |  SELECT q.query_id, h.doc_id, sum(q.ws * h.ws) AS num
+      |  FROM qbb q JOIN hbb h USING (bucket) GROUP BY 1, 2),
+      |dsc AS (
+      |  SELECT d.query_id, d.doc_id,
+      |    CAST(num AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE))
+      |      * sqrt(CAST(hn2.n2 AS DOUBLE))) AS cs
+      |  FROM dnum d JOIN qnorm qn USING (query_id)
+      |  JOIN hnorm hn2 USING (doc_id)),
+      |dranked AS (
+      |  SELECT query_id, doc_id, CAST(row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cs DESC, doc_id)
+      |    AS INTEGER) AS rn
+      |  FROM dsc),
+      |fused AS (
+      |  SELECT coalesce(s.query_id, dd.query_id) AS query_id,
+      |    coalesce(s.doc_id, dd.doc_id) AS doc_id,
+      |    coalesce(1.0 / (60 + s.rn), 0.0)
+      |      + coalesce(1.0 / (60 + dd.rn), 0.0) AS rrf,
+      |    s.rn AS rank_sparse, dd.rn AS rank_dense
+      |  FROM (SELECT query_id, doc_id, rn FROM ranked
+      |    WHERE rn <= 20) s
+      |  FULL JOIN (SELECT query_id, doc_id, rn FROM dranked
+      |    WHERE rn <= 20) dd
+      |    ON s.query_id = dd.query_id AND s.doc_id = dd.doc_id),
+      |hout AS MATERIALIZED (
+      |  SELECT query_id, doc_id, rrf, rank_sparse, rank_dense,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
+      |  FROM fused)""".stripMargin
+
+  /** Unrolled greedy MMR tail shared by q149/q154: assumes CTEs
+    * `sl(query_id, neighbor_id, rel)` (the shortlist) and
+    * `ps(query_id, i, j, sim)` (candidate pair sims) exist; emits the
+    * k selection rounds (round 1 = argmax 0.7*rel; later rounds score
+    * 0.7*rel - (1.0-0.7)*max sim to selected, ties -> smaller id) and
+    * the final (query_id, neighbor_id, mmr_score, rn) SELECT. */
+  private def mmrUnrolledTail(k: Int): String = {
+    val rounds = (2 to k).map { i =>
+      s""",
+         |s$i AS (
+         |  SELECT query_id, neighbor_id, mmr, $i AS rn FROM (
+         |    SELECT c.query_id, c.neighbor_id,
+         |      0.7 * c.rel - (1.0 - 0.7) * coalesce(mx.msim, 0.0)
+         |        AS mmr,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY 0.7 * c.rel
+         |          - (1.0 - 0.7) * coalesce(mx.msim, 0.0) DESC,
+         |          c.neighbor_id) AS rk
+         |    FROM sl c
+         |    LEFT JOIN (
+         |      SELECT ps.query_id, ps.i AS neighbor_id,
+         |        max(ps.sim) AS msim
+         |      FROM ps JOIN sel${i - 1} s
+         |        ON ps.query_id = s.query_id
+         |        AND ps.j = s.neighbor_id
+         |      GROUP BY 1, 2) mx
+         |      ON mx.query_id = c.query_id
+         |      AND mx.neighbor_id = c.neighbor_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+         |      WHERE s2.query_id = c.query_id
+         |      AND s2.neighbor_id = c.neighbor_id))
+         |  WHERE rk = 1),
+         |sel$i AS (SELECT query_id, neighbor_id FROM sel${i - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM s$i)""".stripMargin
+    }.mkString
+    """,
+      |s1 AS (
+      |  SELECT query_id, neighbor_id, mmr, 1 AS rn FROM (
+      |    SELECT query_id, neighbor_id, 0.7 * rel AS mmr,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY 0.7 * rel DESC, neighbor_id) AS rk
+      |    FROM sl) WHERE rk = 1),
+      |sel1 AS (SELECT query_id, neighbor_id FROM s1)""".stripMargin +
+      rounds + ("""
+      |SELECT query_id, neighbor_id, round(mmr, 4) + 0 AS mmr_score,
+      |  rn
+      |FROM (""".stripMargin +
+      (1 to k).map(i => s"SELECT * FROM s$i").mkString(
+        "", " UNION ALL ", ")") + """
+      |ORDER BY query_id, rn""".stripMargin)
+  }
 
   /** PageRank power-iteration CTE rounds (no leading WITH): assumes a
     * CTE `e(src, dst, w)` exists; defines nodes/outw/n/r0 and
@@ -2086,6 +2211,38 @@ object Oracles {
     // full-corpus BM25 result — same oracle as q135 by construction
     "q139_bm25_incremental" -> bm25FullCorpus,
 
+    // q155: passage-level retrieval with doc-level max-pooling — the
+    // long-document RAG shape: BM25 over 16-token chunks (overlap 4),
+    // per-doc best passage, top-5 docs. The corpus fed to the BM25
+    // chain is the CHUNK table (cid = doc_id*1000 + chunk_idx)
+    "q155_passage_search" -> ("WITH " + bm25Ctes(bm25DerivedQueries,
+      corpusSql = """SELECT doc_id * 1000 + chunk_idx AS doc_id,
+        |      chunk_text AS text FROM (
+        |    SELECT doc_id, CAST(s // 12 AS INT) AS chunk_idx,
+        |      array_to_string(list_slice(toks0, s + 1, s + 16), ' ')
+        |        AS chunk_text
+        |    FROM (
+        |      SELECT doc_id, toks0, unnest(range(0, len(toks0), 12))
+        |        AS s
+        |      FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |          ELSE string_split_regex(trim(text), '\s+') END
+        |          AS toks0 FROM documents)
+        |      WHERE len(toks0) > 0))""".stripMargin) + """,
+      |dh AS (
+      |  SELECT query_id, doc_id // 1000 AS doc_id, score
+      |  FROM ranked WHERE rn <= 50),
+      |agg AS (
+      |  SELECT query_id, doc_id, max(score) AS best_score,
+      |    CAST(count(*) AS BIGINT) AS n_passages
+      |  FROM dh GROUP BY 1, 2),
+      |fin AS (
+      |  SELECT query_id, doc_id, best_score, n_passages,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY best_score DESC, doc_id) AS INTEGER) AS rn
+      |  FROM agg)
+      |SELECT query_id, doc_id, best_score, n_passages, rn
+      |FROM fin WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+
     // q146: hybrid retrieval — the BM25 chain (bm25Ctes: toks/tf/dl/
     // dfreq/stats/qraw/ranked) plus a dense side reusing the SAME
     // toks/tf/dfreq postings, replicating HashingVectorizer's scaled-
@@ -2093,69 +2250,42 @@ object Oracles {
     // fused by 1/(60+rank). Both engines compute the two IEEE
     // divisions and one fixed-order add on integer ranks, so the
     // fusion scores are bit-identical.
-    "q146_hybrid_rrf" -> ("WITH " + bm25Ctes(bm25DerivedQueries) + """,
-      |hn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-      |hsc AS (
-      |  SELECT doc_id, token,
-      |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4)
-      |      AS tfidf
-      |  FROM tf JOIN dfreq USING (token) CROSS JOIN hn),
-      |hbb AS (
-      |  SELECT doc_id,
-      |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64
-      |      AS bucket,
-      |    sum(CAST(round(tfidf * 10000.0, 0) AS BIGINT)) AS ws
-      |  FROM hsc GROUP BY 1, 2),
-      |hnorm AS (SELECT doc_id, sum(ws * ws) AS n2
-      |  FROM hbb GROUP BY 1),
-      |qtf AS (SELECT query_id, token, count(*) AS tf
-      |  FROM qraw GROUP BY 1, 2),
-      |qsc AS (
-      |  SELECT query_id, token,
-      |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4)
-      |      AS tfidf
-      |  FROM qtf JOIN dfreq USING (token) CROSS JOIN hn),
-      |qbb AS (
-      |  SELECT query_id,
-      |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64
-      |      AS bucket,
-      |    sum(CAST(round(tfidf * 10000.0, 0) AS BIGINT)) AS ws
-      |  FROM qsc GROUP BY 1, 2),
-      |qnorm AS (SELECT query_id, sum(ws * ws) AS n2
-      |  FROM qbb GROUP BY 1),
-      |dnum AS (
-      |  SELECT q.query_id, h.doc_id, sum(q.ws * h.ws) AS num
-      |  FROM qbb q JOIN hbb h USING (bucket) GROUP BY 1, 2),
-      |dsc AS (
-      |  SELECT d.query_id, d.doc_id,
-      |    CAST(num AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE))
-      |      * sqrt(CAST(hn2.n2 AS DOUBLE))) AS cs
-      |  FROM dnum d JOIN qnorm qn USING (query_id)
-      |  JOIN hnorm hn2 USING (doc_id)),
-      |dranked AS (
-      |  SELECT query_id, doc_id, CAST(row_number() OVER (
-      |      PARTITION BY query_id ORDER BY cs DESC, doc_id)
-      |    AS INTEGER) AS rn
-      |  FROM dsc),
-      |fused AS (
-      |  SELECT coalesce(s.query_id, dd.query_id) AS query_id,
-      |    coalesce(s.doc_id, dd.doc_id) AS doc_id,
-      |    coalesce(1.0 / (60 + s.rn), 0.0)
-      |      + coalesce(1.0 / (60 + dd.rn), 0.0) AS rrf,
-      |    s.rn AS rank_sparse, dd.rn AS rank_dense
-      |  FROM (SELECT query_id, doc_id, rn FROM ranked
-      |    WHERE rn <= 20) s
-      |  FULL JOIN (SELECT query_id, doc_id, rn FROM dranked
-      |    WHERE rn <= 20) dd
-      |    ON s.query_id = dd.query_id AND s.doc_id = dd.doc_id)
+    "q146_hybrid_rrf" -> (hybridFusedCtes + """
       |SELECT query_id, doc_id, round(rrf, 6) + 0 AS rrf_score,
       |  rank_sparse, rank_dense, rn
-      |FROM (
-      |  SELECT query_id, doc_id, rrf, rank_sparse, rank_dense,
-      |    CAST(row_number() OVER (PARTITION BY query_id
-      |      ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
-      |  FROM fused)
-      |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+      |FROM hout WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+
+    // q154: the RAG context-assembly capstone — hybrid top-10 (the
+    // full q146 chain) re-ranked by 5 unrolled MMR rounds over the
+    // hashed dense vectors, rel = the 6-dp fused score
+    "q154_rag_context" -> (hybridFusedCtes + """,
+      |w AS (
+      |  SELECT doc_id, bucket,
+      |    round(CAST(ws AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 6) + 0
+      |      AS weight
+      |  FROM hbb JOIN hnorm USING (doc_id)),
+      |grid AS (
+      |  SELECT doc_id, unnest(range(0, 64)) AS b
+      |  FROM (SELECT DISTINCT doc_id FROM w)),
+      |dense0 AS (
+      |  SELECT g.doc_id, g.b, coalesce(w.weight, 0.0) AS x
+      |  FROM grid g LEFT JOIN w
+      |    ON w.doc_id = g.doc_id AND w.bucket = g.b),
+      |dv AS (
+      |  SELECT doc_id, list(x ORDER BY b) AS vv
+      |  FROM dense0 GROUP BY doc_id),
+      |sl AS MATERIALIZED (
+      |  SELECT query_id, doc_id AS neighbor_id,
+      |    round(rrf, 6) + 0 AS rel
+      |  FROM hout WHERE rn <= 10),
+      |ps AS MATERIALIZED (
+      |  SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+      |    list_cosine_similarity(vi.vv, vj.vv) AS sim
+      |  FROM sl a JOIN sl b ON a.query_id = b.query_id
+      |    AND a.neighbor_id <> b.neighbor_id
+      |  JOIN dv vi ON vi.doc_id = a.neighbor_id
+      |  JOIN dv vj ON vj.doc_id = b.neighbor_id)""".stripMargin +
+      mmrUnrolledTail(5)),
 
     // q147: nearest-centroid classification — per-label 6-dp-rounded
     // mean centroids on the 80% slice (the k-means means discipline),
@@ -2196,35 +2326,7 @@ object Oracles {
     // 0.7·rel − (1.0−0.7)·max_sim (the (1.0 - 0.7) form keeps the
     // IEEE constant identical to Spark's `lit(1.0 - lambda)`),
     // argmax ties → smaller id.
-    "q149_mmr_rerank" -> {
-      val rounds = (2 to 5).map { i =>
-        s""",
-           |s$i AS (
-           |  SELECT query_id, neighbor_id, mmr, $i AS rn FROM (
-           |    SELECT c.query_id, c.neighbor_id,
-           |      0.7 * c.rel - (1.0 - 0.7) * coalesce(mx.msim, 0.0)
-           |        AS mmr,
-           |      row_number() OVER (PARTITION BY c.query_id
-           |        ORDER BY 0.7 * c.rel
-           |          - (1.0 - 0.7) * coalesce(mx.msim, 0.0) DESC,
-           |          c.neighbor_id) AS rk
-           |    FROM sl c
-           |    LEFT JOIN (
-           |      SELECT ps.query_id, ps.i AS neighbor_id,
-           |        max(ps.sim) AS msim
-           |      FROM ps JOIN sel${i - 1} s
-           |        ON ps.query_id = s.query_id
-           |        AND ps.j = s.neighbor_id
-           |      GROUP BY 1, 2) mx
-           |      ON mx.query_id = c.query_id
-           |      AND mx.neighbor_id = c.neighbor_id
-           |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
-           |      WHERE s2.query_id = c.query_id
-           |      AND s2.neighbor_id = c.neighbor_id))
-           |  WHERE rk = 1),
-           |sel$i AS (SELECT query_id, neighbor_id FROM sel${i - 1}
-           |  UNION ALL SELECT query_id, neighbor_id FROM s$i)""".stripMargin
-      }.mkString
+    "q149_mmr_rerank" -> (
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
         |  FROM embeddings),
@@ -2244,22 +2346,8 @@ object Oracles {
         |  FROM sl a JOIN sl b ON a.query_id = b.query_id
         |    AND a.neighbor_id <> b.neighbor_id
         |  JOIN v vi ON vi.vec_id = a.neighbor_id
-        |  JOIN v vj ON vj.vec_id = b.neighbor_id),
-        |s1 AS (
-        |  SELECT query_id, neighbor_id, mmr, 1 AS rn FROM (
-        |    SELECT query_id, neighbor_id, 0.7 * rel AS mmr,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY 0.7 * rel DESC, neighbor_id) AS rk
-        |    FROM sl) WHERE rk = 1),
-        |sel1 AS (SELECT query_id, neighbor_id FROM s1)""".stripMargin +
-        rounds + """
-        |SELECT query_id, neighbor_id, round(mmr, 4) + 0 AS mmr_score,
-        |  rn
-        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
-        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
-        |  UNION ALL SELECT * FROM s5)
-        |ORDER BY query_id, rn""".stripMargin
-    },
+        |  JOIN v vj ON vj.vec_id = b.neighbor_id)""".stripMargin +
+        mmrUnrolledTail(5)),
 
 
     "q133_blocklist_table" ->

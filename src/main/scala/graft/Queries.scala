@@ -2226,5 +2226,68 @@ object Queries {
         t(s, d, "documents"), "doc_id", seed = 42L, shards = 8,
         epochs = 3)
         .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // ---- RAG context assembly capstone --------------------------------
+    "q154_rag_context" -> ((s, d) => {
+      // the full retrieval stack end-to-end, as a RAG serving layer
+      // would run it: sparse BM25 + dense hashed-vector retrieval,
+      // RRF-fused to a 10-doc candidate set, MMR-diversified (λ=0.7,
+      // rel = fused score, sims over the shared dense-vector artifact)
+      // down to the final 5-doc context. Every stage keeps its own
+      // scale shape; the composition adds only shortlist-sized frames
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            TextFunctions.tokens(lower(col("text"))), 1, 8)).as("qtext"))
+      val sparse = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 20)
+      val dense = graft.operators.HashingVectorizer.textTopKFor(
+        docs, "doc_id", "text", qs, "query_id", "qtext",
+        k = 20, dim = 64)
+      val fused = graft.operators.HybridSearch.rrf(sparse, "doc_id",
+        dense, "neighbor_id", k = 10)
+      val dv = graft.operators.HashingVectorizer.denseVectors(
+        docs, "doc_id", "text", dim = 64)
+      graft.operators.MmrRerank.rerank(
+        fused.select(col("query_id"),
+          col("doc_id").as("neighbor_id"), col("rrf_score")),
+        "rrf_score", dv, "doc_id", "vec", k = 5, lambda = 0.7)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // ---- passage-level retrieval, doc-level max-pool ------------------
+    "q155_passage_search" -> ((s, d) => {
+      // the long-document RAG shape: chunk into overlapping passages
+      // (16 tokens, overlap 4), BM25 over the passage table, keep each
+      // doc's best passage score, rank docs. Chunking is a pure
+      // explode; the passage index inherits BM25's postings shapes
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            TextFunctions.tokens(lower(col("text"))), 1, 8)).as("qtext"))
+      val chunks = graft.operators.Chunking.chunkTokens(
+          docs, "doc_id", "text", chunkSize = 16, overlap = 4)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+          col("chunk_text"))
+      val hits = graft.operators.Bm25.topK(chunks, "cid", "chunk_text",
+        qs, "query_id", "qtext", k = 50)
+      val byDoc = hits
+        .select(col("query_id"), expr("cid DIV 1000").as("doc_id"),
+          col("score"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(max(col("score")).as("best_score"),
+          count(lit(1)).as("n_passages"))
+      graft.functions.TopKByScore.explodeTopK(byDoc,
+          Seq("query_id"), col("best_score"), col("doc_id"), 5,
+          outId = "doc_id", outScore = "best_score")
+        .join(byDoc.select(col("query_id"), col("doc_id"),
+          col("n_passages")), Seq("query_id", "doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          (dround(col("best_score"), 4) + lit(0)).as("best_score"),
+          col("n_passages"), col("rn"))
+        .orderBy(col("query_id"), col("rn"))
     }))
 }

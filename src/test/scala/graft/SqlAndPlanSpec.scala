@@ -94,7 +94,9 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q142_retrieval_metrics", // same bm25 candidate stage feeding the eval join
       "q145_syndication_rank", // PageRank's 1-row scalar-attach per round
       "q146_hybrid_rrf", // q135's scalar-attach in the sparse half + 1-row corpus N on the query vectors
-      "q149_mmr_rerank") // shortlist feed is q28's deliberate broadcast-queries baseline
+      "q149_mmr_rerank", // shortlist feed is q28's deliberate broadcast-queries baseline
+      "q154_rag_context", // composes q146's scalar-attach stages
+      "q155_passage_search") // bm25 scalar-attach over the chunk table
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
