@@ -23,8 +23,15 @@ object ManifestStats {
     * envelope, stringified so a single manifest covers heterogeneous
     * column types (the consumer compares typed via `pruneFiles`). */
   def build(spark: SparkSession, path: String, cols: Seq[String])
-      : DataFrame = {
-    val df = spark.read.parquet(path)
+      : DataFrame =
+    buildFiles(spark, Seq(path), cols)
+
+  /** [[build]] over an explicit file list — the versioned-table form
+    * ([[VersionedTable.publishStats]] passes one version's manifest
+    * files, so stats are computed for exactly that snapshot). */
+  def buildFiles(spark: SparkSession, paths: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(paths: _*)
     val perFile = df
       .select(input_file_name().as("file") +: cols.map(col): _*)
       .groupBy(col("file"))

@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** A minimal versioned table format: immutable data files + numbered
   * manifest files — the mechanism behind Delta/Iceberg time travel,
@@ -411,6 +412,105 @@ object VersionedTable {
       try f.create(marker, false).close()
       catch { case _: java.io.IOException => () } // lost claim: done
     }
+  }
+
+  /** MERGE upsert as a new version (the Delta `whenMatchedUpdateAll.
+    * whenNotMatchedInsertAll` shape on this format — ref:
+    * 03_silver_smartpool.ipynb §4): rows of the latest snapshot whose
+    * `keyCols` collide with `df` are replaced by `df`'s rows, new keys
+    * are inserted. Optimistic concurrency like Delta's: the merge is
+    * computed against a pinned snapshot and publishes with a
+    * no-blind-retry claim on exactly the NEXT version — if a
+    * concurrent commit wins the version, the merge RECOMPUTES against
+    * the winner's snapshot and tries again (never silently dropping
+    * the concurrent commit, which a blind overwrite-retry would).
+    *
+    * Shape at scale: one left-anti join on the keys (the standard
+    * no-Delta MERGE fallback, `ops/Dedup.upsert`) + a rewrite of the
+    * table. Like any copy-on-write MERGE, cost is proportional to the
+    * table, not the batch — for high-frequency small upserts, append a
+    * change log and compact instead ([[graft.ops.Cdc]]). */
+  def commitMerge(df: DataFrame, path: String,
+      keyCols: Seq[String]): Int = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20,
+        s"gave up merging into $path after 20 version races")
+      val vPrev = latestVersion(spark, path)
+      if (vPrev == 0) return commitOverwrite(df, path)
+      try {
+        val cur = read(spark, path, Some(vPrev))
+        val merged = cur.join(
+            df.select(keyCols.map(col(_)): _*).distinct(),
+            keyCols, "left_anti")
+          .unionByName(df)
+        val commitDir = s"$path/data/${java.util.UUID.randomUUID()}"
+        merged.write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
+        val newFiles = f.listStatus(new Path(commitDir))
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .map(_.getPath.toString).toSeq
+        val written = (newFiles :+ Terminator).toList
+        val target = manifestPath(path, vPrev + 1)
+        f.mkdirs(new Path(manifestDir(path)))
+        try {
+          val out = atomicClaim(f, target)
+          try out.write(written.mkString("", "\n", "\n")
+            .getBytes("UTF-8"))
+          finally out.close()
+          verifyOwnPublish(spark, f, target, written)
+          return vPrev + 1
+        } catch {
+          case _: java.io.IOException =>
+            // lost the version to a concurrent commit: the snapshot we
+            // merged against is stale — drop the rewrite, recompute
+            f.delete(new Path(commitDir), true)
+        }
+      } catch {
+        case _: IllegalStateException =>
+          reclaimIfStale(spark, f, manifestPath(path, vPrev))
+      }
+    }
+    -1 // unreachable
+  }
+
+  private def statsDir(path: String, v: Int) =
+    f"$path%s/_stats/v$v%05d"
+
+  /** Persist a per-file min/max/null-count stats manifest for one
+    * version — the Delta-log data-skipping stats, as a sidecar table
+    * keyed by version (stats for an immutable snapshot are themselves
+    * immutable). One scan of the version's files
+    * ([[ManifestStats.buildFiles]]); the manifest is files×columns
+    * rows. Returns the manifest path. */
+  def publishStats(spark: SparkSession, path: String,
+      cols: Seq[String], version: Option[Int] = None): String = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    require(v > 0, s"$path has no committed data to profile")
+    val out = statsDir(path, v)
+    ManifestStats.buildFiles(spark, files(spark, path, Some(v)), cols)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    out
+  }
+
+  /** Range-predicate read with file skipping: scan only the files of
+    * `version` whose [min, max] envelope for `colName` intersects
+    * [lo, hi], using the [[publishStats]] sidecar (built on the fly if
+    * the version has none — one extra scan, the cost a caller avoids
+    * by publishing stats at commit time). The caller re-applies the
+    * row-level predicate: skipping is file-granular. */
+  def readPruned(spark: SparkSession, path: String, colName: String,
+      lo: String, hi: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    val sp = statsDir(path, v)
+    val manifest =
+      if (fs(spark, path).exists(new Path(sp)))
+        spark.read.parquet(sp)
+      else ManifestStats.buildFiles(spark,
+        files(spark, path, Some(v)), Seq(colName))
+    ManifestStats.readPruned(spark, manifest, colName, lo, hi)
   }
 
   /** Small-file compaction (the OPTIMIZE bin-packing maintenance op):

@@ -105,7 +105,8 @@ object Bm25Index {
     * fixed, so a crash mid-rollback re-rolls harmlessly. The first
     * batch [[publish]]es, which is replay-safe as-is (all overwrites).
     */
-  def foreachBatchIngest(path: String, idCol: String, textCol: String)
+  def foreachBatchIngest(path: String, idCol: String, textCol: String,
+      compactEvery: Int = 0)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     val f = new org.apache.hadoop.fs.Path(path)
@@ -137,6 +138,12 @@ object Bm25Index {
         }
         ()
       }
+      // periodic maintenance OUTSIDE the txn journal: compaction is a
+      // pure layout optimization (a lost version race just skips it),
+      // so it needs no exactly-once protection — and it must not, or a
+      // replayed batch would block on an already-compacted layout
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        compactIndex(spark, path)
     }
   }
 

@@ -85,7 +85,7 @@ object IvfIndex {
     * a crash between the append and a bare marker would double-admit
     * the batch on replay, so the journal's rollback covers it too. */
   def foreachBatchIngest(path: String, idCol: String, vecCol: String,
-      cells: Int = 16, trainIters: Int = 0)
+      cells: Int = 16, trainIters: Int = 0, compactEvery: Int = 0)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     val f = new org.apache.hadoop.fs.Path(path)
@@ -112,6 +112,9 @@ object IvfIndex {
         }
         ()
       }
+      // layout maintenance outside the journal (see Bm25Index note)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        compactIndex(spark, path)
     }
   }
 

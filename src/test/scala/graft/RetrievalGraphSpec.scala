@@ -115,6 +115,29 @@ class RetrievalGraphSpec extends SparkTestBase {
     assert(compacted == full2)
   }
 
+  test("bm25 ingest sink auto-compacts every N batches") {
+    val path = graft.core.Scratch.root(spark.emptyDataFrame) +
+      s"/bm25idx_ac_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(path)
+    val sink = graft.operators.Bm25Index.foreachBatchIngest(
+      path, "doc_id", "text", compactEvery = 2)
+    // drive the sink directly (it is just a (batch, id) function):
+    // batch 0 publishes, 1-4 append; compaction fires at ids 2 and 4
+    (0 to 4).foreach { b =>
+      sink(Seq((b.toLong * 10, s"hash join batch $b words"))
+        .toDF("doc_id", "text"), b.toLong)
+    }
+    val postings = graft.core.VersionedTable.files(
+      spark, s"$path/postings")
+    // without compaction: 1 publish + 4 appends × shuffle files; with
+    // compactEvery=2 the tail stays bounded — and search still works
+    assert(postings.size <= 3)
+    val qs = Seq((0L, "hash join")).toDF("query_id", "qtext")
+    val res = graft.operators.Bm25Index.searchFrom(
+      spark, path, qs, "query_id", "qtext", "doc_id", k = 10)
+    assert(res.count() == 5) // all five docs matched "hash join"
+  }
+
   test("hard negatives: positive and its near-dups are excluded") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.core.VersionedTable
 
 /** Time travel on the manifest-based table format: every version stays
@@ -382,6 +384,71 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.compact(spark, path) == 3)
     // immediately re-compacting finds one packed file → no new version
     assert(VersionedTable.compact(spark, path) == 3)
+  }
+
+  test("commitMerge upserts matched keys, inserts new, keeps history") {
+    val path = tbl()
+    VersionedTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    val v = VersionedTable.commitMerge(
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), path, Seq("id"))
+    assert(v == 2)
+    val rows = VersionedTable.read(spark, path)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    // pre-merge snapshot intact
+    assert(VersionedTable.read(spark, path, Some(1))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // merge into an empty table is an overwrite-create
+    val p2 = tbl()
+    assert(VersionedTable.commitMerge(
+      Seq((9L, "z")).toDF("id", "v"), p2, Seq("id")) == 1)
+  }
+
+  test("commitMerge racing appenders never drops their rows") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appends = Future.traverse(Seq(10L, 11L))(i => Future {
+      VersionedTable.commitAppend(Seq((i, s"v$i")).toDF("id", "v"), path)
+    })
+    val merge = Future {
+      VersionedTable.commitMerge(
+        Seq((1L, "A1"), (2L, "b")).toDF("id", "v"), path, Seq("id"))
+    }
+    Await.result(appends, 120.seconds)
+    Await.result(merge, 120.seconds)
+    // whatever the interleaving: both appended rows present, id 1
+    // updated, id 2 inserted (the merge recomputes on a lost race)
+    val rows = VersionedTable.read(spark, path)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "A1"), (2L, "b"),
+      (10L, "v10"), (11L, "v11")))
+  }
+
+  test("publishStats + readPruned skip files outside the range") {
+    val path = tbl()
+    // three commits with disjoint ZERO-PADDED key ranges → disjoint
+    // file envelopes in string order (the manifest's comparison order)
+    def slab(lo: Int, hi: Int) =
+      (lo to hi).map(i => (f"k$i%03d", i.toLong)).toDF("id", "n")
+        .coalesce(1)
+    VersionedTable.commitAppend(slab(1, 10), path)
+    VersionedTable.commitAppend(slab(100, 110), path)
+    VersionedTable.commitAppend(slab(200, 210), path)
+    VersionedTable.publishStats(spark, path, Seq("id"))
+    val pruned = VersionedTable.readPruned(spark, path, "id",
+      "k100", "k110")
+    // file-granular skipping: only the middle commit's file is read
+    assert(pruned.select(input_file_name()).distinct().count() == 1)
+    assert(pruned.filter($"id".between("k100", "k110")).count() == 11)
+    // and a version without published stats builds them on the fly
+    val onTheFly = VersionedTable.readPruned(spark, path, "id",
+      "k200", "k210", version = Some(3))
+    assert(onTheFly.filter($"id" >= "k200").count() == 11)
   }
 
   test("compact racing real committers never loses a committed row") {
