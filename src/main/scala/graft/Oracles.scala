@@ -2287,6 +2287,28 @@ object Oracles {
       |  JOIN dv vj ON vj.doc_id = b.neighbor_id)""".stripMargin +
       mmrUnrolledTail(5)),
 
+    // q156: per-query A/B of rank-of-positive/rr/hit@5 for BM25-only
+    // vs the RRF hybrid — the positive is the query's source doc
+    // (doc_id = query_id), so both metric joins filter on it
+    "q156_hybrid_ab_eval" -> (hybridFusedCtes + """,
+      |qrels AS (SELECT DISTINCT query_id FROM qraw),
+      |ms AS (
+      |  SELECT q.query_id, s.rn AS sparse_rank FROM qrels q
+      |  LEFT JOIN (SELECT query_id, rn FROM ranked
+      |    WHERE doc_id = query_id AND rn <= 20) s USING (query_id)),
+      |mh AS (
+      |  SELECT q.query_id, h.rn AS hybrid_rank FROM qrels q
+      |  LEFT JOIN (SELECT query_id, rn FROM hout
+      |    WHERE doc_id = query_id AND rn <= 20) h USING (query_id))
+      |SELECT ms.query_id, sparse_rank,
+      |  coalesce(round(1.0 / sparse_rank, 6) + 0, 0.0) AS sparse_rr,
+      |  coalesce(sparse_rank <= 5, false) AS sparse_hit5,
+      |  hybrid_rank,
+      |  coalesce(round(1.0 / hybrid_rank, 6) + 0, 0.0) AS hybrid_rr,
+      |  coalesce(hybrid_rank <= 5, false) AS hybrid_hit5
+      |FROM ms JOIN mh USING (query_id)
+      |ORDER BY query_id""".stripMargin),
+
     // q147: nearest-centroid classification — per-label 6-dp-rounded
     // mean centroids on the 80% slice (the k-means means discipline),
     // held-out rows classified by cosine argmax (ties → smaller

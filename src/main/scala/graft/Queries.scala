@@ -2289,5 +2289,35 @@ object Queries {
           (dround(col("best_score"), 4) + lit(0)).as("best_score"),
           col("n_passages"), col("rn"))
         .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // ---- retrieval A/B eval: hybrid vs sparse-only --------------------
+    "q156_hybrid_ab_eval" -> ((s, d) => {
+      // does fusion beat BM25 alone? Rank-of-positive, reciprocal
+      // rank, and hit@5 per query for BOTH systems side by side — the
+      // A/B table a retrieval team reads before shipping the hybrid.
+      // Both metric joins are qrels-sized; the corpus is touched only
+      // by the two retrieval stages
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            TextFunctions.tokens(lower(col("text"))), 1, 8)).as("qtext"),
+          col("doc_id").as("pos_id"))
+      val sparse = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 20)
+      val dense = graft.operators.HashingVectorizer.textTopKFor(
+        docs, "doc_id", "text", qs, "query_id", "qtext",
+        k = 20, dim = 64)
+      val hybrid = graft.operators.HybridSearch.rrf(sparse, "doc_id",
+        dense, "neighbor_id", k = 20)
+      val ev = graft.operators.RetrievalMetrics
+      val ms = ev.evaluate(sparse, "doc_id", qs, "pos_id", k = 5)
+        .select(col("query_id"), col("pos_rank").as("sparse_rank"),
+          col("rr").as("sparse_rr"), col("hit_at_k").as("sparse_hit5"))
+      val mh = ev.evaluate(hybrid, "doc_id", qs, "pos_id", k = 5)
+        .select(col("query_id"), col("pos_rank").as("hybrid_rank"),
+          col("rr").as("hybrid_rr"), col("hit_at_k").as("hybrid_hit5"))
+      ms.join(mh, Seq("query_id")).orderBy(col("query_id"))
     }))
 }

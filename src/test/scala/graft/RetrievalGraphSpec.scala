@@ -115,6 +115,29 @@ class RetrievalGraphSpec extends SparkTestBase {
     assert(compacted == full2)
   }
 
+  test("bm25 search plan pins its snapshot against concurrent ingest") {
+    val docs = Seq(
+      (1L, "hash join strategies"),
+      (2L, "window aggregation")).toDF("doc_id", "text")
+    val path = graft.core.Scratch.root(docs) +
+      s"/bm25idx_iso_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(path)
+    graft.operators.Bm25Index.publish(docs, "doc_id", "text", path)
+    val qs = Seq((0L, "hash join")).toDF("query_id", "qtext")
+    // resolving the search frame pins every component version NOW
+    val pinned = graft.operators.Bm25Index.searchFrom(
+      spark, path, qs, "query_id", "qtext", "doc_id", k = 10)
+    // a strongly-matching doc lands AFTER the plan resolved
+    graft.operators.Bm25Index.update(
+      Seq((9L, "hash join hash join hash join")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(!pinned.collect().map(_.getLong(1)).contains(9L))
+    // a fresh search sees the ingested doc (and ranks it first)
+    val fresh = graft.operators.Bm25Index.searchFrom(
+      spark, path, qs, "query_id", "qtext", "doc_id", k = 10)
+    assert(fresh.collect().head.getLong(1) == 9L)
+  }
+
   test("bm25 ingest sink auto-compacts every N batches") {
     val path = graft.core.Scratch.root(spark.emptyDataFrame) +
       s"/bm25idx_ac_${java.util.UUID.randomUUID()}"

@@ -96,7 +96,8 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q146_hybrid_rrf", // q135's scalar-attach in the sparse half + 1-row corpus N on the query vectors
       "q149_mmr_rerank", // shortlist feed is q28's deliberate broadcast-queries baseline
       "q154_rag_context", // composes q146's scalar-attach stages
-      "q155_passage_search") // bm25 scalar-attach over the chunk table
+      "q155_passage_search", // bm25 scalar-attach over the chunk table
+      "q156_hybrid_ab_eval") // composes q146's scalar-attach stages twice
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
