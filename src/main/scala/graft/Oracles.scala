@@ -1267,6 +1267,36 @@ object Oracles {
         |SELECT query_id, doc_id, score, neg_rank FROM fin
         |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin),
 
+    // q157: q141's mining chain packed into one training-ready row per
+    // query — negatives csv'd in rank order, positive = the source doc
+    "q157_contrastive_triplets" -> (closureCtes() + ",\n" +
+      bm25Ctes(bm25DerivedQueries) + """,
+        |neg AS (
+        |  SELECT r.query_id, r.doc_id, r.rn
+        |  FROM ranked r
+        |  JOIN lab pl ON pl.doc_id = r.query_id
+        |  JOIN lab cl ON cl.doc_id = r.doc_id
+        |  WHERE r.rn <= 20 AND r.doc_id <> r.query_id
+        |    AND cl.cluster_id <> pl.cluster_id),
+        |fin AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rn) AS INTEGER) AS neg_rank
+        |  FROM neg),
+        |trip AS (
+        |  SELECT query_id,
+        |    string_agg(CAST(doc_id AS VARCHAR), ','
+        |      ORDER BY neg_rank) AS neg_ids_csv,
+        |    CAST(count(*) AS BIGINT) AS n_negs
+        |  FROM fin WHERE neg_rank <= 5 GROUP BY query_id)
+        |SELECT t.query_id,
+        |  array_to_string((CASE WHEN trim(d.text) = '' THEN []
+        |    ELSE string_split_regex(trim(lower(d.text)), '\s+')
+        |    END)[1:8], ' ') AS qtext,
+        |  t.query_id AS pos_id, t.neg_ids_csv, t.n_negs
+        |FROM trip t JOIN documents d ON d.doc_id = t.query_id
+        |ORDER BY t.query_id""".stripMargin),
+
     // q145: syndication graph — the closure's exact-jaccard pair CTE
     // (same LSH-recall argument as q44/q59) aggregated to canonical
     // cross-source edges, then the shared PageRank rounds

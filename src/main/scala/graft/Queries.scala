@@ -2319,5 +2319,25 @@ object Queries {
         .select(col("query_id"), col("pos_rank").as("hybrid_rank"),
           col("rr").as("hybrid_rr"), col("hit_at_k").as("hybrid_hit5"))
       ms.join(mh, Seq("query_id")).orderBy(col("query_id"))
+    }),
+
+    // ---- contrastive training triplets --------------------------------
+    "q157_contrastive_triplets" -> ((s, d) => {
+      // the export a DPR-style trainer reads: (anchor query, positive,
+      // rank-ordered hard negatives) — q141's mining packed into one
+      // row per query, negative order pinned in-row (never
+      // collect_list arrival order)
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(
+            TextFunctions.tokens(lower(col("text"))), 1, 8)).as("qtext"),
+          col("doc_id").as("pos_id"))
+      val cl = graft.operators.DedupClusters.clusterMap(
+        docs, "doc_id", "text", threshold = 0.95)
+      graft.operators.HardNegatives.triplets(docs, "doc_id", "text",
+        qs, "query_id", "qtext", "pos_id", cl,
+        n = 5, candidateK = 20)
+        .orderBy(col("query_id"))
     }))
 }

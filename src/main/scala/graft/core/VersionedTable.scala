@@ -429,7 +429,13 @@ object VersionedTable {
     * no-Delta MERGE fallback, `ops/Dedup.upsert`) + a rewrite of the
     * table. Like any copy-on-write MERGE, cost is proportional to the
     * table, not the batch — for high-frequency small upserts, append a
-    * change log and compact instead ([[graft.ops.Cdc]]). */
+    * change log and compact instead ([[graft.ops.Cdc]]).
+    *
+    * `df` carrying duplicate keys inserts ALL its rows (the snapshot's
+    * collisions are removed, the batch is taken as-is); dedup the
+    * batch first (`ops/DedupLatest`) when at-most-one-per-key is the
+    * contract — Delta's MERGE errors on multi-match for the same
+    * reason. */
   def commitMerge(df: DataFrame, path: String,
       keyCols: Seq[String]): Int = {
     val spark = df.sparkSession

@@ -60,4 +60,34 @@ object HardNegatives {
         col("neg_rank"))
       .orderBy(col("query_id"), col("neg_rank"))
   }
+
+  /** Training-ready contrastive triplets: one row per query with its
+    * positive and the mined negatives packed in rank order — the
+    * (anchor, positive, negatives) record a DPR/contrastive trainer
+    * consumes directly. Negative ids serialize to csv (the driver
+    * comparator hashes scalar cells); order is pinned by an in-row
+    * `array_sort` over (rank, id) structs, never by `collect_list`'s
+    * arrival order. One queries-sized aggregation over [[mine]]'s
+    * output. */
+  def triplets(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      posCol: String, clusterMap: DataFrame, n: Int,
+      candidateK: Int): DataFrame = {
+    val negs = mine(docs, idCol, textCol, queries, qIdCol, qTextCol,
+      posCol, clusterMap, n, candidateK)
+    negs
+      .groupBy(col("query_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("neg_rank"),
+            col(idCol).cast("long").as("neg_id")))),
+          x => x.getField("neg_id").cast("string")), ",")
+          .as("neg_ids_csv"),
+        count(lit(1)).as("n_negs"))
+      .join(queries.select(col(qIdCol).as("query_id"),
+        col(qTextCol).as("qtext"), col(posCol).as("pos_id")),
+        Seq("query_id"))
+      .select(col("query_id"), col("qtext"), col("pos_id"),
+        col("neg_ids_csv"), col("n_negs"))
+  }
 }

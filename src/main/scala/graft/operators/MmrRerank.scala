@@ -53,20 +53,23 @@ object MmrRerank {
         col(relCol).cast("double").as("__rel")),
       "mmr_cand")
     // candidate-candidate cosines within each query's shortlist:
-    // queries×n² rows, n = shortlist size — bounded by construction
+    // queries×n² rows, n = shortlist size — bounded by construction.
+    // k == 1 never consults the diversity term — skip the pair frame
     val ids = cand.select(col("query_id"), col("neighbor_id"))
-    val (pairs, pairsPath) = graft.core.Scratch.materializeWithPath(
-      ids.join(ids.withColumnRenamed("neighbor_id", "__other"),
-          Seq("query_id"))
-        .filter(col("neighbor_id") =!= col("__other"))
-        .join(vecs.withColumnRenamed("__vid", "neighbor_id"),
-          Seq("neighbor_id"))
-        .join(vecs.select(col("__vid").as("__other"),
-          col("__v").as("__v2")), Seq("__other"))
-        .select(col("query_id"), col("neighbor_id"), col("__other"),
-          graft.functions.CosineSim.column(col("__v"), col("__v2"))
-            .as("__sim")),
-      "mmr_pairs")
+    val (pairs, pairsPath) =
+      if (k == 1) (null: DataFrame, null: String)
+      else graft.core.Scratch.materializeWithPath(
+        ids.join(ids.withColumnRenamed("neighbor_id", "__other"),
+            Seq("query_id"))
+          .filter(col("neighbor_id") =!= col("__other"))
+          .join(vecs.withColumnRenamed("__vid", "neighbor_id"),
+            Seq("neighbor_id"))
+          .join(vecs.select(col("__vid").as("__other"),
+            col("__v").as("__v2")), Seq("__other"))
+          .select(col("query_id"), col("neighbor_id"), col("__other"),
+            graft.functions.CosineSim.column(col("__v"), col("__v2"))
+              .as("__sim")),
+        "mmr_pairs")
 
     // round 1: relevance argmax (score λ·rel — the selected set is
     // empty, so the diversity term is 0)
@@ -102,7 +105,7 @@ object MmrRerank {
     // the final selected table is materialized — the shortlist and
     // pair-sim scratch tables are no longer referenced
     graft.core.Scratch.drop(spark, candPath)
-    graft.core.Scratch.drop(spark, pairsPath)
+    if (pairsPath != null) graft.core.Scratch.drop(spark, pairsPath)
     selected.select(col("query_id"), col("neighbor_id"),
       (dround(col("__mmr"), 4) + lit(0)).as("mmr_score"), col("rn"))
   }

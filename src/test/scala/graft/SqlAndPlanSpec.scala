@@ -97,7 +97,8 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q149_mmr_rerank", // shortlist feed is q28's deliberate broadcast-queries baseline
       "q154_rag_context", // composes q146's scalar-attach stages
       "q155_passage_search", // bm25 scalar-attach over the chunk table
-      "q156_hybrid_ab_eval") // composes q146's scalar-attach stages twice
+      "q156_hybrid_ab_eval", // composes q146's scalar-attach stages twice
+      "q157_contrastive_triplets") // q141's bm25 scalar-attach in the candidate stage
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
