@@ -551,8 +551,17 @@ object VersionedTable {
     val f = fs(spark, path)
     val vPrev = latestVersion(spark, path)
     if (vPrev == 0) return 0
-    val sized = files(spark, path, Some(vPrev))
-      .map(p => (p, f.getFileStatus(new Path(p)).getLen))
+    val sized =
+      try files(spark, path, Some(vPrev))
+        .map(p => (p, f.getFileStatus(new Path(p)).getLen))
+      catch {
+        // latest is an ABANDONED half-publish (writer died between
+        // create and close): reclaim it like commit() does and skip
+        // this cycle — the next compact lands on the cleaned state
+        case _: IllegalStateException =>
+          reclaimIfStale(spark, f, manifestPath(path, vPrev))
+          return latestVersion(spark, path)
+      }
     val (small, big) = sized.partition(_._2 < targetBytes / 2)
     if (small.length < 2) return vPrev // nothing worth rewriting
     val totalSmall = small.map(_._2).sum

@@ -46,6 +46,11 @@ object CentroidClassifier {
       .collect()
       .map { r =>
         val m = r.getMap[Int, Double](1)
+        // dims must be contiguous 0..n-1 — a gap means the training
+        // vectors were ragged (different lengths per label)
+        require((0 until m.size).forall(m.contains),
+          s"label ${r.getInt(0)}: ragged training vectors " +
+            s"(dims ${m.keys.toSeq.sorted.mkString(",")})")
         (r.getInt(0), Array.tabulate(m.size)(m(_)))
       }
       .sortBy(_._1)
