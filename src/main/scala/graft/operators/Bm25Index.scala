@@ -147,6 +147,33 @@ object Bm25Index {
     }
   }
 
+  /** Streaming SERVING tap: each micro-batch of queries searches the
+    * index's current snapshot and appends the ranked results (plus
+    * `_batch_id`) to a versioned results log — the logging/eval side
+    * of a retrieval service (the log feeds [[RetrievalMetrics]],
+    * drift monitors, A/B tables). Per-batch idempotence and the
+    * batch-id column come from [[graft.core.VersionedTable
+    * .foreachBatchAppend]]'s marker protocol; each batch's search
+    * pins whatever index versions are current when it runs, so an
+    * ingest landing mid-stream changes results only from the NEXT
+    * batch on (the snapshot-isolation spec's guarantee, per batch). */
+  def foreachBatchServe(indexPath: String, logPath: String,
+      qIdCol: String, qTextCol: String, idCol: String, k: Int)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val inner = VersionedTable.foreachBatchAppend(logPath)
+    val spark = batch.sparkSession
+    // skip the search itself on a replayed batch — the marker check
+    // inside the append sink would drop the rows anyway, but only
+    // after paying for the search
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$logPath/_commits/b$batchId")
+    val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker)) {
+      inner(searchFrom(spark, indexPath, batch, qIdCol, qTextCol,
+        idCol, k), batchId)
+    }
+  }
+
   /** Maintenance: bin-pack every component table's small files
     * ([[graft.core.VersionedTable.compact]]). Each streaming batch /
     * incremental update appends one small commit dir to `postings` and

@@ -138,6 +138,39 @@ class RetrievalGraphSpec extends SparkTestBase {
     assert(fresh.collect().head.getLong(1) == 9L)
   }
 
+  test("bm25 serve sink logs ranked results exactly once per batch") {
+    val docs = Seq(
+      (1L, "hash join strategies"),
+      (2L, "window aggregation"),
+      (3L, "hash maps everywhere")).toDF("doc_id", "text")
+    val base = graft.core.Scratch.root(docs)
+    val idx = s"$base/bm25idx_srv_${java.util.UUID.randomUUID()}"
+    val log = s"$base/bm25log_srv_${java.util.UUID.randomUUID()}"
+    Seq(idx, log).foreach(graft.core.Scratch.registerForCleanup)
+    graft.operators.Bm25Index.publish(docs, "doc_id", "text", idx)
+    val serve = graft.operators.Bm25Index.foreachBatchServe(
+      idx, log, "query_id", "qtext", "doc_id", k = 3)
+    serve(Seq((0L, "hash join")).toDF("query_id", "qtext"), 0L)
+    serve(Seq((1L, "aggregation")).toDF("query_id", "qtext"), 1L)
+    def logRows() = graft.core.VersionedTable.read(spark, log)
+    assert(logRows().select("_batch_id").distinct().count() == 2)
+    val n = logRows().count()
+    // replaying a batch is a no-op (and skips the search entirely)
+    serve(Seq((1L, "aggregation")).toDF("query_id", "qtext"), 1L)
+    assert(logRows().count() == n)
+    // an ingest changes results from the NEXT batch on
+    graft.operators.Bm25Index.update(
+      Seq((9L, "hash join hash join")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    serve(Seq((2L, "hash join")).toDF("query_id", "qtext"), 2L)
+    val b2 = logRows().filter($"_batch_id" === 2L)
+      .orderBy($"rn").collect()
+    assert(b2.head.getLong(1) == 9L) // new doc ranks first
+    // batch 0's logged rows are untouched history
+    assert(!logRows().filter($"_batch_id" === 0L)
+      .collect().map(_.getLong(1)).contains(9L))
+  }
+
   test("bm25 ingest sink auto-compacts every N batches") {
     val path = graft.core.Scratch.root(spark.emptyDataFrame) +
       s"/bm25idx_ac_${java.util.UUID.randomUUID()}"
