@@ -1514,6 +1514,32 @@ object Oracles {
         |FROM lab JOIN sizes USING (cluster_id)
         |ORDER BY doc_id""".stripMargin),
 
+    // q158: the q148 weights fed to the q94 A-ES draw — inclusion
+    // probability ∝ 1/|cluster|; key math replayed exactly (the
+    // weight entering the division is the 6-dp-rounded q148 value)
+    "q158_soft_dedup_sample" -> (closureCtes() + """,
+        |sizes AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM lab GROUP BY 1),
+        |wts AS (
+        |  SELECT doc_id, cluster_id, cluster_size,
+        |    round(1.0 / cluster_size, 6) + 0 AS w
+        |  FROM lab JOIN sizes USING (cluster_id)),
+        |keyed AS (
+        |  SELECT doc_id, cluster_id, cluster_size,
+        |    ln((CAST(concat('0x', substring(
+        |          md5('softdedup:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 0.5) / 4294967296.0) / w AS k
+        |  FROM wts WHERE w > 0),
+        |drawn AS (
+        |  SELECT doc_id, cluster_id, cluster_size,
+        |    round(k, 6) AS sample_key,
+        |    CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT)
+        |      AS rn
+        |  FROM keyed)
+        |SELECT doc_id, cluster_id, cluster_size, sample_key, rn
+        |FROM drawn WHERE rn <= 25 ORDER BY rn""".stripMargin),
+
     // floor(x/s + 0.5) on both sides — engine-identical tie-break
     "q60_embedding_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x

@@ -2339,5 +2339,26 @@ object Queries {
         qs, "query_id", "qtext", "pos_id", cl,
         n = 5, candidateK = 20)
         .orderBy(col("query_id"))
+    }),
+
+    // ---- soft-dedup weighted sampling (end to end) --------------------
+    "q158_soft_dedup_sample" -> ((s, d) => {
+      // the q148 weights actually USED: an Efraimidis-Spirakis draw of
+      // 25 docs with inclusion probability ∝ 1/|cluster| — duplicates
+      // stay in the pool but a 3-doc cluster carries one doc's worth
+      // of mass. A-ES is scale-invariant, so the fractional weights
+      // draw correctly; the key math is plain SQL, replayed exactly
+      val docs = t(s, d, "documents")
+      val cl = graft.operators.DedupClusters.clusterMap(
+        docs, "doc_id", "text", threshold = 0.95)
+      val wts = graft.operators.DedupClusters
+        .duplicationWeights(cl, "doc_id")
+      graft.ops.DeterministicSample.weightedTopK(
+          wts, "doc_id", "weight", k = 25, seed = "softdedup")
+        .join(wts.select(col("doc_id"), col("cluster_id"),
+          col("cluster_size")), Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("sample_key"), col("rn"))
+        .orderBy(col("rn"))
     }))
 }

@@ -118,6 +118,27 @@ object IvfIndex {
     }
   }
 
+  /** Streaming SERVING tap — the dense twin of
+    * [[Bm25Index.foreachBatchServe]]: each query micro-batch probes
+    * the index's current snapshot, ranked results (+`_batch_id`)
+    * append to a versioned log under the same marker idempotence
+    * (replays skip the search). */
+  def foreachBatchServe(indexPath: String, logPath: String,
+      queryIdCol: String, vecCol: String, idCol: String, k: Int,
+      nprobe: Int = 4): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val inner = VersionedTable.foreachBatchAppend(logPath)
+      val spark = batch.sparkSession
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$logPath/_commits/b$batchId")
+      val f = marker.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(marker)) {
+        inner(searchFrom(spark, indexPath, batch, queryIdCol, vecCol,
+          idCol, k, nprobe), batchId)
+      }
+  }
+
   /** The persisted codebook, bounded cells×dim driver metadata. */
   def readCodebook(spark: SparkSession, path: String)
       : Array[Array[Double]] =

@@ -71,7 +71,9 @@ object DeterministicSample {
     * Ranking runs through the bounded-heap [[graft.functions
     * .TopKByScore]], so the corpus-wide draw ships one O(k) heap per
     * task — no global sort, no window shuffle of N rows (the classic
-    * A-ES reservoir, distributed). Rows with weight < 1 are excluded.
+    * A-ES reservoir, distributed). Rows with weight ≤ 0 are excluded
+    * (fractional positive weights are fine — A-ES is scale-invariant,
+    * so 1/cluster-size soft-dedup weights draw correctly).
     *
     * Returns (id, sample_key, rn) ranked 1..k; the u derivation
     * (first 8 md5 hex chars → (v+0.5)/2^32) is plain SQL on any
@@ -84,7 +86,7 @@ object DeterministicSample {
     val u = (v + lit(0.5)) / lit(4294967296.0)
     val key = log(u) / col(weightCol).cast("double")
     graft.functions.TopKByScore.explodeTopK(
-      df.filter(col(weightCol) >= 1).withColumn("__key", key),
+      df.filter(col(weightCol) > 0).withColumn("__key", key),
       Seq.empty, col("__key"), col(idCol), k,
       outId = idCol, outScore = "__key")
       .select(col(idCol),

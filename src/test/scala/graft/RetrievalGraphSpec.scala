@@ -171,6 +171,28 @@ class RetrievalGraphSpec extends SparkTestBase {
       .collect().map(_.getLong(1)).contains(9L))
   }
 
+  test("ivf serve sink: exactly-once logging off the probed snapshot") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val base = graft.core.Scratch.root(vecs)
+    val idx = s"$base/ivfidx_srv_${java.util.UUID.randomUUID()}"
+    val log = s"$base/ivflog_srv_${java.util.UUID.randomUUID()}"
+    Seq(idx, log).foreach(graft.core.Scratch.registerForCleanup)
+    graft.operators.IvfIndex.publish(
+      vecs, "vec_id", "embedding", idx, cells = 2)
+    val serve = graft.operators.IvfIndex.foreachBatchServe(
+      idx, log, "query_id", "embedding", "vec_id", k = 2, nprobe = 2)
+    val q = Seq((100L, Seq(0.95f, 0.05f)))
+      .toDF("query_id", "embedding")
+    serve(q, 0L)
+    val rows = graft.core.VersionedTable.read(spark, log).collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(4) == 0L))
+    serve(q, 0L) // replay: no growth
+    assert(graft.core.VersionedTable.read(spark, log).count() == 2)
+  }
+
   test("bm25 ingest sink auto-compacts every N batches") {
     val path = graft.core.Scratch.root(spark.emptyDataFrame) +
       s"/bm25idx_ac_${java.util.UUID.randomUUID()}"
