@@ -422,7 +422,10 @@ object Oracles {
     * rank_dense, rn)` over the fused candidate set; also leaves
     * hbb/hnorm (corpus bucket vectors) for consumers needing dense
     * vectors. */
-  private lazy val hybridFusedCtes: String =
+  /** Bucket-vector prefix shared by the hybrid oracles: the BM25
+    * chain + corpus (hbb/hnorm) and external-query (qbb/qnorm) scaled
+    * bucket vectors. */
+  private lazy val hybridBucketCtes: String =
     "WITH " + bm25Ctes(bm25DerivedQueries) + """,
       |hn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
       |hsc AS (
@@ -452,7 +455,10 @@ object Oracles {
       |    sum(CAST(round(tfidf * 10000.0, 0) AS BIGINT)) AS ws
       |  FROM qsc GROUP BY 1, 2),
       |qnorm AS (SELECT query_id, sum(ws * ws) AS n2
-      |  FROM qbb GROUP BY 1),
+      |  FROM qbb GROUP BY 1)""".stripMargin
+
+  private lazy val hybridFusedCtes: String =
+    hybridBucketCtes + """,
       |dnum AS (
       |  SELECT q.query_id, h.doc_id, sum(q.ws * h.ws) AS num
       |  FROM qbb q JOIN hbb h USING (bucket) GROUP BY 1, 2),
@@ -2364,6 +2370,90 @@ object Oracles {
       |  coalesce(hybrid_rank <= 5, false) AS hybrid_hit5
       |FROM ms JOIN mh USING (query_id)
       |ORDER BY query_id""".stripMargin),
+
+    // q159: the scale-path hybrid — the same fusion as q146 with the
+    // dense half on IVF: dense corpus + query vectors from the shared
+    // bucket chain, first-16-by-id codebook, nprobe=4 probing, exact
+    // cosine only inside probed cells. No self-exclusion (the Spark
+    // side offsets query ids so ivfTopK's corpus-internal exclusion
+    // never fires)
+    "q159_hybrid_ivf" -> (hybridBucketCtes + """,
+      |w AS (
+      |  SELECT doc_id, bucket,
+      |    round(CAST(ws AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 6) + 0
+      |      AS weight
+      |  FROM hbb JOIN hnorm USING (doc_id)),
+      |grid AS (
+      |  SELECT doc_id, unnest(range(0, 64)) AS b
+      |  FROM (SELECT DISTINCT doc_id FROM w)),
+      |dense0 AS (
+      |  SELECT g.doc_id, g.b, coalesce(w.weight, 0.0) AS x
+      |  FROM grid g LEFT JOIN w
+      |    ON w.doc_id = g.doc_id AND w.bucket = g.b),
+      |dv AS (
+      |  SELECT doc_id, list(x ORDER BY b) AS vv
+      |  FROM dense0 GROUP BY doc_id),
+      |qw AS (
+      |  SELECT query_id, bucket,
+      |    round(CAST(ws AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 6) + 0
+      |      AS weight
+      |  FROM qbb JOIN qnorm USING (query_id)),
+      |qgrid AS (
+      |  SELECT query_id, unnest(range(0, 64)) AS b
+      |  FROM (SELECT DISTINCT query_id FROM qw)),
+      |qdense AS (
+      |  SELECT g.query_id, g.b, coalesce(qw.weight, 0.0) AS x
+      |  FROM qgrid g LEFT JOIN qw
+      |    ON qw.query_id = g.query_id AND qw.bucket = g.b),
+      |qdv AS (
+      |  SELECT query_id, list(x ORDER BY b) AS vv
+      |  FROM qdense GROUP BY query_id),
+      |cb AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+      |      AS INTEGER) AS cell, vv AS cv
+      |  FROM (SELECT doc_id, vv FROM dv ORDER BY doc_id LIMIT 16)),
+      |asn AS (
+      |  SELECT doc_id, cell FROM (
+      |    SELECT dv.doc_id, cb.cell, row_number() OVER (
+      |      PARTITION BY dv.doc_id
+      |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+      |    FROM dv CROSS JOIN cb) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT qdv.query_id, cb.cell, row_number() OVER (
+      |      PARTITION BY qdv.query_id
+      |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+      |    FROM qdv CROSS JOIN cb) WHERE rn <= 4),
+      |probescore AS (
+      |  SELECT p.query_id, a.doc_id AS neighbor_id,
+      |    list_cosine_similarity(qv2.vv, nv.vv) AS cs
+      |  FROM probes p JOIN asn a ON p.cell = a.cell
+      |  JOIN qdv qv2 ON qv2.query_id = p.query_id
+      |  JOIN dv nv ON nv.doc_id = a.doc_id),
+      |ivfranked AS (
+      |  SELECT query_id, neighbor_id AS doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cs DESC, neighbor_id) AS INTEGER) AS rn
+      |  FROM probescore),
+      |fused2 AS (
+      |  SELECT coalesce(s.query_id, dd.query_id) AS query_id,
+      |    coalesce(s.doc_id, dd.doc_id) AS doc_id,
+      |    coalesce(1.0 / (60 + s.rn), 0.0)
+      |      + coalesce(1.0 / (60 + dd.rn), 0.0) AS rrf,
+      |    s.rn AS rank_sparse, dd.rn AS rank_dense
+      |  FROM (SELECT query_id, doc_id, rn FROM ranked
+      |    WHERE rn <= 20) s
+      |  FULL JOIN (SELECT query_id, doc_id, rn FROM ivfranked
+      |    WHERE rn <= 20) dd
+      |    ON s.query_id = dd.query_id AND s.doc_id = dd.doc_id)
+      |SELECT query_id, doc_id, round(rrf, 6) + 0 AS rrf_score,
+      |  rank_sparse, rank_dense, rn
+      |FROM (
+      |  SELECT query_id, doc_id, rrf, rank_sparse, rank_dense,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
+      |  FROM fused2)
+      |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
 
     // q147: nearest-centroid classification — per-label 6-dp-rounded
     // mean centroids on the 80% slice (the k-means means discipline),

@@ -141,6 +141,27 @@ object HashingVectorizer {
     byBucket.join(norms, Seq("query_id"))
   }
 
+  /** Dense `array<double>` query vectors for EXTERNAL text queries —
+    * [[denseVectors]]'s shape from [[queryScaledBuckets]]'s corpus-idf
+    * weighting: the form that plugs external queries into the IVF
+    * stack ([[SimilarityOps.ivfTopK]]) for scale-path text retrieval.
+    * Queries are small by contract, so no artifact materialization. */
+  def queryDenseVectors(docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, qIdCol: String,
+      qTextCol: String, dim: Int = 64): DataFrame =
+    queryScaledBuckets(docs, idCol, textCol, queries, qIdCol,
+        qTextCol, dim)
+      .select(col("query_id"), col("bucket"),
+        (dround(col("__ws").cast("double") /
+          sqrt(col("__n2").cast("double")), 6) + lit(0)).as("__w"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("__w")))).as("__m"))
+      .select(col("query_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0)))
+          .as("vec"))
+
   /** Cosine top-k retrieval for EXTERNAL text queries over the hashed
     * corpus vectors — the dense half of a hybrid (BM25 + vector)
     * search stack when no embedding model is in the loop. Unlike
