@@ -1516,7 +1516,8 @@ object Oracles {
         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
         |  FROM lab GROUP BY 1)
         |SELECT doc_id, cluster_id, cluster_size,
-        |  round(1.0 / cluster_size, 6) + 0 AS weight
+        |  greatest(round(1.0 / cluster_size, 6) + 0, 0.000001)
+        |    AS weight
         |FROM lab JOIN sizes USING (cluster_id)
         |ORDER BY doc_id""".stripMargin),
 
@@ -1529,7 +1530,8 @@ object Oracles {
         |  FROM lab GROUP BY 1),
         |wts AS (
         |  SELECT doc_id, cluster_id, cluster_size,
-        |    round(1.0 / cluster_size, 6) + 0 AS w
+        |    greatest(round(1.0 / cluster_size, 6) + 0, 0.000001)
+        |      AS w
         |  FROM lab JOIN sizes USING (cluster_id)),
         |keyed AS (
         |  SELECT doc_id, cluster_id, cluster_size,
@@ -2374,9 +2376,8 @@ object Oracles {
     // q159: the scale-path hybrid — the same fusion as q146 with the
     // dense half on IVF: dense corpus + query vectors from the shared
     // bucket chain, first-16-by-id codebook, nprobe=4 probing, exact
-    // cosine only inside probed cells. No self-exclusion (the Spark
-    // side offsets query ids so ivfTopK's corpus-internal exclusion
-    // never fires)
+    // cosine only inside probed cells. No self-exclusion (queries are
+    // an external relation; the Spark side passes excludeSelf=false)
     "q159_hybrid_ivf" -> (hybridBucketCtes + """,
       |w AS (
       |  SELECT doc_id, bucket,
@@ -3390,8 +3391,7 @@ object Oracles {
         |    list_cosine_similarity(qv.vv, nv.vv) AS cs
         |  FROM probes p JOIN asn a USING (cell)
         |  JOIN te qv ON qv.vec_id = p.query_id
-        |  JOIN tr nv ON nv.vec_id = a.vec_id
-        |  WHERE a.vec_id <> p.query_id),
+        |  JOIN tr nv ON nv.vec_id = a.vec_id),
         |topk AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id, row_number() OVER (

@@ -2367,10 +2367,9 @@ object Queries {
       // the 100-TB hybrid: q146's fusion with the dense half on the
       // IVF index instead of the exact bucket join — external query
       // vectors (corpus idf) probe 4 of 16 coarse cells, so each
-      // query touches ~nprobe/cells of the corpus. Query ids ride
-      // offset by 1e6 through the IVF stage so its self-exclusion
-      // (built for corpus-internal queries) never fires — the query's
-      // source doc is a legitimate retrieval result
+      // query touches ~nprobe/cells of the corpus. excludeSelf=false:
+      // queries are an external relation, so the query's source doc
+      // is a legitimate retrieval result
       val docs = t(s, d, "documents")
       val qs = docs.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"),
@@ -2381,14 +2380,10 @@ object Queries {
       val dv = graft.operators.HashingVectorizer.denseVectors(
         docs, "doc_id", "text", dim = 64)
       val qv = graft.operators.HashingVectorizer.queryDenseVectors(
-          docs, "doc_id", "text", qs, "query_id", "qtext", dim = 64)
-        .select((col("query_id") + lit(1000000L)).as("query_id"),
-          col("vec"))
+        docs, "doc_id", "text", qs, "query_id", "qtext", dim = 64)
       val dense = graft.operators.SimilarityOps.ivfTopK(
-          dv, qv, "doc_id", "vec", "query_id", k = 20,
-          cells = 16, nprobe = 4, trainIters = 0)
-        .select((col("query_id") - lit(1000000L)).as("query_id"),
-          col("neighbor_id"), col("rn"))
+        dv, qv, "doc_id", "vec", "query_id", k = 20,
+        cells = 16, nprobe = 4, trainIters = 0, excludeSelf = false)
       graft.operators.HybridSearch.rrf(sparse, "doc_id",
         dense, "neighbor_id", k = 5)
         .orderBy(col("query_id"), col("rn"))

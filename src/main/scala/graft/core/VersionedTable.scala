@@ -446,13 +446,17 @@ object VersionedTable {
       require(attempts <= 20,
         s"gave up merging into $path after 20 version races")
       val vPrev = latestVersion(spark, path)
-      if (vPrev == 0) return commitOverwrite(df, path)
       try {
-        val cur = read(spark, path, Some(vPrev))
-        val merged = cur.join(
-            df.select(keyCols.map(col(_)): _*).distinct(),
-            keyCols, "left_anti")
-          .unionByName(df)
+        // empty table: the merge result is just `df` — but publish it
+        // through THIS loop's no-blind-retry claim on v1, never via
+        // commitOverwrite (whose internal retry is a blind overwrite
+        // that would drop a concurrent commit racing table creation)
+        val merged =
+          if (vPrev == 0) df
+          else read(spark, path, Some(vPrev)).join(
+              df.select(keyCols.map(col(_)): _*).distinct(),
+              keyCols, "left_anti")
+            .unionByName(df)
         val commitDir = s"$path/data/${java.util.UUID.randomUUID()}"
         merged.write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
         val newFiles = f.listStatus(new Path(commitDir))
@@ -473,9 +477,20 @@ object VersionedTable {
             // lost the version to a concurrent commit: the snapshot we
             // merged against is stale — drop the rewrite, recompute
             f.delete(new Path(commitDir), true)
+          case _: java.util.ConcurrentModificationException =>
+            // our claim was reclaimed as stalled and the version
+            // reused: NOT retriable blindly, but a merge RECOMPUTE
+            // from the new latest is exactly the safe response
+            f.delete(new Path(commitDir), true)
         }
       } catch {
+        // IllegalStateException: vPrev is an abandoned half-publish
+        // (poll timed out). IllegalArgumentException: vPrev's manifest
+        // vanished under us (a concurrent reclaimer renamed it aside,
+        // or an empty version) — both mean "re-read latest and retry"
         case _: IllegalStateException =>
+          reclaimIfStale(spark, f, manifestPath(path, vPrev))
+        case _: IllegalArgumentException =>
           reclaimIfStale(spark, f, manifestPath(path, vPrev))
       }
     }
@@ -496,8 +511,20 @@ object VersionedTable {
     val v = version.getOrElse(latestVersion(spark, path))
     require(v > 0, s"$path has no committed data to profile")
     val out = statsDir(path, v)
+    // write-aside + atomic rename: a plain Overwrite would delete the
+    // directory before rewriting, giving concurrent readPruned calls a
+    // window where exists() passes but the read hits a partial dir.
+    // If the rename loses (another publisher landed first), keep the
+    // winner — stats for an immutable version are deterministic
+    val tmp = s"$out.tmp-${java.util.UUID.randomUUID()}"
     ManifestStats.buildFiles(spark, files(spark, path, Some(v)), cols)
-      .write.mode(SaveMode.Overwrite).parquet(out)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val f = fs(spark, path)
+    if (f.exists(new Path(out))) f.delete(new Path(tmp), true)
+    else if (!f.rename(new Path(tmp), new Path(out)))
+      // lost a publish race (POSIX rename onto an existing dir fails):
+      // the winner's sidecar is identical content — keep it
+      f.delete(new Path(tmp), true)
     out
   }
 
@@ -511,11 +538,16 @@ object VersionedTable {
       lo: String, hi: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, path))
     val sp = statsDir(path, v)
-    val manifest =
+    val sidecar =
       if (fs(spark, path).exists(new Path(sp)))
-        spark.read.parquet(sp)
-      else ManifestStats.buildFiles(spark,
-        files(spark, path, Some(v)), Seq(colName))
+        Some(spark.read.parquet(sp))
+      else None
+    // a sidecar published WITHOUT this column must not silently prune
+    // everything — fall back to an on-the-fly build for the column
+    val manifest = sidecar
+      .filter(!_.filter(col("col_name") === colName).isEmpty)
+      .getOrElse(ManifestStats.buildFiles(spark,
+        files(spark, path, Some(v)), Seq(colName)))
     ManifestStats.readPruned(spark, manifest, colName, lo, hi)
   }
 
@@ -561,6 +593,13 @@ object VersionedTable {
         case _: IllegalStateException =>
           reclaimIfStale(spark, f, manifestPath(path, vPrev))
           return latestVersion(spark, path)
+        // the manifest (or a data file) vanished under us — a
+        // concurrent reclaimer renamed it aside, or vacuum ran: skip
+        // this cycle, compaction is an optimization
+        case _: IllegalArgumentException =>
+          return latestVersion(spark, path)
+        case _: java.io.FileNotFoundException =>
+          return latestVersion(spark, path)
       }
     val (small, big) = sized.partition(_._2 < targetBytes / 2)
     if (small.length < 2) return vPrev // nothing worth rewriting
@@ -585,6 +624,13 @@ object VersionedTable {
     } catch {
       case _: java.io.IOException =>
         // a real commit won the version — abandon the rewrite
+        f.delete(new Path(commitDir), true)
+        latestVersion(spark, path)
+      case _: java.util.ConcurrentModificationException =>
+        // stalled past staleMs, claim reclaimed and version reused by
+        // a real committer: losing is compaction's documented contract
+        // — clean up and report the winner instead of crashing the
+        // ingest sink that auto-compacts
         f.delete(new Path(commitDir), true)
         latestVersion(spark, path)
     }

@@ -224,10 +224,15 @@ object DedupClusters {
       : DataFrame = {
     val sizes = clusterMap.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
+    // floor at 1e-6 (one rounding ulp): a ≥2M-member cluster would
+    // otherwise round to weight 0.0, and downstream samplers' w > 0
+    // filter would drop the WHOLE cluster — zero mass instead of the
+    // contract's "one document's worth"
     clusterMap.join(sizes, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
-        (graft.functions.Rounding.dround(
-          lit(1.0) / col("cluster_size").cast("double"), 6) + lit(0))
-          .as("weight"))
+        greatest(
+          graft.functions.Rounding.dround(
+            lit(1.0) / col("cluster_size").cast("double"), 6) + lit(0),
+          lit(1e-6)).as("weight"))
   }
 }

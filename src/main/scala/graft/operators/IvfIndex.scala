@@ -135,7 +135,7 @@ object IvfIndex {
         spark.sparkContext.hadoopConfiguration)
       if (!f.exists(marker)) {
         inner(searchFrom(spark, indexPath, batch, queryIdCol, vecCol,
-          idCol, k, nprobe), batchId)
+          idCol, k, nprobe, excludeSelf = false), batchId)
       }
   }
 
@@ -152,7 +152,7 @@ object IvfIndex {
     * ranking/tie-break semantics as [[SimilarityOps.ivfTopK]]. */
   def searchFrom(spark: SparkSession, path: String, queries: DataFrame,
       queryIdCol: String, vecCol: String, idCol: String, k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val codebook = readCodebook(spark, path)
     val assigned = VersionedTable.read(spark, assignedPath(path))
       .select(col("cell"), col(idCol).as("neighbor_id"), col("vec"))
@@ -162,10 +162,14 @@ object IvfIndex {
         explode(graft.functions.NearestCells.column(col("__qv"),
           codebook, nprobe)))
       .select(col("cell"), col("query_id"), col("__qv"))
-    val scored = assigned.join(probes, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim",
-        SimilarityOps.cosine(col("__qv"), col("vec")))
+    val joined = assigned.join(probes, Seq("cell"))
+    // excludeSelf = corpus-internal queries (the q143 shape); external
+    // queries (the serving tap) must NOT drop coincidental id matches
+    val scored =
+      (if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+       else joined)
+        .withColumn("cos_sim",
+          SimilarityOps.cosine(col("__qv"), col("vec")))
     SimilarityOps.rankTopK(scored, k)
   }
 }

@@ -28,9 +28,12 @@ object KnnClassifier {
   def classify(train: DataFrame, test: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int = 5, cells: Int = 16,
       nprobe: Int = 4, trainIters: Int = 0): DataFrame = {
+    // test vectors are an EXTERNAL query set: a test id colliding
+    // with a train id is coincidence, and the colliding train vector
+    // is a legitimate nearest neighbor — never self-excluded
     val nn = SimilarityOps.ivfTopK(train, test, idCol, vecCol,
       idCol, k = k, cells = cells, nprobe = nprobe,
-      trainIters = trainIters)
+      trainIters = trainIters, excludeSelf = false)
     val votes = nn
       .join(train.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("__lbl")), Seq("neighbor_id"))

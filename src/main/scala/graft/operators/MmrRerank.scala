@@ -73,7 +73,7 @@ object MmrRerank {
 
     // round 1: relevance argmax (score λ·rel — the selected set is
     // empty, so the diversity term is 0)
-    var selected = graft.core.Scratch.materialize(
+    var (selected, selPath) = graft.core.Scratch.materializeWithPath(
       graft.functions.TopKByScore.explodeTopK(
           cand.withColumn("__m0", lit(lambda) * col("__rel")),
           Seq("query_id"), col("__m0"), col("neighbor_id"), 1,
@@ -99,8 +99,13 @@ object MmrRerank {
           outId = "neighbor_id", outScore = "__mmr")
         .select(col("query_id"), col("neighbor_id"), col("__mmr"),
           lit(step).as("rn"))
-      selected = graft.core.Scratch.materialize(
+      // materialize the new round, then drop the superseded one (the
+      // DedupClusters/PageRank per-round discipline — no scratch leak)
+      val (nextSel, nextPath) = graft.core.Scratch.materializeWithPath(
         selected.union(pick), "mmr_sel")
+      graft.core.Scratch.drop(spark, selPath)
+      selected = nextSel
+      selPath = nextPath
     }
     // the final selected table is materialized — the shortlist and
     // pair-sim scratch tables are no longer referenced

@@ -133,9 +133,17 @@ object SimilarityOps {
     * cost at scale; 0 keeps the deterministic first-`cells`-by-id
     * sample (cheapest, fine for tests).
     */
+  /** @param excludeSelf drop candidates whose id equals the query id —
+    *                     correct when queries are drawn FROM the corpus
+    *                     (the q40 shape); pass false for EXTERNAL
+    *                     queries whose id space is independent of the
+    *                     corpus, where an id collision is coincidence
+    *                     and the colliding doc is a legitimate result.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, cells: Int = 16,
-      nprobe: Int = 4, trainIters: Int = 0): DataFrame = {
+      nprobe: Int = 4, trainIters: Int = 0,
+      excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__cv"))
     val codebook: Array[Array[Double]] =
@@ -150,9 +158,11 @@ object SimilarityOps {
         explode(graft.functions.NearestCells.column(col("__qv"),
           codebook, nprobe)))
       .select(col("cell"), col("query_id"), col("__qv"))
-    val scored = assigned.join(probes, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+    val joined = assigned.join(probes, Seq("cell"))
+    val scored =
+      (if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+       else joined)
+        .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
     rankTopK(scored, k)
   }
 

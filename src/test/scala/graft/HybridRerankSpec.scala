@@ -161,6 +161,21 @@ class HybridRerankSpec extends SparkTestBase {
     assert(out.head.getInt(1) == 3 && out.head.getLong(2) == 2L)
   }
 
+  test("knn classifier: a test id colliding with a train id does not " +
+      "drop the colliding neighbor") {
+    // train vec 7 is the ONLY neighbor aligned with the query; the
+    // query's id is also 7 — corpus-internal self-exclusion would
+    // silently drop the true nearest neighbor and misclassify
+    val train = Seq(
+      (7L, 1, Seq(1.0f, 0.0f)), (8L, 0, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.operators.KnnClassifier.classify(
+      train, Seq((7L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "label", k = 1, cells = 2, nprobe = 1)
+      .collect()
+    assert(out.head.getInt(1) == 1)
+  }
+
   // ---- calibrationCurve ------------------------------------------------
 
   test("calibration curve: buckets partition the corpus and gap is " +
