@@ -2456,6 +2456,60 @@ object Oracles {
       |  FROM fused2)
       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
 
+    // q160: q151's IVF probe + top-5, but votes are ×10⁶-scaled
+    // 4-dp cosines summed per label; argmax (sum desc, label asc)
+    "q160_knn_weighted" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |tr AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+        |te AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+        |      AS INTEGER) AS cell, vv AS cv
+        |  FROM (SELECT vec_id, vv FROM tr ORDER BY vec_id LIMIT 16)),
+        |asn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT tr.vec_id, cb.cell, row_number() OVER (
+        |      PARTITION BY tr.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM tr CROSS JOIN cb) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT te.vec_id AS query_id, cb.cell, row_number() OVER (
+        |      PARTITION BY te.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM te CROSS JOIN cb) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv.vv, nv.vv) AS cs
+        |  FROM probes p JOIN asn a USING (cell)
+        |  JOIN te qv ON qv.vec_id = p.query_id
+        |  JOIN tr nv ON nv.vec_id = a.vec_id),
+        |topk AS (
+        |  SELECT query_id, neighbor_id, round(cs, 4) AS cs4 FROM (
+        |    SELECT query_id, neighbor_id, cs, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |      AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |votes AS (
+        |  SELECT t.query_id, nv.label,
+        |    sum(CAST(round(t.cs4 * 1000000.0) AS BIGINT)) AS ws
+        |  FROM topk t JOIN tr nv ON nv.vec_id = t.neighbor_id
+        |  GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT query_id, label AS pred_label, ws FROM (
+        |    SELECT query_id, label, ws, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ws DESC, label) AS rk
+        |    FROM votes) WHERE rk = 1)
+        |SELECT p.query_id AS vec_id, te.label AS true_label,
+        |  p.pred_label,
+        |  round(CAST(p.ws AS DOUBLE) / 1000000.0, 4) + 0
+        |    AS vote_weight,
+        |  (p.pred_label = te.label) AS correct
+        |FROM pick p JOIN te ON te.vec_id = p.query_id
+        |ORDER BY vec_id""".stripMargin,
+
     // q147: nearest-centroid classification — per-label 6-dp-rounded
     // mean centroids on the 80% slice (the k-means means discipline),
     // held-out rows classified by cosine argmax (ties → smaller

@@ -2387,5 +2387,25 @@ object Queries {
       graft.operators.HybridSearch.rrf(sparse, "doc_id",
         dense, "neighbor_id", k = 5)
         .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // ---- distance-weighted kNN voting ---------------------------------
+    "q160_knn_weighted" -> ((s, d) => {
+      // q151 with similarity-weighted votes (sklearn weights=
+      // "distance"): a single very-close neighbor can outvote two
+      // distant ones. Cosines scale to integers before the per-label
+      // sum, so vote totals are exact across partitionings
+      val emb = t(s, d, "embeddings")
+      val train = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val test = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      graft.operators.KnnClassifier.classifyWeighted(
+          train, test, "vec_id", "embedding", "label",
+          k = 5, cells = 16, nprobe = 4)
+        .join(test.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .select(col("query_id").as("vec_id"), col("true_label"),
+          col("pred_label"), col("vote_weight"),
+          (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy(col("vec_id"))
     }))
 }
