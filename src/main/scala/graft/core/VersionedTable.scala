@@ -497,6 +497,42 @@ object VersionedTable {
     -1 // unreachable
   }
 
+  /** Row-level diff between two committed versions — the
+    * `table_changes` / CDC-read analogue: which keys were inserted,
+    * deleted, or updated going from `fromV` to `toV`. Change detection
+    * is by key presence plus full-row comparison (an `update` is a key
+    * present in both whose non-key columns differ).
+    *
+    * Shape at scale: one full-outer equi-join of the two snapshots on
+    * the keys — both sides are plain snapshot scans, and the join is
+    * the same single key shuffle any CDC apply pays. For tables
+    * maintained by [[commitAppend]] only, prefer filtering the
+    * appended files directly; diff is for overwrite/merge/compact
+    * lineages where file sets do not nest.
+    *
+    * Output: key columns + change_type ('insert' | 'delete' |
+    * 'update'); unchanged rows are omitted. */
+  def diff(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, struct, when}
+    val a = read(spark, path, Some(fromV))
+    val b = read(spark, path, Some(toV))
+    val nonKey = a.columns.filterNot(keyCols.contains).toSeq
+    val av = a.select(keyCols.map(col(_)) :+
+      struct(nonKey.map(col(_)): _*).as("__a"): _*)
+    val bv = b.select(keyCols.map(col(_)) :+
+      struct(nonKey.map(col(_)): _*).as("__b"): _*)
+    av.join(bv, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__a").isNull, lit("insert"))
+          .when(col("__b").isNull, lit("delete"))
+          .when(col("__a") =!= col("__b"), lit("update"))
+          .otherwise(lit(null)))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col(_)) :+ col("change_type") :+
+        coalesce(col("__b"), col("__a")).as("row_value"): _*)
+  }
+
   private def statsDir(path: String, v: Int) =
     f"$path%s/_stats/v$v%05d"
 

@@ -176,6 +176,26 @@ class HybridRerankSpec extends SparkTestBase {
     assert(out.head.getInt(1) == 1)
   }
 
+  test("weighted knn: one close neighbor outvotes two distant ones") {
+    // plain majority (k=3) would pick label 0 (two distant votes);
+    // similarity weighting picks label 1 (one ~1.0 vote beats two
+    // ~0.44 votes)
+    val train = Seq(
+      (1L, 0, Seq(0.3f, 0.95f)), (2L, 0, Seq(0.32f, 0.94f)),
+      (3L, 1, Seq(1.0f, 0.02f)), (4L, 9, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val test_ = Seq((100L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val majority = graft.operators.KnnClassifier.classify(
+      train, test_, "vec_id", "embedding", "label",
+      k = 3, cells = 4, nprobe = 4).collect()
+    val weighted = graft.operators.KnnClassifier.classifyWeighted(
+      train, test_, "vec_id", "embedding", "label",
+      k = 3, cells = 4, nprobe = 4).collect()
+    assert(majority.head.getInt(1) == 0)
+    assert(weighted.head.getInt(1) == 1)
+  }
+
   // ---- calibrationCurve ------------------------------------------------
 
   test("calibration curve: buckets partition the corpus and gap is " +

@@ -451,6 +451,25 @@ class VersionedTableSpec extends SparkTestBase {
     assert(onTheFly.filter($"id" >= "k200").count() == 11)
   }
 
+  test("diff reports inserts, deletes, and updates between versions") {
+    val path = tbl()
+    VersionedTable.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), path)
+    // v2: 1 unchanged, 2 updated, 3 deleted, 4 inserted
+    VersionedTable.commitMerge(
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), path, Seq("id"))
+    val v3 = VersionedTable.commitOverwrite(
+      Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "v"), path)
+    val changes = VersionedTable.diff(spark, path, 1, v3, Seq("id"))
+      .select($"id", $"change_type").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(changes == Seq((2L, "update"), (3L, "delete"),
+      (4L, "insert")))
+    // forward-only identity: diff(v, v) is empty
+    assert(VersionedTable.diff(spark, path, v3, v3, Seq("id"))
+      .isEmpty)
+  }
+
   test("compact racing real committers never loses a committed row") {
     val path = tbl()
     VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
