@@ -34,6 +34,7 @@ object Bench {
       .map(_.split(",").toSet)
     var coldTotal = 0.0
     var spreadTotal = 0.0
+    // per query: (warm min, per-query spread = max-min across reps)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map {
@@ -44,7 +45,7 @@ object Bench {
           catch { case _: Throwable => false }
         val cold = (System.nanoTime() - t0) / 1e9
         coldTotal += cold
-        val warm = if (ok) {
+        val (warm, spread) = if (ok) {
           val times = (1 to reps).map { _ =>
             val t1 = System.nanoTime()
             val okWarm =
@@ -53,10 +54,13 @@ object Bench {
             // a failed warm run must read as a failure, not a fast time
             if (okWarm) (System.nanoTime() - t1) / 1e9 else -1.0
           }
-          if (times.contains(-1.0)) -1.0
-          else { spreadTotal += times.max - times.min; times.min }
-        } else -1.0
-        name -> warm
+          if (times.contains(-1.0)) (-1.0, 0.0)
+          else {
+            spreadTotal += times.max - times.min
+            (times.min, times.max - times.min)
+          }
+        } else (-1.0, 0.0)
+        (name, warm, spread)
     }
     // the driver captures only a ~2 KB tail of stdout: keep the whole
     // line under that by keying queries on their qNN prefix and
@@ -64,14 +68,28 @@ object Bench {
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+    val header =
+      s""""value":${ms(total)},"unit":"sec",""" +
       s""""cold_total_sec":${ms(coldTotal)},"reps":$reps,""" +
-      s""""spread_sec":${ms(spreadTotal)},"queries":$qs,""" +
+      s""""spread_sec":${ms(spreadTotal)}"""
+    println(s"""{"metric":"total",$header,"queries":$qs,""" +
       s""""sf":"$sfDir"}""")
+    // the driver's stdout tail capture is lossy (~2 KB): ALSO write the
+    // complete record — full query names, per-query min AND spread — to
+    // a repo file so each round's bench is self-contained and phantom
+    // per-query swings are self-diagnosing against the spread
+    val full = results.map { case (k, v, s) =>
+      s""""$k":{"sec":${ms(v)},"spread_sec":${ms(s)}}"""
+    }.mkString("{", ",", "}")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      s"""{"metric":"total",$header,"sf":"$sfDir",""" +
+        s""""queries":$full}""" + "\n")
     spark.stop()
   }
 }

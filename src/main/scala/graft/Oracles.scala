@@ -1463,7 +1463,8 @@ object Oracles {
         |    CAST(coalesce(abs(doc_rank - rank), 100) AS BIGINT) AS oop
         |  FROM dt CROSS JOIN langs LEFT JOIN prof USING (lang, gram)),
         |dist AS (
-        |  SELECT doc_id, lang, sum(oop) AS distance FROM sc GROUP BY 1, 2),
+        |  SELECT doc_id, lang, CAST(sum(oop) AS BIGINT) AS distance
+        |  FROM sc GROUP BY 1, 2),
         |best AS (
         |  SELECT doc_id, lang AS lang_pred, distance,
         |    row_number() OVER (PARTITION BY doc_id
@@ -3344,6 +3345,34 @@ object Oracles {
         |    / count(*), 6) + 0 AS mean_g,
         |  round(CAST(sum((i*19 + x*23 + y*29) % 256) AS DOUBLE)
         |    / count(*), 6) + 0 AS mean_b
+        |FROM px GROUP BY i ORDER BY asset_id""".stripMargin,
+
+    "q161_png_decode" ->
+      """WITH img AS (
+        |  SELECT CAST(i AS BIGINT) AS i, i % 3 = 1 AS has_a
+        |  FROM range(0, 120) t(i) WHERE i % 3 < 2),
+        |dims AS (
+        |  SELECT i, has_a, 8 + i % 9 AS w, 6 + i % 7 AS h FROM img),
+        |xs AS (
+        |  SELECT i, has_a, w, h, unnest(range(0, w)) AS x FROM dims),
+        |px AS (
+        |  SELECT i, has_a, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT i AS asset_id,
+        |  CAST(any_value(w) AS BIGINT) AS width,
+        |  CAST(any_value(h) AS BIGINT) AS height,
+        |  CAST(any_value(CASE WHEN has_a THEN 4 ELSE 3 END) AS BIGINT)
+        |    AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  round(CAST(sum((i*7 + x*3 + y*5) % 256) AS DOUBLE)
+        |    / count(*), 6) + 0 AS mean_r,
+        |  round(CAST(sum((i*11 + x*13 + y*17) % 256) AS DOUBLE)
+        |    / count(*), 6) + 0 AS mean_g,
+        |  round(CAST(sum((i*19 + x*23 + y*29) % 256) AS DOUBLE)
+        |    / count(*), 6) + 0 AS mean_b,
+        |  CASE WHEN any_value(has_a)
+        |    THEN round(CAST(sum((i*13 + x*11 + y*3) % 256) AS DOUBLE)
+        |      / count(*), 6) + 0
+        |    ELSE NULL END AS mean_a
         |FROM px GROUP BY i ORDER BY asset_id""".stripMargin,
 
     "q128_wav_decode" ->

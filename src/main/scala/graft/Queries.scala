@@ -1694,6 +1694,42 @@ object Queries {
         .orderBy(col("asset_id"))
     }),
 
+    // ---- REAL PNG pixel decode ----------------------------------------
+    "q161_png_decode" -> ((s, d) => {
+      // PNG pixel statistics decoded from the actual container bytes
+      // by a codegen'd expression (MediaDecode.pngStats): chunk walk
+      // with CRC validation, IDAT inflate through the JDK's zlib, and
+      // per-row unfilter across all five PNG filter types (the
+      // fixture cycles them by row). The oracle recomputes the same
+      // per-channel means from the generator's closed-form pixel
+      // formulas, so a defect anywhere in the decode chain —
+      // signature, CRC, multi-chunk inflate, Sub/Up/Average/Paeth
+      // reconstruction, RGB vs RGBA stride — fails the compare.
+      // Narrow map over the asset scan, no shuffle before the output
+      // ordering; undecodable assets (every third is noise) null out.
+      val mm = graft.multimodal.MultimodalOps
+      val st = graft.multimodal.MediaDecode
+        .pngColumn(col("media_bytes"))
+      mm.syntheticPngAssets(s, 120)
+        .select(col("asset_id"), st.as("__st"))
+        .filter(col("__st").isNotNull)
+        .select(col("asset_id"),
+          col("__st.width").cast("long").as("width"),
+          col("__st.height").cast("long").as("height"),
+          col("__st.channels").cast("long").as("channels"),
+          col("__st.n_pixels").as("n_pixels"),
+          (dround(col("__st.sum_r").cast("double") /
+            col("__st.n_pixels"), 6) + lit(0)).as("mean_r"),
+          (dround(col("__st.sum_g").cast("double") /
+            col("__st.n_pixels"), 6) + lit(0)).as("mean_g"),
+          (dround(col("__st.sum_b").cast("double") /
+            col("__st.n_pixels"), 6) + lit(0)).as("mean_b"),
+          when(col("__st.channels") === 4,
+            dround(col("__st.sum_a").cast("double") /
+              col("__st.n_pixels"), 6) + lit(0)).as("mean_a"))
+        .orderBy(col("asset_id"))
+    }),
+
     // ---- hashing-trick TF-IDF document vectors ------------------------
     "q129_hashed_tfidf" -> ((s, d) => {
       // fixed-dim lexical vectors without an embedding model

@@ -451,8 +451,12 @@ object VersionedTable {
         // through THIS loop's no-blind-retry claim on v1, never via
         // commitOverwrite (whose internal retry is a blind overwrite
         // that would drop a concurrent commit racing table creation)
+        // an empty committed snapshot (e.g. commitOverwrite of a
+        // 0-partition DataFrame) must merge like the no-table case:
+        // read(vPrev) would throw IllegalArgumentException on every
+        // iteration and spin the race loop to exhaustion
         val merged =
-          if (vPrev == 0) df
+          if (vPrev == 0 || files(spark, path, Some(vPrev)).isEmpty) df
           else read(spark, path, Some(vPrev)).join(
               df.select(keyCols.map(col(_)): _*).distinct(),
               keyCols, "left_anti")
@@ -556,11 +560,23 @@ object VersionedTable {
     ManifestStats.buildFiles(spark, files(spark, path, Some(v)), cols)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val f = fs(spark, path)
-    if (f.exists(new Path(out))) f.delete(new Path(tmp), true)
-    else if (!f.rename(new Path(tmp), new Path(out)))
-      // lost a publish race (POSIX rename onto an existing dir fails):
-      // the winner's sidecar is identical content — keep it
-      f.delete(new Path(tmp), true)
+    val outP = new Path(out)
+    val tmpP = new Path(tmp)
+    if (f.exists(outP)) f.delete(tmpP, true)
+    else {
+      // Hadoop rename is NOT POSIX: renaming onto an existing directory
+      // NESTS the source inside it (HDFS moves tmp under out; the local
+      // FS falls back to FileUtil.copy, which nests too) and returns
+      // true. A lost race therefore leaves our tmp as a subdirectory of
+      // the winner's sidecar, poisoning later sidecar reads. After the
+      // rename, verify our tmp did not end up nested and remove it —
+      // the winner's sidecar is identical content for an immutable
+      // version, so losing is always safe.
+      f.rename(tmpP, outP)
+      val nested = new Path(outP, tmpP.getName)
+      if (f.exists(nested)) f.delete(nested, true)
+      if (f.exists(tmpP)) f.delete(tmpP, true) // rename failed outright
+    }
     out
   }
 
@@ -576,7 +592,10 @@ object VersionedTable {
     val sp = statsDir(path, v)
     val sidecar =
       if (fs(spark, path).exists(new Path(sp)))
-        Some(spark.read.parquet(sp))
+        // glob only the sidecar's own part files: a racing publisher's
+        // momentarily-nested tmp subdirectory (see publishStats) must
+        // not break partition discovery or duplicate stats rows
+        Some(spark.read.parquet(s"$sp/*.parquet"))
       else None
     // a sidecar published WITHOUT this column must not silently prune
     // everything — fall back to an on-the-fly build for the column

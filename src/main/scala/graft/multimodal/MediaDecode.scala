@@ -8,17 +8,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
-/** REAL pixel/sample decode for the two fixed-layout media containers
-  * — no codec library required, just byte arithmetic, which is why
-  * these two (unlike JPEG/PNG/MP3, stubbed in
-  * [[MultimodalOps.extractFeatures]]) can be decoded natively:
+/** REAL pixel/sample decode for the media containers the JDK can
+  * handle without a codec library (unlike JPEG/MP3, stubbed in
+  * [[MultimodalOps.extractFeatures]]):
   *
   *  - BMP, uncompressed 24-bpp BI_RGB: pixel rows bottom-up (or
   *    top-down when height is negative), BGR byte order, each row
   *    padded to a 4-byte boundary;
   *  - WAV, 16-bit PCM: RIFF chunk walk to `fmt ` (format/width
   *    validation) and `data` (little-endian signed 16-bit samples,
-  *    chunk sizes padded to even offsets).
+  *    chunk sizes padded to even offsets);
+  *  - PNG, 8-bit truecolor RGB/RGBA non-interlaced: chunk walk with
+  *    CRC validation, IDAT inflate via `java.util.zip.Inflater`
+  *    (zlib ships in the JDK), per-row scanline unfilter
+  *    (None/Sub/Up/Average/Paeth) — see [[pngStats]].
   *
   * Both expressions emit EXACT integer accumulations (sums / sums of
   * squares / counts / peaks) rather than floating means: the caller
@@ -42,6 +45,16 @@ object MediaDecode {
     StructField("sum_r", LongType),
     StructField("sum_g", LongType),
     StructField("sum_b", LongType)))
+
+  val pngSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("sum_a", LongType)))
 
   val wavSchema: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType),
@@ -158,10 +171,167 @@ object MediaDecode {
     row
   }
 
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** REAL PNG pixel decode — no codec library: the JDK ships zlib
+    * (`java.util.zip.Inflater`), and past the IDAT inflate a PNG is
+    * byte arithmetic like BMP. Supported: 8-bit-depth truecolor
+    * (color type 2, RGB) and truecolor+alpha (6, RGBA),
+    * non-interlaced — the shapes image pipelines actually emit.
+    * Palette/gray/16-bit/interlaced, bad signature, chunk CRC
+    * mismatch (every chunk is CRC-validated, so ANY corrupted byte
+    * nulls out rather than producing silently-wrong pixels), inflate
+    * errors, and scanline over/underrun all yield NULL.
+    *
+    * Decode streams row-by-row: the Inflater fills one
+    * (1 + w·bpp)-byte scanline buffer at a time from the IDAT
+    * segments, each row is unfiltered against the previous
+    * reconstructed row (filter types 0 None / 1 Sub / 2 Up /
+    * 3 Average / 4 Paeth per the PNG spec §9), and channel sums
+    * accumulate as exact Longs — memory is two scanlines regardless
+    * of image size, and the whole decode is per-row in-expression
+    * work inside whole-stage codegen, exactly like [[bmpStats]]. */
+  def pngStats(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 57) return null // sig+IHDR+IDAT+IEND
+    if ((b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' ||
+      b(3) != 'G' || b(4) != 0x0d || b(5) != 0x0a || b(6) != 0x1a ||
+      b(7) != 0x0a) return null
+    // chunk walk (positions in Long: crafted lengths must not wrap)
+    val crc = new java.util.zip.CRC32()
+    var pos = 8L
+    var w = -1; var h = -1; var channels = 0
+    var sawIhdr = false; var sawIend = false
+    val idatOff = new scala.collection.mutable.ArrayBuffer[Int]()
+    val idatLen = new scala.collection.mutable.ArrayBuffer[Int]()
+    while (pos + 12 <= b.length && !sawIend) {
+      val p = pos.toInt
+      val len = be32(b, p)
+      if (len < 0 || pos + 12 + len > b.length) return null
+      crc.reset(); crc.update(b, p + 4, 4 + len)
+      if (crc.getValue.toInt != be32(b, p + 8 + len)) return null
+      val t0 = b(p + 4); val t1 = b(p + 5)
+      val t2 = b(p + 6); val t3 = b(p + 7)
+      if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+        if (sawIhdr || len != 13) return null
+        sawIhdr = true
+        w = be32(b, p + 8); h = be32(b, p + 12)
+        val bitDepth = b(p + 16) & 0xff
+        val colorType = b(p + 17) & 0xff
+        val compression = b(p + 18) & 0xff
+        val filterMethod = b(p + 19) & 0xff
+        val interlace = b(p + 20) & 0xff
+        if (w <= 0 || h <= 0 || bitDepth != 8 || compression != 0 ||
+          filterMethod != 0 || interlace != 0) return null
+        channels = colorType match {
+          case 2 => 3
+          case 6 => 4
+          case _ => return null
+        }
+        // sanity envelope: a crafted IHDR must not allocate past any
+        // plausible asset (the scanline buffers are O(w), but the
+        // decode loop is w·h work on a task thread)
+        if (w > (1 << 24) || h > (1 << 24) ||
+          w.toLong * h > (1L << 34)) return null
+      } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        if (!sawIhdr) return null
+        idatOff += p + 8; idatLen += len
+      } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+        sawIend = true
+      }
+      pos += 12L + len
+    }
+    if (!sawIhdr || !sawIend || idatOff.isEmpty) return null
+    val bpp = channels
+    val stride = w * bpp
+    val inf = new java.util.zip.Inflater()
+    try {
+      var seg = 0
+      // fill `buf` completely from the concatenated IDAT stream;
+      // false = stream ended early / needs a preset dict (malformed)
+      def fill(buf: Array[Byte]): Boolean = {
+        var off = 0
+        while (off < buf.length) {
+          if (inf.needsInput && seg < idatOff.length) {
+            inf.setInput(b, idatOff(seg), idatLen(seg)); seg += 1
+          }
+          val n = inf.inflate(buf, off, buf.length - off)
+          if (n == 0 && (inf.finished() || inf.needsDictionary() ||
+            (inf.needsInput && seg >= idatOff.length))) return false
+          off += n
+        }
+        true
+      }
+      var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+      val rowBuf = new Array[Byte](stride + 1)
+      var prevRow = new Array[Byte](stride)
+      var curRow = new Array[Byte](stride)
+      var y = 0
+      while (y < h) {
+        if (!fill(rowBuf)) return null
+        val ft = rowBuf(0) & 0xff
+        if (ft > 4) return null
+        var k = 0
+        while (k < stride) {
+          val x = rowBuf(k + 1) & 0xff
+          val a = if (k >= bpp) curRow(k - bpp) & 0xff else 0
+          val up = prevRow(k) & 0xff
+          val c = if (k >= bpp) prevRow(k - bpp) & 0xff else 0
+          val recon = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + up
+            case 3 => x + ((a + up) >> 1)
+            case _ => // Paeth predictor (PNG spec §9.4)
+              val pp = a + up - c
+              val pa = math.abs(pp - a)
+              val pb = math.abs(pp - up)
+              val pc = math.abs(pp - c)
+              x + (if (pa <= pb && pa <= pc) a
+                   else if (pb <= pc) up else c)
+          }
+          curRow(k) = recon.toByte
+          k += 1
+        }
+        var px = 0
+        while (px < stride) {
+          sr += curRow(px) & 0xff
+          sg += curRow(px + 1) & 0xff
+          sb += curRow(px + 2) & 0xff
+          if (bpp == 4) sa += curRow(px + 3) & 0xff
+          px += bpp
+        }
+        val t = prevRow; prevRow = curRow; curRow = t
+        y += 1
+      }
+      // strict tail check: the zlib stream must contain EXACTLY
+      // h scanlines — trailing pixel data means a lying IHDR
+      val probe = new Array[Byte](1)
+      var extra = inf.inflate(probe)
+      while (extra == 0 && !inf.finished() && !inf.needsDictionary() &&
+        seg < idatOff.length) {
+        inf.setInput(b, idatOff(seg), idatLen(seg)); seg += 1
+        extra = inf.inflate(probe)
+      }
+      if (extra > 0) return null
+      val row = new GenericInternalRow(8)
+      row.setInt(0, w); row.setInt(1, h); row.setInt(2, channels)
+      row.setLong(3, w.toLong * h)
+      row.setLong(4, sr); row.setLong(5, sg); row.setLong(6, sb)
+      row.setLong(7, sa)
+      row
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
   def bmpColumn(c: Column): Column =
     GraftBridge.column(BmpPixelStatsExpr(GraftBridge.expression(c)))
   def wavColumn(c: Column): Column =
     GraftBridge.column(WavPcmStatsExpr(GraftBridge.expression(c)))
+  def pngColumn(c: Column): Column =
+    GraftBridge.column(PngPixelStatsExpr(GraftBridge.expression(c)))
 }
 
 case class BmpPixelStatsExpr(child: Expression) extends UnaryExpression {
@@ -183,6 +353,27 @@ case class BmpPixelStatsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression)
       : BmpPixelStatsExpr = copy(child = c)
   override def prettyName: String = "bmp_pixel_stats"
+}
+
+case class PngPixelStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"png_pixel_stats expects BINARY, got ${child.dataType.simpleString}")
+  override def dataType: DataType = MediaDecode.pngSchema
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    MediaDecode.pngStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val cls = MediaDecode.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $cls.pngStats($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : PngPixelStatsExpr = copy(child = c)
+  override def prettyName: String = "png_pixel_stats"
 }
 
 case class WavPcmStatsExpr(child: Expression) extends UnaryExpression {

@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * pipeline. Media are opaque `binary` columns with typed metadata; the
   * Spark-side concerns — schema, partitioning, batch iteration shape,
   * deterministic feature output — are real and tested. Header sniffing
-  * ([[MediaHeader]]) and fixed-layout decode (uncompressed BMP pixels,
+  * ([[MediaHeader]]), fixed-layout decode (uncompressed BMP pixels,
   * 16-bit PCM WAV samples — [[MediaDecode]], oracle-checked as
-  * q127/q128) are REAL byte-level implementations; only
-  * codec-REQUIRING formats (JPEG/PNG pixel data, compressed audio)
-  * are STUBBED in [[extractFeatures]] (this container has no codec
-  * libraries): the stub derives deterministic pseudo-features from
-  * the bytes, so tests exercise the full distributed path end-to-end.
+  * q127/q128), and PNG pixel decode (zlib via the JDK's Inflater +
+  * per-row unfilter — oracle-checked as q161) are REAL byte-level
+  * implementations; only codec-REQUIRING formats (JPEG pixel data,
+  * compressed audio) are STUBBED in [[extractFeatures]] (this
+  * container has no codec libraries): the stub derives deterministic
+  * pseudo-features from the bytes, so tests exercise the full
+  * distributed path end-to-end.
   *
   * At scale: decode runs via `mapPartitions` so a real implementation
   * amortizes per-partition library init (model load, codec contexts) —
@@ -214,6 +216,113 @@ object MultimodalOps {
     b.put("data".getBytes("US-ASCII")).putInt(dataSize)
     samples.foreach(b.putShort)
     b.array()
+  }
+
+  /** Deterministic fully-decodable PNG asset table (the PNG analogue
+    * of [[syntheticDecodableAssets]]): complete 8-bit truecolor
+    * (RGB / RGBA alternating) non-interlaced PNGs whose pixel values
+    * follow closed-form formulas in (asset index, x, y), scanline
+    * filters cycling through all five PNG filter types by row, and
+    * the IDAT stream split across two chunks — so one oracle compare
+    * exercises signature/chunk/CRC parsing, multi-segment inflate,
+    * and every unfilter path. Every third asset is headerless noise
+    * (the undecodable case). */
+  def syntheticPngAssets(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      i % 3 match {
+        case 2 =>
+          (i.toLong, "noise",
+            Array.tabulate[Byte](96)(j => ((i * 31 + j * 7) % 251)
+              .toByte))
+        case m =>
+          val alpha = m == 1
+          val w = 8 + i % 9
+          val h = 6 + i % 7
+          (i.toLong, if (alpha) "rgba" else "rgb",
+            pngFile(w, h, alpha, (x, y) => (
+              (i * 7 + x * 3 + y * 5) % 256,
+              (i * 11 + x * 13 + y * 17) % 256,
+              (i * 19 + x * 23 + y * 29) % 256,
+              (i * 13 + x * 11 + y * 3) % 256)))
+      }
+    }
+    rows.toDF("asset_id", "kind", "media_bytes")
+  }
+
+  /** A complete 8-bit truecolor PNG (RGB when `alpha` is false, RGBA
+    * when true), non-interlaced. Scanline filters cycle `y % 5`
+    * through None/Sub/Up/Average/Paeth so a decoder must implement
+    * every unfilter path; the IDAT stream is split into two chunks to
+    * exercise multi-segment inflate. `px(x, y)` is (r, g, b, a) in
+    * image coords (a ignored for RGB). */
+  private[graft] def pngFile(w: Int, h: Int, alpha: Boolean,
+      px: (Int, Int) => (Int, Int, Int, Int)): Array[Byte] = {
+    val bpp = if (alpha) 4 else 3
+    val stride = w * bpp
+    val recon = Array.ofDim[Byte](h, stride)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b, a) = px(x, y)
+      recon(y)(x * bpp) = r.toByte
+      recon(y)(x * bpp + 1) = g.toByte
+      recon(y)(x * bpp + 2) = b.toByte
+      if (alpha) recon(y)(x * bpp + 3) = a.toByte
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw.write(ft)
+      val cur = recon(y)
+      val prev = if (y > 0) recon(y - 1) else new Array[Byte](stride)
+      var k = 0
+      while (k < stride) {
+        val xv = cur(k) & 0xff
+        val a = if (k >= bpp) cur(k - bpp) & 0xff else 0
+        val up = prev(k) & 0xff
+        val c = if (k >= bpp) prev(k - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => xv
+          case 1 => xv - a
+          case 2 => xv - up
+          case 3 => xv - ((a + up) >> 1)
+          case _ =>
+            val p = a + up - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            xv - (if (pa <= pb && pa <= pc) a
+                  else if (pb <= pc) up else c)
+        }
+        raw.write(f & 0xff)
+        k += 1
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val defOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) defOut.write(buf, 0, d.deflate(buf))
+    d.end()
+    val deflated = defOut.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte)
+      .put((if (alpha) 6 else 2).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val split = deflated.length / 2
+    Array[Byte](0x89.toByte, 'P', 'N', 'G',
+        0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++
+      chunk("IDAT", deflated.take(split)) ++
+      chunk("IDAT", deflated.drop(split)) ++
+      chunk("IEND", Array.emptyByteArray)
   }
 
   /** Minimal valid PNG signature + IHDR prefix with the given dims. */

@@ -27,12 +27,14 @@ import graft.functions.Rounding.dround
   */
 object HybridSearch {
 
-  /** Fuse two ranked lists. Inputs need (query_id, <docCol>, rn);
-    * ranks beyond `inK` rows per query are taken as given (callers
-    * pass the k they retrieved with). Output: (query_id, doc_id,
-    * rrf_score, rank_sparse, rank_dense, rn) — per-system ranks kept
-    * (null where one system missed the doc) because "dense-only hit"
-    * vs "both agree" IS the error-analysis signal.
+  /** Fuse two ranked lists. Inputs need (query_id, <docCol>, rn) and
+    * must ALREADY be cut to their retrieval depth — every input row's
+    * `rn` contributes 1/(c+rn) to the fusion; rrf does no input
+    * filtering of its own. `k` cuts only the OUTPUT (fused top-k per
+    * query). Output: (query_id, doc_id, rrf_score, rank_sparse,
+    * rank_dense, rn) — per-system ranks kept (null where one system
+    * missed the doc) because "dense-only hit" vs "both agree" IS the
+    * error-analysis signal.
     */
   def rrf(sparse: DataFrame, sparseDocCol: String,
       dense: DataFrame, denseDocCol: String,

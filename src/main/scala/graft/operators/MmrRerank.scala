@@ -40,6 +40,12 @@ import graft.functions.Rounding.dround
   */
 object MmrRerank {
 
+  /** Hard ceiling on the per-query shortlist size. The pair frame is
+    * n² rows PER QUERY: real shortlists are 20–100 (k top of a
+    * retriever), but a caller passing a 100k-row "shortlist" would
+    * silently build a 10¹⁰-row frame. Fail loudly instead. */
+  val MaxShortlistPerQuery = 1024
+
   def rerank(candidates: DataFrame, relCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, lambda: Double = 0.7): DataFrame = {
@@ -52,9 +58,31 @@ object MmrRerank {
         col("neighbor_id").cast("long").as("neighbor_id"),
         col(relCol).cast("double").as("__rel")),
       "mmr_cand")
+    try rerankOn(spark, cand, candPath, vecs, k, lambda)
+    catch {
+      case e: Throwable =>
+        // a failed greedy round must not leak the materialized scratch
+        // dirs for the rest of the session
+        graft.core.Scratch.drop(spark, candPath)
+        throw e
+    }
+  }
+
+  private def rerankOn(spark: org.apache.spark.sql.SparkSession,
+      cand: DataFrame, candPath: String, vecs: DataFrame,
+      k: Int, lambda: Double): DataFrame = {
+    val worst = cand.groupBy("query_id").count()
+      .agg(max("count")).collect()(0)
+    if (!worst.isNullAt(0)) {
+      val n = worst.getLong(0)
+      require(n <= MaxShortlistPerQuery,
+        s"mmr: a query has a $n-row shortlist (max " +
+          s"$MaxShortlistPerQuery); the pair frame is n^2 per query — " +
+          "cut the retriever's candidate list before reranking")
+    }
     // candidate-candidate cosines within each query's shortlist:
-    // queries×n² rows, n = shortlist size — bounded by construction.
-    // k == 1 never consults the diversity term — skip the pair frame
+    // queries×n² rows, n = shortlist size — bounded by the require
+    // above. k == 1 never consults the diversity term — skip the frame
     val ids = cand.select(col("query_id"), col("neighbor_id"))
     val (pairs, pairsPath) =
       if (k == 1) (null: DataFrame, null: String)
@@ -81,31 +109,41 @@ object MmrRerank {
         .select(col("query_id"), col("neighbor_id"), col("__mmr"),
           lit(1).as("rn")),
       "mmr_sel")
-    for (step <- 2 to k) {
-      val remaining = cand.join(
-        selected.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val maxSim = pairs
-        .join(selected.select(col("query_id"),
-          col("neighbor_id").as("__other")), Seq("query_id", "__other"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg(max(col("__sim")).as("__maxsim"))
-      val scored = remaining
-        .join(maxSim, Seq("query_id", "neighbor_id"), "left")
-        .withColumn("__mmr", lit(lambda) * col("__rel") -
-          lit(1.0 - lambda) * coalesce(col("__maxsim"), lit(0.0)))
-      val pick = graft.functions.TopKByScore.explodeTopK(scored,
-          Seq("query_id"), col("__mmr"), col("neighbor_id"), 1,
-          outId = "neighbor_id", outScore = "__mmr")
-        .select(col("query_id"), col("neighbor_id"), col("__mmr"),
-          lit(step).as("rn"))
-      // materialize the new round, then drop the superseded one (the
-      // DedupClusters/PageRank per-round discipline — no scratch leak)
-      val (nextSel, nextPath) = graft.core.Scratch.materializeWithPath(
-        selected.union(pick), "mmr_sel")
-      graft.core.Scratch.drop(spark, selPath)
-      selected = nextSel
-      selPath = nextPath
+    // a failed round must drop every live scratch table, not just the
+    // success path's — wrap the greedy loop so pairs/sel never leak
+    try {
+      for (step <- 2 to k) {
+        val remaining = cand.join(
+          selected.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        val maxSim = pairs
+          .join(selected.select(col("query_id"),
+            col("neighbor_id").as("__other")),
+            Seq("query_id", "__other"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(max(col("__sim")).as("__maxsim"))
+        val scored = remaining
+          .join(maxSim, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("__mmr", lit(lambda) * col("__rel") -
+            lit(1.0 - lambda) * coalesce(col("__maxsim"), lit(0.0)))
+        val pick = graft.functions.TopKByScore.explodeTopK(scored,
+            Seq("query_id"), col("__mmr"), col("neighbor_id"), 1,
+            outId = "neighbor_id", outScore = "__mmr")
+          .select(col("query_id"), col("neighbor_id"), col("__mmr"),
+            lit(step).as("rn"))
+        // materialize the new round, then drop the superseded one (the
+        // DedupClusters/PageRank per-round discipline — no scratch leak)
+        val (nextSel, nextPath) = graft.core.Scratch.materializeWithPath(
+          selected.union(pick), "mmr_sel")
+        graft.core.Scratch.drop(spark, selPath)
+        selected = nextSel
+        selPath = nextPath
+      }
+    } catch {
+      case e: Throwable =>
+        graft.core.Scratch.drop(spark, selPath)
+        if (pairsPath != null) graft.core.Scratch.drop(spark, pairsPath)
+        throw e
     }
     // the final selected table is materialized — the shortlist and
     // pair-sim scratch tables are no longer referenced

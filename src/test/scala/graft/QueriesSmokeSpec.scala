@@ -15,6 +15,23 @@ class QueriesSmokeSpec extends SparkTestBase {
       // queries with an oracle must produce rows at this SF (empty
       // results would make the correctness gate vacuous)
       if (Oracles.all.contains(name)) assert(n > 0, s"$name is empty")
+      // type pin: the driver's hash is type-sensitive, so results must
+      // stay in the parquet-equivalent type set DuckDB reproduces
+      // bit-for-bit (round-6 q140: DuckDB HUGEINT vs Spark BIGINT red
+      // row). DecimalType in a Spark result is the mirror-image drift.
+      import org.apache.spark.sql.types._
+      def drifty(t: DataType): Boolean = t match {
+        case _: DecimalType | CalendarIntervalType => true
+        case a: ArrayType => drifty(a.elementType)
+        case m: MapType => drifty(m.keyType) || drifty(m.valueType)
+        case s: StructType => s.fields.exists(f => drifty(f.dataType))
+        case _ => false
+      }
+      df.schema.fields.foreach { f =>
+        assert(!drifty(f.dataType),
+          s"$name.${f.name} emits ${f.dataType} — not hash-stable " +
+            "against the DuckDB oracle; cast to BIGINT/DOUBLE")
+      }
     }
   }
 

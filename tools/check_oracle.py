@@ -17,6 +17,41 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB result types with no parquet/Spark equivalent. The driver's hash
+# is TYPE-sensitive: an oracle emitting HUGEINT (e.g. an uncast sum() over
+# BIGINT) hash-mismatches a value-identical Spark BIGINT column even though
+# this script's stringified compare passes. Gate on the oracle's result
+# schema so that class of red row is caught locally (round-6 q140).
+def bad_types(type_list):
+    bad = []
+    for t in type_list:
+        s = str(t).upper()
+        if ("HUGEINT" in s or s.startswith("DECIMAL")
+                or s.startswith("UBIGINT") or s.startswith("UINTEGER")
+                or s.startswith("USMALLINT") or s.startswith("UTINYINT")
+                or s == "TIME" or s.startswith("INTERVAL")):
+            bad.append(s)
+    return bad
+
+
+def selftest():
+    con = duckdb.connect()
+    # uncast sum() over BIGINT → HUGEINT: the detector MUST flag it
+    r1 = con.sql("SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) x)")
+    assert bad_types(r1.types), f"uncast sum not flagged: {r1.types}"
+    # cast sum → BIGINT: must pass
+    r2 = con.sql(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT CAST(1 AS BIGINT) x)")
+    assert not bad_types(r2.types), f"cast sum flagged: {r2.types}"
+    # doubles, varchar, date, timestamp, bool, lists: must pass
+    r3 = con.sql("SELECT 1.5::DOUBLE a, 'x' b, DATE '2020-01-01' c, "
+                 "TIMESTAMP '2020-01-01 00:00:00' d, true e, [1, 2] f")
+    assert not bad_types(r3.types), f"benign types flagged: {r3.types}"
+    # decimal literal arithmetic: must be flagged
+    r4 = con.sql("SELECT 1.5 AS a")
+    assert bad_types(r4.types), f"DECIMAL not flagged: {r4.types}"
+    print("selftest OK")
+
 
 def canon(v):
     # every cell becomes a (tag, str) pair so rows sort across NULLs
@@ -35,6 +70,9 @@ def canon(v):
 
 
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -67,6 +105,12 @@ def main():
                     " FROM ora").fetchall())
         except Exception as e:
             print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        bad = bad_types(ora.types)
+        if bad:
+            print(f"✗ {name}: ORACLE TYPE drift (driver hash is "
+                  f"type-sensitive): {bad} — cast in the oracle SQL")
             n_fail += 1
             continue
         if spark_cols != ora_cols:
