@@ -31,6 +31,8 @@ object IvfIndex {
 
   private def codebookPath(path: String) = s"$path/codebook"
   private def assignedPath(path: String) = s"$path/assigned"
+  private def refDistPath(path: String) = s"$path/refdist"
+  private def driftLogPath(path: String) = s"$path/driftlog"
 
   /** Train (optional) + assign + persist. Returns assigned version. */
   def publish(corpus: DataFrame, idCol: String, vecCol: String,
@@ -116,6 +118,146 @@ object IvfIndex {
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         compactIndex(spark, path)
     }
+  }
+
+  /** Cell histogram of an assignment frame — `(bucket, n)` rows,
+    * cells-sized: one map-side-combined aggregation. */
+  private def cellHistogram(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cell").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  private def driftRow(spark: SparkSession, batchId: Long,
+      psi: Double, retrained: Boolean): DataFrame = {
+    import spark.implicits._
+    Seq((batchId, psi, retrained))
+      .toDF("batch_id", "psi", "retrained")
+  }
+
+  /** Latest drift-monitor rows for the index: (batch_id, psi,
+    * retrained) — one row per admitted batch; `retrained = true` rows
+    * mark codebook rebuilds. */
+  def driftLog(spark: SparkSession, path: String): DataFrame =
+    VersionedTable.read(spark, driftLogPath(path))
+
+  /** DRIFT-TRIGGERED index maintenance — the production answer to the
+    * frozen-codebook recall-decay limitation: each admitted batch is
+    * scored for Population Stability Index against the cell histogram
+    * captured at the last (re)train ([[graft.ops.DriftMonitor
+    * .psiFromCounts]] — the reference is a persisted cells-sized count
+    * table, so monitoring costs one map-side aggregation over the
+    * BATCH, never a corpus re-scan). Under `psiThreshold` the batch
+    * admits against the frozen codebook exactly like
+    * [[foreachBatchIngest]]; on a breach the codebook RETRAINS on the
+    * current corpus snapshot + the batch, assignments rebuild, and the
+    * reference histogram resets — indexes rebuild on drift, not on a
+    * timer.
+    *
+    * Crash safety: the whole decision (admit OR retrain) runs inside
+    * one [[graft.core.TxnJournal]] intent spanning codebook, assigned,
+    * refdist, and driftlog — a crash anywhere rolls all four back to
+    * the pinned pre-batch versions and the replay re-decides from the
+    * SAME state (the PSI recompute is deterministic). Searches are
+    * snapshot-isolated throughout: a rebuild lands as new versions via
+    * the same atomic manifest claim, so a concurrent [[searchFrom]]
+    * sees either the old complete index or the new one, and a reader
+    * pinning a version keeps it.
+    *
+    * Scale shape per batch: assignment is the narrow [[assign]] map;
+    * monitoring is batch-histogram (cells rows) vs persisted reference
+    * (cells rows). A retrain costs what [[publish]] costs — one
+    * k-means over the corpus snapshot — paid only when the
+    * distribution actually moved. */
+  def foreachBatchIngestDriftAware(path: String, idCol: String,
+      vecCol: String, cells: Int = 16, trainIters: Int = 2,
+      psiThreshold: Double = 0.25): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val spark = batch.sparkSession
+      val f = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(
+        s"$path/_txn/b$batchId.done")
+      if (!f.exists(done) && !batch.isEmpty) {
+        val vecs = batch.select(col(idCol),
+          col(vecCol).cast("array<double>").as("vec"))
+        val pubMarker = new org.apache.hadoop.fs.Path(
+          s"$path/_txn/b$batchId.publish")
+        val isFirst = f.exists(pubMarker) ||
+          VersionedTable.latestVersion(spark, assignedPath(path)) == 0
+        if (isFirst) {
+          f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
+          try f.create(pubMarker, false).close()
+          catch { case _: java.io.IOException => () }
+          publish(vecs, idCol, "vec", path, cells, trainIters)
+          seedReference(spark, path, batchId)
+          f.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
+          try f.create(done, false).close()
+          catch { case _: java.io.IOException => () } // lost claim: done
+        } else {
+          // upgrade path: an index created by the drift-UNAWARE sink
+          // has no refdist/driftlog yet; they must exist (v >= 1)
+          // BEFORE the journal pins them, or a crash rollback would
+          // try to restore version 0. Seeding is deterministic from
+          // the current snapshot, so racing/replaying it is safe.
+          if (VersionedTable.latestVersion(spark, refDistPath(path)) == 0)
+            seedReference(spark, path, batchId = -1L)
+          graft.core.TxnJournal.exactlyOnce(spark, path, batchId,
+            Seq(codebookPath(path), assignedPath(path),
+              refDistPath(path), driftLogPath(path))) {
+            val codebook = readCodebook(spark, path)
+            val batchAssigned = assign(vecs, idCol, "vec", codebook)
+            val p = graft.ops.DriftMonitor.psiFromCounts(
+                VersionedTable.read(spark, refDistPath(path)),
+                cellHistogram(batchAssigned), cells)
+              .agg(max(col("psi"))).collect()(0).getDouble(0)
+            if (p <= psiThreshold) {
+              VersionedTable.commitAppend(batchAssigned,
+                assignedPath(path))
+              VersionedTable.commitAppend(
+                driftRow(spark, batchId, p, retrained = false),
+                driftLogPath(path))
+            } else {
+              // breach: retrain on current snapshot + batch, rebuild
+              val corpus = VersionedTable
+                .read(spark, assignedPath(path))
+                .select(col(idCol), col("vec"))
+                .unionByName(vecs)
+              val cb2 = SimilarityOps.kmeansTrain(
+                corpus, idCol, "vec", cells, math.max(1, trainIters))
+              import spark.implicits._
+              VersionedTable.commitOverwrite(
+                cb2.zipWithIndex
+                  .map { case (v, i) => (i, v.toSeq) }.toSeq
+                  .toDF("cell", "centroid"),
+                codebookPath(path))
+              VersionedTable.commitOverwrite(
+                assign(corpus, idCol, "vec", cb2), assignedPath(path))
+              // reference histogram from the COMMITTED rebuild (not a
+              // recomputed plan) so refdist always matches assigned
+              VersionedTable.commitOverwrite(
+                cellHistogram(VersionedTable.read(spark,
+                  assignedPath(path))), refDistPath(path))
+              VersionedTable.commitAppend(
+                driftRow(spark, batchId, p, retrained = true),
+                driftLogPath(path))
+            }
+          }
+          ()
+        }
+      }
+  }
+
+  /** Reference histogram + drift-log seed from the current committed
+    * assignment snapshot (deterministic → replay/race safe). */
+  private def seedReference(spark: SparkSession, path: String,
+      batchId: Long): Unit = {
+    VersionedTable.commitOverwrite(
+      cellHistogram(VersionedTable.read(spark, assignedPath(path))),
+      refDistPath(path))
+    if (VersionedTable.latestVersion(spark, driftLogPath(path)) == 0)
+      VersionedTable.commitOverwrite(
+        driftRow(spark, batchId, 0.0, retrained = true),
+        driftLogPath(path))
+    ()
   }
 
   /** Streaming SERVING tap — the dense twin of

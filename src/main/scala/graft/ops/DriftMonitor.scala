@@ -69,16 +69,32 @@ object DriftMonitor {
     def bucket(c: Column): Column = edges
       .map(e => when(c >= lit(e), 1).otherwise(0))
       .reduce(_ + _)
-    def counts(df: DataFrame, out: String): DataFrame =
+    def counts(df: DataFrame): DataFrame =
       df.select(bucket(col(valueCol)).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    psiFromCounts(counts(ref), counts(cur), edges.size + 1, eps)
+  }
 
-    val spark = ref.sparkSession
+  /** PSI from PRE-AGGREGATED bucket counts — for monitors whose
+    * reference is a PERSISTED count table rather than a rescannable
+    * raw slice (e.g. [[graft.operators.IvfIndex]]'s drift trigger:
+    * the reference is the cell histogram captured at train time;
+    * re-scanning the corpus per batch to rebuild it would be the
+    * scale-killer). Inputs are `(bucket INT, n BIGINT)`; buckets
+    * absent from a side count as zero; `nBuckets` fixes the spine so
+    * both sides see identical bucket sets. Same term math, scaling,
+    * and determinism as [[psi]] (which delegates here). */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      nBuckets: Int, eps: Double = 1e-6): DataFrame = {
+    require(nBuckets >= 1, "psiFromCounts: nBuckets must be >= 1")
+    val spark = refCounts.sparkSession
     import spark.implicits._
-    val spine = (0 to edges.size).map(Tuple1(_)).toDF("bucket")
+    val spine = (0 until nBuckets).map(Tuple1(_)).toDF("bucket")
     val joined = spine
-      .join(counts(ref, "n_ref"), Seq("bucket"), "left")
-      .join(counts(cur, "n_cur"), Seq("bucket"), "left")
+      .join(refCounts.select(col("bucket"), col("n").as("n_ref")),
+        Seq("bucket"), "left")
+      .join(curCounts.select(col("bucket"), col("n").as("n_cur")),
+        Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
