@@ -199,15 +199,37 @@ object Bm25Index {
     * multi-table lake transaction. */
   def searchFrom(spark: SparkSession, path: String, queries: DataFrame,
       qIdCol: String, qTextCol: String, idCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchFromPinned(spark, path,
+      componentPaths(path).map(_ => None), queries, qIdCol, qTextCol,
+      idCol, k, k1, b)
+
+  /** The four component tables, in the order [[foreachBatchIngest]]'s
+    * journal pins them — the sub-list a consistent-snapshot reader
+    * (e.g. [[HybridServe]]) resolves versions against. */
+  def componentPaths(path: String): Seq[String] =
+    Seq(postingsPath(path), doclenPath(path), termstatsPath(path),
+      statsPath(path))
+
+  /** [[searchFrom]] against EXPLICIT versions of the four component
+    * tables (order of [[componentPaths]]; None = latest) — the
+    * consistent-snapshot serving discipline: versions captured
+    * together never pair new postings with old term stats. */
+  def searchFromPinned(spark: SparkSession, path: String,
+      pinned: Seq[Option[Int]], queries: DataFrame,
+      qIdCol: String, qTextCol: String, idCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stats = VersionedTable.read(spark, statsPath(path))
+    require(pinned.size == 4,
+      s"bm25 pinned versions: expected 4, got ${pinned.size}")
+    val Seq(pV, dV, tV, sV) = pinned
+    val stats = VersionedTable.read(spark, statsPath(path), sV)
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
     val p = Bm25.Postings(
-      VersionedTable.read(spark, postingsPath(path)),
-      VersionedTable.read(spark, doclenPath(path)),
-      VersionedTable.read(spark, termstatsPath(path)),
+      VersionedTable.read(spark, postingsPath(path), pV),
+      VersionedTable.read(spark, doclenPath(path), dV),
+      VersionedTable.read(spark, termstatsPath(path), tV),
       stats)
     Bm25.topKFrom(p, idCol, queries, qIdCol, qTextCol, k, k1, b)
   }

@@ -282,11 +282,20 @@ object IvfIndex {
   }
 
   /** The persisted codebook, bounded cells×dim driver metadata. */
-  def readCodebook(spark: SparkSession, path: String)
-      : Array[Array[Double]] =
-    VersionedTable.read(spark, codebookPath(path))
+  def readCodebook(spark: SparkSession, path: String,
+      version: Option[Int] = None): Array[Array[Double]] =
+    VersionedTable.read(spark, codebookPath(path), version)
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** The component tables in the order
+    * [[foreachBatchIngestDriftAware]]'s journal pins them — the
+    * sub-list a consistent-snapshot reader (e.g. [[HybridServe]])
+    * resolves versions against. The first two (codebook, assigned)
+    * are the search surface. */
+  def journalPaths(path: String): Seq[String] =
+    Seq(codebookPath(path), assignedPath(path), refDistPath(path),
+      driftLogPath(path))
 
   /** IVF top-k straight off the persisted index: queries probe their
     * `nprobe` nearest cells of the STORED codebook; exact cosine only
@@ -294,9 +303,22 @@ object IvfIndex {
     * ranking/tie-break semantics as [[SimilarityOps.ivfTopK]]. */
   def searchFrom(spark: SparkSession, path: String, queries: DataFrame,
       queryIdCol: String, vecCol: String, idCol: String, k: Int,
-      nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    val codebook = readCodebook(spark, path)
-    val assigned = VersionedTable.read(spark, assignedPath(path))
+      nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame =
+    searchFromPinned(spark, path, None, None, queries, queryIdCol,
+      vecCol, idCol, k, nprobe, excludeSelf)
+
+  /** [[searchFrom]] against EXPLICIT codebook/assigned versions
+    * (None = latest) — versions captured together never pair a
+    * retrained codebook with the old assignment table or vice versa
+    * (the mid-rebuild hazard of [[foreachBatchIngestDriftAware]]). */
+  def searchFromPinned(spark: SparkSession, path: String,
+      codebookV: Option[Int], assignedV: Option[Int],
+      queries: DataFrame, queryIdCol: String, vecCol: String,
+      idCol: String, k: Int, nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val codebook = readCodebook(spark, path, codebookV)
+    val assigned = VersionedTable.read(spark, assignedPath(path),
+        assignedV)
       .select(col("cell"), col(idCol).as("neighbor_id"), col("vec"))
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
