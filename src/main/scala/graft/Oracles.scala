@@ -3347,6 +3347,25 @@ object Oracles {
         |    / count(*), 6) + 0 AS mean_b
         |FROM px GROUP BY i ORDER BY asset_id""".stripMargin,
 
+    "q162_gzip_decode" ->
+      """WITH d AS (
+        |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 120) t(i)
+        |  WHERE i % 3 < 2),
+        |tok AS (
+        |  SELECT i, unnest(range(0, 20 + i % 30)) AS j FROM d),
+        |w AS (
+        |  SELECT i, j,
+        |    'w' || CAST((i*7 + j*3) % 11 AS VARCHAR) AS tokstr
+        |  FROM tok),
+        |txt AS (
+        |  SELECT i, string_agg(tokstr, ' ' ORDER BY j) AS text
+        |  FROM w GROUP BY i)
+        |SELECT i AS doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(20 + i % 30 AS BIGINT) AS n_tokens,
+        |  md5(text) AS text_md5
+        |FROM txt ORDER BY doc_id""".stripMargin,
+
     "q161_png_decode" ->
       """WITH img AS (
         |  SELECT CAST(i AS BIGINT) AS i, i % 3 = 1 AS has_a

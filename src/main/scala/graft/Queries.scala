@@ -1730,6 +1730,28 @@ object Queries {
         .orderBy(col("asset_id"))
     }),
 
+    // ---- REAL gzip payload decode -------------------------------------
+    "q162_gzip_decode" -> ((s, d) => {
+      // gzipped document records decompressed in-flight by a
+      // codegen'd expression (Gunzip: RFC 1952 header walk, raw
+      // inflate through the JDK's zlib, CRC32 + ISIZE trailer
+      // validation) — the ingestion shape of a crawled corpus. The
+      // oracle rebuilds each document's exact text from the fixture's
+      // closed-form token formula and compares an md5 of it, so any
+      // decompression defect breaks the match; corrupted payloads
+      // (every third has a flipped byte — CRC catches it) null out.
+      // Narrow map over the scan, no shuffle before the ordering.
+      val gz = graft.functions.Gunzip
+      gz.syntheticGzipDocs(s, 120)
+        .select(col("doc_id"), gz.textColumn(col("gz_bytes")).as("text"))
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- hashing-trick TF-IDF document vectors ------------------------
     "q129_hashed_tfidf" -> ((s, d) => {
       // fixed-dim lexical vectors without an embedding model

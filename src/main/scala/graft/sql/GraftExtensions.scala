@@ -88,5 +88,11 @@ object GraftExtensions {
     "bmp_pixel_stats" -> (exprs =>
       graft.multimodal.BmpPixelStatsExpr(exprs.head)),
     "wav_pcm_stats" -> (exprs =>
-      graft.multimodal.WavPcmStatsExpr(exprs.head)))
+      graft.multimodal.WavPcmStatsExpr(exprs.head)),
+    "png_pixel_stats" -> (exprs =>
+      graft.multimodal.PngPixelStatsExpr(exprs.head)),
+    // compressed-payload decode (gzipped records from plain SQL)
+    "gunzip" -> (exprs => graft.functions.GunzipExpr(exprs.head)),
+    "gunzip_text" -> (exprs =>
+      graft.functions.GunzipTextExpr(exprs.head)))
 }

@@ -14,7 +14,8 @@ import graft.core.Tables
   * dedup/ANN expressions (simhash64, minhash_signature, word_shingles,
   * hyperplane_lsh, cosine_sim), the bounded-heap top-k aggregate, the
   * mergeable count-min and GK-quantile sketches, and the media
-  * byte-parsers (media_header, bmp_pixel_stats, wav_pcm_stats). The
+  * byte-parsers/decoders (media_header, bmp_pixel_stats,
+  * wav_pcm_stats, png_pixel_stats, gunzip, gunzip_text). The
   * single builder table keeps this path and the cluster-wide
   * `spark.sql.extensions` path from drifting.
   */

@@ -99,6 +99,21 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
           |FROM media WHERE id = 2""".stripMargin).collect().head
       assert(wav.getInt(0) == 16000)
       assert(wav.getLong(1) == 2L && wav.getInt(2) == 4)
+      Seq(
+        (3L, mm.pngFile(2, 1, alpha = false,
+          (x, _) => (10 * (x + 1), 0, 5, 0))),
+        (4L, graft.functions.Gunzip.gzipBytes(
+          "hola mundo".getBytes("UTF-8"))))
+        .toDF("id", "b").createOrReplaceTempView("media2")
+      val png = spark2.sql(
+        """SELECT png_pixel_stats(b).sum_r AS sr,
+          |  png_pixel_stats(b).n_pixels AS np
+          |FROM media2 WHERE id = 3""".stripMargin).collect().head
+      assert(png.getLong(0) == 30L && png.getLong(1) == 2L)
+      val gz = spark2.sql(
+        """SELECT gunzip_text(b) AS t, length(gunzip(b)) AS n
+          |FROM media2 WHERE id = 4""".stripMargin).collect().head
+      assert(gz.getString(0) == "hola mundo" && gz.getInt(1) == 10)
     } finally spark2.stop()
   }
 }

@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
 
 For each <name> directory of Spark parquet under verifyOutDir, runs
 oracle_sql.json[<name>] in DuckDB with views over the sfDir tables and
 compares: schema (column names), row count, and cell values (columns
 sorted by name, rows sorted, exact match after canonicalization).
+Also gates on the oracle's DuckDB result types (see bad_types).
+
+With jsonOut, additionally writes a machine-readable per-query record
+(the CORRECTNESS_sf01.json artifact committed per round, so the
+"full suite green at sf0.1" claim is a checked file, not prose).
 """
 import json
 import math
@@ -74,6 +79,8 @@ def main():
         selftest()
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    record = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -95,6 +102,8 @@ def main():
         if name not in oracles:
             print(f"  {name}: NO-ORACLE rows={len(spark_rows)} "
                   f"cols={spark_cols}")
+            record[name] = {"status": "no_oracle",
+                            "spark_rows": len(spark_rows)}
             continue
         try:
             ora = con.sql(oracles[name])
@@ -105,31 +114,47 @@ def main():
                     " FROM ora").fetchall())
         except Exception as e:
             print(f"✗ {name}: ORACLE SQL ERROR: {e}")
+            record[name] = {"status": "oracle_error", "err": str(e)[:200]}
             n_fail += 1
             continue
         bad = bad_types(ora.types)
         if bad:
             print(f"✗ {name}: ORACLE TYPE drift (driver hash is "
                   f"type-sensitive): {bad} — cast in the oracle SQL")
+            record[name] = {"status": "type_drift", "types": bad}
             n_fail += 1
             continue
         if spark_cols != ora_cols:
             print(f"✗ {name}: SCHEMA spark={spark_cols} oracle={ora_cols}")
+            record[name] = {"status": "schema_mismatch"}
             n_fail += 1
         elif len(spark_rows) != len(ora_rows):
             print(f"✗ {name}: ROWS spark={len(spark_rows)} "
                   f"oracle={len(ora_rows)}")
+            record[name] = {"status": "row_mismatch",
+                            "spark_rows": len(spark_rows),
+                            "oracle_rows": len(ora_rows)}
             n_fail += 1
         elif spark_rows != ora_rows:
             bad = [(a, b) for a, b in zip(spark_rows, ora_rows) if a != b]
             print(f"✗ {name}: VALUES {len(bad)}/{len(spark_rows)} differ; "
                   f"first: spark={bad[0][0]} oracle={bad[0][1]}")
+            record[name] = {"status": "value_mismatch",
+                            "n_differ": len(bad)}
             n_fail += 1
         else:
             print(f"✓ {name}: {len(spark_rows)} rows")
+            record[name] = {"status": "pass", "rows": len(spark_rows)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, "
           f"{len(names) - n_pass - n_fail} rows-only")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
+                       "n_fail": n_fail,
+                       "n_rows_only": len(names) - n_pass - n_fail,
+                       "queries": record}, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     sys.exit(1 if n_fail else 0)
 
 
