@@ -3347,6 +3347,28 @@ object Oracles {
         |    / count(*), 6) + 0 AS mean_b
         |FROM px GROUP BY i ORDER BY asset_id""".stripMargin,
 
+    "q163_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 90) t(i)),
+        |tok AS (
+        |  SELECT i, unnest(range(0, 10 + i % 20)) AS j FROM d),
+        |w AS (
+        |  SELECT i, j, CASE (i*3 + j) % 5
+        |    WHEN 0 THEN 'we' || chr(769)
+        |    WHEN 1 THEN 'wa' || chr(776)
+        |    WHEN 2 THEN 'wo' || chr(770)
+        |    WHEN 3 THEN 'w' || chr(233)
+        |    ELSE 'w' || CAST((i + j) % 10 AS VARCHAR) END AS tokstr
+        |  FROM tok),
+        |txt AS (
+        |  SELECT i, string_agg(tokstr, ' ' ORDER BY j) AS text
+        |  FROM w GROUP BY i)
+        |SELECT i AS doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_norm,
+        |  md5(nfc_normalize(text)) AS norm_md5
+        |FROM txt ORDER BY doc_id""".stripMargin,
+
     "q162_gzip_decode" ->
       """WITH d AS (
         |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 120) t(i)

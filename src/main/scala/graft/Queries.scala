@@ -1752,6 +1752,27 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Unicode NFC canonicalization ---------------------------------
+    "q163_nfc_normalize" -> ((s, d) => {
+      // canonical composition before hashing: precomposed é and
+      // e+COMBINING ACUTE are the same visible text but different
+      // bytes — without NFC they hash into different dedup clusters.
+      // The codegen'd NfcNormalize (JDK Normalizer) is cross-checked
+      // against DuckDB's utf8proc nfc_normalize: the oracle rebuilds
+      // the raw mixed-normalization strings with chr() and compares
+      // codepoint counts before/after plus an md5 of the normalized
+      // text. Narrow in-row map, no shuffle before the ordering.
+      val tn = graft.functions.TextNormalize
+      tn.syntheticUnicodeDocs(s, 90)
+        .select(col("doc_id"), col("text"),
+          tn.column(col("text")).as("norm"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_raw"),
+          length(col("norm")).cast("long").as("n_norm"),
+          md5(col("norm").cast("binary")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- hashing-trick TF-IDF document vectors ------------------------
     "q129_hashed_tfidf" -> ((s, d) => {
       // fixed-dim lexical vectors without an embedding model

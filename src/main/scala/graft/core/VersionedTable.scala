@@ -217,18 +217,92 @@ object VersionedTable {
       "spark.graft.manifest.pollMs")
   }
 
+  private def evolvedMarker(path: String) = new Path(s"$path/_schema.evolved")
+
   /** Read the table as of `version` (default: latest). An empty table
-    * (version 0) is an error — there is no schema to produce. */
+    * (version 0) is an error — there is no schema to produce. Tables
+    * flagged by [[commitAppendEvolve]] merge parquet footers so rows
+    * written before an additive schema change read as null in the
+    * added columns (the Delta mergeSchema read shape); unevolved
+    * tables skip the footer-merge cost. */
   def read(spark: SparkSession, path: String,
       version: Option[Int] = None): DataFrame = {
     val fl = files(spark, path, version)
     require(fl.nonEmpty, s"$path has no committed data" +
       version.fold("")(v => s" at version $v"))
-    spark.read.parquet(fl: _*)
+    if (fs(spark, path).exists(evolvedMarker(path)))
+      spark.read.option("mergeSchema", "true").parquet(fl: _*)
+    else spark.read.parquet(fl: _*)
   }
 
-  def commitAppend(df: DataFrame, path: String): Int =
+  /** Append a batch whose schema MATCHES the table's (names and
+    * types, order- and nullability-insensitive). The check is loud on
+    * purpose: parquet resolves a mixed-schema file list from a
+    * sampled footer, so a drifted append would not fail here — it
+    * would corrupt every LATER read nondeterministically (columns
+    * silently dropped or nulled depending on which file is sampled).
+    * Additive schema changes go through [[commitAppendEvolve]]. */
+  def commitAppend(df: DataFrame, path: String): Int = {
+    validateAppendSchema(df, path, allowAdded = false)
     commit(df, path, carryPrevious = true)
+  }
+
+  /** Append with EXPLICIT additive schema evolution (the Delta
+    * `mergeSchema` write analogue): the batch may add columns (rows
+    * in older files read as null there) but may not drop or retype
+    * existing ones. Flags the table so [[read]] merges footers from
+    * then on; time-travel reads of pre-evolution versions still see
+    * the original schema (their file set has no evolved footers).
+    * Caveat: [[readPruned]] skipping on a column added later will not
+    * prune files that predate the column. */
+  def commitAppendEvolve(df: DataFrame, path: String): Int = {
+    validateAppendSchema(df, path, allowAdded = true)
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    try f.create(evolvedMarker(path), false).close()
+    catch { case _: java.io.IOException => () } // already flagged
+    commit(df, path, carryPrevious = true)
+  }
+
+  /** Batch-vs-table schema compatibility (one parquet footer read of
+    * the current snapshot; no job). Retypes always reject; drops
+    * always reject; adds reject unless `allowAdded`. */
+  private def validateAppendSchema(df: DataFrame, path: String,
+      allowAdded: Boolean): Unit = {
+    val spark = df.sparkSession
+    val vPrev = latestVersion(spark, path)
+    if (vPrev == 0) return
+    val fl =
+      try files(spark, path, Some(vPrev))
+      catch { case _: Exception => return } // racing commit: let the
+    // commit loop's own race handling arbitrate; this check is about
+    // catching schema drift, not about winning races
+    if (fl.isEmpty) return
+    // evolved tables validate against the MERGED schema (the oldest
+    // footer alone would reject appends that carry a column added
+    // later); unevolved tables read one footer
+    val prev =
+      if (fs(spark, path).exists(evolvedMarker(path)))
+        spark.read.option("mergeSchema", "true").parquet(fl: _*).schema
+      else spark.read.parquet(fl.head).schema
+    val prevT = prev.fields.map(f => f.name -> f.dataType).toMap
+    val curT = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val retyped = curT.keySet.intersect(prevT.keySet)
+      .filter(k => !org.apache.spark.sql.GraftBridge
+        .sameTypeIgnoreNullability(curT(k), prevT(k)))
+    require(retyped.isEmpty,
+      s"append to $path retypes column(s) ${retyped.mkString(", ")} " +
+        s"(${retyped.map(k => s"$k: ${prevT(k)} -> ${curT(k)}")
+          .mkString("; ")}) — retyping is never allowed")
+    val missing = prevT.keySet -- curT.keySet
+    require(missing.isEmpty,
+      s"append to $path is missing column(s) ${missing.mkString(", ")}" +
+        " — appends may not drop columns (evolution is additive-only)")
+    val added = curT.keySet -- prevT.keySet
+    if (!allowAdded) require(added.isEmpty,
+      s"append to $path adds column(s) ${added.mkString(", ")} — " +
+        "use commitAppendEvolve for explicit additive schema evolution")
+  }
 
   def commitOverwrite(df: DataFrame, path: String): Int =
     commit(df, path, carryPrevious = false)

@@ -94,5 +94,8 @@ object GraftExtensions {
     // compressed-payload decode (gzipped records from plain SQL)
     "gunzip" -> (exprs => graft.functions.GunzipExpr(exprs.head)),
     "gunzip_text" -> (exprs =>
-      graft.functions.GunzipTextExpr(exprs.head)))
+      graft.functions.GunzipTextExpr(exprs.head)),
+    // Unicode canonical composition (text canonicalization pre-dedup)
+    "nfc_normalize" -> (exprs =>
+      graft.functions.NfcNormalizeExpr(exprs.head)))
 }

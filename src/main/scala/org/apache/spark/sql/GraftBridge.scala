@@ -11,6 +11,13 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Nullability-insensitive type equality (`asNullable` is
+    * `private[spark]`): fresh in-memory batches carry non-nullable
+    * primitives / containsNull=false arrays where parquet read-back
+    * is all-nullable — that difference is not a retype. */
+  def sameTypeIgnoreNullability(a: types.DataType,
+      b: types.DataType): Boolean = a.asNullable == b.asNullable
+
   /** Stable per-session identity (`sessionUUID` is `private[sql]`).
     * Exotic non-classic sessions fall back to JVM object identity —
     * still never shared across distinct session objects. */
