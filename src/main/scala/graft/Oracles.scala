@@ -3347,6 +3347,29 @@ object Oracles {
         |    / count(*), 6) + 0 AS mean_b
         |FROM px GROUP BY i ORDER BY asset_id""".stripMargin,
 
+    "q164_jaro_link" ->
+      """WITH vals AS (
+        |  SELECT p_name AS value, count(*) AS n_rows
+        |  FROM part GROUP BY 1),
+        |k AS (
+        |  SELECT string_split_regex(value, '\s+')[1] AS block,
+        |    value, n_rows FROM vals
+        |  UNION
+        |  SELECT string_split_regex(value, '\s+')[-1] AS block,
+        |    value, n_rows FROM vals),
+        |pairs AS (
+        |  SELECT DISTINCT a.value AS value_a, b.value AS value_b,
+        |    a.n_rows AS n_a, b.n_rows AS n_b
+        |  FROM k a JOIN k b USING (block)
+        |  WHERE a.value < b.value)
+        |SELECT value_a, value_b,
+        |  round(jaro_winkler_similarity(value_a, value_b), 4) + 0
+        |    AS jw_sim,
+        |  n_a, n_b
+        |FROM pairs
+        |WHERE jaro_winkler_similarity(value_a, value_b) >= 0.9
+        |ORDER BY value_a, value_b""".stripMargin,
+
     "q163_nfc_normalize" ->
       """WITH d AS (
         |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 90) t(i)),

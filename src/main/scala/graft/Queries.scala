@@ -1752,6 +1752,19 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Jaro-Winkler fuzzy linkage -----------------------------------
+    "q164_jaro_link" -> ((s, d) => {
+      // q138's blocked entity resolution with the Jaro-Winkler scorer
+      // (Spark has levenshtein but no Jaro builtin; the codegen'd
+      // expression implements the exact textbook semantics DuckDB's
+      // jaro_winkler_similarity does — integer transposition halving,
+      // 0.7 boost threshold, prefix cap 4, empty->0 — fuzz-verified
+      // at 1e-12 over random pairs). Same vocabulary-sized blocking:
+      // the all-pairs frame never forms
+      graft.ops.FuzzyLink.selfLinkJaro(
+        t(s, d, "part"), "p_name", minSim = 0.9)
+    }),
+
     // ---- Unicode NFC canonicalization ---------------------------------
     "q163_nfc_normalize" -> ((s, d) => {
       // canonical composition before hashing: precomposed é and

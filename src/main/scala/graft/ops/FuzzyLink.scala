@@ -36,7 +36,38 @@ object FuzzyLink {
     * value_a < value_b, dist ≤ maxDist; n_* are source-row support
     * counts. Ordered (value_a, value_b). */
   def selfLink(df: DataFrame, valueCol: String, maxDist: Int)
-      : DataFrame = {
+      : DataFrame =
+    candidates(df, valueCol)
+      .withColumn("dist", levenshtein(col("value_a"), col("value_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("value_a"), col("value_b"), col("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("value_a"), col("value_b"))
+
+  /** Self-linkage scored by Jaro–Winkler instead of edit distance —
+    * the better-behaved scorer on short identity-ish strings, where
+    * transpositions are cheap typos and shared prefixes carry signal
+    * (Winkler 1990). Same blocking/dedup frame as [[selfLink]]; the
+    * scorer ([[graft.functions.JaroWinkler]]) implements the exact
+    * textbook semantics DuckDB's `jaro_winkler_similarity` does
+    * (fuzz-verified at 1e-12), so the q164 oracle filters on the same
+    * raw doubles. Output: (value_a, value_b, jw_sim, n_a, n_b). */
+  def selfLinkJaro(df: DataFrame, valueCol: String,
+      minSim: Double = 0.9): DataFrame = {
+    import graft.functions.Rounding.dround
+    candidates(df, valueCol)
+      .withColumn("__jw", graft.functions.JaroWinkler.column(
+        col("value_a"), col("value_b")))
+      .filter(col("__jw") >= minSim)
+      .select(col("value_a"), col("value_b"),
+        (dround(col("__jw"), 4) + lit(0)).as("jw_sim"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("value_a"), col("value_b"))
+  }
+
+  /** The shared blocked candidate frame: distinct values + support
+    * counts, first/last-token blocking, deduplicated ordered pairs. */
+  private def candidates(df: DataFrame, valueCol: String): DataFrame = {
     val vals = df.groupBy(col(valueCol).as("value"))
       .agg(count(lit(1)).as("n_rows"))
     val toks = split(col("value"), "\\s+")
@@ -55,10 +86,5 @@ object FuzzyLink {
       .filter(col("value_a") < col("value_b"))
       .select(col("value_a"), col("value_b"), col("n_a"), col("n_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("value_a"), col("value_b")))
-      .filter(col("dist") <= maxDist)
-      .select(col("value_a"), col("value_b"), col("dist"),
-        col("n_a"), col("n_b"))
-      .orderBy(col("value_a"), col("value_b"))
   }
 }

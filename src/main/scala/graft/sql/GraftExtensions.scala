@@ -97,5 +97,10 @@ object GraftExtensions {
       graft.functions.GunzipTextExpr(exprs.head)),
     // Unicode canonical composition (text canonicalization pre-dedup)
     "nfc_normalize" -> (exprs =>
-      graft.functions.NfcNormalizeExpr(exprs.head)))
+      graft.functions.NfcNormalizeExpr(exprs.head)),
+    // fuzzy-linkage scorers (Spark ships levenshtein but no Jaro)
+    "jaro_similarity" -> (exprs =>
+      graft.functions.JaroSimilarityExpr(exprs(0), exprs(1))),
+    "jaro_winkler_similarity" -> (exprs =>
+      graft.functions.JaroWinklerExpr(exprs(0), exprs(1))))
 }
