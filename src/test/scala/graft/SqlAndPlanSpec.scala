@@ -231,6 +231,18 @@ class SqlAndPlanSpec extends SparkTestBase {
     assert(!cartesian, "fuzzy linkage must never form the all-pairs frame")
   }
 
+  test("decode queries are narrow maps: only the output sort " +
+    "exchanges") {
+    // PNG/gzip/NFC decode is per-row in-expression work; the one
+    // permitted exchange is the deterministic output ordering
+    Seq("q161_png_decode", "q162_gzip_decode", "q163_nfc_normalize")
+      .foreach { n =>
+        val df = Queries.all(n)(spark, sfDir)
+        assert(PlanAsserts.countShuffles(df) <= 1,
+          s"$n shuffled before the output sort")
+      }
+  }
+
   test("training export never shuffles text past the quality gate") {
     val exchanges = executedNodes("q122_training_export").collect {
       case e: Exchange => e
