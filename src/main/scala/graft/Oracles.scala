@@ -3347,6 +3347,50 @@ object Oracles {
         |    / count(*), 6) + 0 AS mean_b
         |FROM px GROUP BY i ORDER BY asset_id""".stripMargin,
 
+    "q166_entity_resolve" ->
+      """WITH RECURSIVE vals AS (
+        |  SELECT p_name AS value, count(*) AS n_rows
+        |  FROM part GROUP BY 1),
+        |k AS (
+        |  SELECT string_split_regex(value, '\s+')[1] AS block,
+        |    value FROM vals
+        |  UNION
+        |  SELECT string_split_regex(value, '\s+')[-1] AS block,
+        |    value FROM vals),
+        |pairs AS (
+        |  SELECT DISTINCT a.value AS value_a, b.value AS value_b
+        |  FROM k a JOIN k b USING (block)
+        |  WHERE a.value < b.value
+        |    AND jaro_winkler_similarity(a.value, b.value) >= 0.9),
+        |edges AS (
+        |  SELECT value_a AS u, value_b AS v FROM pairs
+        |  UNION SELECT value_b, value_a FROM pairs),
+        |lab(value, lbl) AS (
+        |  SELECT value, value FROM vals
+        |  UNION
+        |  SELECT e.u, l.lbl FROM edges e JOIN lab l ON l.value = e.v),
+        |ent AS (
+        |  SELECT value, min(lbl) AS entity FROM lab GROUP BY 1),
+        |can AS (
+        |  SELECT entity, value AS canonical FROM (
+        |    SELECT e.entity, v.value,
+        |      row_number() OVER (PARTITION BY e.entity
+        |        ORDER BY v.n_rows DESC, v.value) AS rn
+        |    FROM ent e JOIN vals v USING (value)) WHERE rn = 1)
+        |SELECT v.value, e.entity, c.canonical, v.n_rows
+        |FROM vals v JOIN ent e USING (value) JOIN can c USING (entity)
+        |ORDER BY e.entity, v.value""".stripMargin,
+
+    "q165_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  count(*) >= 10 AS anonymous,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |    AS BIGINT) AS l_distinct
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
     "q164_jaro_link" ->
       """WITH vals AS (
         |  SELECT p_name AS value, count(*) AS n_rows

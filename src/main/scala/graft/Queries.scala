@@ -1752,6 +1752,36 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- entity canonicalization (full ER loop) -----------------------
+    "q166_entity_resolve" -> ((s, d) => {
+      // block -> Jaro-Winkler score -> connected components ->
+      // canonical surface form (highest support, ties to the smaller
+      // string): the step after q164 that downstream pipelines
+      // actually consume (rewrite the attribute to `canonical`). The
+      // oracle replays the closure with a recursive min-label
+      // propagation over the same scored pairs
+      graft.ops.FuzzyLink.resolveEntities(
+        t(s, d, "part"), "p_name", minSim = 0.9)
+    }),
+
+    // ---- k-anonymity / l-diversity release gate -----------------------
+    "q165_k_anonymity" -> ((s, d) => {
+      // privacy audit before publishing a user-adjacent table
+      // (Sweeney 2002; Machanavajjhala 2007): per (nation, segment)
+      // quasi-identifier class, its size, the k>=10 anonymity flag,
+      // and the number of distinct sensitive values (account-balance
+      // thousand-bucket) for the homogeneity check. One map-side
+      // aggregation; classes are vocabulary-sized
+      graft.ops.Anonymity.classAudit(
+          t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"),
+          k = 10,
+          sensitive = floor(col("c_acctbal") / 1000).cast("long"))
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_mktsegment"),
+          col("class_size"), col("anonymous"), col("l_distinct"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
     // ---- Jaro-Winkler fuzzy linkage -----------------------------------
     "q164_jaro_link" -> ((s, d) => {
       // q138's blocked entity resolution with the Jaro-Winkler scorer

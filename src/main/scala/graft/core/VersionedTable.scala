@@ -736,7 +736,15 @@ object VersionedTable {
     val nOut = math.max(1,
       math.ceil(totalSmall.toDouble / targetBytes).toInt)
     val commitDir = s"$path/data/${java.util.UUID.randomUUID()}"
-    spark.read.parquet(small.map(_._1): _*).coalesce(nOut)
+    // evolved tables must merge footers here: the small files can have
+    // heterogeneous (additive) schemas, and a plain read would rewrite
+    // them to whichever sampled footer won — silently dropping the
+    // evolved column from the compacted files
+    val rd =
+      if (f.exists(evolvedMarker(path)))
+        spark.read.option("mergeSchema", "true")
+      else spark.read
+    rd.parquet(small.map(_._1): _*).coalesce(nOut)
       .write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
     val newFiles = f.listStatus(new Path(commitDir))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))

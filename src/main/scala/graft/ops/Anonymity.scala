@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy release-gate audits over quasi-identifier (QI) columns —
+  * the checks a curation pipeline runs before publishing any
+  * user-adjacent table:
+  *
+  *  - k-anonymity (Sweeney 2002): every row must be indistinguishable
+  *    from at least k−1 others on its QI tuple; a QI class smaller
+  *    than k re-identifies its members by linkage.
+  *  - l-diversity (Machanavajjhala et al. 2007): a k-anonymous class
+  *    whose SENSITIVE attribute is constant still leaks it
+  *    (homogeneity attack) — each class must carry ≥ l distinct
+  *    sensitive values.
+  *
+  * These are AUDITS, not fixes: the remediation loop is coarsen a QI
+  * column (bucket, truncate — [[graft.operators.Masking]]'s
+  * generalization direction) or suppress the violating classes, then
+  * re-audit.
+  *
+  * Shape at scale: one map-side-combined aggregation on the QI tuple
+  * — classes are vocabulary-sized, never corpus-sized; the sensitive
+  * distinct-count rides the same exchange as a count-distinct. The
+  * per-row risk view joins back on the key the aggregation just
+  * partitioned by (exchange reuse, the SpanDedup discipline).
+  */
+object Anonymity {
+
+  /** Per-equivalence-class audit: the QI columns + `class_size` +
+    * `anonymous` (size ≥ k) + `l_distinct` (distinct sensitive
+    * values in the class). One aggregation pass. */
+  def classAudit(df: DataFrame, qiCols: Seq[String], k: Int,
+      sensitive: Column): DataFrame = {
+    require(qiCols.nonEmpty, "k-anonymity needs >= 1 QI column")
+    require(k >= 1, "k must be >= 1")
+    df.groupBy(qiCols.map(col(_)): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("l_distinct"))
+      .withColumn("anonymous", col("class_size") >= k)
+  }
+
+  /** One-row release-gate summary: class counts, rows at risk, and
+    * the table's effective k and l (the minima an attacker faces). */
+  def report(df: DataFrame, qiCols: Seq[String], k: Int, l: Int,
+      sensitive: Column): DataFrame =
+    classAudit(df, qiCols, k, sensitive)
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L))
+          .as("n_violating_classes"),
+        sum(when(col("class_size") < k, col("class_size"))
+          .otherwise(0L)).as("n_rows_at_risk"),
+        min(col("class_size")).as("k_effective"),
+        min(col("l_distinct")).as("l_effective"))
+      .withColumn("passes",
+        col("k_effective") >= k && col("l_effective") >= l)
+
+  /** Per-row risk view: the input plus its class's size and a
+    * `suppress` flag — the frame a remediation pass filters on. */
+  def rowRisk(df: DataFrame, qiCols: Seq[String], k: Int,
+      sensitive: Column): DataFrame =
+    df.join(classAudit(df, qiCols, k, sensitive)
+        .select(qiCols.map(col(_)) :+ col("class_size"): _*),
+      qiCols)
+      .withColumn("suppress", col("class_size") < k)
+}

@@ -65,6 +65,45 @@ object FuzzyLink {
       .orderBy(col("value_a"), col("value_b"))
   }
 
+  /** End-to-end entity canonicalization: [[selfLinkJaro]] pairs →
+    * connected components ([[graft.operators.DedupClusters
+    * .components]], which is node-type-generic — string values label
+    * by lexicographic component minimum) → one canonical surface form
+    * per entity (highest support, ties to the smaller string). The
+    * full ER loop: block → score → cluster → canonicalize; downstream
+    * pipelines rewrite the attribute to `canonical` and re-aggregate.
+    *
+    * Output: (value, entity, canonical, n_rows) — one row per
+    * DISTINCT value; singletons are their own entity. Everything
+    * after the candidate frame is vocabulary-sized: the window that
+    * elects canonicals partitions by entity over distinct values,
+    * never corpus rows. */
+  def resolveEntities(df: DataFrame, valueCol: String,
+      minSim: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.groupBy(col(valueCol).as("value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val pairs = selfLinkJaro(df, valueCol, minSim)
+      .select(col("value_a"), col("value_b"))
+    val comp = graft.operators.DedupClusters
+      .components(pairs, "value_a", "value_b")
+      .withColumnRenamed("node", "value")
+    val labeled = vals
+      .join(comp, Seq("value"), "left")
+      .withColumn("entity", coalesce(col("component"), col("value")))
+      .drop("component")
+    val w = Window.partitionBy(col("entity"))
+      .orderBy(col("n_rows").desc, col("value"))
+    val canon = labeled
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("entity"), col("value").as("canonical"))
+    labeled.join(canon, Seq("entity"))
+      .select(col("value"), col("entity"), col("canonical"),
+        col("n_rows"))
+      .orderBy(col("entity"), col("value"))
+  }
+
   /** The shared blocked candidate frame: distinct values + support
     * counts, first/last-token blocking, deduplicated ordered pairs. */
   private def candidates(df: DataFrame, valueCol: String): DataFrame = {

@@ -59,6 +59,35 @@ class JaroWinklerSpec extends SparkTestBase {
     }
   }
 
+  test("resolveEntities: transitive chains collapse to one entity " +
+    "with the highest-support canonical") {
+    import spark.implicits._
+    // 'anodized almond' ~ 'anodized almonds' ~ 'anodized almondz'
+    // chain under first-token blocking; 'burnished copper' separate
+    val rows = (Seq.fill(5)("anodized almonds") ++
+      Seq.fill(2)("anodized almond") ++
+      Seq.fill(1)("anodized almondz") ++
+      Seq.fill(3)("burnished copper"))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "name")
+    val ents = graft.ops.FuzzyLink.resolveEntities(rows, "name",
+        minSim = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    val byValue = ents.map(e => e._1 -> e).toMap
+    assert(ents.length == 4) // distinct values
+    // the three 'anodized *' variants share one entity and elect the
+    // 5-row spelling as canonical
+    val almondEnts = ents.filter(_._1.startsWith("anodized"))
+      .map(_._2).distinct
+    assert(almondEnts.size == 1)
+    assert(ents.filter(_._1.startsWith("anodized"))
+      .forall(_._3 == "anodized almonds"))
+    // the unrelated value is its own singleton entity and canonical
+    assert(byValue("burnished copper")._2 == "burnished copper")
+    assert(byValue("burnished copper")._3 == "burnished copper")
+  }
+
   test("q164 blocked linkage returns plausible scored pairs") {
     val df = Queries.all("q164_jaro_link")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()

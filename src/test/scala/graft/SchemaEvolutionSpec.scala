@@ -81,4 +81,23 @@ class SchemaEvolutionSpec extends SparkTestBase {
       Seq((3L, "c", 1.5)).toDF("id", "s", "score"), p)
     assert(VersionedTable.read(spark, p).count() == 3)
   }
+
+  test("compaction preserves the evolved column across mixed-schema " +
+    "small files") {
+    val p = freshPath()
+    VersionedTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), p)
+    VersionedTable.commitAppendEvolve(
+      Seq((3L, "c", 0.5)).toDF("id", "s", "score"), p)
+    // every file is tiny → all rewritten into one merged-schema file
+    val v = VersionedTable.compact(spark, p, targetBytes = 1 << 20)
+    val t = VersionedTable.read(spark, p, Some(v))
+    assert(t.columns.toSet == Set("id", "s", "score"))
+    assert(t.count() == 3)
+    assert(t.filter($"id" === 3L).select("score").collect()
+      .head.getDouble(0) == 0.5,
+      "compaction dropped the evolved column's values")
+    assert(t.filter($"id" === 1L).select("score").collect()
+      .head.isNullAt(0))
+  }
 }

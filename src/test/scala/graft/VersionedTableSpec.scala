@@ -449,6 +449,22 @@ class VersionedTableSpec extends SparkTestBase {
     val onTheFly = VersionedTable.readPruned(spark, path, "id",
       "k200", "k210", version = Some(3))
     assert(onTheFly.filter($"id" >= "k200").count() == 11)
+
+    // a racing publisher that lost AFTER its rename can leave its tmp
+    // NESTED inside the sidecar (Hadoop rename-onto-existing-dir
+    // nests the source instead of failing); the sidecar read must
+    // neither break on partition discovery nor double-count stats
+    val statsDir = new java.io.File(path, "_stats").listFiles()
+      .filter(_.getName.matches("v\\d+")).head
+    val nested = new java.io.File(statsDir,
+      "v00003.tmp-deadbeef")
+    (1 to 3).map(i => (s"junk$i", 999L)).toDF("id", "n")
+      .write.parquet(nested.getAbsolutePath)
+    val afterJunk = VersionedTable.readPruned(spark, path, "id",
+      "k100", "k110")
+    assert(afterJunk.select(input_file_name()).distinct().count() == 1)
+    assert(afterJunk.filter($"id".between("k100", "k110"))
+      .count() == 11, "nested tmp junk duplicated pruned rows")
   }
 
   test("diff reports inserts, deletes, and updates between versions") {
