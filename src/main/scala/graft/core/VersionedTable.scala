@@ -611,6 +611,41 @@ object VersionedTable {
         coalesce(col("__b"), col("__a")).as("row_value"): _*)
   }
 
+  /** Latest version whose manifest was PUBLISHED at or before
+    * `tsMillis` — the Delta `TIMESTAMP AS OF` resolution rule (commit
+    * time = the log entry's modification time). 0 when the table has
+    * no version that old. Manifest mtimes are assigned by the
+    * filesystem at publish, so like Delta this is as precise as the
+    * store's clock; version-addressed reads stay the exact API. */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long)
+      : Int = {
+    val dir = new Path(manifestDir(path))
+    val f = fs(spark, path)
+    if (!f.exists(dir)) return 0
+    f.listStatus(dir)
+      .filter(_.getPath.getName.matches("v\\d+\\.json"))
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toInt)
+      .foldLeft(0)(math.max)
+  }
+
+  /** [[read]] at the snapshot current as of `tsMillis`. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long)
+      : DataFrame = {
+    val v = versionAsOf(spark, path, tsMillis)
+    require(v > 0,
+      s"$path has no version committed at or before epoch-ms $tsMillis")
+    read(spark, path, Some(v))
+  }
+
+  /** RESTORE: make version `v`'s content the table's newest version
+    * (the Delta `RESTORE TABLE ... TO VERSION AS OF` analogue).
+    * History is preserved — restore is just another commit, so the
+    * mistaken versions stay addressable until [[vacuum]] reclaims
+    * them. Returns the new version. */
+  def restore(spark: SparkSession, path: String, v: Int): Int =
+    commitOverwrite(read(spark, path, Some(v)), path)
+
   private def statsDir(path: String, v: Int) =
     f"$path%s/_stats/v$v%05d"
 

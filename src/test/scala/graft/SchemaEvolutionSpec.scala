@@ -82,6 +82,32 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, p).count() == 3)
   }
 
+  test("timestamp-as-of reads resolve to the version current at the " +
+    "time; restore republishes an old snapshot as a new version") {
+    val p = freshPath()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "s"), p)
+    Thread.sleep(1100) // local-fs mtime granularity can be 1 s
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(1100)
+    VersionedTable.commitAppend(Seq((2L, "b")).toDF("id", "s"), p)
+
+    assert(VersionedTable.versionAsOf(spark, p, tsBetween) == 1)
+    assert(VersionedTable.readAsOf(spark, p, tsBetween).count() == 1)
+    assert(VersionedTable.readAsOf(spark, p,
+      System.currentTimeMillis()).count() == 2)
+    // before any commit: no resolvable version
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, p, 1000L)
+    }
+    // restore v1: content rolls back, history is preserved
+    val v3 = VersionedTable.restore(spark, p, 1)
+    assert(v3 == 3)
+    assert(VersionedTable.read(spark, p).as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a")))
+    assert(VersionedTable.read(spark, p, Some(2)).count() == 2,
+      "restore must not erase the history it rolls back")
+  }
+
   test("compaction preserves the evolved column across mixed-schema " +
     "small files") {
     val p = freshPath()
