@@ -80,17 +80,81 @@ object DeterministicSample {
     * engine, so the identical draw is auditable outside Spark.
     */
   def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
-      k: Int, seed: String): DataFrame = {
-    val v = conv(substring(md5(concat(lit(seed + ":"),
-      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
-    val u = (v + lit(0.5)) / lit(4294967296.0)
-    val key = log(u) / col(weightCol).cast("double")
-    graft.functions.TopKByScore.explodeTopK(
-      df.filter(col(weightCol) > 0).withColumn("__key", key),
-      Seq.empty, col("__key"), col(idCol), k,
-      outId = idCol, outScore = "__key")
+      k: Int, seed: String): DataFrame =
+    rankByAesKey(
+      df.filter(col(weightCol) > 0)
+        .withColumn("__key", aesKey(idCol, weightCol, seed)),
+      idCol, k)
       .select(col(idCol),
         graft.functions.Rounding.dround(col("__key"), 6)
           .as("sample_key"), col("rn"))
+
+  /** The raw A-ES key ln(u)/w with u = uniform(md5(seed:id)) — pure
+    * in (seed, id, weight), which is what makes the reservoir
+    * INCREMENTAL: re-ranking previously-kept rows alongside a new
+    * batch reproduces exactly the keys a full recompute would draw. */
+  private def aesKey(idCol: String, weightCol: String,
+      seed: String): Column = {
+    val v = conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    log(u) / col(weightCol).cast("double")
   }
+
+  private def rankByAesKey(keyed: DataFrame, idCol: String, k: Int)
+      : DataFrame =
+    graft.functions.TopKByScore.explodeTopK(keyed,
+      Seq.empty, col("__key"), col(idCol), k,
+      outId = idCol, outScore = "__key")
+
+  /** Streaming A-ES reservoir: a `foreachBatch` sink maintaining a
+    * fixed-size weighted sample of a GROWING corpus as a
+    * [[graft.core.VersionedTable]] — per micro-batch, merge the
+    * stored reservoir with the batch's keyed rows and keep the top-k
+    * A-ES keys. Because the key is a pure function of (seed, id,
+    * weight), the maintained reservoir is IDENTICAL to a full-corpus
+    * [[weightedTopK]] over everything ingested so far (the
+    * batch-order-invariance spec pins this), and the update is
+    * IDEMPOTENT (id-dedup before ranking), so a crash between the
+    * overwrite and the marker replays to the same state — no journal
+    * needed. Contract: ids are unique across batches (append-only
+    * corpus, the [[graft.operators.Bm25Index]] ingestion discipline).
+    *
+    * Per batch cost: the batch scan + a k-row state read; the merge
+    * ranks (k + |batch|) rows through the bounded heap. */
+  def foreachBatchReservoir(path: String, idCol: String,
+      weightCol: String, k: Int, seed: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_commits/b$batchId")
+    val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker) && !batch.isEmpty) {
+      val keyed = batch.filter(col(weightCol) > 0)
+        .select(col(idCol),
+          aesKey(idCol, weightCol, seed).as("__key"))
+      val merged =
+        if (graft.core.VersionedTable.latestVersion(spark, path) == 0)
+          keyed
+        else graft.core.VersionedTable.read(spark, path)
+          .select(col(idCol), col("__key"))
+          .unionByName(keyed)
+          .dropDuplicates(idCol)
+      graft.core.VersionedTable.commitOverwrite(
+        rankByAesKey(merged, idCol, k), path)
+      f.mkdirs(marker.getParent)
+      try f.create(marker, false).close()
+      catch { case _: java.io.IOException => () } // lost claim: done
+    }
+  }
+
+  /** The current reservoir, ranked 1..k with rounded keys (the
+    * [[weightedTopK]] output shape). */
+  def reservoir(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): DataFrame =
+    graft.core.VersionedTable.read(spark, path)
+      .select(col(idCol),
+        graft.functions.Rounding.dround(col("__key"), 6)
+          .as("sample_key"), col("rn"))
+      .orderBy(col("rn"))
 }
