@@ -114,6 +114,14 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         """SELECT gunzip_text(b) AS t, length(gunzip(b)) AS n
           |FROM media2 WHERE id = 4""".stripMargin).collect().head
       assert(gz.getString(0) == "hola mundo" && gz.getInt(1) == 10)
+      val txt = spark2.sql(
+        "SELECT nfc_normalize('we\u0301') AS n, " +
+        "jaro_winkler_similarity('martha', 'marhta') AS jw, " +
+        "jaro_similarity('dixon', 'dicksonx') AS j")
+        .collect().head
+      assert(txt.getString(0) == "w\u00e9")
+      assert(txt.getDouble(1) == 0.9611111111111111)
+      assert(txt.getDouble(2) == 0.7666666666666666)
     } finally spark2.stop()
   }
 }
