@@ -3347,6 +3347,65 @@ object Oracles {
         |    / count(*), 6) + 0 AS mean_b
         |FROM px GROUP BY i ORDER BY asset_id""".stripMargin,
 
+    "q167_url_canon" ->
+      """WITH d AS (
+        |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 110) t(i)),
+        |raw AS (
+        |  SELECT i, CASE WHEN i % 11 = 10
+        |    THEN 'not a url ' || CAST(i AS VARCHAR)
+        |    ELSE
+        |      (CASE WHEN i % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |      || '://'
+        |      || (CASE WHEN i % 7 = 3 THEN 'u:p@' ELSE '' END)
+        |      || 'WWW.Example' || CAST(i % 7 AS VARCHAR) || '.COM'
+        |      || (['', ':80', ':443', ':8080'])[(i % 4) + 1]
+        |      || (['', '/', '//a//b/', '/a/b'])[((i // 4) % 4) + 1]
+        |      || (CASE WHEN i % 3 = 0
+        |          THEN '?q=' || CAST(i AS VARCHAR) || '&x=1'
+        |          ELSE '' END)
+        |      || (CASE WHEN i % 5 = 0 THEN '#sec' ELSE '' END)
+        |    END AS url
+        |  FROM d),
+        |parts AS (
+        |  SELECT i, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+        |      1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+        |      2)), '^[^@]*@', '') AS auth,
+        |    regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+        |      3) AS path0,
+        |    regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+        |      4) AS query
+        |  FROM raw),
+        |norm AS (
+        |  SELECT i, url, scheme, query,
+        |    CASE WHEN scheme = 'http'
+        |        THEN regexp_replace(auth, ':80$', '')
+        |      WHEN scheme = 'https'
+        |        THEN regexp_replace(auth, ':443$', '')
+        |      ELSE auth END AS authport,
+        |    regexp_replace(path0, '/{2,}', '/', 'g') AS path1
+        |  FROM parts),
+        |fin AS (
+        |  SELECT i, url, scheme, query, authport,
+        |    regexp_replace(authport, ':[0-9]+$', '') AS host,
+        |    CASE WHEN path1 = '' THEN '/'
+        |      WHEN length(path1) > 1
+        |        THEN regexp_replace(path1, '/$', '')
+        |      ELSE path1 END AS path2
+        |  FROM norm)
+        |SELECT i AS url_id, url,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |    ELSE scheme || '://' || authport || path2 || query END
+        |    AS canon_url,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |    ELSE host END AS url_host
+        |FROM fin ORDER BY url_id""".stripMargin,
+
     "q166_entity_resolve" ->
       """WITH RECURSIVE vals AS (
         |  SELECT p_name AS value, count(*) AS n_rows

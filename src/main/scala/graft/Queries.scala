@@ -1752,6 +1752,22 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- URL canonicalization -----------------------------------------
+    "q167_url_canon" -> ((s, d) => {
+      // RFC 3986 syntax-based normalization — the crawl-level dedup
+      // precursor: lowercase scheme/host, drop userinfo, strip
+      // default ports, collapse/trim path slashes, drop fragments;
+      // non-URLs canonicalize to null. Pure composition of codegen'd
+      // builtins with RE2-portable patterns, so the oracle replays
+      // the identical regex pipeline over the same closed-form
+      // fixture strings. Narrow map, no shuffle before the ordering
+      graft.ops.UrlCanon.withCanonical(
+          graft.ops.UrlCanon.syntheticUrls(s, 110), "url")
+        .select(col("url_id"), col("url"), col("canon_url"),
+          col("url_host"))
+        .orderBy(col("url_id"))
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->
