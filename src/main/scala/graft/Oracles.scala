@@ -3406,6 +3406,34 @@ object Oracles {
         |    ELSE host END AS url_host
         |FROM fin ORDER BY url_id""".stripMargin,
 
+    // exact threshold-Jaccard pairs, computed via the exploded-shingle
+    // equi-join (equivalent to the n² cross join for any t > 0 — a
+    // pair with Jaccard >= t shares at least one shingle — but
+    // tractable at sf0.1 where the cross join is 12.5M list_intersects)
+    "q168_setsim_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      END)) AS tok
+        |  FROM (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END
+        |      AS toks FROM documents)),
+        |ln AS (SELECT doc_id, count(*) AS len FROM sh GROUP BY doc_id),
+        |ov AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (la.len + lb.len - inter), 4)
+        |    AS jaccard
+        |FROM ov
+        |JOIN ln la ON ov.id_a = la.doc_id
+        |JOIN ln lb ON ov.id_b = lb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (la.len + lb.len - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q166_entity_resolve" ->
       """WITH RECURSIVE vals AS (
         |  SELECT p_name AS value, count(*) AS n_rows

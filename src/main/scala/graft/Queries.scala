@@ -1768,6 +1768,24 @@ object Queries {
         .orderBy(col("url_id"))
     }),
 
+    // ---- exact set-similarity join (prefix filtering) -----------------
+    "q168_setsim_join" -> ((s, d) => {
+      // AllPairs/PPJoin-style EXACT threshold-Jaccard self-join over
+      // 3-shingle sets — the no-false-negative twin of the MinHash
+      // path (q24): same planted near-dups, but recall is provable,
+      // not probabilistic. Prefix filtering under a rarest-first
+      // global token order keeps the candidate join tiny (only
+      // ~(1-t)·|set| tokens per doc are probed, and hot tokens sort
+      // out of the prefixes); candidates then verify with the exact
+      // codegen'd array_intersect. Three keyed shuffles, no n².
+      graft.operators.SetSimJoin.shingleJoin(
+          t(s, d, "documents"), "doc_id", "text", n = 3,
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          dround(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->
