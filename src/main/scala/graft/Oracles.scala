@@ -3434,6 +3434,13 @@ object Oracles {
         |WHERE CAST(inter AS DOUBLE) / (la.len + lb.len - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // delta-maintained aggregate must equal the full-corpus GROUP BY
+    "q169_incremental_agg" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_val
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
     "q166_entity_resolve" ->
       """WITH RECURSIVE vals AS (
         |  SELECT p_name AS value, count(*) AS n_rows

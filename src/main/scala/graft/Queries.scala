@@ -1786,6 +1786,33 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- incremental aggregate maintenance ----------------------------
+    "q169_incremental_agg" -> ((s, d) => {
+      // materialized-view maintenance: the corpus lands in three
+      // appends and the (source, lang) aggregate is refreshed after
+      // each — refreshes 2 and 3 scan ONLY the appended files and
+      // merge with a keys-sized join (mode asserted: the scale path
+      // must actually run, not silently fall back to recompute). The
+      // oracle is the plain GROUP BY over the full corpus: delta
+      // maintenance must be indistinguishable from recompute
+      val docs = t(s, d, "documents")
+      val root = s"${graft.core.Scratch.root(docs)}/incagg_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val (base, agg) = (s"$root/base", s"$root/agg")
+      val keys = Seq("source", "lang")
+      for (i <- 0 to 2) {
+        graft.core.VersionedTable.commitAppend(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), base)
+        val r = graft.ops.IncrementalAgg.maintain(
+          s, base, agg, keys, "n_chars")
+        require(i == 0 || r.mode == "incremental",
+          s"append $i refreshed via ${r.mode}, not the delta path")
+      }
+      graft.ops.IncrementalAgg.read(s, agg)
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->
