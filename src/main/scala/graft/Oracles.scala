@@ -3434,6 +3434,12 @@ object Oracles {
         |WHERE CAST(inter AS DOUBLE) / (la.len + lb.len - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // bloom-pruned point lookup must equal the plain filter
+    "q170_bloom_skip" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id IN (3, 77, 202, 333, 444)
+        |ORDER BY doc_id""".stripMargin,
+
     // delta-maintained aggregate must equal the full-corpus GROUP BY
     "q169_incremental_agg" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,

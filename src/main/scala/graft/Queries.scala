@@ -1813,6 +1813,31 @@ object Queries {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // ---- bloom file-skipping point lookup -----------------------------
+    "q170_bloom_skip" -> ((s, d) => {
+      // equality-predicate data skipping: doc_id hash-interleaves
+      // across the 8 committed files, so every file's [min, max]
+      // envelope spans the whole id domain and range pruning keeps
+      // all of them — the per-file Bloom sidecar keeps only the
+      // files that (probably) hold the probed keys, and the
+      // row-level re-filter makes the result exact (fp-proof).
+      // Pruning effectiveness is pinned in BloomSkipSpec
+      val docs = t(s, d, "documents")
+      val root = s"${graft.core.Scratch.root(docs)}/bloomskip_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val base = s"$root/t"
+      graft.core.VersionedTable.commitAppend(
+        docs.repartition(8, col("doc_id")), base)
+      graft.core.VersionedTable.publishBloom(s, base, "doc_id")
+      val keys = Seq(3L, 77L, 202L, 333L, 444L)
+      graft.core.VersionedTable.readPointLookup(s, base, "doc_id", keys)
+        .filter(col("doc_id").isin(keys: _*))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->

@@ -74,6 +74,11 @@ object ManifestStats {
   def readPruned(spark: SparkSession, manifest: DataFrame,
       colName: String, lo: String, hi: String): DataFrame = {
     val files = pruneFiles(manifest, colName, lo, hi)
+    readFilesOrEmpty(spark, manifest, files)
+  }
+
+  private def readFilesOrEmpty(spark: SparkSession, manifest: DataFrame,
+      files: Seq[String]): DataFrame =
     if (files.nonEmpty) spark.read.parquet(files: _*)
     else {
       val any = manifest.select(col("file")).limit(1)
@@ -81,5 +86,55 @@ object ManifestStats {
       if (any.isEmpty) spark.emptyDataFrame
       else spark.read.parquet(any.head).limit(0)
     }
+
+  /** Per-file BLOOM manifest for a BIGINT column — the equality-probe
+    * complement of [[buildFiles]]' min/max envelopes: on a
+    * high-cardinality key whose values interleave across files, every
+    * file's [min, max] spans the whole domain and range pruning keeps
+    * everything, while the Bloom bitset keeps only the files that
+    * (probably) hold the probed key. One scan, one row per file; the
+    * bitsets are [[graft.functions.BloomState]] partials, merged
+    * map-side like any TypedImperativeAggregate — at 100 TB the
+    * shuffle carries `numBits/8` bytes per FILE, never data rows.
+    *
+    * Keys must be integral ([[graft.functions.BloomState]] contract);
+    * hash strings explicitly at build and probe time. */
+  def buildBloomFiles(spark: SparkSession, paths: Seq[String],
+      colName: String, numBits: Int = 1 << 20, numHashes: Int = 6)
+      : DataFrame = {
+    val df = spark.read.parquet(paths: _*)
+    val dt = df.schema(colName).dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(dt),
+      s"bloom manifests need an integral key; $colName is $dt")
+    df.select(input_file_name().as("file"),
+        col(colName).cast("long").as("__k"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.BloomState.agg(col("__k"), numBits, numHashes)
+          .as("bloom"))
+      .select(col("file"), col("n_rows"), lit(colName).as("col_name"),
+        col("bloom"))
   }
+
+  /** Files whose bitset (probably) contains ANY of `keys` — no false
+    * negatives; false positives only cost a wasted file read, and the
+    * caller's row-level re-filter keeps the result exact. The probe
+    * runs DRIVER-side over the files-sized manifest. */
+  def pruneFilesPoint(manifest: DataFrame, colName: String,
+      keys: Seq[Long]): Seq[String] =
+    manifest.filter(col("col_name") === colName)
+      .select(col("file"), col("bloom")).collect()
+      .filter { r =>
+        val bits = r.getAs[Array[Byte]]("bloom")
+        keys.exists(graft.functions.BloomState
+          .mightContainSerialized(bits, _))
+      }
+      .map(_.getString(0)).toSeq
+
+  /** Scan only the files whose Bloom bitset admits one of `keys`; the
+    * caller re-applies the row-level equality predicate. */
+  def readPoint(spark: SparkSession, manifest: DataFrame,
+      colName: String, keys: Seq[Long]): DataFrame =
+    readFilesOrEmpty(spark, manifest,
+      pruneFilesPoint(manifest, colName, keys))
 }

@@ -659,15 +659,20 @@ object VersionedTable {
       cols: Seq[String], version: Option[Int] = None): String = {
     val v = version.getOrElse(latestVersion(spark, path))
     require(v > 0, s"$path has no committed data to profile")
-    val out = statsDir(path, v)
-    // write-aside + atomic rename: a plain Overwrite would delete the
-    // directory before rewriting, giving concurrent readPruned calls a
-    // window where exists() passes but the read hits a partial dir.
-    // If the rename loses (another publisher landed first), keep the
-    // winner — stats for an immutable version are deterministic
+    publishSidecar(spark, path, statsDir(path, v),
+      ManifestStats.buildFiles(spark, files(spark, path, Some(v)), cols))
+  }
+
+  /** Race-safe sidecar publish — write-aside + atomic rename: a plain
+    * Overwrite would delete the directory before rewriting, giving
+    * concurrent sidecar reads a window where exists() passes but the
+    * read hits a partial dir. If the rename loses (another publisher
+    * landed first), keep the winner — sidecars for an immutable
+    * version are deterministic, so losing is always safe. */
+  private def publishSidecar(spark: SparkSession, path: String,
+      out: String, manifest: => DataFrame): String = {
     val tmp = s"$out.tmp-${java.util.UUID.randomUUID()}"
-    ManifestStats.buildFiles(spark, files(spark, path, Some(v)), cols)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    manifest.write.mode(SaveMode.Overwrite).parquet(tmp)
     val f = fs(spark, path)
     val outP = new Path(out)
     val tmpP = new Path(tmp)
@@ -678,15 +683,54 @@ object VersionedTable {
       // FS falls back to FileUtil.copy, which nests too) and returns
       // true. A lost race therefore leaves our tmp as a subdirectory of
       // the winner's sidecar, poisoning later sidecar reads. After the
-      // rename, verify our tmp did not end up nested and remove it —
-      // the winner's sidecar is identical content for an immutable
-      // version, so losing is always safe.
+      // rename, verify our tmp did not end up nested and remove it.
       f.rename(tmpP, outP)
       val nested = new Path(outP, tmpP.getName)
       if (f.exists(nested)) f.delete(nested, true)
       if (f.exists(tmpP)) f.delete(tmpP, true) // rename failed outright
     }
     out
+  }
+
+  private def bloomDir(path: String, v: Int, colName: String) =
+    f"$path%s/_bloom/v$v%05d-$colName%s"
+
+  /** Per-file Bloom sidecar for one version's BIGINT `colName` — the
+    * equality-probe data-skipping index ([[ManifestStats
+    * .buildBloomFiles]]): min/max stats prune ranges, this prunes
+    * point lookups on keys whose values interleave across files. Same
+    * immutability and race discipline as [[publishStats]]. */
+  def publishBloom(spark: SparkSession, path: String, colName: String,
+      version: Option[Int] = None, numBits: Int = 1 << 20,
+      numHashes: Int = 6): String = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    require(v > 0, s"$path has no committed data to profile")
+    publishSidecar(spark, path, bloomDir(path, v, colName),
+      ManifestStats.buildBloomFiles(spark, files(spark, path, Some(v)),
+        colName, numBits, numHashes))
+  }
+
+  /** Point-lookup read with Bloom file skipping: scan only the files
+    * of `version` whose bitset (probably) contains one of `keys`,
+    * using the [[publishBloom]] sidecar (built on the fly if the
+    * version has none — one extra scan, the cost a caller avoids by
+    * publishing at commit time). No false negatives; the caller
+    * re-applies the row-level equality predicate, which also removes
+    * Bloom false positives. */
+  def readPointLookup(spark: SparkSession, path: String,
+      colName: String, keys: Seq[Long], version: Option[Int] = None)
+      : DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    val bp = bloomDir(path, v, colName)
+    val manifest =
+      if (fs(spark, path).exists(new Path(bp)))
+        // glob only part files: a racing publisher's momentarily-nested
+        // tmp subdirectory (see publishSidecar) must not break
+        // partition discovery or duplicate manifest rows
+        spark.read.parquet(s"$bp/*.parquet")
+      else ManifestStats.buildBloomFiles(spark,
+        files(spark, path, Some(v)), colName)
+    ManifestStats.readPoint(spark, manifest, colName, keys)
   }
 
   /** Range-predicate read with file skipping: scan only the files of
