@@ -1838,6 +1838,25 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- compression-ratio quality signal -----------------------------
+    "q171_compress_ratio" -> ((s, d) => {
+      // deflate-the-bytes repetitiveness filter (the curation signal
+      // the n-gram heuristics approximate, computed by an actual
+      // compressor; template spam compresses far below prose).
+      // NO DuckDB oracle exists (SQL exposes no deflate) → rows-only
+      // row, like q39; correctness rides DeflateRatioSpec's lossless
+      // roundtrip law against the independent Inflater decode.
+      // Narrow codegen'd map over the scan, no shuffle before the sort
+      val dl = graft.functions.Deflate
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          dl.column(col("text")).cast("long").as("deflate_len"),
+          dround(dl.ratio(col("text")), 4).as("ratio"))
+        .withColumn("too_repetitive", col("ratio") < 0.42)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->

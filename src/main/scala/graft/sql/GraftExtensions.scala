@@ -95,6 +95,9 @@ object GraftExtensions {
     "gunzip" -> (exprs => graft.functions.GunzipExpr(exprs.head)),
     "gunzip_text" -> (exprs =>
       graft.functions.GunzipTextExpr(exprs.head)),
+    // compression-ratio quality signal (deflate the UTF-8 bytes)
+    "deflate_len" -> (exprs =>
+      graft.functions.DeflateLenExpr(exprs.head)),
     // Unicode canonical composition (text canonicalization pre-dedup)
     "nfc_normalize" -> (exprs =>
       graft.functions.NfcNormalizeExpr(exprs.head)),
