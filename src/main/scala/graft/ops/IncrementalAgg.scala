@@ -159,4 +159,25 @@ object IncrementalAgg {
   /** The maintained aggregate, without the bookkeeping column. */
   def read(spark: SparkSession, aggPath: String): DataFrame =
     VersionedTable.read(spark, aggPath).drop(BaseVCol)
+
+  /** Streaming materialized view: a `foreachBatch` sink that appends
+    * each micro-batch to the base table (the [[VersionedTable
+    * .foreachBatchAppend]] marker protocol — exactly-once under
+    * replay) and then [[maintain]]s the aggregate. The composition is
+    * crash-safe WITHOUT a joint transaction because maintain is
+    * idempotent per base version: a replayed batch finds its commit
+    * marker (no second append) and maintain no-ops at the unchanged
+    * version; a crash BETWEEN append and maintain just leaves the
+    * aggregate one version behind, and the next batch's maintain
+    * aggregates every file appended since the version it reflects —
+    * the delta path is multi-version by construction. */
+  def foreachBatchMaintain(basePath: String, aggPath: String,
+      keys: Seq[String], valueCol: String): (DataFrame, Long) => Unit = {
+    val append = VersionedTable.foreachBatchAppend(basePath)
+    (batch, batchId) => {
+      append(batch, batchId)
+      maintain(batch.sparkSession, basePath, aggPath, keys, valueCol)
+      ()
+    }
+  }
 }

@@ -126,6 +126,51 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("streaming foreachBatch: exactly-once under replay, crash-safe") {
+    val root = tmp()
+    val (base, agg) = (s"$root/base", s"$root/agg")
+    val sink = IncrementalAgg.foreachBatchMaintain(
+      base, agg, Seq("k"), "v")
+    sink(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), 0L)
+    sink(Seq(("a", 10L)).toDF("k", "v"), 1L)
+    assert(asMap(IncrementalAgg.read(spark, agg)) ===
+      Map(Some("a") -> ((2L, 11L)), Some("b") -> ((1L, 2L))))
+    // replay of batch 1 (checkpoint recovery re-delivers): the commit
+    // marker skips the append and maintain no-ops — no double count
+    sink(Seq(("a", 10L)).toDF("k", "v"), 1L)
+    assert(asMap(IncrementalAgg.read(spark, agg)) ===
+      Map(Some("a") -> ((2L, 11L)), Some("b") -> ((1L, 2L))))
+    // crash between append and maintain: batch 2 lands in the base
+    // only; the NEXT batch's maintain must fold BOTH versions in
+    VersionedTable.foreachBatchAppend(base)(
+      Seq(("c", 5L)).toDF("k", "v"), 2L)
+    sink(Seq(("b", 3L)).toDF("k", "v"), 3L)
+    assert(asMap(IncrementalAgg.read(spark, agg)) ===
+      Map(Some("a") -> ((2L, 11L)), Some("b") -> ((2L, 5L)),
+        Some("c") -> ((1L, 5L))))
+  }
+
+  test("streaming foreachBatch: live MemoryStream end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp()
+    val (base, agg) = (s"$root/base", s"$root/agg")
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(IncrementalAgg.foreachBatchMaintain(
+        base, agg, Seq("k"), "v"))
+      .start()
+    try {
+      in.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+      in.addData(("b", 8L)); q.processAllAvailable()
+      assert(asMap(IncrementalAgg.read(spark, agg)) ===
+        asMap(recompute(base)))
+      assert(asMap(IncrementalAgg.read(spark, agg)) ===
+        Map(Some("a") -> ((1L, 1L)), Some("b") -> ((2L, 10L))))
+    } finally q.stop()
+  }
+
   test("property: any append sequence equals recompute") {
     val batchGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n,
       for {
