@@ -3434,6 +3434,39 @@ object Oracles {
         |WHERE CAST(inter AS DOUBLE) / (la.len + lb.len - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // rebuild the fixture pages line-for-line, replay the keep rule,
+    // and compare the exact cleaned text by md5
+    "q172_boilerplate" ->
+      """WITH d AS (
+        |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 110) t(i)),
+        |lines AS (
+        |  SELECT i, CAST(j AS BIGINT) AS j,
+        |    CASE WHEN (i + j) % 3 = 0
+        |    THEN 'nav' || CAST((i + j) % 5 AS VARCHAR)
+        |      || ' item' || CAST((i * 3 + j) % 4 AS VARCHAR)
+        |      || ' link' || CAST(j % 6 AS VARCHAR)
+        |    ELSE 'the w' || CAST((i * 7 + j * 3) % 13 AS VARCHAR)
+        |      || ' and w' || CAST((i + j * 5) % 11 AS VARCHAR)
+        |      || ' is on the w' || CAST((i * 2 + j) % 7 AS VARCHAR)
+        |      || ' of w' || CAST((i * 11 + j * 13) % 17 AS VARCHAR)
+        |    END AS ln
+        |  FROM d, LATERAL unnest(range(0, 6 + i % 7)) AS u(j)),
+        |cls AS (
+        |  SELECT i, j, ln,
+        |    len(string_split(ln, ' ')) >= 4 AND
+        |    CAST(len(list_filter(string_split(ln, ' '), t ->
+        |      list_contains(['the','a','of','and','to','in','is','it',
+        |        'on','for'], t))) AS DOUBLE)
+        |      / len(string_split(ln, ' ')) >= 0.2 AS keep
+        |  FROM lines)
+        |SELECT i AS doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10)
+        |    ORDER BY j), '')) AS clean_md5
+        |FROM cls GROUP BY i
+        |ORDER BY doc_id""".stripMargin,
+
     // bloom-pruned point lookup must equal the plain filter
     "q170_bloom_skip" ->
       """SELECT doc_id, source, lang, n_chars FROM documents

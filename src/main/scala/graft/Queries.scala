@@ -1857,6 +1857,20 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- line-level boilerplate removal -------------------------------
+    "q172_boilerplate" -> ((s, d) => {
+      // jusText-lite over closed-form fixture pages (corpus docs are
+      // single-line): per-line token count + stopword density decide
+      // keep/drop; the oracle rebuilds the exact pages AND the exact
+      // cleaned text (md5-compared), so a single misclassified line
+      // breaks the match. Pure codegen'd column lambdas, no shuffle
+      graft.ops.Boilerplate.clean(
+          graft.ops.Boilerplate.syntheticPages(s, 110), "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->
