@@ -2276,6 +2276,16 @@ object Oracles {
     // full-corpus BM25 result — same oracle as q135 by construction
     "q139_bm25_incremental" -> bm25FullCorpus,
 
+    // q173: tombstone deletion must equal a REBUILD on the remaining
+    // corpus — the q135 chain with the forgotten docs never indexed
+    "q173_bm25_forget" ->
+      ("WITH " + bm25Ctes(bm25LiteralQueries,
+        corpusSql =
+          "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3") +
+        """
+        |SELECT query_id, doc_id, score, rn FROM ranked
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+
     // q155: passage-level retrieval with doc-level max-pooling — the
     // long-document RAG shape: BM25 over 16-token chunks (overlap 4),
     // per-doc best passage, top-5 docs. The corpus fed to the BM25

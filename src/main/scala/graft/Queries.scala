@@ -1871,6 +1871,32 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- right-to-be-forgotten deletion propagation -------------------
+    "q173_bm25_forget" -> ((s, d) => {
+      // takedown propagation through the retrieval index: publish on
+      // the full corpus, FORGET every doc_id ≡ 3 (mod 10)
+      // (merge-on-read tombstones + df/stats subtraction, postings
+      // never rewritten), then search. The oracle is BM25 REBUILT on
+      // the remaining corpus: deletion must be score-for-score
+      // indistinguishable from never having indexed the docs
+      val docs = t(s, d, "documents")
+      val path = s"${graft.core.Scratch.root(docs)}/bm25fgt_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(path)
+      graft.operators.Bm25Index.publish(docs, "doc_id", "text", path)
+      graft.operators.Bm25Index.forget(s, path,
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .select(col("doc_id")),
+        "doc_id", opId = 1L)
+      import s.implicits._
+      val qs = Seq(
+        (0L, "hash join table"),
+        (1L, "window agg scan"),
+        (2L, "fast merge batch")).toDF("query_id", "qtext")
+      graft.operators.Bm25Index.searchFrom(
+        s, path, qs, "query_id", "qtext", "doc_id", k = 5)
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->

@@ -27,12 +27,24 @@ object TxnJournal {
     * `subs`. Returns true if the batch ran (or re-ran after rollback),
     * false if its done-marker already existed. */
   def exactlyOnce(spark: SparkSession, root: String, batchId: Long,
+      subs: Seq[String])(apply: => Unit): Boolean =
+    exactlyOnceTagged(spark, root, s"b$batchId", subs)(apply)
+
+  /** [[exactlyOnce]] under an explicit journal tag — for maintenance
+    * operations that share the index's `_txn` directory (so
+    * consistent-snapshot readers like [[graft.operators.HybridServe
+    * .pinConsistent]] see their open intents) WITHOUT colliding with
+    * the streaming sink's `b<batchId>` namespace (e.g. deletion ops
+    * use `f<opId>`). Tags are one lowercase letter + digits. */
+  def exactlyOnceTagged(spark: SparkSession, root: String, tag: String,
       subs: Seq[String])(apply: => Unit): Boolean = {
+    require(tag.matches("[a-z]\\d+"),
+      s"journal tag must be a lowercase letter + digits, got '$tag'")
     val fsPath = new org.apache.hadoop.fs.Path(root)
     val f = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val txnDir = new org.apache.hadoop.fs.Path(s"$root/_txn")
-    val done = new org.apache.hadoop.fs.Path(s"$root/_txn/b$batchId.done")
-    val intent = new org.apache.hadoop.fs.Path(s"$root/_txn/b$batchId")
+    val done = new org.apache.hadoop.fs.Path(s"$root/_txn/$tag.done")
+    val intent = new org.apache.hadoop.fs.Path(s"$root/_txn/$tag")
     if (f.exists(done)) return false
     if (f.exists(intent)) {
       // crashed mid-update: restore pinned pre-batch snapshots
@@ -51,7 +63,7 @@ object TxnJournal {
     } else {
       val versions = subs.map(s => VersionedTable.latestVersion(spark, s))
       f.mkdirs(txnDir)
-      val tmp = new org.apache.hadoop.fs.Path(s"$root/_txn/b$batchId.tmp")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/_txn/$tag.tmp")
       val out = f.create(tmp, true)
       out.write(versions.mkString(" ").getBytes("UTF-8"))
       out.close()

@@ -42,6 +42,7 @@ object Bm25Index {
   private def doclenPath(path: String) = s"$path/doclen"
   private def termstatsPath(path: String) = s"$path/termstats"
   private def statsPath(path: String) = s"$path/stats"
+  private def deletesPath(path: String) = s"$path/deletes"
 
   /** Publish the initial index from a full corpus (one tokenize pass).
     * Returns the postings version. */
@@ -55,6 +56,10 @@ object Bm25Index {
       p.dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("sum_dl")),
       statsPath(path))
+    // empty tombstone table (schema-bearing zero-row commit): it must
+    // EXIST before any journal pins it — see [[forget]]
+    VersionedTable.commitOverwrite(
+      docs.select(col(idCol)).filter(lit(false)), deletesPath(path))
     v
   }
 
@@ -132,8 +137,7 @@ object Bm25Index {
         catch { case _: java.io.IOException => () } // lost claim: done
       } else {
         graft.core.TxnJournal.exactlyOnce(spark, path, batchId,
-          Seq(postingsPath(path), doclenPath(path),
-            termstatsPath(path), statsPath(path))) {
+          componentPaths(path)) {
           update(docs, idCol, textCol, path)
         }
         ()
@@ -183,8 +187,7 @@ object Bm25Index {
     * version; it loses any race with a real ingest on purpose). */
   def compactIndex(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    Seq(postingsPath(path), doclenPath(path), termstatsPath(path),
-      statsPath(path))
+    componentPaths(path)
       .foreach(VersionedTable.compact(spark, _, targetBytes))
   }
 
@@ -204,31 +207,121 @@ object Bm25Index {
       componentPaths(path).map(_ => None), queries, qIdCol, qTextCol,
       idCol, k, k1, b)
 
-  /** The four component tables, in the order [[foreachBatchIngest]]'s
-    * journal pins them — the sub-list a consistent-snapshot reader
-    * (e.g. [[HybridServe]]) resolves versions against. */
+  /** The five component tables, in the order the maintenance journals
+    * pin them — the sub-list a consistent-snapshot reader (e.g.
+    * [[HybridServe]]) resolves versions against. (`deletes` joined
+    * the list with the tombstone-deletion feature; a pre-deletes
+    * index still searches — see [[searchFromPinned]] — but its open
+    * 4-ary journal intents are no longer clamped by new readers.
+    * Quiesce streams before upgrading, the usual lake discipline.) */
   def componentPaths(path: String): Seq[String] =
     Seq(postingsPath(path), doclenPath(path), termstatsPath(path),
-      statsPath(path))
+      statsPath(path), deletesPath(path))
 
-  /** [[searchFrom]] against EXPLICIT versions of the four component
+  /** Forget a set of documents — the right-to-be-forgotten /
+    * takedown-propagation op: after it commits, every search is
+    * IDENTICAL to one against an index rebuilt on the remaining
+    * corpus (same scores, bit-for-bit — df, doc count and avgdl all
+    * shed the removed docs' contributions).
+    *
+    * MERGE-ON-READ deletion (the Iceberg position-delete / Delta
+    * deletion-vector shape), not copy-on-write: the corpus-sized
+    * `postings`/`doclen` tables are NEVER rewritten. The op appends
+    * the ids to a tombstone table (searches anti-join it — tombstones
+    * are takedown-sized, a broadcast), subtracts the removed docs'
+    * per-token df from the vocabulary-sized `termstats` (tokens
+    * hitting df 0 drop out, exactly as a rebuild would), and subtracts
+    * their count/length from the 1-row `stats`. Cost: ONE filtered
+    * read of postings + doclen (no rewrite; at scale a Bloom sidecar
+    * on the id column — [[graft.core.VersionedTable.publishBloom]] —
+    * skips the untouched files); reclaiming the bytes is
+    * [[compactIndex]]-style maintenance, not part of the takedown SLA.
+    *
+    * Crash-safe and exactly-once per `opId` under the same write-ahead
+    * [[graft.core.TxnJournal]] as streaming ingest (tag `f<opId>`, so
+    * serving taps pin consistent snapshots across in-flight forgets
+    * too). Ids never indexed are ignored; ids already forgotten are
+    * not re-subtracted (double-forget is a no-op). Re-ingesting a
+    * forgotten id is OUT OF CONTRACT (ids are append-only unique;
+    * the tombstone would hide the re-added doc).
+    *
+    * @return true if the op ran, false if `opId` already completed. */
+  def forget(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, opId: Long): Boolean = {
+    // upgrade path: an index published before the deletes table
+    // existed gets its empty tombstone table NOW, outside the journal
+    // — every journal sub must exist (v >= 1) before an intent pins
+    // it, or a crash-replay rollback would try to read version 0
+    if (VersionedTable.latestVersion(spark, deletesPath(path)) == 0)
+      VersionedTable.commitOverwrite(
+        ids.select(col(idCol)).filter(lit(false)), deletesPath(path))
+    graft.core.TxnJournal.exactlyOnceTagged(spark, path, s"f$opId",
+      componentPaths(path)) {
+      val dp = deletesPath(path)
+      val dl = VersionedTable.read(spark, doclenPath(path))
+      val existing = VersionedTable.read(spark, dp)
+      // new tombstones: requested ∩ indexed − already forgotten.
+      // Materialized (takedown-sized) because three consumers read it
+      val (newDel, ndPath) = graft.core.Scratch.materializeWithPath(
+        ids.select(col(idCol)).distinct()
+          .join(dl.select(col(idCol)), Seq(idCol), "left_semi")
+          .join(existing, Seq(idCol), "left_anti"),
+        "bm25_forget")
+      try {
+        val dfDel = VersionedTable.read(spark, postingsPath(path))
+          .join(broadcast(newDel), Seq(idCol), "left_semi")
+          .groupBy(col("token")).agg(count(lit(1)).as("__df_del"))
+        val newTs = VersionedTable.read(spark, termstatsPath(path))
+          .join(dfDel, Seq("token"), "left_outer")
+          .select(col("token"),
+            (col("df") - coalesce(col("__df_del"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+        VersionedTable.commitOverwrite(newTs, termstatsPath(path))
+        val shed = dl.join(broadcast(newDel), Seq(idCol), "left_semi")
+          .agg(count(lit(1)).as("__dn"),
+            coalesce(sum(col("dl")), lit(0L)).as("__ds"))
+        val oldStats = VersionedTable.read(spark, statsPath(path))
+        VersionedTable.commitOverwrite(
+          oldStats.crossJoin(shed).select(
+            (col("n_docs") - col("__dn")).as("n_docs"),
+            (col("sum_dl") - col("__ds")).as("sum_dl")),
+          statsPath(path))
+        VersionedTable.commitAppend(newDel, dp)
+        ()
+      } finally graft.core.Scratch.drop(spark, ndPath)
+    }
+  }
+
+  /** [[searchFrom]] against EXPLICIT versions of the five component
     * tables (order of [[componentPaths]]; None = latest) — the
     * consistent-snapshot serving discipline: versions captured
-    * together never pair new postings with old term stats. */
+    * together never pair new postings with old term stats. Forgotten
+    * docs are anti-joined out of the pinned tombstone snapshot; an
+    * index published before the deletes table existed reads as
+    * tombstone-free. */
   def searchFromPinned(spark: SparkSession, path: String,
       pinned: Seq[Option[Int]], queries: DataFrame,
       qIdCol: String, qTextCol: String, idCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(pinned.size == 4,
-      s"bm25 pinned versions: expected 4, got ${pinned.size}")
-    val Seq(pV, dV, tV, sV) = pinned
+    require(pinned.size == 5,
+      s"bm25 pinned versions: expected 5, got ${pinned.size}")
+    val Seq(pV, dV, tV, sV, delV) = pinned
     val stats = VersionedTable.read(spark, statsPath(path), sV)
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
+    val dels: Option[DataFrame] =
+      if (delV.getOrElse(
+          VersionedTable.latestVersion(spark, deletesPath(path))) == 0)
+        None // pre-deletes index: nothing ever tombstoned
+      else Some(VersionedTable.read(spark, deletesPath(path), delV))
+    def live(df: DataFrame): DataFrame = dels match {
+      case Some(t) => df.join(broadcast(t), Seq(idCol), "left_anti")
+      case None => df
+    }
     val p = Bm25.Postings(
-      VersionedTable.read(spark, postingsPath(path), pV),
-      VersionedTable.read(spark, doclenPath(path), dV),
+      live(VersionedTable.read(spark, postingsPath(path), pV)),
+      live(VersionedTable.read(spark, doclenPath(path), dV)),
       VersionedTable.read(spark, termstatsPath(path), tV),
       stats)
     Bm25.topKFrom(p, idCol, queries, qIdCol, qTextCol, k, k1, b)

@@ -43,7 +43,7 @@ object HybridServe {
     val f = txn.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(txn)) return latest
     val open = f.listStatus(txn).map(_.getPath.getName)
-      .filter(_.matches("b\\d+"))
+      .filter(_.matches("[a-z]\\d+")) // b<batch> sinks + f<op> forgets
       .filterNot(n => f.exists(
         new org.apache.hadoop.fs.Path(txn, s"$n.done")))
     open.foldLeft(latest) { (acc, name) =>

@@ -282,8 +282,8 @@ class RetrievalGraphSpec extends SparkTestBase {
     // appended with junk, no done marker — the replay must roll back
     // the junk and apply the batch cleanly
     import graft.core.VersionedTable
-    val subs = Seq("postings", "doclen", "termstats", "stats")
-      .map(s => s"$path/$s")
+    val subs = Seq("postings", "doclen", "termstats", "stats",
+      "deletes").map(s => s"$path/$s")
     val pinned = subs.map(s => VersionedTable.latestVersion(spark, s))
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
