@@ -1407,6 +1407,46 @@ object Oracles {
 
     // q142: retrieval eval metrics over the bm25 chain — pos_rank is
     // an exact integer rank; rr replays the identical IEEE divide+round
+    // q174: tombstoned vectors filtered from the full-corpus
+    // assignment must equal never having admitted them (dense-side
+    // takedown; codebook = first 16 of the FULL corpus, frozen)
+    "q174_ivf_forget" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |      AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |asn AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, cb.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb) WHERE rn = 1 AND vec_id % 7 <> 2),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT v.vec_id AS query_id, cb.cell, row_number() OVER (
+        |      PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM v CROSS JOIN cb WHERE v.vec_id < 10) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv.vv, nv.vv) AS cs
+        |  FROM probes p JOIN asn a ON p.cell = a.cell
+        |  JOIN v qv ON qv.vec_id = p.query_id
+        |  JOIN v nv ON nv.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cs, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |    AS INT) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+
     "q142_retrieval_metrics" -> ("WITH " +
       bm25Ctes(bm25DerivedQueries) + """,
         |qr AS (SELECT doc_id AS query_id, doc_id AS pos_id

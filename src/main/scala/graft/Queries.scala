@@ -1897,6 +1897,28 @@ object Queries {
         s, path, qs, "query_id", "qtext", "doc_id", k = 5)
     }),
 
+    // ---- dense-side takedown (IVF tombstones) -------------------------
+    "q174_ivf_forget" -> ((s, d) => {
+      // the dense twin of q173: publish the IVF index on the full
+      // corpus, tombstone every vec_id ≡ 2 (mod 7), search external
+      // probes. Cosine has no corpus statistics, so deletion is pure
+      // anti-join — the oracle assigns ALL vectors to the full-corpus
+      // codebook and filters the forgotten ones, which must equal
+      // never having admitted them
+      val emb = t(s, d, "embeddings")
+      val path = s"${graft.core.Scratch.root(emb)}/ivffgt_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(path)
+      graft.operators.IvfIndex.publish(emb, "vec_id", "embedding", path)
+      graft.operators.IvfIndex.forget(s, path,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 2)
+          .select(col("vec_id")), "vec_id")
+      graft.operators.IvfIndex.searchFrom(
+          s, path, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", "vec_id", k = 5, nprobe = 4)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->

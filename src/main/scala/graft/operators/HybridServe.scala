@@ -83,7 +83,8 @@ object HybridServe {
         // coincidence, not self-match — keep it
         val dense = IvfIndex.searchFromPinned(spark, ivfPath,
           Some(ivfPin(0)), Some(ivfPin(1)), batch, qIdCol, qVecCol,
-          idCol, inK, nprobe, excludeSelf = false)
+          idCol, inK, nprobe, excludeSelf = false,
+          deletesV = Some(ivfPin(4)))
         VersionedTable.foreachBatchAppend(logPath)(
           HybridSearch.rrf(sparse, idCol, dense, "neighbor_id", k),
           batchId)

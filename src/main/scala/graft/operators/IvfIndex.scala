@@ -33,6 +33,7 @@ object IvfIndex {
   private def assignedPath(path: String) = s"$path/assigned"
   private def refDistPath(path: String) = s"$path/refdist"
   private def driftLogPath(path: String) = s"$path/driftlog"
+  private def deletesPath(path: String) = s"$path/deletes"
 
   /** Train (optional) + assign + persist. Returns assigned version. */
   def publish(corpus: DataFrame, idCol: String, vecCol: String,
@@ -47,6 +48,10 @@ object IvfIndex {
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
     VersionedTable.commitOverwrite(cbDf, codebookPath(path))
+    // empty tombstone table (schema-bearing zero-row commit): it must
+    // exist before the drift journal pins it — see [[forget]]
+    VersionedTable.commitOverwrite(
+      corpus.select(col(idCol)).filter(lit(false)), deletesPath(path))
     VersionedTable.commitOverwrite(
       assign(corpus, idCol, vecCol, codebook), assignedPath(path))
   }
@@ -200,9 +205,12 @@ object IvfIndex {
           // the current snapshot, so racing/replaying it is safe.
           if (VersionedTable.latestVersion(spark, refDistPath(path)) == 0)
             seedReference(spark, path, batchId = -1L)
+          if (VersionedTable.latestVersion(spark, deletesPath(path)) == 0)
+            VersionedTable.commitOverwrite(
+              vecs.select(col(idCol)).filter(lit(false)),
+              deletesPath(path))
           graft.core.TxnJournal.exactlyOnce(spark, path, batchId,
-            Seq(codebookPath(path), assignedPath(path),
-              refDistPath(path), driftLogPath(path))) {
+            journalPaths(path)) {
             val codebook = readCodebook(spark, path)
             val batchAssigned = assign(vecs, idCol, "vec", codebook)
             val p = graft.ops.DriftMonitor.psiFromCounts(
@@ -216,9 +224,15 @@ object IvfIndex {
                 driftRow(spark, batchId, p, retrained = false),
                 driftLogPath(path))
             } else {
-              // breach: retrain on current snapshot + batch, rebuild
+              // breach: retrain on current snapshot + batch, rebuild.
+              // Tombstoned vectors are PURGED here: excluded from the
+              // retrain corpus and the rebuilt assignments, then the
+              // deletes table resets — all inside this journal, so a
+              // crash-replay re-purges consistently
               val corpus = VersionedTable
                 .read(spark, assignedPath(path))
+                .join(VersionedTable.read(spark, deletesPath(path)),
+                  Seq(idCol), "left_anti")
                 .select(col(idCol), col("vec"))
                 .unionByName(vecs)
               val cb2 = SimilarityOps.kmeansTrain(
@@ -239,6 +253,9 @@ object IvfIndex {
               VersionedTable.commitAppend(
                 driftRow(spark, batchId, p, retrained = true),
                 driftLogPath(path))
+              VersionedTable.commitOverwrite(
+                vecs.select(col(idCol)).filter(lit(false)),
+                deletesPath(path))
             }
           }
           ()
@@ -295,7 +312,35 @@ object IvfIndex {
     * are the search surface. */
   def journalPaths(path: String): Seq[String] =
     Seq(codebookPath(path), assignedPath(path), refDistPath(path),
-      driftLogPath(path))
+      driftLogPath(path), deletesPath(path))
+
+  /** Forget a set of vectors — the dense-side takedown twin of
+    * [[Bm25Index.forget]], and simpler: cosine scoring has no corpus
+    * statistics, so deletion is PURE TOMBSTONING — append the ids to
+    * the deletes table and searches anti-join them out. A search
+    * after forget is identical to one over an index that never
+    * admitted the vectors (assignment is per-vector; the frozen
+    * codebook is unchanged by design — codebook refresh is the drift
+    * path's job). Single-table append = atomic; naturally idempotent
+    * (re-forgetting is filtered against existing tombstones, and even
+    * a duplicate tombstone row would only repeat the anti-join), so
+    * no journal is needed. Physical purge happens at the next drift
+    * retrain, which rebuilds assignments WITHOUT tombstoned vectors
+    * and resets the deletes table — both inside the retrain journal.
+    * Re-admitting a forgotten id is out of contract (the tombstone
+    * would hide it until the next retrain purge). */
+  def forget(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Int = {
+    val dp = deletesPath(path)
+    if (VersionedTable.latestVersion(spark, dp) == 0)
+      VersionedTable.commitOverwrite(
+        ids.select(col(idCol)).filter(lit(false)), dp)
+    val assigned = VersionedTable.read(spark, assignedPath(path))
+    val newDel = ids.select(col(idCol)).distinct()
+      .join(assigned.select(col(idCol)), Seq(idCol), "left_semi")
+      .join(VersionedTable.read(spark, dp), Seq(idCol), "left_anti")
+    VersionedTable.commitAppend(newDel, dp)
+  }
 
   /** IVF top-k straight off the persisted index: queries probe their
     * `nprobe` nearest cells of the STORED codebook; exact cosine only
@@ -315,10 +360,20 @@ object IvfIndex {
       codebookV: Option[Int], assignedV: Option[Int],
       queries: DataFrame, queryIdCol: String, vecCol: String,
       idCol: String, k: Int, nprobe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      deletesV: Option[Int] = None): DataFrame = {
     val codebook = readCodebook(spark, path, codebookV)
-    val assigned = VersionedTable.read(spark, assignedPath(path),
-        assignedV)
+    val raw = VersionedTable.read(spark, assignedPath(path), assignedV)
+    // tombstoned vectors never surface; a pre-deletes index (or a
+    // pinned version 0) reads as tombstone-free
+    val live =
+      if (deletesV.getOrElse(VersionedTable.latestVersion(spark,
+          deletesPath(path))) == 0) raw
+      else raw.join(
+        broadcast(VersionedTable.read(spark, deletesPath(path),
+          deletesV)),
+        Seq(idCol), "left_anti")
+    val assigned = live
       .select(col("cell"), col(idCol).as("neighbor_id"), col("vec"))
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))

@@ -104,15 +104,15 @@ class IvfDriftSpec extends SparkTestBase {
     assert(ref == 70L)
   }
 
-  test("replay is a no-op; crash mid-retrain rolls all four tables " +
-    "back; readers keep their pinned snapshot") {
+  test("replay is a no-op; crash mid-retrain rolls every journaled " +
+    "table back; readers keep their pinned snapshot") {
     val path = freshPath("ivf_driftcrash_")
     val sink = IvfIndex.foreachBatchIngestDriftAware(path, "vec_id",
       "embedding", cells = 2, trainIters = 2, psiThreshold = 0.25)
     sink(clusterBatch(0 until 20), 0L)
     sink(clusterBatch(20 until 40), 1L)
     val subs = Seq(s"$path/codebook", s"$path/assigned",
-      s"$path/refdist", s"$path/driftlog")
+      s"$path/refdist", s"$path/driftlog", s"$path/deletes")
     def versions() = subs.map(VersionedTable.latestVersion(spark, _))
 
     // replay of an already-done batch: nothing moves
