@@ -307,6 +307,31 @@ object VersionedTable {
   def commitOverwrite(df: DataFrame, path: String): Int =
     commit(df, path, carryPrevious = false)
 
+  /** DELETE by key — the Delta `DELETE WHERE key IN (...)` analogue:
+    * commit a new version holding the latest snapshot minus the rows
+    * whose `keyCols` tuple appears in `keys` (null-safe match, like
+    * GROUP BY treats nulls). Copy-on-write like [[commitMerge]]: cost
+    * is proportional to the table, not the key set — indexes built
+    * over the table take the merge-on-read route instead
+    * ([[graft.operators.Bm25Index.forget]] tombstones), and a
+    * high-frequency deletion stream should too. History keeps the
+    * deleted rows addressable until [[vacuum]]; a privacy-motivated
+    * delete is only complete once vacuum reclaims the old versions.
+    * Returns the new version (the current one if the table is
+    * empty). */
+  def commitDelete(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String]): Int = {
+    val v = latestVersion(spark, path)
+    require(v > 0, s"$path has no committed data to delete from")
+    if (files(spark, path, Some(v)).isEmpty) return v
+    val cur = read(spark, path, Some(v))
+    val k = keys.select(keyCols.map(c => col(c).as(s"__k_$c")): _*)
+      .distinct()
+    val cond = keyCols.map(c => col(c) <=> col(s"__k_$c"))
+      .reduce(_ && _)
+    commitOverwrite(cur.join(k, cond, "left_anti"), path)
+  }
+
   private def commit(df: DataFrame, path: String,
       carryPrevious: Boolean): Int = {
     val spark = df.sparkSession

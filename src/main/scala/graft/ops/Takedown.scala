@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.VersionedTable
+import graft.operators.{Bm25Index, IvfIndex}
+
+/** Takedown propagation across the retrieval stack — the operational
+  * loop behind a right-to-be-forgotten request: removing a document
+  * from the BASE table is not enough once derived artifacts serve it
+  * (sparse postings, dense assignments). One call propagates the ids
+  * to every registered surface, each by that surface's own deletion
+  * shape:
+  *
+  *  - base corpus table: copy-on-write [[VersionedTable.commitDelete]]
+  *    (a corpus table is rewritten rarely; history stays addressable
+  *    until vacuum — the privacy SLA's final step);
+  *  - BM25 index: merge-on-read tombstones + exact df/stats
+  *    subtraction ([[Bm25Index.forget]], journal-fenced per `opId`);
+  *  - IVF index: pure tombstoning ([[IvfIndex.forget]], atomic
+  *    single-table append; purged at the next drift retrain).
+  *
+  * Ordering: indexes FIRST, base LAST — a reader racing the takedown
+  * may transiently see a doc in the base that searches no longer
+  * return (benign), never a search hit whose base row is already
+  * gone. Cross-surface atomicity is deliberately NOT promised: each
+  * surface is individually crash-safe/idempotent, and re-running the
+  * same takedown (same `opId`) converges — the operational contract
+  * of takedown pipelines, which are retried queues, not transactions.
+  */
+object Takedown {
+
+  /** Propagate `ids` (column `idCol`) across the stack. Any of the
+    * three paths may be None (surface not deployed). Returns the new
+    * base version, or the current one when no base path was given.
+    * Re-running with the same `opId` is safe on every surface. */
+  def forget(spark: SparkSession, ids: DataFrame, idCol: String,
+      opId: Long, basePath: Option[String] = None,
+      bm25Path: Option[String] = None,
+      ivfPath: Option[String] = None): Int = {
+    bm25Path.foreach(p =>
+      Bm25Index.forget(spark, p, ids, idCol, opId))
+    ivfPath.foreach(p => IvfIndex.forget(spark, p, ids, idCol))
+    basePath.map(p =>
+      VersionedTable.commitDelete(spark, p, ids, Seq(idCol)))
+      .getOrElse(0)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.VersionedTable
+import graft.ops.Takedown
+
+/** Cross-stack takedown: every surface forgets, re-running converges,
+  * and the base delete is null-safe copy-on-write. */
+class TakedownSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("commitDelete: key-set delete, null-safe, history intact") {
+    val root = java.nio.file.Files
+      .createTempDirectory("takedown").toString
+    graft.core.Scratch.registerForCleanup(root)
+    val t = s"$root/t"
+    VersionedTable.commitAppend(Seq(
+      (Option(1L), "a"), (Option(2L), "b"),
+      (Option.empty[Long], "nullkey")).toDF("id", "p"), t)
+    val v = VersionedTable.commitDelete(spark, t,
+      Seq(Option(2L), Option.empty[Long]).toDF("id"), Seq("id"))
+    assert(v === 2)
+    val left = VersionedTable.read(spark, t).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1))).toSet
+    assert(left === Set((Some(1L), "a")))
+    // time travel still sees the pre-delete snapshot
+    assert(VersionedTable.read(spark, t, Some(1)).count() === 3L)
+    // deleting absent keys is a clean no-op version
+    VersionedTable.commitDelete(spark, t, Seq(99L).toDF("id"), Seq("id"))
+    assert(VersionedTable.read(spark, t).count() === 1L)
+  }
+
+  test("takedown propagates to base + both indexes; re-run converges") {
+    val docs = Seq(
+      (1L, "spark joins tables with hash join"),
+      (2L, "join join join everywhere a join"),
+      (3L, "window aggregation over streams"),
+      (4L, "hash partitioned shuffle join strategy here"))
+      .toDF("doc_id", "text")
+    val vecs = (1L to 4L)
+      .map(i => (i, (0 until 4).map(d => math.cos(i * 3.0 + d))))
+      .toDF("doc_id", "vec")
+    val root = graft.core.Scratch.root(docs) +
+      s"/takedown_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(root)
+    val (base, bm, ivf) = (s"$root/base", s"$root/bm25", s"$root/ivf")
+    VersionedTable.commitAppend(docs, base)
+    graft.operators.Bm25Index.publish(docs, "doc_id", "text", bm)
+    graft.operators.IvfIndex.publish(vecs, "doc_id", "vec", ivf,
+      cells = 2)
+
+    def run() = Takedown.forget(spark, Seq(2L).toDF("doc_id"),
+      "doc_id", opId = 5L, basePath = Some(base), bm25Path = Some(bm),
+      ivfPath = Some(ivf))
+    run()
+    assert(VersionedTable.read(spark, base)
+      .filter($"doc_id" === 2L).count() === 0L)
+    val qs = Seq((0L, "join hash")).toDF("query_id", "qtext")
+    val sparse = graft.operators.Bm25Index.searchFrom(
+      spark, bm, qs, "query_id", "qtext", "doc_id", k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(!sparse.contains(2L) && sparse.nonEmpty)
+    val dense = graft.operators.IvfIndex.searchFrom(
+      spark, ivf, vecs.filter($"doc_id" === 1L), "doc_id", "vec",
+      "doc_id", k = 4, nprobe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(!dense.contains(2L) && dense.nonEmpty)
+
+    // retried takedown queue: same op again, then a different op with
+    // the same ids — all converge without double-subtracting
+    val statsBefore = VersionedTable.read(spark, s"$bm/stats")
+      .collect().head.getAs[Long]("n_docs")
+    run()
+    Takedown.forget(spark, Seq(2L).toDF("doc_id"), "doc_id",
+      opId = 6L, bm25Path = Some(bm), ivfPath = Some(ivf))
+    assert(VersionedTable.read(spark, s"$bm/stats")
+      .collect().head.getAs[Long]("n_docs") === statsBefore)
+  }
+}
