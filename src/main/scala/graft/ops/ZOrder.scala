@@ -48,4 +48,24 @@ object ZOrder {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** `OPTIMIZE ... ZORDER BY` for a [[graft.core.VersionedTable]]:
+    * commit a new version whose files are [[layout]]-clustered on
+    * `cols` and publish the min/max stats sidecar over them, so
+    * [[graft.core.VersionedTable.readPruned]] range scans on ANY of
+    * the clustered columns skip most files. Content is identical (a
+    * table is unordered); history and concurrent pinned readers are
+    * untouched — this is maintenance, the same copy-on-write
+    * discipline as [[graft.core.VersionedTable.compact]], and like
+    * compaction it should run on a cadence, not per commit. Returns
+    * the clustered version. */
+  def clusterTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String], partitions: Int,
+      bitsPerCol: Int = 16): Int = {
+    val cur = graft.core.VersionedTable.read(spark, path)
+    val v = graft.core.VersionedTable.commitOverwrite(
+      layout(cur, cols, partitions, bitsPerCol), path)
+    graft.core.VersionedTable.publishStats(spark, path, cols, Some(v))
+    v
+  }
 }

@@ -49,4 +49,45 @@ class ZOrderSpec extends SparkTestBase {
     assert(xTouched >= 48, s"x-range layout should touch ~all, got $xTouched")
     zLaid.unpersist(); xLaid.unpersist()
   }
+
+  test("clusterTable: OPTIMIZE ZORDER BY on a versioned table " +
+    "prunes files on every clustered column, content identical") {
+    import graft.core.{ManifestStats, VersionedTable}
+    val root = java.nio.file.Files
+      .createTempDirectory("zorderopt").toString
+    graft.core.Scratch.registerForCleanup(root)
+    val t = s"$root/t"
+    // unclustered layout: x/y interleave across all files
+    val df = spark.range(0, 16384).select(
+      col("id").as("id"),
+      (col("id") / 128).cast("int").as("x"),
+      (col("id") % 128).cast("int").as("y"))
+    VersionedTable.commitAppend(df.repartition(16), t)
+    val v = ZOrder.clusterTable(spark, t, Seq("x", "y"),
+      partitions = 16, bitsPerCol = 8)
+    assert(v === 2)
+    // content identical across versions
+    assert(VersionedTable.read(spark, t, Some(2))
+      .agg(count(lit(1)), sum(col("id"))).collect().head.toSeq ===
+      VersionedTable.read(spark, t, Some(1))
+        .agg(count(lit(1)), sum(col("id"))).collect().head.toSeq)
+    // pruning effectiveness: an 8-value slice of EITHER interleaved
+    // column touches a strict subset of the clustered files (typed
+    // envelope compare — the stringified manifest is lexical, which
+    // for unpadded ints is only caller-correct with padded probes)
+    val total = VersionedTable.files(spark, t, Some(2)).size
+    val manifest = ManifestStats.buildFiles(spark,
+      VersionedTable.files(spark, t, Some(2)), Seq("x", "y"))
+    def filesFor(c: String): Int = {
+      // integer envelopes: compare numerically via a typed rebuild
+      val rows = manifest.filter(col("col_name") === c).collect()
+      rows.count { r =>
+        val mn = r.getAs[String]("min_value").toInt
+        val mx = r.getAs[String]("max_value").toInt
+        !(mx < 40 || mn > 47)
+      }
+    }
+    assert(filesFor("x") < total, s"x slice kept all $total files")
+    assert(filesFor("y") < total, s"y slice kept all $total files")
+  }
 }
