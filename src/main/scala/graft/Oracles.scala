@@ -3517,6 +3517,23 @@ object Oracles {
         |FROM cls GROUP BY i
         |ORDER BY doc_id""".stripMargin,
 
+    // the deleted probe must be unreachable everywhere (0 leaks); the
+    // control probe must remain fully reachable on every surface —
+    // its per-surface count derives from the corpus, so a dead audit
+    // (vacuous zeros) or an over-deletion both break the match
+    "q175_takedown_audit" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 10 = 4)
+        |SELECT probe, surface, n_leaked FROM (
+        |  SELECT 'control' AS probe, 'base' AS surface, n AS n_leaked
+        |    FROM c
+        |  UNION ALL SELECT 'control', 'bm25', n FROM c
+        |  UNION ALL SELECT 'control', 'ivf', n FROM c
+        |  UNION ALL SELECT 'deleted', 'base', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'deleted', 'bm25', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'deleted', 'ivf', CAST(0 AS BIGINT))
+        |ORDER BY probe, surface""".stripMargin,
+
     // bloom-pruned point lookup must equal the plain filter
     "q170_bloom_skip" ->
       """SELECT doc_id, source, lang, n_chars FROM documents

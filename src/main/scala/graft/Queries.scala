@@ -1919,6 +1919,42 @@ object Queries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // ---- takedown compliance audit ------------------------------------
+    "q175_takedown_audit" -> ((s, d) => {
+      // the release gate after a right-to-be-forgotten run: build the
+      // full doc_id-keyed stack (base table, BM25 index, IVF index
+      // over the hashed dense vectors), take down every doc_id ≡ 3
+      // (mod 10) in ONE Takedown call, then audit BOTH probes — the
+      // deleted set must be unreachable on every surface (0 leaks)
+      // and a control set must still be fully reachable (the audit
+      // itself is proven live, not vacuously zero)
+      val docs = t(s, d, "documents")
+      val root = s"${graft.core.Scratch.root(docs)}/takedown_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val (base, bm, ivf) = (s"$root/base", s"$root/bm25", s"$root/ivf")
+      graft.core.VersionedTable.commitAppend(docs, base)
+      graft.operators.Bm25Index.publish(docs, "doc_id", "text", bm)
+      graft.operators.IvfIndex.publish(
+        graft.operators.HashingVectorizer.denseVectors(
+          docs, "doc_id", "text", dim = 64),
+        "doc_id", "vec", ivf)
+      val deleted = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .select(col("doc_id"))
+      val control = docs.filter(pmod(col("doc_id"), lit(10)) === 4)
+        .select(col("doc_id"))
+      graft.ops.Takedown.forget(s, deleted, "doc_id", opId = 1L,
+        basePath = Some(base), bm25Path = Some(bm), ivfPath = Some(ivf))
+      graft.ops.Takedown.audit(s, deleted, "doc_id",
+          Some(base), Some(bm), Some(ivf))
+        .withColumn("probe", lit("deleted"))
+        .unionByName(graft.ops.Takedown.audit(s, control, "doc_id",
+            Some(base), Some(bm), Some(ivf))
+          .withColumn("probe", lit("control")))
+        .select(col("probe"), col("surface"), col("n_leaked"))
+        .orderBy(col("probe"), col("surface"))
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->

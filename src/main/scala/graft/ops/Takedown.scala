@@ -45,4 +45,43 @@ object Takedown {
       VersionedTable.commitDelete(spark, p, ids, Seq(idCol)))
       .getOrElse(0)
   }
+
+  /** Compliance audit for a completed takedown: per surface, how many
+    * of `ids` are still REACHABLE — base rows still present, BM25
+    * doclen entries not tombstoned, IVF assignments not tombstoned.
+    * All-zero `n_leaked` is the release gate a privacy review signs
+    * off on; a non-zero row names the surface that missed the memo
+    * (e.g. an index registered after the takedown ran).
+    *
+    * Shape at scale: per surface one semi-join of the (takedown-sized,
+    * broadcast) id set against the surface's key column — never a full
+    * cross-surface reconciliation. Tombstoned-but-unpurged rows count
+    * as NOT reachable: the audit measures what a reader can see, not
+    * physical bytes ([[graft.core.VersionedTable.vacuum]] and retrain
+    * purges are the byte-level follow-up). */
+  def audit(spark: SparkSession, ids: DataFrame, idCol: String,
+      basePath: Option[String] = None,
+      bm25Path: Option[String] = None,
+      ivfPath: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idsOnly = ids.select(col(idCol)).distinct()
+    def leaked(surface: String, visible: DataFrame): DataFrame =
+      visible.select(col(idCol))
+        .join(broadcast(idsOnly), Seq(idCol), "left_semi")
+        .agg(count(lit(1)).as("n_leaked"))
+        .select(lit(surface).as("surface"), col("n_leaked"))
+    val parts =
+      basePath.map(p => leaked("base",
+        VersionedTable.read(spark, p))).toSeq ++
+      bm25Path.map(p => leaked("bm25",
+        VersionedTable.read(spark, s"$p/doclen").join(
+          broadcast(VersionedTable.read(spark, s"$p/deletes")),
+          Seq(idCol), "left_anti"))).toSeq ++
+      ivfPath.map(p => leaked("ivf",
+        VersionedTable.read(spark, s"$p/assigned").join(
+          broadcast(VersionedTable.read(spark, s"$p/deletes")),
+          Seq(idCol), "left_anti"))).toSeq
+    require(parts.nonEmpty, "audit needs at least one surface")
+    parts.reduce(_.unionByName(_))
+  }
 }

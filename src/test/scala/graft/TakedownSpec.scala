@@ -77,5 +77,16 @@ class TakedownSpec extends SparkTestBase {
       opId = 6L, bm25Path = Some(bm), ivfPath = Some(ivf))
     assert(VersionedTable.read(spark, s"$bm/stats")
       .collect().head.getAs[Long]("n_docs") === statsBefore)
+
+    // compliance audit: every surface reports zero reachable ids for
+    // the taken-down set, and a non-deleted id shows up as a leak
+    val clean = Takedown.audit(spark, Seq(2L).toDF("doc_id"),
+        "doc_id", Some(base), Some(bm), Some(ivf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean === Map("base" -> 0L, "bm25" -> 0L, "ivf" -> 0L))
+    val dirty = Takedown.audit(spark, Seq(2L, 3L).toDF("doc_id"),
+        "doc_id", Some(base), Some(bm), Some(ivf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dirty === Map("base" -> 1L, "bm25" -> 1L, "ivf" -> 1L))
   }
 }
