@@ -240,7 +240,11 @@ object Bm25Index {
     * Crash-safe and exactly-once per `opId` under the same write-ahead
     * [[graft.core.TxnJournal]] as streaming ingest (tag `f<opId>`, so
     * serving taps pin consistent snapshots across in-flight forgets
-    * too). Ids never indexed are ignored; ids already forgotten are
+    * too). Like every maintenance op on this index, forgets run from
+    * the SINGLE maintenance writer, serialized with ingest batches —
+    * two concurrent multi-table updates could interleave their
+    * termstats/stats overwrites (the standard lake single-writer
+    * discipline; readers need no coordination). Ids never indexed are ignored; ids already forgotten are
     * not re-subtracted (double-forget is a no-op). Re-ingesting a
     * forgotten id is OUT OF CONTRACT (ids are append-only unique;
     * the tombstone would hide the re-added doc).
