@@ -296,6 +296,41 @@ object Bm25Index {
     }
   }
 
+  /** Physical purge of forgotten documents — the byte-level
+    * completion of [[forget]]'s merge-on-read deletion: rewrite
+    * `postings`/`doclen` WITHOUT the tombstoned rows and reset the
+    * deletes table, as new versions under the same journal (tag
+    * `p<opId>`). Searches are unchanged before/after (the anti-join
+    * was already hiding the rows); what changes is that the bytes
+    * stop being carried by the live snapshot — followed by
+    * [[graft.core.VersionedTable.vacuum]] on the rewritten tables,
+    * the forgotten documents leave disk entirely, which is the
+    * privacy SLA's actual endpoint. Copy-on-write cost ∝ table, so
+    * this is SCHEDULED maintenance (like [[compactIndex]]), batching
+    * many forgets into one rewrite — never part of the per-takedown
+    * path. No-op (false) when nothing is tombstoned. */
+  def purgeForgotten(spark: SparkSession, path: String, opId: Long)
+      : Boolean = {
+    val dp = deletesPath(path)
+    if (VersionedTable.latestVersion(spark, dp) == 0 ||
+        VersionedTable.read(spark, dp).isEmpty) return false
+    graft.core.TxnJournal.exactlyOnceTagged(spark, path, s"p$opId",
+      componentPaths(path)) {
+      val dels = VersionedTable.read(spark, dp)
+      val idCol = dels.columns.head
+      def scrub(sub: String): Unit = {
+        VersionedTable.commitOverwrite(
+          VersionedTable.read(spark, sub)
+            .join(broadcast(dels), Seq(idCol), "left_anti"), sub)
+        ()
+      }
+      scrub(postingsPath(path))
+      scrub(doclenPath(path))
+      VersionedTable.commitOverwrite(dels.filter(lit(false)), dp)
+      ()
+    }
+  }
+
   /** [[searchFrom]] against EXPLICIT versions of the five component
     * tables (order of [[componentPaths]]; None = latest) — the
     * consistent-snapshot serving discipline: versions captured

@@ -298,6 +298,31 @@ object IvfIndex {
       }
   }
 
+  /** Physical purge of forgotten vectors without waiting for a drift
+    * retrain — rewrite `assigned` minus the tombstones and reset the
+    * deletes table under the journal (tag `p<opId>`). Same contract
+    * as [[Bm25Index.purgeForgotten]]: searches unchanged, bytes leave
+    * the live snapshot, vacuum finishes the job; scheduled
+    * maintenance, copy-on-write cost ∝ table. No-op (false) when
+    * nothing is tombstoned. */
+  def purgeForgotten(spark: SparkSession, path: String, opId: Long)
+      : Boolean = {
+    val dp = deletesPath(path)
+    if (VersionedTable.latestVersion(spark, dp) == 0 ||
+        VersionedTable.read(spark, dp).isEmpty) return false
+    graft.core.TxnJournal.exactlyOnceTagged(spark, path, s"p$opId",
+      journalPaths(path)) {
+      val dels = VersionedTable.read(spark, dp)
+      val idCol = dels.columns.head
+      VersionedTable.commitOverwrite(
+        VersionedTable.read(spark, assignedPath(path))
+          .join(broadcast(dels), Seq(idCol), "left_anti"),
+        assignedPath(path))
+      VersionedTable.commitOverwrite(dels.filter(lit(false)), dp)
+      ()
+    }
+  }
+
   /** The persisted codebook, bounded cells×dim driver metadata. */
   def readCodebook(spark: SparkSession, path: String,
       version: Option[Int] = None): Array[Array[Double]] =

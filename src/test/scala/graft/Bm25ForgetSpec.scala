@@ -123,6 +123,43 @@ class Bm25ForgetSpec extends SparkTestBase {
     assert(search(path) === rebuild(docs.filter($"doc_id" =!= 3L)))
   }
 
+  test("purge + vacuum: forgotten bytes physically leave disk") {
+    val path = freshIndex()
+    Bm25Index.forget(spark, path,
+      Seq(2L, 6L).toDF("doc_id"), "doc_id", opId = 1L)
+    val after = search(path)
+    assert(Bm25Index.purgeForgotten(spark, path, opId = 1L))
+    // search unchanged; tombstones reset; replay no-op
+    assert(search(path) === after)
+    assert(VersionedTable.read(spark, s"$path/deletes").count() === 0L)
+    assert(!Bm25Index.purgeForgotten(spark, path, opId = 2L),
+      "purge with nothing tombstoned must be a no-op")
+    // live snapshot no longer carries the rows
+    assert(VersionedTable.read(spark, s"$path/postings")
+      .filter($"doc_id".isin(2L, 6L)).count() === 0L)
+    // vacuum the rewritten tables, then scan EVERY parquet file still
+    // on disk under them: the forgotten doc ids must be gone from
+    // bytes, not just hidden (the privacy SLA endpoint)
+    for (sub <- Seq("postings", "doclen")) {
+      VersionedTable.vacuum(spark, s"$path/$sub", retainLast = 1,
+        graceMs = 0L)
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$path/$sub/data"), true)
+      val all = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          all += f.getPath.toString
+      }
+      assert(all.nonEmpty)
+      assert(spark.read.parquet(all.toSeq: _*)
+        .filter($"doc_id".isin(2L, 6L)).count() === 0L,
+        s"$sub still carries forgotten bytes after purge+vacuum")
+    }
+  }
+
   test("serving pin clamps an in-flight forget to the pre-op snapshot") {
     val path = freshIndex()
     val before = search(path)

@@ -61,6 +61,18 @@ class IvfForgetSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, s"$path/deletes").count() === 1L)
   }
 
+  test("explicit purge without a drift retrain; idempotent") {
+    val path = fresh(corpus)
+    IvfIndex.forget(spark, path, forgotten.toDF("vec_id"), "vec_id")
+    val after = search(path)
+    assert(IvfIndex.purgeForgotten(spark, path, opId = 1L))
+    assert(search(path) === after)
+    assert(VersionedTable.read(spark, s"$path/assigned")
+      .filter($"vec_id".isin(forgotten: _*)).count() === 0L)
+    assert(VersionedTable.read(spark, s"$path/deletes").count() === 0L)
+    assert(!IvfIndex.purgeForgotten(spark, path, opId = 2L))
+  }
+
   test("drift retrain purges tombstones physically") {
     val path = fresh(corpus)
     IvfIndex.forget(spark, path,
