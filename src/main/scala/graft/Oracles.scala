@@ -318,6 +318,40 @@ object Oracles {
       |FROM documents d LEFT JOIN seqs s2 ON d.doc_id = s2.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Unigram-tokenizer vocabulary CTE chain (q176/q177): weighted
+    * substring candidates over the distinct-word table, top-40 by
+    * (count, piece), single-char closure, and the kept-set total the
+    * scaled-int ln scores normalize by. */
+  private val unigramVocabBody: String =
+    """w AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT unnest(CASE WHEN trim(text) = '' THEN []
+      |        ELSE string_split_regex(trim(lower(text)), '\s+') END)
+      |      AS word FROM documents)
+      |  GROUP BY word),
+      |cand AS (
+      |  SELECT substr(word, CAST(s + 1 AS INT), CAST(l AS INT))
+      |      AS piece,
+      |    CAST(sum(n) AS BIGINT) AS cnt
+      |  FROM w,
+      |    LATERAL unnest(range(0, len(word))) AS t(s),
+      |    LATERAL unnest(range(1, 5)) AS u(l)
+      |  WHERE s + l <= len(word)
+      |  GROUP BY 1),
+      |top AS (
+      |  SELECT piece, cnt FROM cand
+      |  ORDER BY cnt DESC, piece LIMIT 40),
+      |vocab0 AS (
+      |  SELECT DISTINCT piece, cnt FROM (
+      |    SELECT * FROM top
+      |    UNION ALL
+      |    SELECT piece, cnt FROM cand WHERE len(piece) = 1)),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab0)"""
+      .stripMargin
+
+  private val unigramVocabCtes: String =
+    "WITH " + unigramVocabBody + "\n"
+
   private def bpeMerges(steps: Int): String =
     bpeChain(steps) + (1 to steps).map(s =>
         s"SELECT $s AS step, l AS lhs, r AS rhs, cnt AS pair_count " +
@@ -3533,6 +3567,53 @@ object Oracles {
         |  UNION ALL SELECT 'deleted', 'bm25', CAST(0 AS BIGINT)
         |  UNION ALL SELECT 'deleted', 'ivf', CAST(0 AS BIGINT))
         |ORDER BY probe, surface""".stripMargin,
+
+    // unigram vocab: re-derive the weighted-substring selection, the
+    // single-char closure, and the scaled-int ln scores
+    "q176_unigram_vocab" ->
+      (unigramVocabCtes +
+        """SELECT piece, cnt,
+        |  CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000.0)
+        |    AS BIGINT) AS score
+        |FROM vocab0 CROSS JOIN tot
+        |ORDER BY piece""".stripMargin),
+
+    // unigram encode: enumerate EVERY segmentation of every distinct
+    // word recursively and take the same BIGINT objective max
+    // (score·1024 − count) the engine's Viterbi computes
+    "q177_unigram_encode" ->
+      ("WITH RECURSIVE " + unigramVocabBody + """,
+        |pieces AS (
+        |  SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE) / t)
+        |    * 1000000.0) AS BIGINT) AS score
+        |  FROM vocab0 CROSS JOIN tot),
+        |ws AS (SELECT DISTINCT word FROM w),
+        |rec AS (
+        |  SELECT word, CAST(0 AS BIGINT) AS pos,
+        |    CAST(0 AS BIGINT) AS val FROM ws
+        |  UNION ALL
+        |  SELECT r.word, r.pos + len(p.piece),
+        |    r.val + p.score * 1024 - 1
+        |  FROM rec r JOIN pieces p
+        |    ON substr(r.word, CAST(r.pos + 1 AS INT),
+        |         len(p.piece)) = p.piece
+        |  WHERE r.pos + len(p.piece) <= len(r.word)),
+        |best AS (
+        |  SELECT word, max(val) AS val FROM rec
+        |  WHERE pos = len(word) GROUP BY word),
+        |pw AS (
+        |  SELECT word, (-val) % 1024 AS c,
+        |    -(((-val) - ((-val) % 1024)) // 1024) AS s
+        |  FROM best),
+        |dw AS (
+        |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |    AS word FROM documents)
+        |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(pw.c) AS BIGINT) AS n_pieces,
+        |  CAST(sum(pw.s) AS BIGINT) AS score_s
+        |FROM dw JOIN pw USING (word) GROUP BY dw.doc_id
+        |ORDER BY doc_id""".stripMargin),
 
     // bloom-pruned point lookup must equal the plain filter
     "q170_bloom_skip" ->

@@ -1955,6 +1955,31 @@ object Queries {
         .orderBy(col("probe"), col("surface"))
     }),
 
+    // ---- unigram-LM tokenizer (SentencePiece family) ------------------
+    "q176_unigram_vocab" -> ((s, d) => {
+      // the scored piece vocabulary: top-40 substrings by weighted
+      // count + single-char closure, scores = round(ln(cnt/total)·1e6)
+      // as BIGINT — computed in Spark SQL so HALF_UP rounding matches
+      // DuckDB's round; the oracle re-derives the whole selection
+      graft.operators.Unigram.pieceVocab(
+          t(s, d, "documents"), "text", vocabSize = 40,
+          maxPieceLen = 4)
+        .orderBy(col("piece"))
+    }),
+
+    "q177_unigram_encode" -> ((s, d) => {
+      // Viterbi corpus encode under the trained vocab: per doc the
+      // word count, optimal piece count, and scaled-int log-prob.
+      // Each DISTINCT word segments once through the codegen'd
+      // integer DP; the oracle enumerates ALL segmentations per word
+      // recursively and takes the identical BIGINT max — a single
+      // differing piece choice anywhere breaks the hash
+      graft.operators.Unigram.encode(
+          t(s, d, "documents"), "doc_id", "text", vocabSize = 40,
+          maxPieceLen = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->

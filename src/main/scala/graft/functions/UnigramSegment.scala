@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Viterbi segmentation of one word under a unigram piece vocabulary
+  * ([[graft.operators.Unigram]]) — a codegen'd expression carrying
+  * the (piece → scaled-int score) table as expression state (the
+  * [[AhoContains]] shape: ships the arrays, builds the transient
+  * lookup once per JVM).
+  *
+  * Returns the combined exact-integer objective of the OPTIMAL
+  * segmentation: `bestScore·1024 − pieceCount` (maximized — scores
+  * are ≤ 0 scaled log-probs, and a count difference < 1024 can never
+  * outvote one 10⁻⁶-of-ln score step, so the single BIGINT encodes
+  * "max score, then min pieces" with no float compare). Callers
+  * recover both parts arithmetically: `nv = −value; count = nv mod
+  * 1024; score = −((nv − count) / 1024)` — the identical integer ops
+  * the DuckDB oracle runs. A position coverable by no piece consumes
+  * one character at the [[UnigramSegment.UnkScore]] penalty (cannot
+  * happen when encoding the corpus the vocab was trained on — single
+  * characters are always kept). The empty string segments to 0. */
+case class UnigramSegment(child: Expression, pieces: Seq[String],
+    scores: Seq[Long], maxPieceLen: Int) extends UnaryExpression {
+
+  require(pieces.nonEmpty && pieces.size == scores.size,
+    "pieces and scores must be same-length and non-empty")
+  require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_segment expects STRING, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+
+  @transient private lazy val table
+      : java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](
+      pieces.size * 2)
+    var i = 0
+    while (i < pieces.size) {
+      m.put(pieces(i), java.lang.Long.valueOf(scores(i)))
+      i += 1
+    }
+    m
+  }
+
+  /** Public for generated code. */
+  def segment(s: UTF8String): Long = {
+    val w = s.toString
+    val n = w.length
+    if (n == 0) return 0L
+    // best(i) = optimal combined objective for the prefix of length i
+    val best = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var b = Long.MinValue
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val sc = table.get(w.substring(j, i))
+        if (sc ne null) {
+          val v = best(j) + sc.longValue * 1024L - 1L
+          if (v > b) b = v
+        }
+        j += 1
+      }
+      if (b == Long.MinValue) {
+        // no piece ends here from any split: consume one char as UNK
+        b = best(i - 1) + UnigramSegment.UnkScore * 1024L - 1L
+      }
+      best(i) = b
+      i += 1
+    }
+    best(n)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("unigramExpr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.segment($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : UnigramSegment = copy(child = c)
+  override def prettyName: String = "unigram_segment"
+}
+
+object UnigramSegment {
+
+  /** Scaled-int score charged per unknown character. */
+  val UnkScore: Long = -30000000L
+
+  def column(c: Column, pieces: Seq[String], scores: Seq[Long],
+      maxPieceLen: Int): Column =
+    GraftBridge.column(UnigramSegment(GraftBridge.expression(c),
+      pieces, scores, maxPieceLen))
+}

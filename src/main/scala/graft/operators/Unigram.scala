@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Unigram-LM tokenizer (the SentencePiece unigram family — Kudo
+  * 2018, "Subword Regularization"): score candidate word-pieces by
+  * corpus log-probability and segment each word with Viterbi over the
+  * piece scores. The BPE twin ([[Bpe]]) builds its vocabulary
+  * bottom-up by merge; unigram scores a candidate set top-down and
+  * lets dynamic programming pick the max-likelihood segmentation —
+  * the two families are THE production tokenizer designs, and a
+  * pipeline comparing fertility/coverage needs both.
+  *
+  * This implementation keeps the full pipeline EXACT and
+  * oracle-replayable (the [[Bpe]] discipline):
+  *
+  *  - candidate pieces are all substrings (length ≤ `maxPieceLen`) of
+  *    the corpus words, weighted by word frequency; the vocabulary is
+  *    the top `vocabSize` by (count, piece) plus every single
+  *    character (segmentation closure) — a deterministic frequency
+  *    selection rather than the reference EM prune (whose float
+  *    likelihood loop is not engine-portable; the SCORING and the
+  *    VITERBI — the parts every consumer touches — are the standard
+  *    algorithm);
+  *  - piece scores are scaled-integer log-probs:
+  *    `round(ln(cnt/total)·10⁶)`, computed IN SPARK SQL so the
+  *    HALF_UP rounding matches DuckDB's `round` bit-for-bit (Scala's
+  *    `Math.round` rounds negative halves the other way);
+  *  - Viterbi maximizes the summed score with a min-piece-count tie
+  *    break, folded into ONE exact integer objective
+  *    `score·1024 − count` (counts ≤ word length < 1024 can never
+  *    outvote a 10⁻⁶-of-ln score step), so both engines run the
+  *    identical BIGINT DP — no float compare anywhere.
+  *
+  * Scale shape: training aggregates (piece, count) over DISTINCT
+  * words (vocabulary-sized, the [[Bpe.vocab]] observation — the
+  * builtin `transform(sequence(...))` substring expansion is fine
+  * here because it runs per distinct word, not per document);
+  * encoding segments each DISTINCT word once via the codegen'd
+  * [[graft.functions.UnigramSegment]] (vocabulary broadcast as
+  * expression state, the AhoContains shape) and joins doc words to
+  * per-word results — documents shuffle only (word, counts) pairs. */
+object Unigram {
+
+  /** (word, n) corpus word frequencies. */
+  private def words(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(lower(col(textCol))))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** The scored piece vocabulary: top `vocabSize` substrings by
+    * weighted count (ties by piece text) plus all single characters,
+    * with `score = round(ln(cnt/total)·10⁶)` over the FINAL kept
+    * set. Output: (piece, cnt, score), one row per piece. */
+  def pieceVocab(df: DataFrame, textCol: String, vocabSize: Int = 40,
+      maxPieceLen: Int = 4): DataFrame = {
+    require(vocabSize >= 1 && maxPieceLen >= 1,
+      "vocabSize and maxPieceLen must be >= 1")
+    val w = words(df, textCol)
+    val subs = flatten(transform(
+      sequence(lit(0), length(col("word")) - 1),
+      s => filter(
+        transform(sequence(lit(1), lit(maxPieceLen)),
+          l => when(s + l <= length(col("word")),
+            col("word").substr(s + lit(1), l))),
+        x => x.isNotNull)))
+    val cand = w.select(explode(subs).as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+    val top = cand.orderBy(col("cnt").desc, col("piece"))
+      .limit(vocabSize)
+    val kept = top.unionByName(cand.filter(length(col("piece")) === 1))
+      .dropDuplicates("piece")
+    val total = kept.agg(sum(col("cnt")).as("__t"))
+    kept.crossJoin(total)
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") /
+          col("__t").cast("double")) * 1e6, 0).cast("long").as("score"))
+  }
+
+  /** Collected (piece, score) arrays behind the session model cache —
+    * vocabulary-sized driver metadata, the codebook discipline. */
+  def vocabCached(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int): (Array[String], Array[Long]) =
+    graft.core.ModelCache.cached(df,
+      s"unigram:$textCol:$vocabSize:$maxPieceLen") {
+      val rows = pieceVocab(df, textCol, vocabSize, maxPieceLen)
+        .orderBy(col("piece")).collect()
+      (rows.map(_.getString(0)), rows.map(_.getLong(2)))
+    }
+
+  /** Per-document encoding summary under a freshly trained vocab:
+    * (idCol, n_words, n_pieces, score_s) where `n_pieces` sums each
+    * word's optimal piece count and `score_s` the scaled-integer
+    * Viterbi log-prob. Each DISTINCT word segments once; unknown
+    * characters (never in corpus-encode) cost the documented UNK
+    * penalty. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 40, maxPieceLen: Int = 4): DataFrame = {
+    val (pieces, scores) = vocabCached(df, textCol, vocabSize,
+      maxPieceLen)
+    val perWord = words(df, textCol).select(col("word"))
+      .withColumn("__v", graft.functions.UnigramSegment.column(
+        col("word"), pieces, scores, maxPieceLen))
+      .withColumn("__nv", -col("__v"))
+      .select(col("word"),
+        pmod(col("__nv"), lit(1024L)).as("__c"),
+        (-((col("__nv") - pmod(col("__nv"), lit(1024L))) /
+          lit(1024L)).cast("long")).as("__s"))
+    df.select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .join(perWord, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__c")).as("n_pieces"),
+        sum(col("__s")).as("score_s"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.UnigramSegment
+import graft.operators.Unigram
+
+/** Unigram-LM tokenizer: the Viterbi DP must equal a full enumeration
+  * of all segmentations (independent spec, not the same DP twice),
+  * the combined integer objective must decode back to (score, count),
+  * and training must keep the single-char closure. */
+class UnigramSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def seg(word: String, vocab: Map[String, Long],
+      maxLen: Int = 4): Long =
+    Seq(Tuple1(word)).toDF("w")
+      .select(UnigramSegment.column(col("w"),
+        vocab.keys.toSeq.sorted, vocab.keys.toSeq.sorted.map(vocab),
+        maxLen))
+      .collect().head.getLong(0)
+
+  // all decompositions into vocab pieces (None when uncoverable)
+  private def brute(word: String, vocab: Map[String, Long],
+      maxLen: Int): Option[Long] =
+    if (word.isEmpty) Some(0L)
+    else (1 to math.min(maxLen, word.length)).flatMap { l =>
+      vocab.get(word.take(l)).flatMap(sc =>
+        brute(word.drop(l), vocab, maxLen)
+          .map(rest => sc * 1024L - 1L + rest))
+    }.reduceOption(_ max _)
+
+  test("single best piece beats equal-score multi-piece (tie on score)") {
+    val vocab = Map("ab" -> -700L, "a" -> -300L, "b" -> -400L)
+    // "ab" alone: -700·1024-1; "a"+"b": -700·1024-2 — fewer pieces win
+    assert(seg("ab", vocab) === -700L * 1024L - 1L)
+  }
+
+  test("objective decodes back to (score, count)") {
+    val vocab = Map("ab" -> -700L, "a" -> -300L, "b" -> -400L)
+    val v = seg("abab", vocab)
+    val nv = -v
+    val c = nv % 1024L
+    val s = -((nv - c) / 1024L)
+    assert(c === 2L && s === -1400L) // "ab"+"ab"
+  }
+
+  test("unknown characters charge the documented UNK penalty") {
+    val vocab = Map("x" -> -100L)
+    assert(seg("xy", vocab) ===
+      (-100L + UnigramSegment.UnkScore) * 1024L - 2L)
+    assert(seg("", vocab) === 0L)
+  }
+
+  test("property: Viterbi equals full enumeration on coverable words") {
+    val chars = Seq("a", "b", "c")
+    val pieceGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(chars)).map(_.mkString))
+    val caseGen = for {
+      extra <- Gen.listOfN(6, pieceGen)
+      scores <- Gen.listOfN(extra.size + 3, Gen.choose(-9000L, -10L))
+      wordPieces <- Gen.choose(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(chars ++ extra)))
+    } yield {
+      val vocab = (chars ++ extra).distinct.zip(scores).toMap
+      (vocab, wordPieces.mkString)
+    }
+    for (i <- 0 until 30) {
+      val (vocab, word) =
+        caseGen.pureApply(Gen.Parameters.default, Seed(i))
+      val got = seg(word, vocab, maxLen = 3)
+      val want = brute(word, vocab, maxLen = 3)
+      assert(Some(got) === want, s"seed=$i word=$word vocab=$vocab")
+    }
+  }
+
+  test("pieceVocab: single-char closure, weighting, kept-set scores") {
+    val docs = Seq((1L, "abab ab"), (2L, "abab cd")).toDF("id", "text")
+    val v = Unigram.pieceVocab(docs, "text", vocabSize = 3,
+        maxPieceLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byPiece = v.map(x => x._1 -> x).toMap
+    // every character of the corpus is present even beyond top-3
+    for (ch <- Seq("a", "b", "c", "d"))
+      assert(byPiece.contains(ch), s"missing single-char '$ch'")
+    // substring weighting: "ab" occurs twice in each "abab" (x2 docs)
+    // and once in "ab" -> 5
+    assert(byPiece("ab")._2 === 5L)
+    // scores are negative log-probs; exactness pinned by replay below
+    val total = v.map(_._2).sum
+    v.foreach { case (_, _, sc) => assert(sc < 0L) }
+    // exact replay of one score through the same SQL-rounding path
+    val expected = docs.sparkSession.range(1).select(
+      round(log(lit(byPiece("ab")._2.toDouble) / total.toDouble)
+        * 1e6, 0).cast("long")).collect().head.getLong(0)
+    assert(byPiece("ab")._3 === expected)
+  }
+
+  test("encode: word counts and segment sums line up") {
+    val docs = Seq((1L, "abab ab"), (2L, "abab cd")).toDF("id", "text")
+    val rows = Unigram.encode(docs, "id", "text", vocabSize = 3,
+        maxPieceLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L)._1 === 2L && rows(2L)._1 === 2L)
+    assert(rows(1L)._2 >= 2L) // at least one piece per word
+    // scores are sums of per-word optima: doc1 repeats words of doc2's
+    // first word, so totals are comparable and strictly negative
+    assert(rows(1L)._3 < 0L && rows(2L)._3 < 0L)
+  }
+}
