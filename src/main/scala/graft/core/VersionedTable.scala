@@ -332,6 +332,36 @@ object VersionedTable {
     commitOverwrite(cur.join(k, cond, "left_anti"), path)
   }
 
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE`
+    * analogue): publish a new version of `targetPath` whose manifest
+    * references the SOURCE version's data files — zero bytes copied,
+    * so forking a 100 TB table for a dev/test/experiment branch is a
+    * metadata-only operation. The clone then evolves independently:
+    * appends/overwrites/compactions write into the clone's own data
+    * dir, and [[vacuum]] on the clone only ever reclaims clone-local
+    * commit dirs (source files live outside its `data/`), so cleaning
+    * up an abandoned experiment cannot touch the source.
+    *
+    * The one shared-fate hazard is the same one Delta documents:
+    * [[vacuum]] on the SOURCE does not know about clones — reclaiming
+    * source versions whose files a clone still references breaks the
+    * clone. Retain accordingly (or re-clone from a newer version).
+    * Schema-evolution state carries over: a clone of an evolved table
+    * keeps merging footers. Returns the clone's new version. */
+  def cloneFrom(spark: SparkSession, sourcePath: String,
+      targetPath: String, version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, sourcePath))
+    require(v > 0, s"$sourcePath has no committed version to clone")
+    val fl = files(spark, sourcePath, Some(v))
+    val f = fs(spark, targetPath)
+    if (f.exists(evolvedMarker(sourcePath))) {
+      f.mkdirs(new Path(targetPath))
+      try f.create(evolvedMarker(targetPath), false).close()
+      catch { case _: java.io.IOException => () } // already flagged
+    }
+    publishFiles(spark, targetPath, fl, carryPrevious = false)
+  }
+
   private def commit(df: DataFrame, path: String,
       carryPrevious: Boolean): Int = {
     val spark = df.sparkSession
@@ -342,8 +372,18 @@ object VersionedTable {
     val newFiles = f.listStatus(new Path(commitDir))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .map(_.getPath.toString).toSeq
-    // 2. publish: create the next manifest; on a version race, re-read
-    //    the winner's state and retry on top of it
+    publishFiles(spark, path, newFiles, carryPrevious)
+  }
+
+  /** Publish a manifest naming `newFiles` as the next version — the
+    * commit protocol minus the data write (the files may live under
+    * ANOTHER table's data dir — [[cloneFrom]]). On a version race,
+    * re-reads the winner's state and retries on top of it. */
+  private def publishFiles(spark: SparkSession, path: String,
+      newFiles: Seq[String], carryPrevious: Boolean): Int = {
+    val f = fs(spark, path)
+    // publish: create the next manifest; on a version race, re-read
+    // the winner's state and retry on top of it
     var attempts = 0
     while (true) {
       attempts += 1
