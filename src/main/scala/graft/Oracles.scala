@@ -3615,6 +3615,20 @@ object Oracles {
         |FROM dw JOIN pw USING (word) GROUP BY dw.doc_id
         |ORDER BY doc_id""".stripMargin),
 
+    // both branches derive from the raw corpus: the source must be
+    // the untouched table, the experiment the filtered one
+    "q178_clone_branch" ->
+      """SELECT branch, n_docs, sum_chars FROM (
+        |  SELECT 'source' AS branch, CAST(count(*) AS BIGINT)
+        |      AS n_docs,
+        |    CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'experiment', CAST(count(*) AS BIGINT),
+        |    CAST(sum(coalesce(n_chars, 0)) AS BIGINT)
+        |  FROM documents WHERE doc_id % 7 <> 1)
+        |ORDER BY branch""".stripMargin,
+
     // bloom-pruned point lookup must equal the plain filter
     "q170_bloom_skip" ->
       """SELECT doc_id, source, lang, n_chars FROM documents

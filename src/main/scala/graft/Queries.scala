@@ -1980,6 +1980,34 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- zero-copy experiment branch (shallow clone) ------------------
+    "q178_clone_branch" -> ((s, d) => {
+      // the dev-fork loop: shallow-clone the corpus table (metadata
+      // only — no bytes copied), run a curation experiment on the
+      // BRANCH (delete every doc_id ≡ 1 (mod 7)), and report both
+      // branches side by side. The oracle derives each branch from
+      // the raw corpus, so a clone that shared ANY state with its
+      // source after the fork (or copied the wrong version) breaks
+      val docs = t(s, d, "documents")
+      val root = s"${graft.core.Scratch.root(docs)}/clone_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val (src, branch) = (s"$root/src", s"$root/branch")
+      graft.core.VersionedTable.commitAppend(docs, src)
+      graft.core.VersionedTable.cloneFrom(s, src, branch)
+      graft.core.VersionedTable.commitDelete(s, branch,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+          .select(col("doc_id")), Seq("doc_id"))
+      def stats(path: String, name: String) =
+        graft.core.VersionedTable.read(s, path)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+          .select(lit(name).as("branch"), col("n_docs"),
+            col("sum_chars"))
+      stats(src, "source").unionByName(stats(branch, "experiment"))
+        .orderBy(col("branch"))
+    }),
+
     // ---- entity canonicalization (full ER loop) -----------------------
     "q166_entity_resolve" -> ((s, d) => {
       // block -> Jaro-Winkler score -> connected components ->
