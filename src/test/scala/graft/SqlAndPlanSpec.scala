@@ -100,7 +100,8 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q156_hybrid_ab_eval", // composes q146's scalar-attach stages twice
       "q157_contrastive_triplets", // q141's bm25 scalar-attach in the candidate stage
       "q159_hybrid_ivf", // bm25 scalar-attach + 1-row corpus N on the query vectors
-      "q173_bm25_forget") // q135's scalar-attach; the tombstone anti-join is a broadcast hash join
+      "q173_bm25_forget", // q135's scalar-attach; the tombstone anti-join is a broadcast hash join
+      "q176_unigram_vocab") // scalar-attach: 1-row kept-set total onto the vocab for the ln scores
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
