@@ -50,19 +50,33 @@ case class UnigramSegment(child: Expression, pieces: Seq[String],
     m
   }
 
-  /** Public for generated code. */
+  /** Public for generated code. The DP runs over CODE POINTS, not
+    * UTF-16 units — the vocabulary is trained with Spark SQL `substr`
+    * (code-point semantics), and a UTF-16-indexed DP would misalign
+    * on non-BMP characters (split surrogate pairs into pieces the
+    * vocab can never contain). */
   def segment(s: UTF8String): Long = {
     val w = s.toString
-    val n = w.length
-    if (n == 0) return 0L
-    // best(i) = optimal combined objective for the prefix of length i
+    if (w.isEmpty) return 0L
+    // offsets(i) = UTF-16 index of the i-th code point; n code points
+    val n = w.codePointCount(0, w.length)
+    val offsets = new Array[Int](n + 1)
+    var k = 0
+    var o = 0
+    while (k < n) {
+      offsets(k) = o
+      o = w.offsetByCodePoints(o, 1)
+      k += 1
+    }
+    offsets(n) = w.length
+    // best(i) = optimal combined objective for the first i code points
     val best = new Array[Long](n + 1)
     var i = 1
     while (i <= n) {
       var b = Long.MinValue
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
-        val sc = table.get(w.substring(j, i))
+        val sc = table.get(w.substring(offsets(j), offsets(i)))
         if (sc ne null) {
           val v = best(j) + sc.longValue * 1024L - 1L
           if (v > b) b = v
@@ -70,7 +84,8 @@ case class UnigramSegment(child: Expression, pieces: Seq[String],
         j += 1
       }
       if (b == Long.MinValue) {
-        // no piece ends here from any split: consume one char as UNK
+        // no piece ends here from any split: consume one CODE POINT
+        // as UNK
         b = best(i - 1) + UnigramSegment.UnkScore * 1024L - 1L
       }
       best(i) = b

@@ -54,6 +54,20 @@ class UnigramSpec extends SparkTestBase {
     assert(seg("", vocab) === 0L)
   }
 
+  test("non-BMP code points: DP aligns with code-point-trained vocab") {
+    // U+1F600 is one code point but two UTF-16 units: a UTF-16-indexed
+    // DP would try to match half a surrogate pair and fall to UNK
+    val emoji = new String(Character.toChars(0x1F600))
+    val vocab = Map(emoji -> -100L, "a" -> -200L,
+      (emoji + "a") -> -50L)
+    assert(seg(emoji + "a", vocab) === -50L * 1024L - 1L)
+    assert(seg(emoji, vocab) === -100L * 1024L - 1L)
+    // an unknown non-BMP char is ONE UNK charge, not two
+    val other = new String(Character.toChars(0x1F4A9))
+    assert(seg(other, Map("a" -> -1L)) ===
+      UnigramSegment.UnkScore * 1024L - 1L)
+  }
+
   test("property: Viterbi equals full enumeration on coverable words") {
     val chars = Seq("a", "b", "c")
     val pieceGen = Gen.choose(1, 3).flatMap(n =>
