@@ -171,6 +171,24 @@ class IncrementalAggSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maintains over a shallow clone: nesting holds across roots") {
+    val root = tmp()
+    val (src, cl, agg) = (s"$root/src", s"$root/clone", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), src)
+    VersionedTable.cloneFrom(spark, src, cl)
+    IncrementalAgg.maintain(spark, cl, agg, Seq("k"), "v")
+    // the clone's next append nests over manifests whose carried
+    // files live under the SOURCE's data dir — the delta path must
+    // still detect nesting (paths are absolute) and scan only the
+    // clone-local new files
+    VersionedTable.commitAppend(Seq(("b", 5L)).toDF("k", "v"), cl)
+    val r = IncrementalAgg.maintain(spark, cl, agg, Seq("k"), "v")
+    assert(r.mode === "incremental")
+    assert(asMap(IncrementalAgg.read(spark, agg)) ===
+      Map(Some("a") -> ((1L, 1L)), Some("b") -> ((2L, 7L))))
+  }
+
   test("property: any append sequence equals recompute") {
     val batchGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n,
       for {
