@@ -20,6 +20,16 @@ import org.apache.spark.sql.SparkSession
   * The intent file is published by write-then-rename: a crash
   * mid-write must never leave a truncated journal that poisons every
   * replay.
+  *
+  * Upgrade rule: a journal's sub-table list may only GROW, and only by
+  * APPENDING (every index here added `deletes` as a 5th component that
+  * way). Replay of an intent written before the growth then rolls back
+  * exactly the tables the old intent pinned — the appended tables did
+  * not exist (or were untouched) when that intent was written, so
+  * there is nothing of theirs to restore. An intent LONGER than the
+  * caller's list means the caller passed the wrong journal or shrank
+  * the list — that is corruption, and replay fails naming the manual
+  * remediation rather than guessing.
   */
 object TxnJournal {
 
@@ -52,9 +62,15 @@ object TxnJournal {
       val line = scala.io.Source.fromInputStream(in).mkString.trim
       in.close()
       val pinned = line.split(" ").map(_.toInt).toSeq
-      require(pinned.size == subs.size,
-        s"txn journal $intent lists ${pinned.size} tables, " +
-          s"caller passed ${subs.size} — sub-table set must be stable")
+      // pre-upgrade intent (see the upgrade rule above): an intent
+      // with FEWER tables than the caller's list pins the prefix —
+      // roll back just those; the appended tables postdate the intent
+      require(pinned.size <= subs.size,
+        s"txn journal $intent pins ${pinned.size} tables but the " +
+          s"caller passed only ${subs.size} — sub-table lists may " +
+          s"only grow by appending; if this journal belongs to an " +
+          s"older, larger schema, resolve the crashed batch manually " +
+          s"(restore each pinned version, then delete $intent)")
       subs.zip(pinned).foreach { case (sub, v) =>
         if (VersionedTable.latestVersion(spark, sub) > v)
           VersionedTable.commitOverwrite(

@@ -219,6 +219,14 @@ object VersionedTable {
 
   private def evolvedMarker(path: String) = new Path(s"$path/_schema.evolved")
 
+  /** Whether [[commitAppendEvolve]] ever flagged this table: readers
+    * of RAW file subsets (delta scans, compaction) must merge parquet
+    * footers exactly when [[read]] would, or a multi-version file set
+    * spanning the evolution boundary resolves columns from one sampled
+    * footer and silently diverges from the full-table read. */
+  def isEvolved(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(evolvedMarker(path))
+
   /** Read the table as of `version` (default: latest). An empty table
     * (version 0) is an error — there is no schema to produce. Tables
     * flagged by [[commitAppendEvolve]] merge parquet footers so rows

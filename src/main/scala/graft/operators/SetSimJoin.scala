@@ -70,9 +70,13 @@ object SetSimJoin {
     // ANALYZED PLAN: unlike clusterMap (keyed on raw table columns),
     // callers hand us arbitrary derived frames (e.g. shingleJoin's
     // n-gram column), and two different derivations over the same
-    // files must not collide
+    // files must not collide. The CANONICALIZED plan, not the raw
+    // analyzed plan: the raw toString embeds fresh expression IDs
+    // (name#N) on every re-derivation, so the raw hash never repeats
+    // and the cache never hits
     val planHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(docs.queryExecution.analyzed.toString.getBytes("UTF-8"))
+      .digest(docs.queryExecution.analyzed.canonicalized.toString
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val setsPath = graft.core.ModelCache.cached(docs,
       s"setsim-sets:$idCol:$setCol:$planHash") {

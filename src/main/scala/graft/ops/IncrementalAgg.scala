@@ -128,7 +128,15 @@ object IncrementalAgg {
     val delta =
       if (newFiles.isEmpty) null
       else {
-        val d = aggregate(spark.read.parquet(newFiles: _*), keys, valueCol)
+        // a multi-version catch-up delta can span a commitAppendEvolve
+        // boundary (mixed-schema files): merge footers exactly when
+        // VersionedTable.read would, so the delta path resolves the
+        // evolved column the same way the full-recompute path does
+        val rd =
+          if (VersionedTable.isEvolved(spark, basePath))
+            spark.read.option("mergeSchema", "true")
+          else spark.read
+        val d = aggregate(rd.parquet(newFiles: _*), keys, valueCol)
           .withColumnRenamed("n_rows", "__dn")
           .withColumnRenamed("sum_val", "__dsum")
         keys.foldLeft(d)((f, k) => f.withColumnRenamed(k, s"__k_$k"))

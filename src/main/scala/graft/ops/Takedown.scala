@@ -31,19 +31,20 @@ import graft.operators.{Bm25Index, IvfIndex}
 object Takedown {
 
   /** Propagate `ids` (column `idCol`) across the stack. Any of the
-    * three paths may be None (surface not deployed). Returns the new
-    * base version, or the current one when no base path was given.
-    * Re-running with the same `opId` is safe on every surface. */
+    * three paths may be None (surface not deployed). Returns
+    * `Some(newBaseVersion)` when a base path was given, `None`
+    * otherwise — callers branching on the base outcome never confuse
+    * "no base surface" with a version number. Re-running with the same
+    * `opId` is safe on every surface. */
   def forget(spark: SparkSession, ids: DataFrame, idCol: String,
       opId: Long, basePath: Option[String] = None,
       bm25Path: Option[String] = None,
-      ivfPath: Option[String] = None): Int = {
+      ivfPath: Option[String] = None): Option[Int] = {
     bm25Path.foreach(p =>
       Bm25Index.forget(spark, p, ids, idCol, opId))
     ivfPath.foreach(p => IvfIndex.forget(spark, p, ids, idCol))
     basePath.map(p =>
       VersionedTable.commitDelete(spark, p, ids, Seq(idCol)))
-      .getOrElse(0)
   }
 
   /** Compliance audit for a completed takedown: per surface, how many
@@ -70,17 +71,24 @@ object Takedown {
         .join(broadcast(idsOnly), Seq(idCol), "left_semi")
         .agg(count(lit(1)).as("n_leaked"))
         .select(lit(surface).as("surface"), col("n_leaked"))
+    // an index published before the tombstone feature (or never
+    // forgotten from) has `deletes` at version 0 — exactly the
+    // "registered after the takedown" leak case the audit must REPORT,
+    // not crash on. Missing deletes table == tombstone-free.
+    def minusTombstones(visible: DataFrame, deletesPath: String) =
+      if (VersionedTable.latestVersion(spark, deletesPath) == 0) visible
+      else visible.join(
+        broadcast(VersionedTable.read(spark, deletesPath)),
+        Seq(idCol), "left_anti")
     val parts =
       basePath.map(p => leaked("base",
         VersionedTable.read(spark, p))).toSeq ++
-      bm25Path.map(p => leaked("bm25",
-        VersionedTable.read(spark, s"$p/doclen").join(
-          broadcast(VersionedTable.read(spark, s"$p/deletes")),
-          Seq(idCol), "left_anti"))).toSeq ++
-      ivfPath.map(p => leaked("ivf",
-        VersionedTable.read(spark, s"$p/assigned").join(
-          broadcast(VersionedTable.read(spark, s"$p/deletes")),
-          Seq(idCol), "left_anti"))).toSeq
+      bm25Path.map(p => leaked("bm25", minusTombstones(
+        VersionedTable.read(spark, s"$p/doclen"),
+        s"$p/deletes"))).toSeq ++
+      ivfPath.map(p => leaked("ivf", minusTombstones(
+        VersionedTable.read(spark, s"$p/assigned"),
+        s"$p/deletes"))).toSeq
     require(parts.nonEmpty, "audit needs at least one surface")
     parts.reduce(_.unionByName(_))
   }

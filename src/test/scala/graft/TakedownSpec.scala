@@ -89,4 +89,22 @@ class TakedownSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dirty === Map("base" -> 1L, "bm25" -> 1L, "ivf" -> 1L))
   }
+
+  test("audit reports (not crashes on) a pre-deletes index layout") {
+    // an index published before the tombstone feature has NO deletes
+    // table (version 0) — the exact "registered after the takedown"
+    // leak case the audit exists to catch, so it must report the
+    // leak, not throw on the missing table. Simulate the old layout:
+    // audit reads only doclen + deletes
+    val doclen = Seq((1L, 2L), (2L, 2L)).toDF("doc_id", "dl")
+    val root = graft.core.Scratch.root(doclen) +
+      s"/takedown_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(root)
+    val bm = s"$root/bm25_predeletes"
+    VersionedTable.commitAppend(doclen, s"$bm/doclen")
+    val leaked = Takedown.audit(spark, Seq(2L).toDF("doc_id"),
+        "doc_id", bm25Path = Some(bm))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(leaked === Map("bm25" -> 1L))
+  }
 }

@@ -513,4 +513,45 @@ class VersionedTableSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("journal replay of a pre-upgrade intent rolls back the prefix") {
+    // sub-table lists may only grow by APPENDING (BM25's deletes was
+    // added as a 5th component); an intent written before the growth
+    // pins fewer tables — replay must roll back exactly those, not
+    // throw and jam the stream
+    val root = Files.createTempDirectory("txn").toString
+    val (a, b) = (s"$root/a", s"$root/b")
+    VersionedTable.commitAppend(Seq(1L).toDF("id"), a)
+    VersionedTable.commitAppend(Seq(10L).toDF("id"), b)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crashed pre-upgrade batch: intent pins only table a at v1, then
+    // the crashed apply half-landed an extra append to a
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_txn"))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_txn/b7"), false)
+    out.write("1".getBytes("UTF-8")); out.close()
+    VersionedTable.commitAppend(Seq(2L).toDF("id"), a)
+    // replay under the GROWN list (a, b): rolls back a to v1, leaves
+    // b untouched, then re-applies over both
+    val ran = graft.core.TxnJournal.exactlyOnce(spark, root, 7L,
+      Seq(a, b)) {
+      VersionedTable.commitAppend(Seq(3L).toDF("id"), a)
+      VersionedTable.commitAppend(Seq(30L).toDF("id"), b)
+    }
+    assert(ran)
+    assert(VersionedTable.read(spark, a).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    assert(VersionedTable.read(spark, b).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 30L))
+    // the inverse (intent pins MORE tables than the caller lists) is
+    // corruption: fail with the remediation message, never guess
+    val out2 = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_txn/b8"), false)
+    out2.write("1 1 1".getBytes("UTF-8")); out2.close()
+    val e = intercept[IllegalArgumentException] {
+      graft.core.TxnJournal.exactlyOnce(spark, root, 8L, Seq(a, b))(())
+    }
+    assert(e.getMessage.contains("only grow by appending"))
+  }
 }
