@@ -4,15 +4,27 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every catalog query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Each query runs cold once (Janino codegen + broadcast + JIT warmup)
-  * then `SPARK_GRAFT_BENCH_REPS` warm repetitions (default 3); the
-  * reported per-query number is the MIN of the warm reps — the
-  * steady-state, load-noise-free time (the cluster-relevant number: on
-  * a 1000-executor job the plan compiles once and runs over thousands
-  * of partitions). `spread_sec` (Σ per-query (max−min) across reps)
-  * quantifies how noisy this VM was during the run, so a per-query
-  * swing on byte-identical code reads as measured noise, not a
-  * regression. `cold_total_sec` is also reported for transparency.
+  * Noise model (documented in BASELINE.md §noise): all queries share
+  * one JVM/session, so a query's wall time depends on its NEIGHBORHOOD
+  * — GC debt, JIT state, and scratch/artifact churn left by whatever
+  * ran just before it. Reps of a query taken back-to-back in a fixed
+  * catalog order all sample the SAME neighborhood, so min-of-N cannot
+  * shed that bias (round 7: q160 read 2.25 s in-run vs 0.69 s
+  * isolated). The harness therefore runs PASSES: one cold pass in
+  * catalog order (Janino codegen + broadcast + JIT warmup), then
+  * `SPARK_GRAFT_BENCH_REPS` (default 3) warm passes, each over the
+  * whole catalog in a differently-seeded deterministic shuffle, with a
+  * full GC between passes. Each warm rep of a query now lands in a
+  * different neighborhood, so the reported per-query MIN across passes
+  * converges on the uncontended steady-state time — the
+  * cluster-relevant number (on a 1000-executor job the plan compiles
+  * once and runs over thousands of partitions).
+  *
+  * `spread_sec` (Σ per-query max−min across passes) and
+  * `med_spread_over_min` (median of per-query spread/min) quantify
+  * how noisy this VM was; a per-query swing on byte-identical code
+  * reads as measured noise, not a regression. `cold_total_sec` is
+  * also reported for transparency.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,36 +44,48 @@ object Bench {
     // driver never sets it, so driver runs always bench the catalog
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    var coldTotal = 0.0
-    var spreadTotal = 0.0
-    // per query: (warm min, per-query spread = max-min across reps)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val cold = (System.nanoTime() - t0) / 1e9
-        coldTotal += cold
-        val (warm, spread) = if (ok) {
-          val times = (1 to reps).map { _ =>
-            val t1 = System.nanoTime()
-            val okWarm =
-              try { fn(spark, sfDir).count(); true }
-              catch { case _: Throwable => false }
-            // a failed warm run must read as a failure, not a fast time
-            if (okWarm) (System.nanoTime() - t1) / 1e9 else -1.0
-          }
-          if (times.contains(-1.0)) (-1.0, 0.0)
-          else {
-            spreadTotal += times.max - times.min
-            (times.min, times.max - times.min)
-          }
-        } else (-1.0, 0.0)
-        (name, warm, spread)
+
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
+
+    // cold pass, catalog order
+    val cold = catalog.map { case (name, fn) => name -> run(fn) }.toMap
+    val coldTotal = cold.valuesIterator.filter(_ >= 0).sum
+    val okCold = catalog.filter { case (n, _) => cold(n) >= 0 }
+
+    // warm passes: each a different deterministic shuffle of the
+    // catalog, GC'd between passes so one pass's debt doesn't bill
+    // the next pass's first queries
+    val warmTimes = collection.mutable.Map.empty[String, List[Double]]
+    (1 to reps).foreach { rep =>
+      System.gc()
+      val order = new scala.util.Random(1000003L * rep).shuffle(okCold)
+      order.foreach { case (name, fn) =>
+        warmTimes(name) = run(fn) :: warmTimes.getOrElse(name, Nil)
+      }
+    }
+
+    // per query: (warm min across passes, spread = max-min); a failed
+    // warm run must read as a failure, not a fast time
+    val results = catalog.map { case (name, _) =>
+      val ts = warmTimes.getOrElse(name, Nil)
+      if (cold(name) < 0 || ts.isEmpty || ts.contains(-1.0))
+        (name, -1.0, 0.0)
+      else (name, ts.min, ts.max - ts.min)
+    }
+    val spreadTotal = results.map(_._3).sum
+    val ratios = results.collect {
+      case (_, m, s) if m > 0 => s / m
+    }.sorted
+    val medRatio =
+      if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
+
     // the driver captures only a ~2 KB tail of stdout: keep the whole
     // line under that by keying queries on their qNN prefix and
     // rounding times to ms (full names are in SparkEntry.queries)
@@ -75,7 +99,8 @@ object Bench {
     val header =
       s""""value":${ms(total)},"unit":"sec",""" +
       s""""cold_total_sec":${ms(coldTotal)},"reps":$reps,""" +
-      s""""spread_sec":${ms(spreadTotal)}"""
+      s""""spread_sec":${ms(spreadTotal)},""" +
+      s""""med_spread_over_min":${ms(medRatio)}"""
     println(s"""{"metric":"total",$header,"queries":$qs,""" +
       s""""sf":"$sfDir"}""")
     // the driver's stdout tail capture is lossy (~2 KB): ALSO write the

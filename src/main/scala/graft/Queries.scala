@@ -452,15 +452,21 @@ object Queries {
     "q39_multimodal_features" -> ((s, d) => {
       // multimodal surface: REAL header sniffing (PNG/WAV dims and
       // sample rate parsed from the bytes) + the distributed feature
-      // path (features here use the deterministic codec stub —
-      // rows-only check; REAL pixel/sample decode is q127/q128)
+      // path. Every modality's feature now derives from REAL decode:
+      // BMP/PNG pixels (q127/q161), WAV samples (q128), baseline JPEG
+      // pixels (JpegDecodeSpec vs javax.imageio); unrecognizable
+      // payloads get byte-distribution stats flagged decoded=0.
+      // Rows-only check (DuckDB cannot decode media containers)
       val mm = graft.multimodal.MultimodalOps
-      val assets = mm.syntheticAssets(s, 300)
+      val assets = mm.syntheticMixedAssets(s, 300)
       val meta = mm.annotateAssets(assets).select(col("asset_id"),
         col("sniffed_format"), col("sniffed_width"),
         col("sniffed_sample_rate"))
       mm.extractFeatures(assets, dim = 16, partitions = 8)
-        .select(col("asset_id"), col("modality"), col("n_bytes"))
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          element_at(col("feature"), 1).as("decoded_flag"),
+          dround(element_at(col("feature"), 5).cast("double"), 4)
+            .as("mean_ch1"))
         .join(meta, Seq("asset_id"))
         .orderBy(col("asset_id"))
     }),

@@ -8,9 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
-/** REAL pixel/sample decode for the media containers the JDK can
-  * handle without a codec library (unlike JPEG/MP3, stubbed in
-  * [[MultimodalOps.extractFeatures]]):
+/** REAL pixel/sample decode for the fixed-layout media containers
+  * (baseline JPEG decode — Huffman + IDCT — lives in [[JpegDecode]];
+  * MP3 remains honestly out of scope, no codec ships here):
   *
   *  - BMP, uncompressed 24-bpp BI_RGB: pixel rows bottom-up (or
   *    top-down when height is negative), BGR byte order, each row

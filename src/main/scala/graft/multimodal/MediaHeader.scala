@@ -13,9 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * needed, because container headers are plain byte arithmetic:
   * PNG (IHDR big-endian dims), GIF (logical-screen little-endian),
   * BMP (BITMAPINFOHEADER), JPEG (SOF marker scan), WAV (RIFF/WAVE
-  * fmt chunk → sample rate). This is the non-stubbed half of the
-  * multimodal path: sniffing + dimensions are exact; only pixel/sample
-  * DECODE remains stubbed ([[MultimodalOps.extractFeatures]]).
+  * fmt chunk → sample rate). Sniffing + dimensions are exact; full
+  * pixel/sample DECODE lives in [[MediaDecode]] (BMP/PNG/WAV) and
+  * [[JpegDecode]] (baseline JPEG).
   *
   * Output: struct(format string, width int, height int, sample_rate
   * int) — fields null where the format doesn't define them, all null

@@ -10,13 +10,14 @@ import org.apache.spark.sql.types._
   * deterministic feature output — are real and tested. Header sniffing
   * ([[MediaHeader]]), fixed-layout decode (uncompressed BMP pixels,
   * 16-bit PCM WAV samples — [[MediaDecode]], oracle-checked as
-  * q127/q128), and PNG pixel decode (zlib via the JDK's Inflater +
-  * per-row unfilter — oracle-checked as q161) are REAL byte-level
-  * implementations; only codec-REQUIRING formats (JPEG pixel data,
-  * compressed audio) are STUBBED in [[extractFeatures]] (this
-  * container has no codec libraries): the stub derives deterministic
-  * pseudo-features from the bytes, so tests exercise the full
-  * distributed path end-to-end.
+  * q127/q128), PNG pixel decode (zlib via the JDK's Inflater +
+  * per-row unfilter — oracle-checked as q161), and baseline JPEG
+  * decode (pure-JVM Huffman + islow IDCT + fancy upsampling —
+  * [[JpegDecode]], spec'd pixel-tight against `javax.imageio`) are
+  * all REAL byte-level implementations; [[extractFeatures]] routes
+  * every recognizable container through them, so every modality's
+  * feature derives from actually-decoded content. Unrecognizable
+  * payloads get byte-distribution statistics, flagged decoded=0.
   *
   * At scale: decode runs via `mapPartitions` so a real implementation
   * amortizes per-partition library init (model load, codec contexts) —
@@ -41,30 +42,109 @@ object MultimodalOps {
     StructField("n_bytes", LongType),
     StructField("feature", ArrayType(FloatType, containsNull = false))))
 
-  /** STUB decode: ??? in a real deployment this calls the image/audio
-    * codec; here it derives `dim` deterministic floats from a rolling
-    * checksum of the bytes so the distributed plumbing is testable. */
-  private[multimodal] def stubFeature(bytes: Array[Byte], dim: Int)
+  /** REAL content feature: dispatch on the container magic and decode
+    * actual pixels/samples — BMP/PNG/JPEG images and 16-bit PCM WAV
+    * audio all route through the byte-level decoders
+    * ([[MediaDecode]], [[JpegDecode]]); the feature head is
+    * [decoded-flag, geometry, per-channel means / RMS] computed from
+    * the decoded content. Payloads with no recognizable container
+    * (crawled noise, codecs this engine honestly does not ship — e.g.
+    * MP3) get byte-distribution statistics (length, mean byte,
+    * byte-variance, per-bucket histogram mass) — real statistics of
+    * the only content there is, flagged decoded=0 so downstream QA
+    * can split the populations. */
+  private[multimodal] def realFeature(bytes: Array[Byte], dim: Int)
       : Array[Float] = {
     val out = new Array[Float](dim)
-    if (bytes == null) return out
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) {
-      h = 31 * h + bytes(i)
-      out(i % dim) += (bytes(i) & 0xff) / 255.0f
-      i += 1
+    if (bytes == null || bytes.length == 0 || dim == 0) return out
+    def put(i: Int, v: Float): Unit = if (i < dim) out(i) = v
+    def imageHead(w: Int, h: Int, channels: Int, n: Long, sr: Long,
+        sg: Long, sb: Long, sa: Long): Unit = {
+      put(0, 1.0f)
+      put(1, w / 4096.0f); put(2, h / 4096.0f)
+      put(3, channels.toFloat)
+      put(4, (sr.toDouble / (255.0 * n)).toFloat)
+      put(5, (sg.toDouble / (255.0 * n)).toFloat)
+      put(6, (sb.toDouble / (255.0 * n)).toFloat)
+      put(7, (sa.toDouble / (255.0 * n)).toFloat)
     }
-    var d = 0
-    while (d < dim) {
-      out(d) = out(d) + ((h >>> (d % 60)) & 0x7) * 1e-3f
-      d += 1
+    val decoded: Boolean =
+      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+        val st = MediaDecode.bmpStats(bytes)
+        if (st == null) false
+        else {
+          imageHead(st.getInt(0), st.getInt(1), 3, st.getLong(2),
+            st.getLong(3), st.getLong(4), st.getLong(5), 0L)
+          true
+        }
+      } else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P') {
+        val st = MediaDecode.pngStats(bytes)
+        if (st == null) false
+        else {
+          imageHead(st.getInt(0), st.getInt(1), st.getInt(2),
+            st.getLong(3), st.getLong(4), st.getLong(5),
+            st.getLong(6), st.getLong(7))
+          true
+        }
+      } else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) {
+        val st = JpegDecode.jpegStats(bytes)
+        if (st == null) false
+        else {
+          imageHead(st.getInt(0), st.getInt(1), st.getInt(2),
+            st.getLong(3), st.getLong(4), st.getLong(5),
+            st.getLong(6), 0L)
+          true
+        }
+      } else if (bytes.length >= 4 && bytes(0) == 'R' &&
+        bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+        val st = MediaDecode.wavStats(bytes)
+        if (st == null) false
+        else {
+          val n = st.getLong(2)
+          put(0, 1.0f)
+          put(1, st.getInt(0) / 48000.0f) // sample rate
+          put(2, st.getInt(1).toFloat) // channels
+          put(3, math.log10(n + 1.0).toFloat)
+          if (n > 0) {
+            put(4, (st.getLong(3).toDouble / (32768.0 * n)).toFloat)
+            put(5, math.sqrt(st.getLong(4).toDouble / n).toFloat /
+              32768.0f) // RMS
+            put(6, st.getInt(5) / 32768.0f) // peak
+          }
+          true
+        }
+      } else false
+    if (!decoded) {
+      // byte-distribution statistics of an opaque payload
+      var sum = 0L; var sumSq = 0L
+      val hist = new Array[Long](8)
+      var i = 0
+      while (i < bytes.length) {
+        val v = bytes(i) & 0xff
+        sum += v; sumSq += v.toLong * v
+        hist(v >> 5) += 1
+        i += 1
+      }
+      val n = bytes.length.toDouble
+      val mean = sum / n
+      put(0, 0.0f)
+      put(1, math.log10(n + 1.0).toFloat)
+      put(2, (mean / 255.0).toFloat)
+      put(3, (math.sqrt(math.max(0.0, sumSq / n - mean * mean)) /
+        255.0).toFloat)
+      var d = 0
+      while (d < 8) { put(4 + d, (hist(d) / n).toFloat); d += 1 }
     }
     out
   }
 
   /** Distributed feature extraction: binary assets → fixed-dim float
-    * features, one partition-at-a-time (per-partition init amortized). */
+    * features, one partition-at-a-time (per-partition init amortized).
+    * Every recognizable container decodes REAL content (BMP, PNG,
+    * JPEG, 16-bit PCM WAV — see [[realFeature]]); there is no
+    * synthetic feature path left. */
   def extractFeatures(assets: DataFrame, dim: Int = 16,
       partitions: Int = 0): DataFrame = {
     val spark = assets.sparkSession
@@ -76,12 +156,13 @@ object MultimodalOps {
     repart
       .select(col("asset_id"), col("modality"), col("media_bytes"))
       .mapPartitions { rows =>
-        // real impl: initialize codec/model HERE, once per partition
+        // a heavier codec/model would initialize HERE, once per
+        // partition — the amortization point of this shape
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("media_bytes")
           Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"),
             if (bytes == null) 0L else bytes.length.toLong,
-            stubFeature(bytes, dim).toIndexedSeq)
+            realFeature(bytes, dim).toIndexedSeq)
         }
       }(enc)
   }
@@ -167,6 +248,56 @@ object MultimodalOps {
           (i.toLong, "video",
             Array.tabulate[Byte](96)(j => ((i * 31 + j * 7) % 251)
               .toByte))
+      }
+    }
+    rows.toDF("asset_id", "modality", "media_bytes")
+  }
+
+  /** Deterministic asset table covering every REAL decode path at
+    * once: complete BMP, PNG, JPEG (encoded with the JDK's own
+    * ImageIO writer — real libjpeg output, not this repo's bytes),
+    * and 16-bit PCM WAV payloads, plus headerless noise for the
+    * fallback path. The q39 input: every modality's feature derives
+    * from actually-decoded pixels/samples. */
+  def syntheticMixedAssets(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      i % 5 match {
+        case 0 =>
+          val w = 8 + i % 9; val h = 6 + i % 7
+          (i.toLong, "image", bmpFile(w, h, (x, y) => (
+            (i * 7 + x * 3 + y * 5) % 256,
+            (i * 11 + x * 13 + y * 17) % 256,
+            (i * 19 + x * 23 + y * 29) % 256)))
+        case 1 =>
+          val w = 8 + i % 9; val h = 6 + i % 7
+          (i.toLong, "image", pngFile(w, h, alpha = i % 2 == 1,
+            (x, y) => (
+              (i * 7 + x * 3 + y * 5) % 256,
+              (i * 11 + x * 13 + y * 17) % 256,
+              (i * 19 + x * 23 + y * 29) % 256,
+              (i * 13 + x * 11 + y * 3) % 256)))
+        case 2 =>
+          val w = 16 + i % 17; val h = 16 + i % 13
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w) {
+            val r = (i * 5 + x * 2) % 256
+            val g = (i * 3 + y * 2) % 256
+            val b = (i * 7 + x + y) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", out)
+          (i.toLong, "image", out.toByteArray)
+        case 3 =>
+          val m = 60 + (i % 50) * 3
+          (i.toLong, "audio", wavFile(8000 + 200 * (i % 5),
+            Array.tabulate[Short](m)(t =>
+              (((i * 37 + t * 101) % 65536) - 32768).toShort)))
+        case _ =>
+          (i.toLong, "video", Array.tabulate[Byte](96)(j =>
+            ((i * 31 + j * 7) % 251).toByte))
       }
     }
     rows.toDF("asset_id", "modality", "media_bytes")

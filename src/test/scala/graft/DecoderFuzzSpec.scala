@@ -32,6 +32,7 @@ class DecoderFuzzSpec extends SparkTestBase {
     MediaDecode.pngStats(b)
     MediaDecode.bmpStats(b)
     MediaDecode.wavStats(b)
+    graft.multimodal.JpegDecode.jpegStats(b)
     Gunzip.gunzip(b)
     MediaHeader.parse(b)
     ()
@@ -63,7 +64,16 @@ class DecoderFuzzSpec extends SparkTestBase {
       .bmpFile(5, 4, (x, y) => (x, y, x + y))
     val wav = graft.multimodal.MultimodalOps
       .wavFile(8000, Array.tabulate[Short](40)(t => (t * 321).toShort))
-    for (valid <- Seq(png, gz, bmp, wav); i <- 1 to 150) {
+    val jpg = {
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16)
+        img.setRGB(x, y, (x * 16 << 16) | (y * 20 << 8) | 128)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    for (valid <- Seq(png, gz, bmp, wav, jpg); i <- 1 to 150) {
       val c = valid.clone()
       // corrupt a seeded random window of up to 4 bytes
       val at = (i * 2654435761L % c.length).toInt.abs

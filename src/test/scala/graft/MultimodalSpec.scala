@@ -34,6 +34,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.getSeq[Float](3).forall(_ == 0.0f))
   }
 
+  test("features derive from REAL decoded content for all containers") {
+    import spark.implicits._
+    // constant-color image / constant-amplitude audio across all four
+    // real container decoders: the decoded-flag and per-channel means
+    // in the feature head are closed-form
+    val bmp = MultimodalOps.bmpFile(10, 8, (_, _) => (200, 100, 50))
+    val png = MultimodalOps.pngFile(10, 8, alpha = false,
+      (_, _) => (200, 100, 50, 0))
+    val jpg = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val wav = MultimodalOps.wavFile(16000,
+      Array.fill[Short](100)(8192))
+    val noise = Array.tabulate[Byte](80)(i => (i * 37 % 251).toByte)
+    val assets = Seq(
+      (1L, "image", bmp), (2L, "image", png), (3L, "image", jpg),
+      (4L, "audio", wav), (5L, "video", noise))
+      .toDF("asset_id", "modality", "media_bytes")
+    val f = MultimodalOps.extractFeatures(assets, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    // decoded flag: containers 1, noise 0
+    for (id <- 1L to 4L) assert(f(id)(0) == 1.0f, s"asset $id")
+    assert(f(5L)(0) == 0.0f)
+    // image feature head = [1, w/4096, h/4096, channels, means/255]
+    for (id <- Seq(1L, 2L)) {
+      assert(f(id)(3) == 3.0f)
+      assert(math.abs(f(id)(4) - 200 / 255.0f) < 1e-6, s"$id mean_r")
+      assert(math.abs(f(id)(5) - 100 / 255.0f) < 1e-6, s"$id mean_g")
+      assert(math.abs(f(id)(6) - 50 / 255.0f) < 1e-6, s"$id mean_b")
+    }
+    // JPEG is lossy: means within a couple of code values
+    assert(math.abs(f(3L)(4) - 200 / 255.0f) < 2.5f / 255,
+      "jpeg mean_r")
+    assert(math.abs(f(3L)(6) - 50 / 255.0f) < 2.5f / 255, "jpeg mean_b")
+    // audio: rate, channels, mean amplitude 8192/32768 = 0.25
+    assert(f(4L)(1) == 16000 / 48000.0f)
+    assert(f(4L)(2) == 1.0f)
+    assert(math.abs(f(4L)(4) - 0.25f) < 1e-6)
+    assert(math.abs(f(4L)(5) - 0.25f) < 1e-6) // RMS of constant
+  }
+
   test("MediaHeader parses PNG/GIF/BMP/JPEG/WAV headers exactly") {
     import graft.multimodal.MediaHeader
     assert(MediaHeader.parse(MultimodalOps.pngHeader(800, 600)) ==
