@@ -3568,6 +3568,23 @@ object Oracles {
         |  UNION ALL SELECT 'deleted', 'ivf', CAST(0 AS BIGINT))
         |ORDER BY probe, surface""".stripMargin,
 
+    // byte-level erasure: after purge + vacuum every surface must
+    // carry zero stray files and zero raw rows for the forgotten
+    // ids, and the surviving distinct ids must equal the corpus
+    // minus the takedown set (every doc has non-empty text, so the
+    // doclen/postings doc sets equal the base doc set)
+    "q179_erasure_audit" ->
+      """WITH live AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 10 <> 3)
+        |SELECT surface, n_stray_files, n_raw_hits, n_live_docs FROM (
+        |  SELECT 'base' AS surface, 0 AS n_stray_files,
+        |    CAST(0 AS BIGINT) AS n_raw_hits, n AS n_live_docs FROM live
+        |  UNION ALL SELECT 'bm25_doclen', 0, CAST(0 AS BIGINT), n
+        |    FROM live
+        |  UNION ALL SELECT 'bm25_postings', 0, CAST(0 AS BIGINT), n
+        |    FROM live)
+        |ORDER BY surface""".stripMargin,
+
     // unigram vocab: re-derive the weighted-substring selection, the
     // single-char closure, and the scaled-int ln scores
     "q176_unigram_vocab" ->

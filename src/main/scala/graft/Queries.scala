@@ -1961,6 +1961,37 @@ object Queries {
         .orderBy(col("probe"), col("surface"))
     }),
 
+    "q179_erasure_audit" -> ((s, d) => {
+      // the BYTE-level completion of q175's reachability gate: after
+      // forget (merge-on-read tombstones + copy-on-write base delete),
+      // Takedown.erase purges the tombstones out of the index tables
+      // and vacuums EVERY surface to its live version — then
+      // auditBytes walks the raw parquet files physically on disk
+      // (manifest-referenced or not) and reports stray files (0),
+      // raw rows still carrying the forgotten ids (0), and the
+      // distinct surviving ids (the oracle replays that surviving
+      // content from the corpus). graceMs=0 is safe: no concurrent
+      // writer exists inside one catalog query
+      val docs = t(s, d, "documents")
+      val root = s"${graft.core.Scratch.root(docs)}/erasure_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val (base, bm) = (s"$root/base", s"$root/bm25")
+      graft.core.VersionedTable.commitAppend(docs, base)
+      graft.operators.Bm25Index.publish(docs, "doc_id", "text", bm)
+      val deleted = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .select(col("doc_id"))
+      graft.ops.Takedown.forget(s, deleted, "doc_id", opId = 1L,
+        basePath = Some(base), bm25Path = Some(bm))
+      graft.ops.Takedown.erase(s, opId = 2L, basePath = Some(base),
+        bm25Path = Some(bm), graceMs = 0L)
+      graft.ops.Takedown.auditBytes(s, deleted, "doc_id",
+          basePath = Some(base), bm25Path = Some(bm))
+        .select(col("surface"), col("n_stray_files"),
+          col("n_raw_hits"), col("n_live_docs"))
+        .orderBy(col("surface"))
+    }),
+
     // ---- unigram-LM tokenizer (SentencePiece family) ------------------
     "q176_unigram_vocab" -> ((s, d) => {
       // the scored piece vocabulary: top-40 substrings by weighted

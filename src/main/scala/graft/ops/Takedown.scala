@@ -92,4 +92,121 @@ object Takedown {
     require(parts.nonEmpty, "audit needs at least one surface")
     parts.reduce(_.unionByName(_))
   }
+
+  /** Complete the PHYSICAL half of a takedown in one call: purge the
+    * merge-on-read tombstones out of every index (copy-on-write
+    * rewrite, [[Bm25Index.purgeForgotten]] / [[IvfIndex
+    * .purgeForgotten]]) and then [[VersionedTable.vacuum]] every
+    * participating table down to its latest version, so the
+    * forgotten bytes leave disk — the privacy SLA's actual endpoint,
+    * which [[audit]]'s reachability semantics deliberately do not
+    * measure. [[auditBytes]] is the matching gate.
+    *
+    * `graceMs = 0` is only safe when no writer is concurrent (the
+    * vacuum contract); pass the default grace when streams may be
+    * mid-commit. This is SCHEDULED maintenance batching many forgets
+    * (cost ∝ table, like compaction) — never the per-takedown path. */
+  def erase(spark: SparkSession, opId: Long,
+      basePath: Option[String] = None,
+      bm25Path: Option[String] = None,
+      ivfPath: Option[String] = None,
+      graceMs: Long = 15 * 60 * 1000L): Unit = {
+    bm25Path.foreach(p => Bm25Index.purgeForgotten(spark, p, opId))
+    ivfPath.foreach(p => IvfIndex.purgeForgotten(spark, p, opId))
+    val tables =
+      basePath.toSeq ++
+      bm25Path.toSeq.flatMap(Bm25Index.componentPaths) ++
+      ivfPath.toSeq.flatMap(IvfIndex.journalPaths)
+    tables.foreach { t =>
+      if (VersionedTable.latestVersion(spark, t) > 0)
+        VersionedTable.vacuum(spark, t, retainLast = 1,
+          graceMs = graceMs)
+    }
+  }
+
+  /** BYTE-LEVEL erasure audit — the physical counterpart of
+    * [[audit]]: walk every parquet file PHYSICALLY ON DISK under each
+    * id-bearing surface (referenced by a manifest or not — stray
+    * unvacuumed history counts) and report, per surface:
+    *
+    *  - `n_stray_files`: files no retained manifest references (a
+    *    completed [[erase]] leaves zero — non-zero means history
+    *    still carries bytes);
+    *  - `n_raw_hits`: rows matching the forgotten ids across ALL
+    *    on-disk files (zero = the ids left disk);
+    *  - `n_live_docs`: distinct ids surviving on disk (the
+    *    replayable "expected surviving content" dimension an oracle
+    *    can recompute).
+    *
+    * Surfaces scanned: the base table itself, BM25 `postings` +
+    * `doclen`, IVF `assigned` — every table keyed by document id.
+    * The `deletes` tombstone lists are NOT scanned: they hold the
+    * processing record of the request (ids only, no content), which
+    * compliance regimes retain; [[erase]] resets them to empty
+    * anyway. Scan cost ∝ surface bytes — this is the audit you run
+    * after scheduled purge maintenance, not per query. */
+  def auditBytes(spark: SparkSession, ids: DataFrame, idCol: String,
+      basePath: Option[String] = None,
+      bm25Path: Option[String] = None,
+      ivfPath: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idsOnly = ids.select(col(idCol)).distinct()
+      .withColumn("__hit", lit(1))
+
+    def rawParquet(table: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$table/data")
+      val f = root.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(root)) return Seq.empty
+      val it = f.listFiles(root, true)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+          out += s.getPath.toString
+      }
+      out.toSeq
+    }
+    def referenced(table: String): Set[String] = {
+      val latest = VersionedTable.latestVersion(spark, table)
+      (1 to latest).flatMap { v =>
+        try VersionedTable.files(spark, table, Some(v))
+        catch { case _: Exception => Seq.empty } // vacuumed manifest
+      }.toSet
+    }
+    def surfaceRow(surface: String, table: String): DataFrame = {
+      val raw = rawParquet(table)
+      // path-string normalization: manifests store fully-qualified
+      // URIs; compare on scheme-stripped suffixes
+      def norm(p: String): String = p.replaceFirst("^[a-z]+:(//)?", "")
+      val refd = referenced(table).map(norm)
+      val nStray = raw.count(p => !refd.contains(norm(p)))
+      if (raw.isEmpty)
+        return idsOnly.limit(0).agg(
+            count(lit(1)).as("n_raw_hits"),
+            count(lit(1)).as("n_live_docs"))
+          .select(lit(surface).as("surface"),
+            lit(0).as("n_stray_files"),
+            lit(0L).as("n_raw_hits"), lit(0L).as("n_live_docs"))
+      val rd =
+        if (VersionedTable.isEvolved(spark, table))
+          spark.read.option("mergeSchema", "true")
+        else spark.read
+      rd.parquet(raw: _*).select(col(idCol))
+        .join(broadcast(idsOnly), Seq(idCol), "left")
+        .agg(count(col("__hit")).as("n_raw_hits"),
+          count_distinct(col(idCol)).as("n_live_docs"))
+        .select(lit(surface).as("surface"),
+          lit(nStray).as("n_stray_files"),
+          col("n_raw_hits"), col("n_live_docs"))
+    }
+    val parts =
+      basePath.map(p => surfaceRow("base", p)).toSeq ++
+      bm25Path.toSeq.flatMap(p => Seq(
+        surfaceRow("bm25_postings", s"$p/postings"),
+        surfaceRow("bm25_doclen", s"$p/doclen"))) ++
+      ivfPath.map(p => surfaceRow("ivf_assigned", s"$p/assigned")).toSeq
+    require(parts.nonEmpty, "auditBytes needs at least one surface")
+    parts.reduce(_.unionByName(_))
+  }
 }

@@ -90,6 +90,61 @@ class TakedownSpec extends SparkTestBase {
     assert(dirty === Map("base" -> 1L, "bm25" -> 1L, "ivf" -> 1L))
   }
 
+  test("erase + auditBytes: forgotten ids leave disk, history first intact") {
+    val docs = Seq(
+      (1L, "spark joins tables with hash join"),
+      (2L, "join join join everywhere a join"),
+      (3L, "window aggregation over streams"),
+      (4L, "hash partitioned shuffle join strategy here"))
+      .toDF("doc_id", "text")
+    val vecs = (1L to 4L)
+      .map(i => (i, (0 until 4).map(d => math.cos(i * 3.0 + d))))
+      .toDF("doc_id", "vec")
+    val root = graft.core.Scratch.root(docs) +
+      s"/erase_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(root)
+    val (base, bm, ivf) = (s"$root/base", s"$root/bm25", s"$root/ivf")
+    VersionedTable.commitAppend(docs, base)
+    graft.operators.Bm25Index.publish(docs, "doc_id", "text", bm)
+    graft.operators.IvfIndex.publish(vecs, "doc_id", "vec", ivf,
+      cells = 2)
+    val ids = Seq(2L).toDF("doc_id")
+    Takedown.forget(spark, ids, "doc_id", opId = 5L,
+      basePath = Some(base), bm25Path = Some(bm), ivfPath = Some(ivf))
+
+    // after forget, REACHABILITY is clean but BYTES remain: the
+    // merge-on-read index rows and the base's pre-delete version are
+    // still physically on disk — exactly what auditBytes must see
+    def bytes() = Takedown.auditBytes(spark, ids, "doc_id",
+        Some(base), Some(bm), Some(ivf))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    val before = bytes()
+    assert(before("bm25_postings")._2 > 0L, "postings bytes must remain")
+    assert(before("base")._2 > 0L, "pre-delete base version on disk")
+    // history still addressable before the erase vacuums it
+    assert(VersionedTable.read(spark, base, Some(1)).count() === 4L)
+
+    Takedown.erase(spark, opId = 6L, basePath = Some(base),
+      bm25Path = Some(bm), ivfPath = Some(ivf), graceMs = 0L)
+    val after = bytes()
+    for ((s, (stray, hits, live)) <- after) {
+      assert(stray === 0, s"$s stray files")
+      assert(hits === 0L, s"$s raw hits")
+      assert(live === 3L, s"$s live docs")
+    }
+    // searches unchanged by the purge
+    val qs = Seq((0L, "join hash")).toDF("query_id", "qtext")
+    val sparse = graft.operators.Bm25Index.searchFrom(
+      spark, bm, qs, "query_id", "qtext", "doc_id", k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(!sparse.contains(2L) && sparse.nonEmpty)
+    // erase is idempotent maintenance: a second run converges
+    Takedown.erase(spark, opId = 7L, basePath = Some(base),
+      bm25Path = Some(bm), ivfPath = Some(ivf), graceMs = 0L)
+    assert(bytes() === after)
+  }
+
   test("audit reports (not crashes on) a pre-deletes index layout") {
     // an index published before the tombstone feature has NO deletes
     // table (version 0) — the exact "registered after the takedown"
