@@ -3659,6 +3659,26 @@ object Oracles {
         |FROM documents GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
 
+    // sketch-backed view: exact row counts from the maintained state;
+    // the sketch estimates are impl-specific, so the oracle pins the
+    // booleans (the q75/q92 discipline) — a sketch drifting past its
+    // envelope flips a TRUE and reds the row
+    "q181_sketch_view" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS ok_distinct, TRUE AS ok50, TRUE AS ok95
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // delta-maintained extrema must equal the plain GROUP BY (min/max
+    // ignore nulls on both engines; all-null groups yield null)
+    "q180_incremental_minmax" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_val,
+        |  CAST(min(n_chars) AS BIGINT) AS min_val,
+        |  CAST(max(n_chars) AS BIGINT) AS max_val
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
     "q166_entity_resolve" ->
       """WITH RECURSIVE vals AS (
         |  SELECT p_name AS value, count(*) AS n_rows

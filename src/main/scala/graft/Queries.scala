@@ -1819,6 +1819,73 @@ object Queries {
         .orderBy(col("source"), col("lang"))
     }),
 
+    "q180_incremental_minmax" -> ((s, d) => {
+      // q169's delta discipline extended to extrema: min/max are
+      // mergeable under the SAME append-only lineage gate (an append
+      // can only introduce a new extremum, never retire one), so
+      // refreshes 2 and 3 still scan only the appended files; any
+      // rewrite lineage falls back to recompute — exactly where a
+      // retired extremum would go stale (spec'd)
+      val docs = t(s, d, "documents")
+      val root = s"${graft.core.Scratch.root(docs)}/incmm_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val (base, agg) = (s"$root/base", s"$root/agg")
+      val keys = Seq("source", "lang")
+      for (i <- 0 to 2) {
+        graft.core.VersionedTable.commitAppend(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), base)
+        val r = graft.ops.IncrementalAgg.maintain(
+          s, base, agg, keys, "n_chars", minMax = true)
+        require(i == 0 || r.mode == "incremental",
+          s"append $i refreshed via ${r.mode}, not the delta path")
+      }
+      graft.ops.IncrementalAgg.read(s, agg)
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    "q181_sketch_view" -> ((s, d) => {
+      // sketch-backed materialized view: distinct users (HLL) and
+      // value percentiles (GK) per event_type maintained from DELTA
+      // FILES ONLY across three appends — state exact distinct/
+      // percentile cannot carry incrementally (it is the full value
+      // multiset), mergeable sketches can. Checks are the q75/q92
+      // envelope discipline: exact n_rows from the view, HLL within
+      // 5% of the exact distinct, GK point estimates within 3% rank
+      // error (ε=0.01 degrading conservatively over the merge tree)
+      val ev = t(s, d, "events")
+      val root = s"${graft.core.Scratch.root(ev)}/sketchview_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val (base, agg) = (s"$root/base", s"$root/agg")
+      for (i <- 0 to 2) {
+        graft.core.VersionedTable.commitAppend(
+          ev.filter(pmod(col("event_id"), lit(3)) === i), base)
+        val r = graft.ops.IncrementalAgg.maintainSketch(
+          s, base, agg, Seq("event_type"), "user_id", "value")
+        require(i == 0 || r.mode == "incremental",
+          s"append $i refreshed via ${r.mode}, not the delta path")
+      }
+      val sk = graft.ops.IncrementalAgg.readSketch(s, agg)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("__nd"))
+      val est = sk.join(exact, Seq("event_type")).select(
+        col("event_type"), col("n_rows"),
+        (abs(col("approx_distinct") - col("__nd")) <=
+          col("__nd").cast("double") * 0.05).as("ok_distinct"),
+        col("p50"), col("p95"))
+      ev.select(col("event_type"), col("value"))
+        .join(broadcast(est), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n_rows")).as("n_rows"),
+          first(col("ok_distinct")).as("ok_distinct"),
+          (abs(sum(when(col("value") <= col("p50"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) - 0.5) <= 0.03).as("ok50"),
+          (abs(sum(when(col("value") <= col("p95"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)) - 0.95) <= 0.03).as("ok95"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- bloom file-skipping point lookup -----------------------------
     "q170_bloom_skip" -> ((s, d) => {
       // equality-predicate data skipping: doc_id hash-interleaves

@@ -55,10 +55,19 @@ object IncrementalAgg {
   private val BaseVCol = "__base_version"
 
   private def aggregate(rows: DataFrame, keys: Seq[String],
-      valueCol: String): DataFrame =
-    rows.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(coalesce(col(valueCol).cast("long"), lit(0L))).as("sum_val"))
+      valueCol: String, minMax: Boolean): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      sum(coalesce(col(valueCol).cast("long"), lit(0L))).as("sum_val")
+    ) ++ (if (minMax) Seq(
+      // SQL min/max semantics: nulls ignored, all-null group -> null
+      // (NOT the sum's null-as-zero convention — zero is a value for
+      // an extremum). Mergeable under append-only lineage because
+      // appends never remove the row holding the current extremum
+      min(col(valueCol).cast("long")).as("min_val"),
+      max(col(valueCol).cast("long")).as("max_val")) else Nil)
+    rows.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   private def requireIntegral(df: DataFrame, c: String): Unit = {
     val dt = df.schema(c).dataType.simpleString
@@ -67,17 +76,25 @@ object IncrementalAgg {
         s"$c is $dt — scale doubles to a fixed-point long first")
   }
 
-  /** Create or refresh the aggregate at `aggPath` to reflect the
-    * latest committed version of `basePath`. */
-  def maintain(spark: SparkSession, basePath: String, aggPath: String,
-      keys: Seq[String], valueCol: String): MaintainResult = {
+  /** The lineage scaffold shared by every maintained-view flavor:
+    * decide init / noop / full-recompute / delta from the manifest
+    * file sets, read the delta files with the evolved-schema
+    * discipline, and commit the result. The flavor plugs in its own
+    * full aggregation, delta merge, input validation, and
+    * state-schema check. */
+  private def drive(spark: SparkSession, basePath: String,
+      aggPath: String,
+      computeFull: DataFrame => DataFrame,
+      mergeDelta: (DataFrame, DataFrame) => DataFrame,
+      validate: DataFrame => Unit,
+      schemaOk: Seq[String] => Boolean): MaintainResult = {
     val vBase = VersionedTable.latestVersion(spark, basePath)
     require(vBase > 0, s"$basePath has no committed version to aggregate")
     val baseFiles = VersionedTable.files(spark, basePath, Some(vBase))
 
     def fullCompute(mode: String): MaintainResult = {
-      val agg = aggregate(
-        VersionedTable.read(spark, basePath, Some(vBase)), keys, valueCol)
+      val agg = computeFull(
+        VersionedTable.read(spark, basePath, Some(vBase)))
         .withColumn(BaseVCol, lit(vBase))
       val v = VersionedTable.commitOverwrite(agg, aggPath)
       MaintainResult(v, mode, baseFiles.size)
@@ -98,8 +115,7 @@ object IncrementalAgg {
         current.filter(lit(false)), aggPath)
       return MaintainResult(v, "full", 0)
     }
-    requireIntegral(VersionedTable.read(spark, basePath, Some(vBase)),
-      valueCol)
+    validate(VersionedTable.read(spark, basePath, Some(vBase)))
     if (vAgg == 0) return fullCompute("init")
     // the agg exists but its latest version is empty (the base was
     // emptied and refilled): per-file deltas are gone — rebuild
@@ -108,6 +124,9 @@ object IncrementalAgg {
     val current = VersionedTable.read(spark, aggPath, Some(vAgg))
     require(current.columns.contains(BaseVCol),
       s"$aggPath is not an IncrementalAgg table (missing $BaseVCol)")
+    // a state-shape change mid-life (minMax toggled, sum vs sketch
+    // flavor switched) is a schema change, not a delta: recompute
+    if (!schemaOk(current.columns.toSeq)) return fullCompute("full")
     val reflected = current.select(max(col(BaseVCol))).collect()
       .headOption.flatMap(r => Option(r.get(0)))
       .map(_.toString.toInt).getOrElse(0)
@@ -125,8 +144,8 @@ object IncrementalAgg {
     // append-only advance: aggregate ONLY the new files and merge.
     // An append that added zero files (empty batch) is a no-op at the
     // new base version
-    val delta =
-      if (newFiles.isEmpty) null
+    val merged =
+      if (newFiles.isEmpty) current.withColumn(BaseVCol, lit(vBase))
       else {
         // a multi-version catch-up delta can span a commitAppendEvolve
         // boundary (mixed-schema files): merge footers exactly when
@@ -136,32 +155,117 @@ object IncrementalAgg {
           if (VersionedTable.isEvolved(spark, basePath))
             spark.read.option("mergeSchema", "true")
           else spark.read
-        val d = aggregate(rd.parquet(newFiles: _*), keys, valueCol)
-          .withColumnRenamed("n_rows", "__dn")
-          .withColumnRenamed("sum_val", "__dsum")
-        keys.foldLeft(d)((f, k) => f.withColumnRenamed(k, s"__k_$k"))
-      }
-    val merged =
-      if (delta == null) current.withColumn(BaseVCol, lit(vBase))
-      else {
-        // null-safe key match: a NULL-keyed group is a real group for
-        // GROUP BY, but plain join equality would never match it and
-        // the merge would emit it twice
-        val cond = keys.map(k => col(k) <=> col(s"__k_$k"))
-          .reduce(_ && _)
-        current.drop(BaseVCol).join(delta, cond, "full_outer")
-          .select(keys.map(k =>
-            when(col("n_rows").isNotNull, col(k))
-              .otherwise(col(s"__k_$k")).as(k)) ++ Seq(
-            (coalesce(col("n_rows"), lit(0L)) +
-              coalesce(col("__dn"), lit(0L))).as("n_rows"),
-            (coalesce(col("sum_val"), lit(0L)) +
-              coalesce(col("__dsum"), lit(0L))).as("sum_val")): _*)
-          .filter(col("n_rows") > 0)
+        mergeDelta(current.drop(BaseVCol), rd.parquet(newFiles: _*))
           .withColumn(BaseVCol, lit(vBase))
       }
     val v = VersionedTable.commitOverwrite(merged, aggPath)
     MaintainResult(v, "incremental", newFiles.size)
+  }
+
+  /** Create or refresh the aggregate at `aggPath` to reflect the
+    * latest committed version of `basePath`. `minMax = true` adds
+    * mergeable `min_val`/`max_val` columns: under the same
+    * append-only lineage the delta path already detects, an append
+    * can only introduce a new extremum, never retire one, so
+    * `least`/`greatest` against the delta's extrema is exact; every
+    * delete/overwrite/RESTORE lineage already falls back to full
+    * recompute, which is precisely where a retired extremum would
+    * otherwise go stale. */
+  def maintain(spark: SparkSession, basePath: String, aggPath: String,
+      keys: Seq[String], valueCol: String, minMax: Boolean = false)
+      : MaintainResult = {
+    def mergeDelta(current: DataFrame, deltaRows: DataFrame)
+        : DataFrame = {
+      val d0 = aggregate(deltaRows, keys, valueCol, minMax)
+        .withColumnRenamed("n_rows", "__dn")
+        .withColumnRenamed("sum_val", "__dsum")
+      val d1 = if (minMax)
+        d0.withColumnRenamed("min_val", "__dmin")
+          .withColumnRenamed("max_val", "__dmax")
+      else d0
+      val delta = keys.foldLeft(d1)((f, k) =>
+        f.withColumnRenamed(k, s"__k_$k"))
+      // null-safe key match: a NULL-keyed group is a real group for
+      // GROUP BY, but plain join equality would never match it and
+      // the merge would emit it twice
+      val cond = keys.map(k => col(k) <=> col(s"__k_$k"))
+        .reduce(_ && _)
+      current.join(delta, cond, "full_outer")
+        .select(keys.map(k =>
+          when(col("n_rows").isNotNull, col(k))
+            .otherwise(col(s"__k_$k")).as(k)) ++ Seq(
+          (coalesce(col("n_rows"), lit(0L)) +
+            coalesce(col("__dn"), lit(0L))).as("n_rows"),
+          (coalesce(col("sum_val"), lit(0L)) +
+            coalesce(col("__dsum"), lit(0L))).as("sum_val")) ++
+          (if (minMax) Seq(
+            // least/greatest skip nulls (all-null -> null), which
+            // is exactly min/max's merge algebra
+            least(col("min_val"), col("__dmin")).as("min_val"),
+            greatest(col("max_val"), col("__dmax")).as("max_val"))
+          else Nil): _*)
+        .filter(col("n_rows") > 0)
+    }
+    drive(spark, basePath, aggPath,
+      computeFull = rows => aggregate(rows, keys, valueCol, minMax),
+      mergeDelta = mergeDelta,
+      validate = df => requireIntegral(df, valueCol),
+      schemaOk = cols =>
+        cols.contains("min_val") == minMax && !cols.contains("hll"))
+  }
+
+  /** Sketch-backed maintained view — distinct counts and percentiles
+    * updating from DELTA FILES ONLY, which exact distinct/percentile
+    * cannot do (their state is the full value multiset). State per
+    * group is a pair of MERGEABLE sketches:
+    *
+    *  - `hll`: a Datasketches HLL sketch of `distinctCol`
+    *    (`hll_sketch_agg` partials, unioned with `hll_union_agg`);
+    *  - `qsk`: a Greenwald-Khanna quantile summary of `valueCol`
+    *    ([[graft.functions.QuantileSketchAgg]], merged with
+    *    [[graft.functions.QuantileSketchMergeAgg]]).
+    *
+    * The delta merge is a UNION of the current state rows with the
+    * delta's partial sketches followed by one keys-sized
+    * re-aggregation — sketch algebra needs no outer-join bookkeeping
+    * because both aggregates are commutative monoids with identity.
+    * Merge-tree depth grows by one per maintain; the GK rank bound
+    * degrades conservatively toward 2ε after deep merges (documented
+    * on [[graft.functions.QuantileSketchAgg]]), and HLL union is
+    * lossless in sketch space. Readers query via [[readSketch]]. */
+  def maintainSketch(spark: SparkSession, basePath: String,
+      aggPath: String, keys: Seq[String], distinctCol: String,
+      valueCol: String, relativeError: Double = 0.01): MaintainResult = {
+    def sketchAgg(rows: DataFrame): DataFrame =
+      rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          hll_sketch_agg(col(distinctCol)).as("hll"),
+          graft.functions.QuantileSketch.agg(
+            col(valueCol).cast("double"), relativeError).as("qsk"))
+    drive(spark, basePath, aggPath,
+      computeFull = sketchAgg,
+      mergeDelta = (current, deltaRows) =>
+        current.unionByName(sketchAgg(deltaRows))
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("n_rows")).as("n_rows"),
+            hll_union_agg(col("hll")).as("hll"),
+            graft.functions.QuantileSketch.mergeAgg(col("qsk"))
+              .as("qsk")),
+      validate = _ => (),
+      schemaOk = cols => cols.contains("hll") && cols.contains("qsk"))
+  }
+
+  /** The sketch view resolved to numbers: approximate distinct count
+    * and the requested percentiles of the value column. */
+  def readSketch(spark: SparkSession, aggPath: String,
+      percentiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val base = VersionedTable.read(spark, aggPath).drop(BaseVCol)
+    val withP = percentiles.foldLeft(
+      base.withColumn("approx_distinct",
+        hll_sketch_estimate(col("hll"))))((df, p) =>
+      df.withColumn(s"p${(p * 100).round}",
+        graft.functions.QuantileSketch.query(col("qsk"), lit(p))))
+    withP.drop("hll", "qsk")
   }
 
   /** The maintained aggregate, without the bookkeeping column. */
@@ -180,11 +284,13 @@ object IncrementalAgg {
     * aggregates every file appended since the version it reflects —
     * the delta path is multi-version by construction. */
   def foreachBatchMaintain(basePath: String, aggPath: String,
-      keys: Seq[String], valueCol: String): (DataFrame, Long) => Unit = {
+      keys: Seq[String], valueCol: String, minMax: Boolean = false)
+      : (DataFrame, Long) => Unit = {
     val append = VersionedTable.foreachBatchAppend(basePath)
     (batch, batchId) => {
       append(batch, batchId)
-      maintain(batch.sparkSession, basePath, aggPath, keys, valueCol)
+      maintain(batch.sparkSession, basePath, aggPath, keys, valueCol,
+        minMax)
       ()
     }
   }

@@ -210,4 +210,142 @@ class IncrementalAggSpec extends SparkTestBase {
           asMap(recompute(base)), s"seed=$i batches=$batches")
     }
   }
+
+  private def asMinMaxMap(df: DataFrame)
+      : Map[Option[String], (Long, Long, Long, Long)] =
+    df.collect().map(r => (Option(r.getAs[String]("k")),
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_val"),
+        r.getAs[Long]("min_val"), r.getAs[Long]("max_val")))).toMap
+
+  private def recomputeMinMax(basePath: String): DataFrame =
+    VersionedTable.read(spark, basePath)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("v"), lit(0L))).as("sum_val"),
+        min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+
+  test("minMax: any append sequence equals recompute") {
+    val batchGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+      for {
+        k <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(-50L, 50L)
+      } yield (k, v)))
+    val seqGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, batchGen))
+    for (i <- 100 until 106) {
+      val batches = seqGen.pureApply(Gen.Parameters.default, Seed(i))
+      val root = tmp()
+      val (base, agg) = (s"$root/base", s"$root/agg")
+      var first = true
+      batches.foreach { b =>
+        VersionedTable.commitAppend(
+          spark.createDataFrame(b).toDF("k", "v"), base)
+        val r = IncrementalAgg.maintain(spark, base, agg, Seq("k"),
+          "v", minMax = true)
+        assert(r.mode == (if (first) "init" else "incremental"))
+        first = false
+      }
+      assert(asMinMaxMap(IncrementalAgg.read(spark, agg)) ===
+        asMinMaxMap(recomputeMinMax(base)), s"seed=$i")
+    }
+  }
+
+  test("minMax: delete lineage falls back — a retired extremum heals") {
+    val root = tmp()
+    val (base, agg) = (s"$root/base", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq(("a", 100L), ("a", 1L), ("b", 7L)).toDF("k", "v"), base)
+    IncrementalAgg.maintain(spark, base, agg, Seq("k"), "v",
+      minMax = true)
+    // delete the row holding a's max: a merge-style lineage (file set
+    // rewritten) must recompute, or max_val would stay 100
+    VersionedTable.commitDelete(spark, base,
+      Seq(100L).toDF("v"), Seq("v"))
+    val r = IncrementalAgg.maintain(spark, base, agg, Seq("k"), "v",
+      minMax = true)
+    assert(r.mode == "full")
+    val m = asMinMaxMap(IncrementalAgg.read(spark, agg))
+    assert(m(Some("a")) === ((1L, 1L, 1L, 1L)))
+    assert(m(Some("b")) === ((1L, 7L, 7L, 7L)))
+  }
+
+  test("minMax setting change mid-life recomputes under the new shape") {
+    val root = tmp()
+    val (base, agg) = (s"$root/base", s"$root/agg")
+    VersionedTable.commitAppend(Seq(("a", 5L)).toDF("k", "v"), base)
+    IncrementalAgg.maintain(spark, base, agg, Seq("k"), "v")
+    VersionedTable.commitAppend(Seq(("a", 9L)).toDF("k", "v"), base)
+    val r = IncrementalAgg.maintain(spark, base, agg, Seq("k"), "v",
+      minMax = true)
+    assert(r.mode == "full") // schema change, not a delta
+    val m = asMinMaxMap(IncrementalAgg.read(spark, agg))
+    assert(m(Some("a")) === ((2L, 14L, 5L, 9L)))
+  }
+
+  test("sketch view: delta-merged sketches stay inside the envelope") {
+    val root = tmp()
+    val (base, agg) = (s"$root/base", s"$root/agg")
+    // three appends, values 0..999 interleaved so every batch spans
+    // the whole range (the hard case for quantile merge)
+    val batches = (0 until 3).map(i =>
+      (0 until 1000).filter(_ % 3 == i).map(v =>
+        ("t" + (v % 2), v.toLong, v.toDouble)))
+    var first = true
+    batches.foreach { b =>
+      VersionedTable.commitAppend(
+        spark.createDataFrame(b).toDF("k", "u", "v"), base)
+      val r = IncrementalAgg.maintainSketch(spark, base, agg,
+        Seq("k"), "u", "v")
+      assert(r.mode == (if (first) "init" else "incremental"))
+      first = false
+    }
+    val sk = IncrementalAgg.readSketch(spark, agg, Seq(0.5, 0.95))
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_rows"),
+          r.getAs[Long]("approx_distinct").toDouble,
+          r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    for (k <- Seq("t0", "t1")) {
+      val (n, nd, p50, p95) = sk(k)
+      assert(n === 500L)
+      // u is unique per row: distinct = 500 within 5%
+      assert(math.abs(nd - 500.0) <= 25.0, s"$k distinct $nd")
+      // values per key are the evens (t0) / odds (t1) of 0..999:
+      // true p50 ≈ 500, p95 ≈ 950; allow 3% rank error = 30 values
+      assert(math.abs(p50 - 500.0) <= 60.0, s"$k p50 $p50")
+      assert(math.abs(p95 - 950.0) <= 60.0, s"$k p95 $p95")
+    }
+    // rewrite lineage falls back (sketches cannot subtract)
+    VersionedTable.commitDelete(spark, base,
+      Seq(0L, 3L).toDF("u"), Seq("u"))
+    val r = IncrementalAgg.maintainSketch(spark, base, agg,
+      Seq("k"), "u", "v")
+    assert(r.mode == "full")
+    val n2 = IncrementalAgg.readSketch(spark, agg).collect()
+      .map(r2 => r2.getAs[Long]("n_rows")).sum
+    assert(n2 === 998L)
+    // flavor switch sum<->sketch on the same path recomputes
+    VersionedTable.commitAppend(
+      Seq(("t0", 5L, 5.0)).toDF("k", "u", "v"), base)
+    val r2 = IncrementalAgg.maintain(spark, base, agg, Seq("k"), "u")
+    assert(r2.mode == "full")
+  }
+
+  test("minMax: all-null group carries null extrema through merges") {
+    val root = tmp()
+    val (base, agg) = (s"$root/base", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq(("a", Option(3L)), ("z", Option.empty[Long]))
+        .toDF("k", "v"), base)
+    IncrementalAgg.maintain(spark, base, agg, Seq("k"), "v",
+      minMax = true)
+    VersionedTable.commitAppend(
+      Seq(("z", Option.empty[Long])).toDF("k", "v"), base)
+    val r = IncrementalAgg.maintain(spark, base, agg, Seq("k"), "v",
+      minMax = true)
+    assert(r.mode == "incremental")
+    val rows = IncrementalAgg.read(spark, agg).collect()
+      .map(r2 => r2.getString(0) -> (r2.getLong(1),
+        if (r2.isNullAt(3)) None else Some(r2.getLong(3)))).toMap
+    assert(rows("a") === ((1L, Some(3L))))
+    assert(rows("z") === ((2L, None))) // sum is 0, extrema stay null
+  }
 }
