@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in (spark.graft.rangeJoin.binSize > 0): plain-SQL range joins
     // become bucketed equi-joins instead of nested-loop joins
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // maintenance verbs (OPTIMIZE/VACUUM/CLONE/RESTORE/DESCRIBE
+    // DETAIL/FORGET/ERASE) as SQL statements; everything else falls
+    // through to the stock parser
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

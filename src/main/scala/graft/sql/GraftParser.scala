@@ -1,0 +1,240 @@
+package graft.sql
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.core.VersionedTable
+
+/** SQL statements for the engine's table-maintenance verbs — the
+  * missing half of the SQL surface ([[GraftExtensions]] already
+  * injects the scalar/aggregate functions; this parser injects the
+  * STATEMENTS a lakehouse exposes, the reference's DESCRIBE DETAIL
+  * (03_silver_smartpool.ipynb §6) generalized to the full maintenance
+  * loop):
+  *
+  * {{{
+  * OPTIMIZE '<table>' [ZORDER BY (c1, c2, ...)] [PARTITIONS n]
+  * VACUUM '<table>' [RETAIN n VERSIONS] [FORCE]
+  * CLONE '<src>' TO '<dst>' [VERSION AS OF v]
+  * RESTORE '<table>' TO VERSION AS OF v
+  * DESCRIBE DETAIL '<table>'
+  * FORGET IDS (1, 2, ...) KEY <col> OP <n>
+  *   [BASE '<t>'] [BM25 '<t>'] [IVF '<t>']
+  * ERASE OP <n> [BASE '<t>'] [BM25 '<t>'] [IVF '<t>'] [FORCE]
+  * }}}
+  *
+  * Tables are [[VersionedTable]] paths as single-quoted string
+  * literals (this engine's tables are path-addressed, like
+  * `delta.`path``). `FORCE` on VACUUM/ERASE sets the reclaim grace
+  * window to zero — only safe with no concurrent writer, mirroring
+  * the [[VersionedTable.vacuum]] contract. FORGET ids are BIGINT
+  * literals (document/vector keys). Every other statement falls
+  * through verbatim to the delegate Spark parser, so the full SQL
+  * dialect keeps working.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    maintenancePlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String)
+      : FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  private def pat(re: String): Pattern =
+    Pattern.compile(s"\\A\\s*$re\\s*;?\\s*\\z",
+      Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+
+  private val OptimizeRe = pat(
+    """OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?""" +
+      """(?:\s+PARTITIONS\s+(\d+))?""")
+  private val VacuumRe = pat(
+    """VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(\s+FORCE)?""")
+  private val CloneRe = pat(
+    """CLONE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""")
+  private val RestoreRe = pat(
+    """RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""")
+  private val DescribeRe = pat("""DESCRIBE\s+DETAIL\s+'([^']+)'""")
+  private val ForgetRe = pat(
+    """FORGET\s+IDS\s*\(([-\d\s,]+)\)\s+KEY\s+(\w+)\s+OP\s+(\d+)""" +
+      """(?:\s+BASE\s+'([^']+)')?(?:\s+BM25\s+'([^']+)')?""" +
+      """(?:\s+IVF\s+'([^']+)')?""")
+  private val EraseRe = pat(
+    """ERASE\s+OP\s+(\d+)(?:\s+BASE\s+'([^']+)')?""" +
+      """(?:\s+BM25\s+'([^']+)')?(?:\s+IVF\s+'([^']+)')?(\s+FORCE)?""")
+
+  private def opt(s: String): Option[String] = Option(s)
+
+  /** The maintenance-verb grammar; None = not ours, delegate. */
+  def maintenancePlan(sql: String): Option[LogicalPlan] = {
+    val o = OptimizeRe.matcher(sql)
+    if (o.matches()) {
+      val cols = opt(o.group(2)).toSeq.flatMap(
+        _.split(",").map(_.trim).filter(_.nonEmpty))
+      return Some(OptimizeCommand(o.group(1), cols,
+        opt(o.group(3)).map(_.toInt).getOrElse(0)))
+    }
+    val v = VacuumRe.matcher(sql)
+    if (v.matches())
+      return Some(VacuumCommand(v.group(1),
+        opt(v.group(2)).map(_.toInt).getOrElse(1), v.group(3) != null))
+    val c = CloneRe.matcher(sql)
+    if (c.matches())
+      return Some(CloneCommand(c.group(1), c.group(2),
+        opt(c.group(3)).map(_.toInt)))
+    val r = RestoreRe.matcher(sql)
+    if (r.matches())
+      return Some(RestoreCommand(r.group(1), r.group(2).toInt))
+    val d = DescribeRe.matcher(sql)
+    if (d.matches()) return Some(DescribeDetailCommand(d.group(1)))
+    val f = ForgetRe.matcher(sql)
+    if (f.matches())
+      return Some(ForgetCommand(
+        f.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toLong).toSeq,
+        f.group(2), f.group(3).toLong, opt(f.group(4)),
+        opt(f.group(5)), opt(f.group(6))))
+    val e = EraseRe.matcher(sql)
+    if (e.matches())
+      return Some(EraseCommand(e.group(1).toLong, opt(e.group(2)),
+        opt(e.group(3)), opt(e.group(4)), e.group(5) != null))
+    None
+  }
+
+  private[sql] def attr(name: String, dt: DataType): AttributeReference =
+    AttributeReference(name, dt, nullable = true)()
+}
+
+/** `OPTIMIZE '<t>'` = bin-pack compaction; with `ZORDER BY` = Morton
+  * re-layout + stats sidecar ([[graft.ops.ZOrder.clusterTable]]). */
+case class OptimizeCommand(path: String, zorderCols: Seq[String],
+    partitions: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("path", StringType),
+    GraftSqlParser.attr("operation", StringType),
+    GraftSqlParser.attr("version", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] =
+    if (zorderCols.isEmpty)
+      Seq(Row(path, "compact", VersionedTable.compact(spark, path)))
+    else {
+      val parts =
+        if (partitions > 0) partitions
+        else spark.sessionState.conf.numShufflePartitions
+      Seq(Row(path, s"zorder(${zorderCols.mkString(",")})",
+        graft.ops.ZOrder.clusterTable(spark, path, zorderCols, parts)))
+    }
+}
+
+case class VacuumCommand(path: String, retainLast: Int, force: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("path", StringType),
+    GraftSqlParser.attr("retained_versions", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.vacuum(spark, path, retainLast,
+      graceMs = if (force) 0L else 15 * 60 * 1000L)
+    Seq(Row(path, retainLast))
+  }
+}
+
+case class CloneCommand(source: String, target: String,
+    version: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("source", StringType),
+    GraftSqlParser.attr("target", StringType),
+    GraftSqlParser.attr("version", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(source, target,
+      VersionedTable.cloneFrom(spark, source, target, version)))
+}
+
+case class RestoreCommand(path: String, toVersion: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("path", StringType),
+    GraftSqlParser.attr("restored_from", IntegerType),
+    GraftSqlParser.attr("new_version", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(path, toVersion,
+      VersionedTable.restore(spark, path, toVersion)))
+}
+
+/** The reference's one `spark.sql` use, over this engine's format:
+  * latest version, file count, bytes, and the version-history depth. */
+case class DescribeDetailCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("path", StringType),
+    GraftSqlParser.attr("latest_version", IntegerType),
+    GraftSqlParser.attr("num_files", IntegerType),
+    GraftSqlParser.attr("size_bytes", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = VersionedTable.latestVersion(spark, path)
+    val files =
+      if (v == 0) Seq.empty
+      else VersionedTable.files(spark, path, Some(v))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    Seq(Row(path, v, files.size, bytes))
+  }
+}
+
+/** Takedown from SQL: one statement propagates the ids across every
+  * named surface ([[graft.ops.Takedown.forget]] semantics). */
+case class ForgetCommand(ids: Seq[Long], keyCol: String, opId: Long,
+    basePath: Option[String], bm25Path: Option[String],
+    ivfPath: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("n_ids", IntegerType),
+    GraftSqlParser.attr("base_version", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    import spark.implicits._
+    val df = ids.toDF(keyCol)
+    val baseV = graft.ops.Takedown.forget(spark, df, keyCol, opId,
+      basePath, bm25Path, ivfPath)
+    Seq(Row(ids.size, baseV.orNull))
+  }
+}
+
+/** Physical erasure from SQL ([[graft.ops.Takedown.erase]]): purge
+  * index tombstones and vacuum every surface to its live version. */
+case class EraseCommand(opId: Long, basePath: Option[String],
+    bm25Path: Option[String], ivfPath: Option[String], force: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("n_surfaces", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.ops.Takedown.erase(spark, opId, basePath, bm25Path, ivfPath,
+      graceMs = if (force) 0L else 15 * 60 * 1000L)
+    Seq(Row(Seq(basePath, bm25Path, ivfPath).count(_.isDefined)))
+  }
+}

@@ -124,4 +124,75 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(txt.getDouble(2) == 0.7666666666666666)
     } finally spark2.stop()
   }
+
+  test("maintenance verbs parse and execute; history reflects them") {
+    val spark2 = sessionWithExtensions
+    try {
+      import graft.core.VersionedTable
+      import spark2.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("sqlverbs").toString
+      val t = s"$root/t"
+      VersionedTable.commitAppend(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "p"), t)
+      VersionedTable.commitAppend(
+        Seq((3L, "c"), (4L, "d")).toDF("id", "p"), t)
+
+      val det = spark2.sql(s"DESCRIBE DETAIL '$t'").collect().head
+      assert(det.getInt(1) === 2 && det.getInt(2) >= 1 &&
+        det.getLong(3) > 0L)
+
+      // OPTIMIZE = bin-pack compaction: a fresh version, rows intact
+      val opt = spark2.sql(s"OPTIMIZE '$t'").collect().head
+      assert(opt.getString(1) === "compact" && opt.getInt(2) === 3)
+      assert(VersionedTable.read(spark2, t).count() === 4L)
+
+      // OPTIMIZE ZORDER BY: Morton re-layout + stats sidecar
+      val z = spark2.sql(s"OPTIMIZE '$t' ZORDER BY (id) PARTITIONS 2")
+        .collect().head
+      assert(z.getString(1) === "zorder(id)" && z.getInt(2) === 4)
+      assert(VersionedTable.read(spark2, t).count() === 4L)
+
+      // RESTORE: back to the first append, as a NEW version
+      val rs = spark2.sql(s"RESTORE '$t' TO VERSION AS OF 1")
+        .collect().head
+      assert(rs.getInt(2) === 5)
+      assert(VersionedTable.read(spark2, t)
+        .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+      // history is intact: the pre-restore snapshot still reads
+      assert(VersionedTable.read(spark2, t, Some(4)).count() === 4L)
+
+      // FORGET: copy-on-write delete through the takedown path
+      val fg = spark2.sql(
+        s"FORGET IDS (1) KEY id OP 9 BASE '$t'").collect().head
+      assert(fg.getInt(0) === 1 && fg.getInt(1) === 6)
+      assert(VersionedTable.read(spark2, t)
+        .select("id").as[Long].collect().toSeq === Seq(2L))
+
+      // VACUUM FORCE: history beyond the retained window is gone
+      spark2.sql(s"VACUUM '$t' RETAIN 1 VERSIONS FORCE")
+      assert(VersionedTable.read(spark2, t).count() === 1L)
+      intercept[Exception] {
+        VersionedTable.read(spark2, t, Some(4)).count()
+      }
+
+      // CLONE: metadata-only fork reads the same rows. AFTER the
+      // source vacuum on purpose — cloning then vacuuming the source
+      // is the documented shared-fate hazard (cloneFrom scaladoc)
+      val cl = spark2.sql(s"CLONE '$t' TO '$root/dev'").collect().head
+      assert(cl.getInt(2) === 1)
+      assert(VersionedTable.read(spark2, s"$root/dev").count() === 1L)
+
+      // ERASE: the one-call physical loop (base-only here; the full
+      // index loop is TakedownSpec's erase test)
+      val er = spark2.sql(s"ERASE OP 10 BASE '$root/dev' FORCE")
+        .collect().head
+      assert(er.getInt(0) === 1)
+      assert(VersionedTable.read(spark2, s"$root/dev").count() === 1L)
+
+      // a non-maintenance statement still parses through the delegate
+      assert(spark2.sql("SELECT 1 + 1 AS two").collect().head
+        .getInt(0) === 2)
+    } finally spark2.stop()
+  }
 }
