@@ -90,6 +90,38 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(viaJoin(rows, 1.0) === Set((1L, 2L, 1.0)))
   }
 
+  test("positional filter: prunes candidates, never drops a true pair") {
+    // circulant corpus: doc i holds 8 consecutive tokens of a 25-token
+    // ring, so distance-d pairs share 8-d tokens. At t=0.6 only d<=2
+    // qualifies, but the prefix filter alone also admits far pairs
+    // whose single shared token lands in both prefixes — the shape the
+    // positional filter exists to kill
+    val rows = (0L until 40L).map { i =>
+      i -> (0 until 8).map(k => f"tok${(i + k) % 25}%02d")
+    }
+    val df = rows.toDF("id", "s")
+    val t = 0.6
+    val withPos = SetSimJoin
+      .candidatePairs(df, "id", "s", t, positionalFilter = true).count()
+    val withoutPos = SetSimJoin
+      .candidatePairs(df, "id", "s", t, positionalFilter = false).count()
+    info(s"candidates: $withoutPos unfiltered -> $withPos positional " +
+      s"(${if (withoutPos == 0) 0 else 100 * (withoutPos - withPos) / withoutPos}% pruned)")
+    assert(withPos <= withoutPos)
+    assert(withPos < withoutPos,
+      "positional filter should prune on this adversarial corpus")
+    // and the final result is byte-identical with the filter on or off
+    val on = SetSimJoin
+      .joinPairsImpl(df, "id", "s", t, positionalFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val off = SetSimJoin
+      .joinPairsImpl(df, "id", "s", t, positionalFilter = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(on === off)
+    assert(viaJoin(rows.map { case (i, s) => (i, s: Seq[String]) }, t)
+      === bruteForce(rows.map { case (i, s) => (i, s: Seq[String]) }, t))
+  }
+
   test("plan: candidate generation is an equi-join, not a cartesian") {
     val rows = (0L until 40L).map(i =>
       i -> Seq(s"t${i % 7}", s"u$i", s"v${i % 5}"))
