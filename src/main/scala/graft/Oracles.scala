@@ -3632,6 +3632,58 @@ object Oracles {
         |FROM dw JOIN pw USING (word) GROUP BY dw.doc_id
         |ORDER BY doc_id""".stripMargin),
 
+    // unigram hard-EM: enumerate every segmentation per distinct word
+    // carrying the piece list, pick the canonical one (max BIGINT
+    // objective, lex-smallest list on ties — the engine's greedy
+    // shortest-piece walk provably picks the same array), aggregate
+    // frequency-weighted usage, then replay the M-step: prune unused
+    // multi-char pieces, floor single chars at 1, re-score over the
+    // refined total
+    "q182_unigram_em" ->
+      ("WITH RECURSIVE " + unigramVocabBody + """,
+        |pieces AS (
+        |  SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE) / t)
+        |    * 1000000.0) AS BIGINT) AS score
+        |  FROM vocab0 CROSS JOIN tot),
+        |ws AS (SELECT DISTINCT word FROM w),
+        |rec AS (
+        |  SELECT word, CAST(0 AS BIGINT) AS pos,
+        |    CAST(0 AS BIGINT) AS val,
+        |    CAST([] AS VARCHAR[]) AS lst FROM ws
+        |  UNION ALL
+        |  SELECT r.word, r.pos + len(p.piece),
+        |    r.val + p.score * 1024 - 1,
+        |    list_append(r.lst, p.piece)
+        |  FROM rec r JOIN pieces p
+        |    ON substr(r.word, CAST(r.pos + 1 AS INT),
+        |         len(p.piece)) = p.piece
+        |  WHERE r.pos + len(p.piece) <= len(r.word)),
+        |canon AS (
+        |  SELECT word, lst FROM (
+        |    SELECT word, lst, row_number() OVER (PARTITION BY word
+        |      ORDER BY val DESC, lst ASC) AS rn
+        |    FROM rec WHERE pos = len(word)) WHERE rn = 1),
+        |usage AS (
+        |  SELECT piece, CAST(sum(n) AS BIGINT) AS usage FROM (
+        |    SELECT w.n, unnest(c.lst) AS piece
+        |    FROM w JOIN canon c USING (word))
+        |  GROUP BY piece),
+        |kept AS (
+        |  SELECT v.piece,
+        |    coalesce(u.usage,
+        |      CASE WHEN len(v.piece) = 1 THEN CAST(1 AS BIGINT) END)
+        |      AS cnt
+        |  FROM vocab0 v LEFT JOIN usage u USING (piece)
+        |  WHERE coalesce(u.usage,
+        |    CASE WHEN len(v.piece) = 1 THEN CAST(1 AS BIGINT) END)
+        |    IS NOT NULL),
+        |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t2 FROM kept)
+        |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(round(ln(CAST(cnt AS DOUBLE) / t2) * 1000000.0)
+        |    AS BIGINT) AS score
+        |FROM kept CROSS JOIN tot2
+        |ORDER BY piece""".stripMargin),
+
     // both branches derive from the raw corpus: the source must be
     // the untouched table, the experiment the filtered one
     "q178_clone_branch" ->

@@ -2084,6 +2084,22 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "q182_unigram_em" -> ((s, d) => {
+      // one hard-EM (Viterbi re-estimation) refinement of the unigram
+      // vocab: canonical segmentation per distinct word (max objective,
+      // lex-smallest piece array on ties) -> frequency-weighted piece
+      // usage -> prune unused multi-char pieces, floor single chars at
+      // 1, re-score over the refined set. The oracle enumerates every
+      // segmentation recursively, replays the identical canonical
+      // tie-break via ORDER BY val DESC, piece_list ASC, and re-derives
+      // the full M-step — any drift in the DP, the tie-break, or the
+      // re-scoring breaks the hash
+      graft.operators.Unigram.pieceVocabEm(
+          t(s, d, "documents"), "text", vocabSize = 40,
+          maxPieceLen = 4)
+        .orderBy(col("piece"))
+    }),
+
     // ---- zero-copy experiment branch (shallow clone) ------------------
     "q178_clone_branch" -> ((s, d) => {
       // the dev-fork loop: shallow-clone the corpus table (metadata

@@ -118,3 +118,140 @@ object UnigramSegment {
     GraftBridge.column(UnigramSegment(GraftBridge.expression(c),
       pieces, scores, maxPieceLen))
 }
+
+/** The CANONICAL optimal segmentation itself (array of pieces), for
+  * the EM re-estimation step ([[graft.operators.Unigram.pieceVocabEm]])
+  * where the optimizer needs per-piece usage, not just the objective.
+  *
+  * Among all segmentations maximizing the [[UnigramSegment]] objective
+  * `score·1024 − count`, ties are broken by the LEXICOGRAPHICALLY
+  * SMALLEST piece array. Because every candidate piece at a given
+  * position is a substring of the word starting at that position, two
+  * distinct candidates are always one-a-strict-prefix-of-the-other, so
+  * "lex-smallest array" ≡ "greedy shortest piece at every step among
+  * optimal continuations" — computed by one right-to-left suffix DP
+  * (`best(i)` = optimal objective of the suffix from code point i)
+  * followed by a left-to-right walk that takes the SHORTEST piece `p`
+  * at `i` with `obj(p) + best(i+|p|) = best(i)`. The same canonical
+  * choice is replayable in SQL as `ORDER BY objective DESC, piece_list
+  * ASC LIMIT 1` over the full recursive enumeration — which is exactly
+  * what the q182 oracle runs.
+  *
+  * Intended for corpus-encode (every single character of the training
+  * corpus is in the vocabulary, so the UNK fallback never fires
+  * there); a position no piece covers consumes one code point at
+  * [[UnigramSegment.UnkScore]] and emits that character verbatim. */
+case class UnigramSegmentPieces(child: Expression, pieces: Seq[String],
+    scores: Seq[Long], maxPieceLen: Int) extends UnaryExpression {
+
+  require(pieces.nonEmpty && pieces.size == scores.size,
+    "pieces and scores must be same-length and non-empty")
+  require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_segment_pieces expects STRING, got ${child.dataType.simpleString}")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val table
+      : java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](
+      pieces.size * 2)
+    var i = 0
+    while (i < pieces.size) {
+      m.put(pieces(i), java.lang.Long.valueOf(scores(i)))
+      i += 1
+    }
+    m
+  }
+
+  /** Public for generated code. Code-point indexed like
+    * [[UnigramSegment.segment]]. */
+  def segmentPieces(s: UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val w = s.toString
+    if (w.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val n = w.codePointCount(0, w.length)
+    val offsets = new Array[Int](n + 1)
+    var k = 0
+    var o = 0
+    while (k < n) {
+      offsets(k) = o
+      o = w.offsetByCodePoints(o, 1)
+      k += 1
+    }
+    offsets(n) = w.length
+    // best(i) = optimal objective for the suffix starting at code
+    // point i (best(n) = 0)
+    val best = new Array[Long](n + 1)
+    var i = n - 1
+    while (i >= 0) {
+      var b = Long.MinValue
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - i)
+      while (l <= lMax) {
+        val sc = table.get(w.substring(offsets(i), offsets(i + l)))
+        if (sc ne null) {
+          val v = best(i + l) + sc.longValue * 1024L - 1L
+          if (v > b) b = v
+        }
+        l += 1
+      }
+      if (b == Long.MinValue)
+        b = best(i + 1) + UnigramSegment.UnkScore * 1024L - 1L
+      best(i) = b
+      i -= 1
+    }
+    // greedy walk: shortest piece achieving the optimum at each step
+    // = lex-smallest piece array among all optimal segmentations
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var taken = false
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - i)
+      while (!taken && l <= lMax) {
+        val p = w.substring(offsets(i), offsets(i + l))
+        val sc = table.get(p)
+        if ((sc ne null) &&
+            best(i + l) + sc.longValue * 1024L - 1L == best(i)) {
+          out += UTF8String.fromString(p)
+          i += l
+          taken = true
+        }
+        l += 1
+      }
+      if (!taken) {
+        out += UTF8String.fromString(
+          w.substring(offsets(i), offsets(i + 1)))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    segmentPieces(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("unigramPiecesExpr", this,
+      getClass.getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.segmentPieces($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : UnigramSegmentPieces = copy(child = c)
+  override def prettyName: String = "unigram_segment_pieces"
+}
+
+object UnigramSegmentPieces {
+  def column(c: Column, pieces: Seq[String], scores: Seq[Long],
+      maxPieceLen: Int): Column =
+    GraftBridge.column(UnigramSegmentPieces(GraftBridge.expression(c),
+      pieces, scores, maxPieceLen))
+}

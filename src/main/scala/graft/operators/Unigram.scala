@@ -91,6 +91,56 @@ object Unigram {
       (rows.map(_.getString(0)), rows.map(_.getLong(2)))
     }
 
+  /** One EM refinement iteration over the frequency-selected vocab —
+    * the hard-EM (Viterbi re-estimation) variant of Kudo 2018's prune
+    * loop, kept integer-exact so the whole step is oracle-replayable:
+    *
+    *  - E-step: every DISTINCT corpus word takes its CANONICAL optimal
+    *    segmentation under the current scores (max objective, ties by
+    *    lex-smallest piece array — [[graft.functions.UnigramSegmentPieces]]),
+    *    and each piece's usage is the word-frequency-weighted count of
+    *    its appearances in those segmentations. Hard assignment in
+    *    place of soft expected counts is THE documented deviation:
+    *    soft EM's forward-backward posteriors are float sums whose
+    *    association order is partition-dependent, so they cannot be
+    *    bit-replayed by an independent engine; the hard E-step is pure
+    *    integer arithmetic and the canonical tie-break makes the
+    *    argmax unique.
+    *  - M-step: multi-char pieces with zero usage are PRUNED (the
+    *    intent of Kudo's likelihood-loss prune); single characters are
+    *    always kept (segmentation closure) with a count floor of 1;
+    *    surviving counts re-score as `round(ln(cnt/total)·10⁶)` over
+    *    the refined set, in Spark SQL for HALF_UP parity with DuckDB.
+    *
+    * Scale shape: the E-step segments each DISTINCT word once (the
+    * [[encode]] discipline) and shuffles only (piece, usage) pairs —
+    * vocabulary-sized; the M-step is a vocab-sized join. Cost is one
+    * corpus word-count pass regardless of corpus width.
+    *
+    * Output: (piece, cnt, score) — the refined vocabulary. */
+  def pieceVocabEm(df: DataFrame, textCol: String, vocabSize: Int = 40,
+      maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (pieces, scores) = vocabCached(df, textCol, vocabSize,
+      maxPieceLen)
+    val init = pieces.toSeq.toDF("piece")
+    val usage = words(df, textCol)
+      .select(col("n"), explode(graft.functions.UnigramSegmentPieces
+        .column(col("word"), pieces, scores, maxPieceLen)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("usage"))
+    val kept = init.join(usage, Seq("piece"), "left")
+      .select(col("piece"),
+        coalesce(col("usage"),
+          when(length(col("piece")) === 1, lit(1L))).as("cnt"))
+      .filter(col("cnt").isNotNull)
+    val total = kept.agg(sum(col("cnt")).as("__t"))
+    kept.crossJoin(total)
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") /
+          col("__t").cast("double")) * 1e6, 0).cast("long").as("score"))
+  }
+
   /** Per-document encoding summary under a freshly trained vocab:
     * (idCol, n_words, n_pieces, score_s) where `n_pieces` sums each
     * word's optimal piece count and `score_s` the scaled-integer

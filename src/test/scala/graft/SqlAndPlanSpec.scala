@@ -101,7 +101,8 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q157_contrastive_triplets", // q141's bm25 scalar-attach in the candidate stage
       "q159_hybrid_ivf", // bm25 scalar-attach + 1-row corpus N on the query vectors
       "q173_bm25_forget", // q135's scalar-attach; the tombstone anti-join is a broadcast hash join
-      "q176_unigram_vocab") // scalar-attach: 1-row kept-set total onto the vocab for the ln scores
+      "q176_unigram_vocab", // scalar-attach: 1-row kept-set total onto the vocab for the ln scores
+      "q182_unigram_em") // same scalar-attach over the EM-refined kept set
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.UnigramSegment
+import graft.functions.{UnigramSegment, UnigramSegmentPieces}
 import graft.operators.Unigram
 
 /** Unigram-LM tokenizer: the Viterbi DP must equal a full enumeration
@@ -110,6 +110,114 @@ class UnigramSpec extends SparkTestBase {
       round(log(lit(byPiece("ab")._2.toDouble) / total.toDouble)
         * 1e6, 0).cast("long")).collect().head.getLong(0)
     assert(byPiece("ab")._3 === expected)
+  }
+
+  private def segPieces(word: String, vocab: Map[String, Long],
+      maxLen: Int = 4): Seq[String] =
+    Seq(Tuple1(word)).toDF("w")
+      .select(UnigramSegmentPieces.column(col("w"),
+        vocab.keys.toSeq.sorted, vocab.keys.toSeq.sorted.map(vocab),
+        maxLen))
+      .collect().head.getSeq[String](0)
+
+  // every decomposition into vocab pieces, as piece lists
+  private def bruteLists(word: String, vocab: Map[String, Long],
+      maxLen: Int): Seq[List[String]] =
+    if (word.isEmpty) Seq(Nil)
+    else (1 to math.min(maxLen, word.length)).flatMap { l =>
+      val p = word.take(l)
+      if (vocab.contains(p))
+        bruteLists(word.drop(l), vocab, maxLen).map(p :: _)
+      else Nil
+    }
+
+  private def objective(lst: Seq[String], vocab: Map[String, Long]): Long =
+    lst.map(vocab).sum * 1024L - lst.size
+
+  // canonical = max objective, then lex-smallest piece list — the
+  // exact ORDER BY val DESC, lst ASC the q182 oracle runs
+  private def canonical(word: String, vocab: Map[String, Long],
+      maxLen: Int): List[String] = {
+    val all = bruteLists(word, vocab, maxLen)
+    val best = all.map(objective(_, vocab)).max
+    implicit val lex: Ordering[List[String]] =
+      Ordering.Implicits.seqOrdering[List, String]
+    all.filter(objective(_, vocab) == best).min
+  }
+
+  test("canonical pieces: tie on objective resolves lex-smallest") {
+    // ["a","bc"] and ["ab","c"] tie at -1000·1024-2; "a" < "ab" lex
+    val vocab = Map("a" -> -300L, "bc" -> -700L,
+      "ab" -> -600L, "c" -> -400L)
+    assert(segPieces("abc", vocab) === Seq("a", "bc"))
+    // and the emitted array's objective equals the value DP's optimum
+    assert(objective(Seq("a", "bc"), vocab) === seg("abc", vocab))
+  }
+
+  test("property: canonical pieces equal full-enumeration canonical") {
+    val chars = Seq("a", "b")
+    val pieceGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(chars)).map(_.mkString))
+    val caseGen = for {
+      extra <- Gen.listOfN(5, pieceGen)
+      scores <- Gen.listOfN(extra.size + 2, Gen.choose(-900L, -10L))
+      wordPieces <- Gen.choose(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(chars ++ extra)))
+    } yield {
+      val vocab = (chars ++ extra).distinct.zip(scores).toMap
+      (vocab, wordPieces.mkString)
+    }
+    for (i <- 0 until 30) {
+      val (vocab, word) =
+        caseGen.pureApply(Gen.Parameters.default, Seed(100 + i))
+      val got = segPieces(word, vocab, maxLen = 3)
+      val want = canonical(word, vocab, maxLen = 3)
+      assert(got === want, s"seed=$i word=$word vocab=$vocab")
+      assert(got.mkString === word)
+      assert(objective(got, vocab) === seg(word, vocab, maxLen = 3))
+    }
+  }
+
+  test("pieceVocabEm: usage-driven prune, single-char floor, re-score") {
+    val docs = Seq((1L, "abab ab"), (2L, "abab cd")).toDF("id", "text")
+    // initial kept set {a:5, ab:5, b:5, c:1, d:1}; canonical
+    // segmentations: "abab"->[ab,ab] (fewest pieces), "ab"->[ab],
+    // "cd"->[c,d] => usage ab:5, c:1, d:1; a/b unused -> floor 1
+    val v = Unigram.pieceVocabEm(docs, "text", vocabSize = 3,
+        maxPieceLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byPiece = v.map(x => x._1 -> x).toMap
+    assert(v.map(_._1).sorted === Seq("a", "ab", "b", "c", "d"))
+    assert(byPiece("ab")._2 === 5L)
+    assert(byPiece("a")._2 === 1L && byPiece("b")._2 === 1L)
+    assert(byPiece("c")._2 === 1L && byPiece("d")._2 === 1L)
+    // exact re-score replay through the same SQL-rounding path
+    val total = v.map(_._2).sum
+    val expected = docs.sparkSession.range(1).select(
+      round(log(lit(5.0) / total.toDouble) * 1e6, 0).cast("long"))
+      .collect().head.getLong(0)
+    assert(byPiece("ab")._3 === expected)
+  }
+
+  test("pieceVocabEm: zero-usage multi-char pieces are pruned") {
+    // corpus "ab ba ab ab": initial kept {a:4, b:4, ab:3, ba:1}. The
+    // rare word "ba" segments CHEAPER as ["b","a"] (two frequent
+    // chars, 2·ln(4/12) ≈ -2.20, beats ln(1/12) ≈ -2.48 even paying
+    // the extra-piece tie-break), so the piece "ba" draws zero usage
+    // and EM prunes it — the Kudo prune intent in one example. "ab"
+    // is frequent enough that ["ab"] wins, so it survives with
+    // usage 3; single chars floor in regardless
+    val docs = Seq((1L, "ab ba ab ab")).toDF("id", "text")
+    val init = Unigram.pieceVocab(docs, "text", vocabSize = 10,
+      maxPieceLen = 2).collect().map(_.getString(0)).toSet
+    assert(init === Set("a", "b", "ab", "ba"))
+    val after = Unigram.pieceVocabEm(docs, "text", vocabSize = 10,
+      maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet === Set("a", "b", "ab"))
+    assert(after("ab") === 3L)
+    // "b","a" are used once each by ["b","a"]; usage 1 each, not floor
+    assert(after("a") === 1L && after("b") === 1L)
   }
 
   test("encode: word counts and segment sums line up") {
