@@ -21,15 +21,21 @@ import org.apache.spark.sql.SparkSession
   * mid-write must never leave a truncated journal that poisons every
   * replay.
   *
-  * Upgrade rule: a journal's sub-table list may only GROW, and only by
-  * APPENDING (every index here added `deletes` as a 5th component that
-  * way). Replay of an intent written before the growth then rolls back
-  * exactly the tables the old intent pinned — the appended tables did
-  * not exist (or were untouched) when that intent was written, so
-  * there is nothing of theirs to restore. An intent LONGER than the
-  * caller's list means the caller passed the wrong journal or shrank
-  * the list — that is corruption, and replay fails naming the manual
-  * remediation rather than guessing.
+  * Intent format: new intents pin BY NAME — one `<name>:<version>`
+  * entry per sub-table, where the name is the table path's last
+  * segment (unique within a journal root by construction; enforced at
+  * write). Replay restores each pinned NAME it finds in the caller's
+  * list and fails loudly on a pinned name the caller no longer passes
+  * — so growing the list is safe by insertion or reorder, not just by
+  * appending, and a shrunk list (corruption) can never silently roll
+  * back the wrong table.
+  *
+  * Legacy intents (bare space-separated versions, written before the
+  * named format) carry no names, so for them the old upgrade rule
+  * still applies: the sub-table list may only have GROWN by APPENDING
+  * — replay zips the pinned prefix. An intent longer than the caller's
+  * list means the caller passed the wrong journal or shrank the list;
+  * replay fails naming the manual remediation rather than guessing.
   */
 object TxnJournal {
 
@@ -55,33 +61,63 @@ object TxnJournal {
     val txnDir = new org.apache.hadoop.fs.Path(s"$root/_txn")
     val done = new org.apache.hadoop.fs.Path(s"$root/_txn/$tag.done")
     val intent = new org.apache.hadoop.fs.Path(s"$root/_txn/$tag")
+    val segs = subs.map(TxnJournal.seg)
+    require(segs.distinct.size == segs.size,
+      s"sub-table last path segments must be unique within a journal " +
+        s"root (they name the pins): $segs")
     if (f.exists(done)) return false
     if (f.exists(intent)) {
       // crashed mid-update: restore pinned pre-batch snapshots
       val in = f.open(intent)
       val line = scala.io.Source.fromInputStream(in).mkString.trim
       in.close()
-      val pinned = line.split(" ").map(_.toInt).toSeq
-      // pre-upgrade intent (see the upgrade rule above): an intent
-      // with FEWER tables than the caller's list pins the prefix —
-      // roll back just those; the appended tables postdate the intent
-      require(pinned.size <= subs.size,
-        s"txn journal $intent pins ${pinned.size} tables but the " +
-          s"caller passed only ${subs.size} — sub-table lists may " +
-          s"only grow by appending; if this journal belongs to an " +
-          s"older, larger schema, resolve the crashed batch manually " +
-          s"(restore each pinned version, then delete $intent)")
-      subs.zip(pinned).foreach { case (sub, v) =>
-        if (VersionedTable.latestVersion(spark, sub) > v)
-          VersionedTable.commitOverwrite(
-            VersionedTable.read(spark, sub, Some(v)), sub)
+      if (line.contains(":")) {
+        // named intent: restore each pinned NAME; a pinned name the
+        // caller no longer passes is corruption (wrong journal or a
+        // shrunk list) — fail with the remediation, never guess
+        val pinned = line.split(" ").map { e =>
+          val i = e.lastIndexOf(':')
+          (e.substring(0, i), e.substring(i + 1).toInt)
+        }.toSeq
+        val bySeg = segs.zip(subs).toMap
+        val unknown = pinned.map(_._1).filterNot(bySeg.contains)
+        require(unknown.isEmpty,
+          s"txn journal $intent pins tables $unknown the caller did " +
+            s"not pass (caller tables: $segs) — wrong journal root or " +
+            s"a shrunk sub-table list; resolve the crashed batch " +
+            s"manually (restore each pinned version, then delete " +
+            s"$intent)")
+        pinned.foreach { case (name, v) =>
+          val sub = bySeg(name)
+          if (VersionedTable.latestVersion(spark, sub) > v)
+            VersionedTable.commitOverwrite(
+              VersionedTable.read(spark, sub, Some(v)), sub)
+        }
+      } else {
+        val pinned = line.split(" ").map(_.toInt).toSeq
+        // legacy bare-version intent (no names): the list may only
+        // have GROWN by APPENDING since it was written — roll back the
+        // zipped prefix; the appended tables postdate the intent
+        require(pinned.size <= subs.size,
+          s"txn journal $intent pins ${pinned.size} tables but the " +
+            s"caller passed only ${subs.size} — legacy sub-table " +
+            s"lists may only grow by appending; if this journal " +
+            s"belongs to an older, larger schema, resolve the crashed " +
+            s"batch manually (restore each pinned version, then " +
+            s"delete $intent)")
+        subs.zip(pinned).foreach { case (sub, v) =>
+          if (VersionedTable.latestVersion(spark, sub) > v)
+            VersionedTable.commitOverwrite(
+              VersionedTable.read(spark, sub, Some(v)), sub)
+        }
       }
     } else {
-      val versions = subs.map(s => VersionedTable.latestVersion(spark, s))
+      val entries = subs.map(s =>
+        s"${TxnJournal.seg(s)}:${VersionedTable.latestVersion(spark, s)}")
       f.mkdirs(txnDir)
       val tmp = new org.apache.hadoop.fs.Path(s"$root/_txn/$tag.tmp")
       val out = f.create(tmp, true)
-      out.write(versions.mkString(" ").getBytes("UTF-8"))
+      out.write(entries.mkString(" ").getBytes("UTF-8"))
       out.close()
       if (!f.rename(tmp, intent)) f.delete(tmp, false)
     }
@@ -91,4 +127,8 @@ object TxnJournal {
     catch { case _: java.io.IOException => () } // lost claim: done
     true
   }
+
+  /** A sub-table's pin name: the path's last segment. */
+  private[graft] def seg(path: String): String =
+    path.stripSuffix("/").split('/').last
 }

@@ -31,14 +31,19 @@ import graft.core.VersionedTable
 object HybridServe {
 
   /** Last consistent committed versions of a journal-maintained
-    * multi-table index: latest versions of `subs`, element-wise
-    * clamped to any open intent under `root/_txn` whose pinned list
-    * matches `subs` in arity (an intent of different arity belongs to
-    * a different maintenance sink generation and is ignored — safe,
-    * because such sinks commit single tables atomically). */
+    * multi-table index: latest versions of `subs`, clamped to any open
+    * intent under `root/_txn`. Named intents (`name:version` entries —
+    * the current [[graft.core.TxnJournal]] format) clamp each sub BY
+    * NAME, so an intent from a sink generation with more or fewer
+    * sub-tables still pins the ones it shares with the reader. Legacy
+    * bare-version intents carry no names and clamp element-wise only
+    * when the arity matches (a different arity belongs to a different
+    * sink generation and is ignored — safe, because such sinks commit
+    * single tables atomically). */
   def pinConsistent(spark: SparkSession, root: String,
       subs: Seq[String]): Seq[Int] = {
     val latest = subs.map(VersionedTable.latestVersion(spark, _))
+    val segs = subs.map(s => s.stripSuffix("/").split('/').last)
     val txn = new org.apache.hadoop.fs.Path(s"$root/_txn")
     val f = txn.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(txn)) return latest
@@ -51,10 +56,21 @@ object HybridServe {
       val line =
         try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
-      val pinned = line.split(" ").flatMap(_.toIntOption).toSeq
-      if (pinned.size == acc.size) acc.zip(pinned).map {
-        case (l, p) => math.min(l, p)
-      } else acc
+      if (line.contains(":")) {
+        val byName = line.split(" ").flatMap { e =>
+          val i = e.lastIndexOf(':')
+          e.substring(i + 1).toIntOption.map(v =>
+            e.substring(0, i) -> v)
+        }.toMap
+        acc.zip(segs).map { case (l, s) =>
+          byName.get(s).fold(l)(math.min(l, _))
+        }
+      } else {
+        val pinned = line.split(" ").flatMap(_.toIntOption).toSeq
+        if (pinned.size == acc.size) acc.zip(pinned).map {
+          case (l, p) => math.min(l, p)
+        } else acc
+      }
     }
   }
 

@@ -53,6 +53,7 @@ object IncrementalAgg {
       filesScanned: Int)
 
   private val BaseVCol = "__base_version"
+  private val EpsCol = "__qsk_eps"
 
   private def aggregate(rows: DataFrame, keys: Seq[String],
       valueCol: String, minMax: Boolean): DataFrame = {
@@ -87,7 +88,8 @@ object IncrementalAgg {
       computeFull: DataFrame => DataFrame,
       mergeDelta: (DataFrame, DataFrame) => DataFrame,
       validate: DataFrame => Unit,
-      schemaOk: Seq[String] => Boolean): MaintainResult = {
+      schemaOk: Seq[String] => Boolean,
+      stateOk: DataFrame => Boolean = _ => true): MaintainResult = {
     val vBase = VersionedTable.latestVersion(spark, basePath)
     require(vBase > 0, s"$basePath has no committed version to aggregate")
     val baseFiles = VersionedTable.files(spark, basePath, Some(vBase))
@@ -127,6 +129,10 @@ object IncrementalAgg {
     // a state-shape change mid-life (minMax toggled, sum vs sketch
     // flavor switched) is a schema change, not a delta: recompute
     if (!schemaOk(current.columns.toSeq)) return fullCompute("full")
+    // ... and so is a state-PARAMETER change the columns can't show
+    // (e.g. the sketch epsilon): merging mixed-parameter partials
+    // would report an envelope matching neither request
+    if (!stateOk(current)) return fullCompute("full")
     val reflected = current.select(max(col(BaseVCol))).collect()
       .headOption.flatMap(r => Option(r.get(0)))
       .map(_.toString.toInt).getOrElse(0)
@@ -242,6 +248,10 @@ object IncrementalAgg {
           hll_sketch_agg(col(distinctCol)).as("hll"),
           graft.functions.QuantileSketch.agg(
             col(valueCol).cast("double"), relativeError).as("qsk"))
+        // the epsilon is state, not schema: pin it in the table so a
+        // mid-life parameter change recomputes instead of merging
+        // mixed-epsilon partials
+        .withColumn(EpsCol, lit(relativeError))
     drive(spark, basePath, aggPath,
       computeFull = sketchAgg,
       mergeDelta = (current, deltaRows) =>
@@ -250,21 +260,35 @@ object IncrementalAgg {
           .agg(sum(col("n_rows")).as("n_rows"),
             hll_union_agg(col("hll")).as("hll"),
             graft.functions.QuantileSketch.mergeAgg(col("qsk"))
-              .as("qsk")),
+              .as("qsk"))
+          .withColumn(EpsCol, lit(relativeError)),
       validate = _ => (),
-      schemaOk = cols => cols.contains("hll") && cols.contains("qsk"))
+      schemaOk = cols => cols.contains("hll") && cols.contains("qsk") &&
+        cols.contains(EpsCol),
+      stateOk = current => current.select(max(col(EpsCol))).collect()
+        .headOption.flatMap(r => Option(r.get(0)))
+        .forall(_ == relativeError))
   }
 
   /** The sketch view resolved to numbers: approximate distinct count
     * and the requested percentiles of the value column. */
   def readSketch(spark: SparkSession, aggPath: String,
       percentiles: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
-    val base = VersionedTable.read(spark, aggPath).drop(BaseVCol)
-    val withP = percentiles.foldLeft(
+    // withColumn REPLACES a same-named column: two percentiles that
+    // round to the same label (0.5 and 0.504 -> p50) would silently
+    // drop one — refuse instead
+    val labels = percentiles.map(p => s"p${(p * 100).round}")
+    require(labels.distinct.size == labels.size,
+      s"percentile labels collide after rounding: " +
+        s"${percentiles.zip(labels)} — request percentiles at least " +
+        s"0.005 apart")
+    val base = VersionedTable.read(spark, aggPath)
+      .drop(BaseVCol, EpsCol)
+    val withP = percentiles.zip(labels).foldLeft(
       base.withColumn("approx_distinct",
-        hll_sketch_estimate(col("hll"))))((df, p) =>
-      df.withColumn(s"p${(p * 100).round}",
-        graft.functions.QuantileSketch.query(col("qsk"), lit(p))))
+        hll_sketch_estimate(col("hll"))))((df, pl) =>
+      df.withColumn(pl._2,
+        graft.functions.QuantileSketch.query(col("qsk"), lit(pl._1))))
     withP.drop("hll", "qsk")
   }
 

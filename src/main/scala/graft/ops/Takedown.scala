@@ -40,6 +40,11 @@ object Takedown {
       opId: Long, basePath: Option[String] = None,
       bm25Path: Option[String] = None,
       ivfPath: Option[String] = None): Option[Int] = {
+    // all-None would "succeed" while deleting nothing — in a
+    // right-to-be-forgotten flow a silent no-op is a compliance
+    // failure, so the write side refuses it (the audits already do)
+    require(basePath.nonEmpty || bm25Path.nonEmpty || ivfPath.nonEmpty,
+      "forget needs at least one surface (basePath/bm25Path/ivfPath)")
     bm25Path.foreach(p =>
       Bm25Index.forget(spark, p, ids, idCol, opId))
     ivfPath.foreach(p => IvfIndex.forget(spark, p, ids, idCol))
@@ -111,6 +116,8 @@ object Takedown {
       bm25Path: Option[String] = None,
       ivfPath: Option[String] = None,
       graceMs: Long = 15 * 60 * 1000L): Unit = {
+    require(basePath.nonEmpty || bm25Path.nonEmpty || ivfPath.nonEmpty,
+      "erase needs at least one surface (basePath/bm25Path/ivfPath)")
     bm25Path.foreach(p => Bm25Index.purgeForgotten(spark, p, opId))
     ivfPath.foreach(p => IvfIndex.purgeForgotten(spark, p, opId))
     val tables =
@@ -182,12 +189,9 @@ object Takedown {
       val refd = referenced(table).map(norm)
       val nStray = raw.count(p => !refd.contains(norm(p)))
       if (raw.isEmpty)
-        return idsOnly.limit(0).agg(
-            count(lit(1)).as("n_raw_hits"),
-            count(lit(1)).as("n_live_docs"))
-          .select(lit(surface).as("surface"),
-            lit(0).as("n_stray_files"),
-            lit(0L).as("n_raw_hits"), lit(0L).as("n_live_docs"))
+        return spark.range(1).select(lit(surface).as("surface"),
+          lit(0).as("n_stray_files"),
+          lit(0L).as("n_raw_hits"), lit(0L).as("n_live_docs"))
       val rd =
         if (VersionedTable.isEvolved(spark, table))
           spark.read.option("mergeSchema", "true")

@@ -193,6 +193,20 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       // a non-maintenance statement still parses through the delegate
       assert(spark2.sql("SELECT 1 + 1 AS two").collect().head
         .getInt(0) === 2)
+
+      // FORGET with zero surfaces must error, not silently no-op —
+      // the write-side compliance guard surfacing through SQL
+      val e = intercept[Exception] {
+        spark2.sql("FORGET IDS (1) KEY id OP 11").collect()
+      }
+      assert(e.getMessage.contains("at least one surface"))
+
+      // a malformed maintenance verb (unquoted path) is NOT ours: it
+      // falls through to the delegate and fails as plain Spark SQL,
+      // never as a half-matched graft command
+      intercept[Exception] {
+        spark2.sql(s"OPTIMIZE $t").collect()
+      }
     } finally spark2.stop()
   }
 }

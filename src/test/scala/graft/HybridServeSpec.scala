@@ -145,4 +145,30 @@ class HybridServeSpec extends SparkTestBase {
     assert(logRows(log, 0L) == expected,
       "mid-flight ingest junk bled into the fused serve batch")
   }
+
+  test("pinConsistent clamps by NAME across sink generations") {
+    val root = freshPath("hs_pin_")
+    val (a, b) = (s"$root/a", s"$root/b")
+    VersionedTable.commitAppend(Seq(1L).toDF("id"), a)
+    VersionedTable.commitAppend(Seq(10L).toDF("id"), b)
+    VersionedTable.commitAppend(Seq(2L).toDF("id"), a) // a at v2
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_txn"))
+    // open NAMED intent from a sink generation with different arity
+    // (pins a and a table c this reader doesn't serve): legacy
+    // arity-matching would ignore it entirely; named pins must still
+    // clamp a to its pinned version while leaving b at latest
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_txn/b5"), false)
+    out.write("a:1 c:3".getBytes("UTF-8")); out.close()
+    assert(HybridServe.pinConsistent(spark, root, Seq(a, b))
+      === Seq(1, 1))
+    // legacy bare intent of mismatched arity is still ignored
+    val out2 = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_txn/b6"), false)
+    out2.write("0 0 0".getBytes("UTF-8")); out2.close()
+    assert(HybridServe.pinConsistent(spark, root, Seq(a, b))
+      === Seq(1, 1))
+  }
 }

@@ -329,6 +329,40 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(r2.mode == "full")
   }
 
+  test("sketch view: epsilon change mid-life recomputes, not merges") {
+    val root = tmp()
+    val (base, agg) = (s"$root/base", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq(("a", 1L, 1.0), ("a", 2L, 2.0)).toDF("k", "u", "v"), base)
+    IncrementalAgg.maintainSketch(spark, base, agg, Seq("k"), "u", "v",
+      relativeError = 0.01)
+    VersionedTable.commitAppend(
+      Seq(("a", 3L, 3.0)).toDF("k", "u", "v"), base)
+    // same epsilon: delta merge
+    val r1 = IncrementalAgg.maintainSketch(spark, base, agg,
+      Seq("k"), "u", "v", relativeError = 0.01)
+    assert(r1.mode == "incremental")
+    VersionedTable.commitAppend(
+      Seq(("a", 4L, 4.0)).toDF("k", "u", "v"), base)
+    // changed epsilon: merging mixed-epsilon GK partials would report
+    // an envelope matching neither request — must recompute
+    val r2 = IncrementalAgg.maintainSketch(spark, base, agg,
+      Seq("k"), "u", "v", relativeError = 0.05)
+    assert(r2.mode == "full")
+  }
+
+  test("readSketch refuses percentile labels that collide") {
+    val root = tmp()
+    val (base, agg) = (s"$root/base", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq(("a", 1L, 1.0)).toDF("k", "u", "v"), base)
+    IncrementalAgg.maintainSketch(spark, base, agg, Seq("k"), "u", "v")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.readSketch(spark, agg, Seq(0.5, 0.504))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("minMax: all-null group carries null extrema through merges") {
     val root = tmp()
     val (base, agg) = (s"$root/base", s"$root/agg")

@@ -162,4 +162,17 @@ class TakedownSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(leaked === Map("bm25" -> 1L))
   }
+
+  test("forget/erase with zero surfaces is refused, not a silent no-op") {
+    import spark.implicits._
+    val ids = Seq(1L).toDF("doc_id")
+    val e1 = intercept[IllegalArgumentException] {
+      Takedown.forget(spark, ids, "doc_id", opId = 1L)
+    }
+    assert(e1.getMessage.contains("at least one surface"))
+    val e2 = intercept[IllegalArgumentException] {
+      Takedown.erase(spark, opId = 1L)
+    }
+    assert(e2.getMessage.contains("at least one surface"))
+  }
 }

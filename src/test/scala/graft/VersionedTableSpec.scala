@@ -554,4 +554,47 @@ class VersionedTableSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("only grow by appending"))
   }
+
+  test("named intent replays by NAME across inserted/reordered subs") {
+    // the current intent format pins name:version, so a sub-table
+    // list that grew by INSERTION (not just appending) — or got
+    // reordered — still rolls back exactly the right tables
+    val root = Files.createTempDirectory("txn2").toString
+    val (a, b, c) = (s"$root/a", s"$root/b", s"$root/c")
+    VersionedTable.commitAppend(Seq(1L).toDF("id"), a)
+    VersionedTable.commitAppend(Seq(20L).toDF("id"), c)
+    // crash mid-batch over (a, c): the intent lands, a advances past
+    // its pin, the done-marker never does
+    intercept[RuntimeException] {
+      graft.core.TxnJournal.exactlyOnce(spark, root, 9L, Seq(a, c)) {
+        VersionedTable.commitAppend(Seq(2L).toDF("id"), a)
+        throw new RuntimeException("crash mid-batch")
+      }
+    }
+    // replay under a list that grew by INSERTING b in the middle —
+    // the legacy prefix-zip would roll b back to a's pinned version;
+    // named pins must roll back a (past pin) and leave b, c alone
+    VersionedTable.commitAppend(Seq(100L).toDF("id"), b)
+    val ran = graft.core.TxnJournal.exactlyOnce(spark, root, 9L,
+      Seq(a, b, c)) {
+      VersionedTable.commitAppend(Seq(3L).toDF("id"), a)
+    }
+    assert(ran)
+    assert(VersionedTable.read(spark, a).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    assert(VersionedTable.read(spark, b).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(100L))
+    assert(VersionedTable.read(spark, c).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(20L))
+    // a pinned name the caller no longer passes is corruption: loud
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_txn/b11"), false)
+    out.write("a:1 zz:1".getBytes("UTF-8")); out.close()
+    val e2 = intercept[IllegalArgumentException] {
+      graft.core.TxnJournal.exactlyOnce(spark, root, 11L, Seq(a, b))(())
+    }
+    assert(e2.getMessage.contains("zz"))
+  }
 }
