@@ -3684,6 +3684,19 @@ object Oracles {
         |FROM kept CROSS JOIN tot2
         |ORDER BY piece""".stripMargin),
 
+    // JSONL round-trip: the oracle reads the parquet directly, so any
+    // infidelity in the engine's JSON escape/parse of free text
+    // (newlines, quotes, unicode) breaks the hash
+    "q183_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // ORC round-trip with a pushdown predicate: same fidelity check
+    "q184_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE n_chars >= 200
+        |ORDER BY doc_id""".stripMargin,
+
     // both branches derive from the raw corpus: the source must be
     // the untouched table, the experiment the filtered one
     "q178_clone_branch" ->

@@ -2100,6 +2100,43 @@ object Queries {
         .orderBy(col("piece"))
     }),
 
+    // ---- interchange-format ingestion (JSONL / ORC) -------------------
+    "q183_jsonl_roundtrip" -> ((s, d) => {
+      // JSONL is THE LLM-corpus interchange format: export the corpus
+      // as JSONL shards, re-ingest under an EXPLICIT schema (never
+      // inference — that's a full extra pass at 100 TB) with
+      // corrupt-record quarantine, and prove byte-exact fidelity of
+      // free text (newlines, quotes, unicode escapes) against the
+      // oracle's direct parquet read
+      val docs = t(s, d, "documents")
+      val root = s"${graft.core.Scratch.root(docs)}/jsonl_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      graft.sources.TextFormats.writeJsonLines(docs, root)
+      val parsed = graft.sources.TextFormats.readJsonLines(
+        s, root, docs.schema)
+      graft.sources.TextFormats.goodRecords(parsed)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q184_orc_roundtrip" -> ((s, d) => {
+      // the other columnar lake format a migrating user brings: ORC
+      // round-trip with a pushdown-able predicate on the re-read (the
+      // plan spec asserts the filter reaches the ORC scan)
+      val docs = t(s, d, "documents")
+      val root = s"${graft.core.Scratch.root(docs)}/orc_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      graft.sources.TextFormats.writeOrc(docs, root)
+      graft.sources.TextFormats.readOrc(s, root)
+        .filter(col("n_chars") >= 200L)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- zero-copy experiment branch (shallow clone) ------------------
     "q178_clone_branch" -> ((s, d) => {
       // the dev-fork loop: shallow-clone the corpus table (metadata
