@@ -3684,6 +3684,18 @@ object Oracles {
         |FROM kept CROSS JOIN tot2
         |ORDER BY piece""".stripMargin),
 
+    // enrichment rollup: the oracle derives the per-nation revenue
+    // from the raw join and pins mode='incremental' — both a wrong
+    // delta merge AND a silent fallback to recompute break the hash
+    "q185_incremental_join_agg" ->
+      """SELECT 'incremental' AS mode, c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_val
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
     // JSONL round-trip: the oracle reads the parquet directly, so any
     // infidelity in the engine's JSON escape/parse of free text
     // (newlines, quotes, unicode) breaks the hash

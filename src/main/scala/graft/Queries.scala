@@ -2100,6 +2100,37 @@ object Queries {
         .orderBy(col("piece"))
     }),
 
+    "q185_incremental_join_agg" -> ((s, d) => {
+      // enrichment-rollup materialized view: revenue per customer
+      // nation, maintained across fact appends WITHOUT rescanning the
+      // fact table. Half the orders commit, the view initializes; the
+      // other half appends, the view delta-merges (the emitted `mode`
+      // column pins that the incremental path ran — a fallback to
+      // recompute breaks the hash). The oracle derives the rollup from
+      // the raw join, so any drift in the delta join/merge breaks too
+      val orders = t(s, d, "orders").withColumn("oop",
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val root = s"${graft.core.Scratch.root(orders)}/joinagg_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val (fact, dimP, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+      graft.core.VersionedTable.commitAppend(dim, dimP)
+      graft.core.VersionedTable.commitAppend(
+        orders.filter(col("o_orderkey") % 2 === 0), fact)
+      graft.ops.IncrementalAgg.maintainJoined(s, fact, dimP, agg,
+        "o_custkey", Seq("c_nationkey"), "oop")
+      graft.core.VersionedTable.commitAppend(
+        orders.filter(col("o_orderkey") % 2 =!= 0), fact)
+      val r = graft.ops.IncrementalAgg.maintainJoined(s, fact, dimP,
+        agg, "o_custkey", Seq("c_nationkey"), "oop")
+      graft.ops.IncrementalAgg.read(s, agg)
+        .select(lit(r.mode).as("mode"), col("c_nationkey"),
+          col("n_rows"), col("sum_val"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // ---- interchange-format ingestion (JSONL / ORC) -------------------
     "q183_jsonl_roundtrip" -> ((s, d) => {
       // JSONL is THE LLM-corpus interchange format: export the corpus

@@ -177,47 +177,99 @@ object IncrementalAgg {
     * delete/overwrite/RESTORE lineage already falls back to full
     * recompute, which is precisely where a retired extremum would
     * otherwise go stale. */
+  /** Merge two already-aggregated frames of the (n_rows, sum_val
+    * [, min_val, max_val]) shape with one keys-sized null-safe
+    * full-outer join. */
+  private def mergeAggFrames(keys: Seq[String], minMax: Boolean)(
+      current: DataFrame, deltaAgg: DataFrame): DataFrame = {
+    val d0 = deltaAgg
+      .withColumnRenamed("n_rows", "__dn")
+      .withColumnRenamed("sum_val", "__dsum")
+    val d1 = if (minMax)
+      d0.withColumnRenamed("min_val", "__dmin")
+        .withColumnRenamed("max_val", "__dmax")
+    else d0
+    val delta = keys.foldLeft(d1)((f, k) =>
+      f.withColumnRenamed(k, s"__k_$k"))
+    // null-safe key match: a NULL-keyed group is a real group for
+    // GROUP BY, but plain join equality would never match it and
+    // the merge would emit it twice
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k"))
+      .reduce(_ && _)
+    current.join(delta, cond, "full_outer")
+      .select(keys.map(k =>
+        when(col("n_rows").isNotNull, col(k))
+          .otherwise(col(s"__k_$k")).as(k)) ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("__dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("sum_val"), lit(0L)) +
+          coalesce(col("__dsum"), lit(0L))).as("sum_val")) ++
+        (if (minMax) Seq(
+          // least/greatest skip nulls (all-null -> null), which
+          // is exactly min/max's merge algebra
+          least(col("min_val"), col("__dmin")).as("min_val"),
+          greatest(col("max_val"), col("__dmax")).as("max_val"))
+        else Nil): _*)
+      .filter(col("n_rows") > 0)
+  }
+
   def maintain(spark: SparkSession, basePath: String, aggPath: String,
       keys: Seq[String], valueCol: String, minMax: Boolean = false)
-      : MaintainResult = {
-    def mergeDelta(current: DataFrame, deltaRows: DataFrame)
-        : DataFrame = {
-      val d0 = aggregate(deltaRows, keys, valueCol, minMax)
-        .withColumnRenamed("n_rows", "__dn")
-        .withColumnRenamed("sum_val", "__dsum")
-      val d1 = if (minMax)
-        d0.withColumnRenamed("min_val", "__dmin")
-          .withColumnRenamed("max_val", "__dmax")
-      else d0
-      val delta = keys.foldLeft(d1)((f, k) =>
-        f.withColumnRenamed(k, s"__k_$k"))
-      // null-safe key match: a NULL-keyed group is a real group for
-      // GROUP BY, but plain join equality would never match it and
-      // the merge would emit it twice
-      val cond = keys.map(k => col(k) <=> col(s"__k_$k"))
-        .reduce(_ && _)
-      current.join(delta, cond, "full_outer")
-        .select(keys.map(k =>
-          when(col("n_rows").isNotNull, col(k))
-            .otherwise(col(s"__k_$k")).as(k)) ++ Seq(
-          (coalesce(col("n_rows"), lit(0L)) +
-            coalesce(col("__dn"), lit(0L))).as("n_rows"),
-          (coalesce(col("sum_val"), lit(0L)) +
-            coalesce(col("__dsum"), lit(0L))).as("sum_val")) ++
-          (if (minMax) Seq(
-            // least/greatest skip nulls (all-null -> null), which
-            // is exactly min/max's merge algebra
-            least(col("min_val"), col("__dmin")).as("min_val"),
-            greatest(col("max_val"), col("__dmax")).as("max_val"))
-          else Nil): _*)
-        .filter(col("n_rows") > 0)
-    }
+      : MaintainResult =
     drive(spark, basePath, aggPath,
       computeFull = rows => aggregate(rows, keys, valueCol, minMax),
-      mergeDelta = mergeDelta,
+      mergeDelta = (current, deltaRows) =>
+        mergeAggFrames(keys, minMax)(current,
+          aggregate(deltaRows, keys, valueCol, minMax)),
       validate = df => requireIntegral(df, valueCol),
       schemaOk = cols =>
         cols.contains("min_val") == minMax && !cols.contains("hll"))
+
+  private val DimVCol = "__dim_version"
+
+  /** Incrementally maintained JOIN-aggregate view — the enrichment
+    * rollup: `SELECT keys…, count(*), sum(valueCol) FROM base INNER
+    * JOIN dim USING (joinKey) GROUP BY keys…`, where `keys` may name
+    * columns of EITHER side (that's the point — roll fact appends up
+    * by a dimension attribute).
+    *
+    * Delta-exactness argument: under an inner equi-join with a STATIC
+    * dim, the view over `base ∪ delta` is the view over `base` plus
+    * the aggregate of `delta ⋈ dim` — appends never retract joined
+    * rows, so the same additive merge as [[maintain]] applies. The dim
+    * is NOT static forever, so the state pins the dim version it
+    * reflects (`__dim_version`); any dim commit invalidates per-file
+    * deltas (an updated dim row rewrites history for already-counted
+    * fact rows) and triggers an honest full recompute, exactly like a
+    * base rewrite. Fact-side lineage rules are [[drive]]'s: append-only
+    * advances are delta-scanned, rewrites recompute.
+    *
+    * The dim join uses Spark's own strategy (AQE/broadcast threshold)
+    * — no forced broadcast hint: star-schema dims usually broadcast,
+    * but a forced hint on a dim that outgrew memory is the classic
+    * OOM; the optimizer sees the real size. */
+  def maintainJoined(spark: SparkSession, basePath: String,
+      dimPath: String, aggPath: String, joinKey: String,
+      keys: Seq[String], valueCol: String): MaintainResult = {
+    val vDim = VersionedTable.latestVersion(spark, dimPath)
+    require(vDim > 0, s"$dimPath has no committed version to join")
+    val dim = VersionedTable.read(spark, dimPath, Some(vDim))
+    def joined(rows: DataFrame): DataFrame =
+      rows.join(dim, Seq(joinKey))
+    drive(spark, basePath, aggPath,
+      computeFull = rows =>
+        aggregate(joined(rows), keys, valueCol, minMax = false)
+          .withColumn(DimVCol, lit(vDim)),
+      mergeDelta = (current, deltaRows) =>
+        mergeAggFrames(keys, minMax = false)(current.drop(DimVCol),
+          aggregate(joined(deltaRows), keys, valueCol,
+            minMax = false))
+          .withColumn(DimVCol, lit(vDim)),
+      validate = df => requireIntegral(df, valueCol),
+      schemaOk = cols => cols.contains(DimVCol) && !cols.contains("hll"),
+      stateOk = current => current.select(max(col(DimVCol))).collect()
+        .headOption.flatMap(r => Option(r.get(0)))
+        .forall(_.toString.toInt == vDim))
   }
 
   /** Sketch-backed maintained view — distinct counts and percentiles

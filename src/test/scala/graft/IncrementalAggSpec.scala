@@ -329,6 +329,46 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(r2.mode == "full")
   }
 
+  test("joined view: fact appends delta-merge, dim change recomputes") {
+    val root = tmp()
+    val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq((1L, "east"), (2L, "west")).toDF("k", "region"), dim)
+    VersionedTable.commitAppend(
+      Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 99L))
+        .toDF("k", "v"), fact)
+    // k=3 has no dim row: inner join drops it from the view
+    val r0 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r0.mode == "init")
+    def view() = IncrementalAgg.read(spark, agg)
+      .select("region", "n_rows", "sum_val")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(view() === Set(("east", 2L, 30L), ("west", 1L, 5L)))
+    // fact append: delta-scanned, merged
+    VersionedTable.commitAppend(
+      Seq((2L, 7L), (1L, 1L)).toDF("k", "v"), fact)
+    val r1 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r1.mode == "incremental" && r1.filesScanned >= 1)
+    assert(view() === Set(("east", 3L, 31L), ("west", 2L, 12L)))
+    // dim change rewrites history for already-counted fact rows:
+    // per-file deltas are invalid, must recompute under the new dim
+    VersionedTable.commitOverwrite(
+      Seq((1L, "north"), (2L, "west"), (3L, "south"))
+        .toDF("k", "region"), dim)
+    val r2 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r2.mode == "full")
+    assert(view() === Set(("north", 3L, 31L), ("west", 2L, 12L),
+      ("south", 1L, 99L)))
+    // and with base+dim both unchanged, the next maintain no-ops
+    val r3 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r3.mode == "noop")
+  }
+
   test("sketch view: epsilon change mid-life recomputes, not merges") {
     val root = tmp()
     val (base, agg) = (s"$root/base", s"$root/agg")
