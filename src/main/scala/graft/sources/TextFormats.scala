@@ -48,7 +48,30 @@ object TextFormats {
     * what the PERMISSIVE parser captured. Cost shape is identical:
     * one file scan, one codegen'd parse per line. */
   def readJsonLines(spark: SparkSession, path: String,
-      schema: StructType): DataFrame = {
+      schema: StructType): DataFrame =
+    parseLines(spark.read.text(path), schema)
+
+  /** STREAMING JSONL ingestion — the crawl-shard arrival shape: new
+    * shard files land in `dir`, each micro-batch parses only the new
+    * files (Spark's file-stream source tracks seen files in the
+    * checkpoint), under the same explicit-schema + quarantine contract
+    * as [[readJsonLines]]. Compose with [[graft.core.VersionedTable
+    * .foreachBatchAppend]] for exactly-once landing in the lake, and
+    * split good/quarantine inside the batch. `maxFilesPerTrigger`
+    * bounds a catch-up burst (a backlog of 100k shards must not
+    * become one giant first batch). */
+  def streamJsonLines(spark: SparkSession, dir: String,
+      schema: StructType, maxFilesPerTrigger: Int = 1000): DataFrame =
+    parseLines(
+      spark.readStream
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(dir),
+      schema)
+
+  /** The shared parse: `value: string` lines → schema fields +
+    * [[CorruptCol]]. */
+  private def parseLines(lines: DataFrame, schema: StructType)
+      : DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not already contain $CorruptCol")
     val withCorrupt = schema.add(CorruptCol, StringType)
@@ -59,7 +82,7 @@ object TextFormats {
       schema.fieldNames.toSeq.map(f => col(s"__j.`$f`")) :+
         coalesce(col(s"__j.`$CorruptCol`"),
           when(col("__j").isNull, col("value"))).as(CorruptCol)
-    spark.read.text(path)
+    lines
       .select(from_json(col("value"), withCorrupt, parseOpts)
         .as("__j"), col("value"))
       .select(cols: _*)

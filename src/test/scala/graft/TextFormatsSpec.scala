@@ -69,6 +69,58 @@ class TextFormatsSpec extends SparkTestBase {
     assert(good === Set((1L, None), (2L, Some("t"))))
   }
 
+  test("streaming JSONL: shards land across restarts, exactly once, " +
+      "quarantine split") {
+    val root = Files.createTempDirectory("jsonlstream").toString
+    val (src, lake, quar, ckpt) =
+      (s"$root/src", s"$root/lake", s"$root/quar", s"$root/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def land(name: String, lines: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$src/$name"), lines)
+
+    val landGood = graft.core.VersionedTable.foreachBatchAppend(lake)
+    val landBad = graft.core.VersionedTable.foreachBatchAppend(quar)
+    def run(): Unit = {
+      val q = TextFormats.streamJsonLines(spark, src, schema)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            id: Long) =>
+          landGood(TextFormats.goodRecords(batch), id)
+          val bad = TextFormats.badRecords(batch)
+          if (!bad.isEmpty) landBad(bad, id)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    land("shard-0.json", """{"id": 1, "text": "a"}
+      |{"id": 2, "text": "b"}
+      |""".stripMargin)
+    run()
+    // second shard lands AFTER a stop, with one corrupt line; the
+    // restarted query must ingest only the new file (checkpointed
+    // file tracking), split the bad line to quarantine, and never
+    // re-land shard-0
+    land("shard-1.json", """{"id": 3, "text": "c"}
+      |garbage line
+      |""".stripMargin)
+    run()
+    val lakeRows = graft.core.VersionedTable.read(spark, lake)
+      .select("id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq
+    assert(lakeRows === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val quarRows = graft.core.VersionedTable.read(spark, quar)
+      .collect().map(_.getString(0)).toSeq
+    assert(quarRows === Seq("garbage line"))
+    // replaying the stream with the same checkpoint is a no-op
+    run()
+    assert(graft.core.VersionedTable.read(spark, lake).count() === 3L)
+  }
+
   test("ORC round-trips and pushes the filter into the scan") {
     val dir = Files.createTempDirectory("orc").toString + "/t"
     val df = (0L until 100L).map(i =>
