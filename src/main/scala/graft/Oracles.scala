@@ -3684,6 +3684,19 @@ object Oracles {
         |FROM kept CROSS JOIN tot2
         |ORDER BY piece""".stripMargin),
 
+    // REPLACE WHERE backfill: the oracle applies the correction to
+    // the raw table — the doubled window must be exactly the
+    // 1-URGENT rows and every other row must survive untouched
+    "q186_replace_where" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN 2 * CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // enrichment rollup: the oracle derives the per-nation revenue
     // from the raw join and pins mode='incremental' — both a wrong
     // delta merge AND a silent fallback to recompute break the hash

@@ -2100,6 +2100,36 @@ object Queries {
         .orderBy(col("piece"))
     }),
 
+    "q186_replace_where" -> ((s, d) => {
+      // the backfill shape: a corrected feed re-lands exactly one
+      // priority window of a versioned fact table via REPLACE WHERE —
+      // file-granular copy-on-write (files without a matching row
+      // carry by reference; the spec pins that claim). The corrected
+      // rows double each price exactly in cents; the oracle derives
+      // the post-backfill rollup from the raw table, so replacing too
+      // much, too little, or losing untouched rows breaks the hash
+      val orders = t(s, d, "orders")
+      val root = s"${graft.core.Scratch.root(orders)}/rpw_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val fact = s"$root/fact"
+      (0 until 3).foreach(i => graft.core.VersionedTable.commitAppend(
+        orders.filter(col("o_orderkey") % 3 === i), fact))
+      val window = col("o_orderpriority") === "1-URGENT"
+      val corrected = graft.core.VersionedTable.read(s, fact)
+        .filter(window)
+        .withColumn("o_totalprice",
+          round(col("o_totalprice") * 100, 0) * 2 / lit(100.0))
+      graft.core.VersionedTable.commitReplaceWhere(s, fact, corrected,
+        window)
+      graft.core.VersionedTable.read(s, fact)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q185_incremental_join_agg" -> ((s, d) => {
       // enrichment-rollup materialized view: revenue per customer
       // nation, maintained across fact appends WITHOUT rescanning the

@@ -329,15 +329,146 @@ object VersionedTable {
     * empty). */
   def commitDelete(spark: SparkSession, path: String,
       keys: DataFrame, keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.input_file_name
     val v = latestVersion(spark, path)
     require(v > 0, s"$path has no committed data to delete from")
-    if (files(spark, path, Some(v)).isEmpty) return v
-    val cur = read(spark, path, Some(v))
+    val all = files(spark, path, Some(v))
+    if (all.isEmpty) return v
     val k = keys.select(keyCols.map(c => col(c).as(s"__k_$c")): _*)
       .distinct()
     val cond = keyCols.map(c => col(c) <=> col(s"__k_$c"))
       .reduce(_ && _)
-    commitOverwrite(cur.join(k, cond, "left_anti"), path)
+    // FILE-GRANULAR copy-on-write: find the files that actually
+    // CONTAIN a hit; only those rewrite. On a 100 TB table a takedown
+    // of a handful of ids rewrites a handful of files — the other
+    // ~all of the table carries into the new manifest BY REFERENCE,
+    // exactly like a shallow clone. When a Bloom sidecar exists for
+    // the (single, integral, null-free) key, the discovery itself
+    // prunes to the sidecar's candidate files — a files-sized driver
+    // probe instead of a table scan; without one, discovery is one
+    // column-pruned scan (the same single pass the old full rewrite
+    // paid, but writing only the touched fraction).
+    val candidates = bloomCandidates(spark, path, v, all, keys,
+      keyCols).getOrElse(all)
+    val touchedNorm: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readFileSubset(spark, path, candidates)
+        .withColumn("__file", input_file_name())
+        .join(k, cond, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet
+    val touched = all.filter(p => touchedNorm.contains(normPath(p)))
+    if (touched.isEmpty)
+      // nothing to delete: a metadata-only commit (same file list) —
+      // callers still get their "delete landed as a new version"
+      return publishFiles(spark, path, all, carryPrevious = false)
+    val rewritten = readFileSubset(spark, path, touched)
+      .join(k, cond, "left_anti")
+    commitRewrite(spark, path, all, touched, rewritten)
+  }
+
+  /** REPLACE WHERE (the Delta selective-overwrite analogue): atomically
+    * replace exactly the rows satisfying `predicate` with `replacement`
+    * — the backfill shape ("re-land one day of a 100 TB table").
+    * File-granular copy-on-write like [[commitDelete]]: files with no
+    * matching row carry into the new manifest by reference; only files
+    * containing matches rewrite (their non-matching rows — including
+    * rows where the predicate is NULL — are preserved verbatim).
+    * `replacement` must match the table schema, and every replacement
+    * row must itself satisfy the predicate (rejected loudly otherwise
+    * — a row outside the predicate would silently survive the NEXT
+    * replace of the same window). Returns the new version; history
+    * stays time-travelable. */
+  def commitReplaceWhere(spark: SparkSession, path: String,
+      replacement: DataFrame,
+      predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{input_file_name, lit,
+      coalesce, not}
+    val v = latestVersion(spark, path)
+    require(v > 0, s"$path has no committed data to replace into")
+    validateAppendSchema(replacement, path, allowAdded = false)
+    // three-valued logic: "matches" means predicate IS TRUE; NULL and
+    // FALSE rows are kept, and a replacement row with a NULL predicate
+    // is as out-of-window as a FALSE one
+    val matches = coalesce(predicate, lit(false))
+    require(replacement.filter(not(matches)).isEmpty,
+      "every replacement row must satisfy the REPLACE WHERE predicate")
+    val all = files(spark, path, Some(v))
+    val touchedNorm = read(spark, path, Some(v))
+      .withColumn("__file", input_file_name())
+      .filter(matches)
+      .select(col("__file")).distinct()
+      .collect().map(r => normPath(r.getString(0))).toSet
+    val touched = all.filter(p => touchedNorm.contains(normPath(p)))
+    val kept =
+      if (touched.isEmpty) replacement // pure insert into the window
+      else readFileSubset(spark, path, touched).filter(not(matches))
+        .unionByName(replacement)
+    commitRewrite(spark, path, all, touched, kept)
+  }
+
+  /** Manifests store fully-qualified URIs; `input_file_name` may
+    * render the scheme differently (`file:/` vs `file:///`) — compare
+    * on scheme-stripped suffixes. */
+  private def normPath(p: String): String =
+    p.replaceFirst("^[a-z]+:(//)?", "")
+
+  /** Sidecar-pruned candidate files for a key-set delete: when a
+    * Bloom sidecar exists for the version and the delete key is a
+    * single integral null-free column of bounded cardinality, the
+    * files that might contain any key come from a files-sized DRIVER
+    * probe — no table scan. None = preconditions not met, caller
+    * scans. No false negatives (the Bloom contract), so pruning never
+    * loses a hit; false positives only cost reading a file the
+    * discovery join then rejects. */
+  private def bloomCandidates(spark: SparkSession, path: String,
+      v: Int, all: Seq[String], keys: DataFrame, keyCols: Seq[String])
+      : Option[Seq[String]] = {
+    if (keyCols.size != 1) return None
+    val kc = keyCols.head
+    val bp = bloomDir(path, v, kc)
+    if (!fs(spark, path).exists(new Path(bp))) return None
+    val dt = keys.schema.find(_.name == kc)
+      .map(_.dataType.simpleString).getOrElse("")
+    if (!Seq("bigint", "int", "smallint", "tinyint").contains(dt))
+      return None
+    // a NULL key matches null-keyed rows via <=>, which no bitset can
+    // represent — scan instead
+    if (!keys.filter(col(kc).isNull).isEmpty) return None
+    val cap = 100000
+    val ks = keys.select(col(kc).cast("long")).distinct()
+      .limit(cap + 1).collect().map(_.getLong(0)).toSeq
+    if (ks.size > cap) return None
+    val manifest = spark.read.parquet(s"$bp/*.parquet")
+    val pruned = ManifestStats.pruneFilesPoint(manifest, kc, ks)
+      .map(normPath).toSet
+    Some(all.filter(p => pruned.contains(normPath(p))))
+  }
+
+  /** Read a specific subset of a version's files with the table's
+    * evolved-schema discipline. */
+  private def readFileSubset(spark: SparkSession, path: String,
+      subset: Seq[String]): DataFrame =
+    if (fs(spark, path).exists(evolvedMarker(path)))
+      spark.read.option("mergeSchema", "true").parquet(subset: _*)
+    else spark.read.parquet(subset: _*)
+
+  /** Publish the file-granular rewrite: write `rewritten` as a fresh
+    * commit dir, then publish a manifest naming the untouched files
+    * (by reference, zero bytes copied) plus the new ones. */
+  private def commitRewrite(spark: SparkSession, path: String,
+      all: Seq[String], touched: Seq[String], rewritten: DataFrame)
+      : Int = {
+    val touchedSet = touched.toSet
+    val untouched = all.filterNot(touchedSet)
+    val f = fs(spark, path)
+    val commitDir = s"$path/data/${java.util.UUID.randomUUID()}"
+    rewritten.write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
+    val newFiles = f.listStatus(new Path(commitDir))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString).toSeq
+    publishFiles(spark, path, untouched ++ newFiles,
+      carryPrevious = false)
   }
 
   /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE`
@@ -572,11 +703,14 @@ object VersionedTable {
     * the winner's snapshot and tries again (never silently dropping
     * the concurrent commit, which a blind overwrite-retry would).
     *
-    * Shape at scale: one left-anti join on the keys (the standard
-    * no-Delta MERGE fallback, `ops/Dedup.upsert`) + a rewrite of the
-    * table. Like any copy-on-write MERGE, cost is proportional to the
-    * table, not the batch — for high-frequency small upserts, append a
-    * change log and compact instead ([[graft.ops.Cdc]]).
+    * Shape at scale: FILE-GRANULAR merge-on-write — one column-pruned
+    * discovery scan finds the files whose rows collide with `df`'s
+    * keys; only those rewrite (minus collisions), everything else
+    * carries into the new manifest by reference, and `df` lands as a
+    * fresh commit dir. Write cost is proportional to the TOUCHED
+    * fraction plus the batch, not the table (the Delta merge-on-write
+    * shape). For high-frequency small upserts, append a change log
+    * and compact instead ([[graft.ops.Cdc]]).
     *
     * `df` carrying duplicate keys inserts ALL its rows (the snapshot's
     * collisions are removed, the batch is taken as-is); dedup the
@@ -602,18 +736,37 @@ object VersionedTable {
         // 0-partition DataFrame) must merge like the no-table case:
         // read(vPrev) would throw IllegalArgumentException on every
         // iteration and spin the race loop to exhaustion
-        val merged =
-          if (vPrev == 0 || files(spark, path, Some(vPrev)).isEmpty) df
-          else read(spark, path, Some(vPrev)).join(
-              df.select(keyCols.map(col(_)): _*).distinct(),
-              keyCols, "left_anti")
-            .unionByName(df)
+        val all =
+          if (vPrev == 0) Seq.empty[String]
+          else files(spark, path, Some(vPrev))
+        // file-granular: rewrite only files colliding with the batch
+        // keys; carry the rest by reference. Recomputed per attempt —
+        // a lost race means a new snapshot and a new touched set.
+        val (merged, untouched) =
+          if (all.isEmpty) (df, Seq.empty[String])
+          else {
+            import org.apache.spark.sql.functions.input_file_name
+            val k = df.select(keyCols.map(col(_)): _*).distinct()
+            val touchedNorm = readFileSubset(spark, path, all)
+              .withColumn("__file", input_file_name())
+              .join(k, keyCols, "left_semi")
+              .select(col("__file")).distinct()
+              .collect().map(r => normPath(r.getString(0))).toSet
+            val touched =
+              all.filter(p => touchedNorm.contains(normPath(p)))
+            val rewritten =
+              if (touched.isEmpty) df
+              else readFileSubset(spark, path, touched)
+                .join(k, keyCols, "left_anti")
+                .unionByName(df)
+            (rewritten, all.filterNot(touched.toSet))
+          }
         val commitDir = s"$path/data/${java.util.UUID.randomUUID()}"
         merged.write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
         val newFiles = f.listStatus(new Path(commitDir))
           .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
           .map(_.getPath.toString).toSeq
-        val written = (newFiles :+ Terminator).toList
+        val written = (untouched ++ newFiles :+ Terminator).toList
         val target = manifestPath(path, vPrev + 1)
         f.mkdirs(new Path(manifestDir(path)))
         try {
@@ -951,17 +1104,34 @@ object VersionedTable {
     val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new Path(s"$path/data")
     if (f.exists(dataRoot)) {
+      // FILE-granular reclamation: commitDelete/commitReplaceWhere
+      // rewrite only the touched files of a commit dir and carry its
+      // siblings by reference, so one dir can hold retained and
+      // superseded files side by side — reclaim per FILE, then drop
+      // the dir once no data file remains. The grace window protects
+      // a commit that may still be about to publish its manifest.
       f.listStatus(dataRoot).foreach { commitDir =>
         val st = f.listStatus(commitDir.getPath).filter(_.isFile)
-        val fl = st.map(_.getPath.toString)
-        // a commit dir's files are all in one manifest generation:
-        // drop the whole dir when none of its files are retained —
-        // unless any file is younger than the grace window (a commit
-        // that may still be about to publish its manifest)
-        val young = commitDir.getModificationTime > cutoff ||
-          st.exists(_.getModificationTime > cutoff)
-        if (fl.nonEmpty && !fl.exists(keep) && !young) {
-          f.delete(commitDir.getPath, true); ()
+        val dirYoung = commitDir.getModificationTime > cutoff
+        val dataFiles =
+          st.filter(s => !s.getPath.getName.startsWith("_"))
+        if (dataFiles.isEmpty) {
+          // an empty write's dir (marker files only) is never
+          // referenced by any manifest
+          if (!dirYoung && !st.exists(_.getModificationTime > cutoff)) {
+            f.delete(commitDir.getPath, true); ()
+          }
+        } else {
+          val deletable = dataFiles.filter(s =>
+            !keep(s.getPath.toString) && !dirYoung &&
+              s.getModificationTime <= cutoff)
+          if (deletable.length == dataFiles.length) {
+            // nothing in the dir is retained: drop it whole (takes
+            // the _SUCCESS marker with it)
+            f.delete(commitDir.getPath, true); ()
+          } else deletable.foreach { s =>
+            f.delete(s.getPath, false); ()
+          }
         }
       }
     }

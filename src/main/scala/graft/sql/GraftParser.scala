@@ -28,6 +28,7 @@ import graft.core.VersionedTable
   * FORGET IDS (1, 2, ...) KEY <col> OP <n>
   *   [BASE '<t>'] [BM25 '<t>'] [IVF '<t>']
   * ERASE OP <n> [BASE '<t>'] [BM25 '<t>'] [IVF '<t>'] [FORCE]
+  * REPLACE '<table>' WHERE <predicate> FROM '<src>'
   * }}}
   *
   * Tables are [[VersionedTable]] paths as single-quoted string
@@ -89,6 +90,8 @@ object GraftSqlParser {
   private val EraseRe = pat(
     """ERASE\s+OP\s+(\d+)(?:\s+BASE\s+'([^']+)')?""" +
       """(?:\s+BM25\s+'([^']+)')?(?:\s+IVF\s+'([^']+)')?(\s+FORCE)?""")
+  private val ReplaceRe = pat(
+    """REPLACE\s+'([^']+)'\s+WHERE\s+(.+?)\s+FROM\s+'([^']+)'""")
 
   private def opt(s: String): Option[String] = Option(s)
 
@@ -125,6 +128,10 @@ object GraftSqlParser {
     if (e.matches())
       return Some(EraseCommand(e.group(1).toLong, opt(e.group(2)),
         opt(e.group(3)), opt(e.group(4)), e.group(5) != null))
+    val rp = ReplaceRe.matcher(sql)
+    if (rp.matches())
+      return Some(ReplaceWhereCommand(rp.group(1), rp.group(2),
+        rp.group(3)))
     None
   }
 
@@ -222,6 +229,25 @@ case class ForgetCommand(ids: Seq[Long], keyCol: String, opId: Long,
     val baseV = graft.ops.Takedown.forget(spark, df, keyCol, opId,
       basePath, bm25Path, ivfPath)
     Seq(Row(ids.size, baseV.orNull))
+  }
+}
+
+/** Selective overwrite from SQL: `REPLACE '<t>' WHERE <pred> FROM
+  * '<src>'` re-lands exactly the predicate's window of `<t>` with the
+  * latest version of the VersionedTable at `<src>` — file-granular
+  * copy-on-write ([[VersionedTable.commitReplaceWhere]] semantics:
+  * untouched files carry by reference, replacement rows outside the
+  * predicate are refused). The predicate is standard Spark SQL. */
+case class ReplaceWhereCommand(path: String, predicateSql: String,
+    srcPath: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("path", StringType),
+    GraftSqlParser.attr("version", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val replacement = VersionedTable.read(spark, srcPath)
+    val v = VersionedTable.commitReplaceWhere(spark, path,
+      replacement, org.apache.spark.sql.functions.expr(predicateSql))
+    Seq(Row(path, v))
   }
 }
 

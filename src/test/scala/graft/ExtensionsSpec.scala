@@ -194,6 +194,19 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(spark2.sql("SELECT 1 + 1 AS two").collect().head
         .getInt(0) === 2)
 
+      // REPLACE WHERE: selective overwrite of one window from a
+      // staged source table, untouched rows intact
+      val staged = s"$root/staged"
+      VersionedTable.commitOverwrite(
+        Seq((2L, "B2")).toDF("id", "p"), staged)
+      val rw = spark2.sql(
+        s"REPLACE '$t' WHERE id = 2 FROM '$staged'").collect().head
+      assert(rw.getInt(1) >= 1)
+      assert(VersionedTable.read(spark2, t)
+        .orderBy("id").collect().map(r =>
+          (r.getLong(0), r.getString(1))).toSeq
+        .contains((2L, "B2")))
+
       // FORGET with zero surfaces must error, not silently no-op —
       // the write-side compliance guard surfacing through SQL
       val e = intercept[Exception] {

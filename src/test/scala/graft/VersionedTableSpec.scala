@@ -555,6 +555,158 @@ class VersionedTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("only grow by appending"))
   }
 
+  test("commitDelete is file-granular: untouched files carry by reference") {
+    val path = Files.createTempDirectory("fgdel").toString + "/t"
+    // three appends = three commit dirs; the delete key lives only in
+    // the second
+    VersionedTable.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1), path)
+    VersionedTable.commitAppend(Seq(10L, 11L).toDF("id").coalesce(1), path)
+    VersionedTable.commitAppend(Seq(20L).toDF("id").coalesce(1), path)
+    val before = VersionedTable.files(spark, path, Some(3))
+    val v = VersionedTable.commitDelete(spark, path,
+      Seq(10L).toDF("id"), Seq("id"))
+    val after = VersionedTable.files(spark, path, Some(v))
+    // every file NOT containing a hit is the SAME path as before —
+    // zero bytes copied for them; only the hit file was rewritten
+    val shared = before.toSet.intersect(after.toSet)
+    assert(shared.size === before.size - 1,
+      s"expected all but one file carried; before=$before after=$after")
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 11L, 20L))
+    // history is intact: the pre-delete snapshot still reads 10
+    assert(VersionedTable.read(spark, path, Some(3))
+      .select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 10L, 11L, 20L))
+    // a delete matching nothing is a metadata-only commit: same files
+    val v2 = VersionedTable.commitDelete(spark, path,
+      Seq(999L).toDF("id"), Seq("id"))
+    assert(VersionedTable.files(spark, path, Some(v2)).toSet ===
+      after.toSet)
+  }
+
+  test("commitMerge is file-granular: non-colliding files carry") {
+    val path = tbl()
+    VersionedTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), path)
+    VersionedTable.commitAppend(
+      Seq((10L, "x"), (11L, "y")).toDF("id", "v").coalesce(1), path)
+    VersionedTable.commitAppend(
+      Seq((20L, "z")).toDF("id", "v").coalesce(1), path)
+    val before = VersionedTable.files(spark, path, Some(3))
+    // upsert collides only with the second file's keys
+    val v = VersionedTable.commitMerge(
+      Seq((10L, "X2"), (30L, "new")).toDF("id", "v"), path, Seq("id"))
+    val after = VersionedTable.files(spark, path, Some(v))
+    assert(before.toSet.intersect(after.toSet).size ===
+      before.size - 1,
+      "only the colliding file should rewrite; the rest carries")
+    assert(VersionedTable.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b"), (10L, "X2"), (11L, "y"), (20L, "z"),
+        (30L, "new")))
+    // a merge colliding with nothing carries EVERY file (pure insert)
+    val v2 = VersionedTable.commitMerge(
+      Seq((40L, "w")).toDF("id", "v"), path, Seq("id"))
+    assert(VersionedTable.files(spark, path, Some(v2)).toSet
+      .intersect(after.toSet) === after.toSet)
+  }
+
+  test("commitDelete with a bloom sidecar stays exact (pruned discovery)") {
+    val path = tbl()
+    VersionedTable.commitAppend(
+      spark.range(0, 64).toDF("id")
+        .withColumn("v", col("id") * 2)
+        .repartition(4, col("id")), path)
+    VersionedTable.publishBloom(spark, path, "id")
+    // keys present: exact delete through the sidecar-pruned discovery
+    val v = VersionedTable.commitDelete(spark, path,
+      Seq(7L, 13L).toDF("id"), Seq("id"))
+    assert(VersionedTable.read(spark, path, Some(v))
+      .select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 64L).filterNot(Set(7L, 13L)))
+    // keys absent: the sidecar prunes everything — metadata-only
+    // commit with the identical file list
+    val beforeNoop = VersionedTable.files(spark, path, Some(v))
+    val v2 = VersionedTable.commitDelete(spark, path,
+      Seq(999L).toDF("id"), Seq("id"))
+    assert(VersionedTable.files(spark, path, Some(v2)).toSet ===
+      beforeNoop.toSet)
+  }
+
+  test("vacuum reclaims superseded files inside a partly-retained dir") {
+    val path = tbl()
+    // ONE commit dir holding TWO data files; a file-granular delete
+    // supersedes one and carries the other — vacuum must reclaim per
+    // FILE (the old dir-granular rule would keep the purged bytes
+    // alive because a sibling is still referenced)
+    VersionedTable.commitAppend(
+      spark.range(0, 8).toDF("id").repartition(2, col("id")), path)
+    val before = VersionedTable.files(spark, path, Some(1))
+    assert(before.size === 2)
+    VersionedTable.commitDelete(spark, path,
+      Seq(0L).toDF("id"), Seq("id"))
+    val after = VersionedTable.files(spark, path, Some(2))
+    val carried = before.toSet.intersect(after.toSet)
+    assert(carried.size === 1)
+    val superseded = (before.toSet -- after.toSet).head
+    VersionedTable.vacuum(spark, path, retainLast = 1, graceMs = 0L)
+    val f = new org.apache.hadoop.fs.Path(superseded)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(superseded)),
+      "superseded file must be reclaimed")
+    assert(carried.forall(p =>
+      f.exists(new org.apache.hadoop.fs.Path(p))),
+      "carried sibling must survive")
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq ===
+      (1L to 7L))
+  }
+
+  test("commitReplaceWhere: backfill one window, file-granular, " +
+      "null rows kept") {
+    val path = Files.createTempDirectory("rpw").toString + "/t"
+    VersionedTable.commitAppend(
+      Seq((1L, Option(5L)), (2L, Option.empty[Long]))
+        .toDF("id", "day").coalesce(1), path)
+    VersionedTable.commitAppend(
+      Seq((3L, Option(7L)), (4L, Option(8L))).toDF("id", "day")
+        .coalesce(1), path)
+    val before = VersionedTable.files(spark, path, Some(2))
+    // replace the day-7..8 window (touches only the second file);
+    // the null-day row must be KEPT (predicate NULL != matched)
+    val v = VersionedTable.commitReplaceWhere(spark, path,
+      Seq((30L, Option(7L)), (40L, Option(7L)), (50L, Option(8L)))
+        .toDF("id", "day"),
+      col("day") >= 7L && col("day") <= 8L)
+    val after = VersionedTable.files(spark, path, Some(v))
+    assert(before.toSet.intersect(after.toSet).size ===
+      before.size - 1, "only the window's file should rewrite")
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 30L, 40L, 50L))
+    // a replacement row OUTSIDE the window is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitReplaceWhere(spark, path,
+        Seq((60L, Option(99L))).toDF("id", "day"),
+        col("day") >= 7L && col("day") <= 8L)
+    }
+    assert(e.getMessage.contains("satisfy the REPLACE WHERE"))
+    // ... and so is a replacement row whose predicate is NULL
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitReplaceWhere(spark, path,
+        Seq((61L, Option.empty[Long])).toDF("id", "day"),
+        col("day") >= 7L && col("day") <= 8L)
+    }
+    // replacing an empty window is a pure insert; everything carries
+    val v2 = VersionedTable.commitReplaceWhere(spark, path,
+      Seq((70L, Option(100L))).toDF("id", "day"),
+      col("day") === 100L)
+    assert(VersionedTable.files(spark, path, Some(v2)).toSet
+      .intersect(after.toSet) === after.toSet)
+    assert(VersionedTable.read(spark, path).count() === 6L)
+  }
+
   test("named intent replays by NAME across inserted/reordered subs") {
     // the current intent format pins name:version, so a sub-table
     // list that grew by INSERTION (not just appending) — or got
