@@ -329,16 +329,14 @@ object VersionedTable {
     * empty). */
   def commitDelete(spark: SparkSession, path: String,
       keys: DataFrame, keyCols: Seq[String]): Int = {
-    import org.apache.spark.sql.functions.input_file_name
-    val v = latestVersion(spark, path)
-    require(v > 0, s"$path has no committed data to delete from")
-    val all = files(spark, path, Some(v))
-    if (all.isEmpty) return v
+    require(latestVersion(spark, path) > 0,
+      s"$path has no committed data to delete from")
     val k = keys.select(keyCols.map(c => col(c).as(s"__k_$c")): _*)
       .distinct()
     val cond = keyCols.map(c => col(c) <=> col(s"__k_$c"))
       .reduce(_ && _)
-    // FILE-GRANULAR copy-on-write: find the files that actually
+    // FILE-GRANULAR copy-on-write under the same optimistic
+    // concurrency as commitMerge: find the files that actually
     // CONTAIN a hit; only those rewrite. On a 100 TB table a takedown
     // of a handful of ids rewrites a handful of files — the other
     // ~all of the table carries into the new manifest BY REFERENCE,
@@ -347,24 +345,42 @@ object VersionedTable {
     // prunes to the sidecar's candidate files — a files-sized driver
     // probe instead of a table scan; without one, discovery is one
     // column-pruned scan (the same single pass the old full rewrite
-    // paid, but writing only the touched fraction).
-    val candidates = bloomCandidates(spark, path, v, all, keys,
-      keyCols).getOrElse(all)
-    val touchedNorm: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else readFileSubset(spark, path, candidates)
-        .withColumn("__file", input_file_name())
-        .join(k, cond, "left_semi")
-        .select(col("__file")).distinct()
-        .collect().map(r => normPath(r.getString(0))).toSet
-    val touched = all.filter(p => touchedNorm.contains(normPath(p)))
-    if (touched.isEmpty)
-      // nothing to delete: a metadata-only commit (same file list) —
-      // callers still get their "delete landed as a new version"
-      return publishFiles(spark, path, all, carryPrevious = false)
-    val rewritten = readFileSubset(spark, path, touched)
-      .join(k, cond, "left_anti")
-    commitRewrite(spark, path, all, touched, rewritten)
+    // paid, but writing only the touched fraction). A lost version
+    // race RECOMPUTES discovery against the winner's snapshot — a
+    // blind retry would republish a stale file list and silently drop
+    // the concurrent commit.
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20,
+        s"gave up deleting from $path after 20 version races")
+      val v = latestVersion(spark, path)
+      try {
+        val all = files(spark, path, Some(v))
+        if (all.isEmpty) return v
+        val candidates = bloomCandidates(spark, path, v, all, keys,
+          keyCols).getOrElse(all)
+        val touched = touchedFiles(spark, path, candidates, all, k,
+          cond)
+        if (touched.isEmpty) {
+          // nothing to delete: a metadata-only commit (same file
+          // list) — callers still get their "delete landed as a new
+          // version"
+          if (claimExactNext(spark, path, v, all)) return v + 1
+        } else {
+          val rewritten = readFileSubset(spark, path, touched)
+            .join(k, cond, "left_anti")
+          if (tryRewriteClaim(spark, path, v,
+              all.filterNot(touched.toSet), rewritten)) return v + 1
+        }
+      } catch {
+        // abandoned half-publish at v (poll timed out) or its
+        // manifest vanished under us: reclaim if stale, retry beneath
+        case _: IllegalStateException =>
+          reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
+      }
+    }
+    -1 // unreachable
   }
 
   /** REPLACE WHERE (the Delta selective-overwrite analogue): atomically
@@ -384,34 +400,98 @@ object VersionedTable {
       predicate: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.{input_file_name, lit,
       coalesce, not}
-    val v = latestVersion(spark, path)
-    require(v > 0, s"$path has no committed data to replace into")
-    validateAppendSchema(replacement, path, allowAdded = false)
+    val v0 = latestVersion(spark, path)
+    require(v0 > 0, s"$path has no committed data to replace into")
+    // an EMPTY committed snapshot (zero files — a legal version) has
+    // no footer to validate against; the replacement becomes the
+    // window's only content below
+    if (files(spark, path, Some(v0)).nonEmpty)
+      validateAppendSchema(replacement, path, allowAdded = false)
+    val evolved = fs(spark, path).exists(evolvedMarker(path))
     // three-valued logic: "matches" means predicate IS TRUE; NULL and
     // FALSE rows are kept, and a replacement row with a NULL predicate
     // is as out-of-window as a FALSE one
     val matches = coalesce(predicate, lit(false))
+    // NOTE: this validation evaluates `replacement` once and the
+    // write below evaluates it again — pre-materialize an expensive
+    // replacement feed (graft.core.Scratch) before calling
     require(replacement.filter(not(matches)).isEmpty,
       "every replacement row must satisfy the REPLACE WHERE predicate")
-    val all = files(spark, path, Some(v))
-    val touchedNorm = read(spark, path, Some(v))
-      .withColumn("__file", input_file_name())
-      .filter(matches)
-      .select(col("__file")).distinct()
-      .collect().map(r => normPath(r.getString(0))).toSet
-    val touched = all.filter(p => touchedNorm.contains(normPath(p)))
-    val kept =
-      if (touched.isEmpty) replacement // pure insert into the window
-      else readFileSubset(spark, path, touched).filter(not(matches))
-        .unionByName(replacement)
-    commitRewrite(spark, path, all, touched, kept)
+    // optimistic concurrency (the commitMerge discipline): a lost
+    // version race recomputes discovery against the winner's snapshot
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20,
+        s"gave up replacing into $path after 20 version races")
+      val v = latestVersion(spark, path)
+      try {
+        val all = files(spark, path, Some(v))
+        val touched =
+          if (all.isEmpty) Seq.empty[String]
+          else {
+            val touchedNorm = readFileSubset(spark, path, all)
+              .withColumn("__file", input_file_name())
+              .filter(matches)
+              .select(col("__file")).distinct()
+              .collect().map(r => normPath(r.getString(0))).toSet
+            all.filter(p => touchedNorm.contains(normPath(p)))
+          }
+        val kept =
+          if (touched.isEmpty) replacement // pure insert into window
+          else readFileSubset(spark, path, touched)
+            .filter(not(matches))
+            // a touched subset that predates a schema evolution lacks
+            // the added columns; null-fill them exactly like a
+            // whole-table mergeSchema read would
+            .unionByName(replacement, allowMissingColumns = evolved)
+        if (tryRewriteClaim(spark, path, v,
+            all.filterNot(touched.toSet), kept)) return v + 1
+      } catch {
+        case _: IllegalStateException =>
+          reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
+      }
+    }
+    -1 // unreachable
   }
 
-  /** Manifests store fully-qualified URIs; `input_file_name` may
-    * render the scheme differently (`file:/` vs `file:///`) — compare
-    * on scheme-stripped suffixes. */
-  private def normPath(p: String): String =
-    p.replaceFirst("^[a-z]+:(//)?", "")
+  /** Manifest entries are raw `FileStatus.getPath.toString` URIs;
+    * `input_file_name()` returns the URL-ENCODED URI of the same file
+    * (Spark renders scan paths through SparkPath), and schemes render
+    * differently (`file:/` vs `file:///`). Canonicalize both to a
+    * DECODED absolute path: parse as URI (which decodes %XX) when
+    * possible, else strip the scheme — a raw path whose special
+    * characters make it URI-unparseable (a space) lands in the same
+    * decoded form from both sides. Residual ambiguity: a raw
+    * directory name that itself looks like a valid escape (literal
+    * "%20") normalizes like its decoded twin — don't name tables
+    * that way. */
+  private def normPath(p: String): String = {
+    def stripped = p.replaceFirst("^[a-z]+:(//)?", "")
+    try {
+      val u = new java.net.URI(p)
+      if (u.getPath != null && u.getPath.nonEmpty) u.getPath
+      else stripped
+    } catch {
+      case _: java.net.URISyntaxException => stripped
+    }
+  }
+
+  /** Files of `all` containing at least one row matching `k` under
+    * `cond` — the shared discovery scan of the file-granular write
+    * path (`candidates` lets a sidecar pre-prune what gets read). */
+  private def touchedFiles(spark: SparkSession, path: String,
+      candidates: Seq[String], all: Seq[String], k: DataFrame,
+      cond: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.functions.input_file_name
+    if (candidates.isEmpty) return Seq.empty
+    val touchedNorm = readFileSubset(spark, path, candidates)
+      .withColumn("__file", input_file_name())
+      .join(k, cond, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => normPath(r.getString(0))).toSet
+    all.filter(p => touchedNorm.contains(normPath(p)))
+  }
 
   /** Sidecar-pruned candidate files for a key-set delete: when a
     * Bloom sidecar exists for the version and the delete key is a
@@ -453,22 +533,45 @@ object VersionedTable {
       spark.read.option("mergeSchema", "true").parquet(subset: _*)
     else spark.read.parquet(subset: _*)
 
-  /** Publish the file-granular rewrite: write `rewritten` as a fresh
-    * commit dir, then publish a manifest naming the untouched files
-    * (by reference, zero bytes copied) plus the new ones. */
-  private def commitRewrite(spark: SparkSession, path: String,
-      all: Seq[String], touched: Seq[String], rewritten: DataFrame)
-      : Int = {
-    val touchedSet = touched.toSet
-    val untouched = all.filterNot(touchedSet)
+  /** Claim EXACTLY version `vPrev + 1` with `manifestFiles`. True =
+    * published and ownership-verified; false = lost the version race
+    * (or a stalled claim was reclaimed beneath us) — the caller must
+    * recompute against the new snapshot, never blind-retry a stale
+    * file list. */
+  private def claimExactNext(spark: SparkSession, path: String,
+      vPrev: Int, manifestFiles: Seq[String]): Boolean = {
+    val f = fs(spark, path)
+    val written = (manifestFiles :+ Terminator).toList
+    val target = manifestPath(path, vPrev + 1)
+    f.mkdirs(new Path(manifestDir(path)))
+    try {
+      val out = atomicClaim(f, target)
+      try out.write(written.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      verifyOwnPublish(spark, f, target, written)
+      true
+    } catch {
+      case _: java.io.IOException => false
+      case _: java.util.ConcurrentModificationException => false
+    }
+  }
+
+  /** One attempt of the file-granular rewrite: write `rewritten` as a
+    * fresh commit dir and claim exactly the next version naming the
+    * carried files (by reference, zero bytes copied) plus the new
+    * ones; on a lost race the commit dir is removed and false
+    * returned for the caller's recompute loop. */
+  private def tryRewriteClaim(spark: SparkSession, path: String,
+      vPrev: Int, carried: Seq[String], rewritten: DataFrame)
+      : Boolean = {
     val f = fs(spark, path)
     val commitDir = s"$path/data/${java.util.UUID.randomUUID()}"
     rewritten.write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
     val newFiles = f.listStatus(new Path(commitDir))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .map(_.getPath.toString).toSeq
-    publishFiles(spark, path, untouched ++ newFiles,
-      carryPrevious = false)
+    if (claimExactNext(spark, path, vPrev, carried ++ newFiles)) true
+    else { f.delete(new Path(commitDir), true); false }
   }
 
   /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE`
@@ -720,7 +823,6 @@ object VersionedTable {
   def commitMerge(df: DataFrame, path: String,
       keyCols: Seq[String]): Int = {
     val spark = df.sparkSession
-    val f = fs(spark, path)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -745,57 +847,41 @@ object VersionedTable {
         val (merged, untouched) =
           if (all.isEmpty) (df, Seq.empty[String])
           else {
-            import org.apache.spark.sql.functions.input_file_name
-            val k = df.select(keyCols.map(col(_)): _*).distinct()
-            val touchedNorm = readFileSubset(spark, path, all)
-              .withColumn("__file", input_file_name())
-              .join(k, keyCols, "left_semi")
-              .select(col("__file")).distinct()
-              .collect().map(r => normPath(r.getString(0))).toSet
-            val touched =
-              all.filter(p => touchedNorm.contains(normPath(p)))
+            val k = df
+              .select(keyCols.map(c => col(c).as(s"__k_$c")): _*)
+              .distinct()
+            // MERGE's historical key match is null-UNSAFE (a NULL key
+            // never collides) — plain equality, unlike delete's <=>
+            val cond = keyCols.map(c => col(c) === col(s"__k_$c"))
+              .reduce(_ && _)
+            val touched = touchedFiles(spark, path, all, all, k, cond)
             val rewritten =
               if (touched.isEmpty) df
               else readFileSubset(spark, path, touched)
-                .join(k, keyCols, "left_anti")
-                .unionByName(df)
+                .join(k, cond, "left_anti")
+                // a touched subset predating a schema evolution lacks
+                // the added columns; null-fill exactly like a
+                // whole-table mergeSchema read would
+                .unionByName(df, allowMissingColumns =
+                  fs(spark, path).exists(evolvedMarker(path)))
             (rewritten, all.filterNot(touched.toSet))
           }
-        val commitDir = s"$path/data/${java.util.UUID.randomUUID()}"
-        merged.write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
-        val newFiles = f.listStatus(new Path(commitDir))
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-          .map(_.getPath.toString).toSeq
-        val written = (untouched ++ newFiles :+ Terminator).toList
-        val target = manifestPath(path, vPrev + 1)
-        f.mkdirs(new Path(manifestDir(path)))
-        try {
-          val out = atomicClaim(f, target)
-          try out.write(written.mkString("", "\n", "\n")
-            .getBytes("UTF-8"))
-          finally out.close()
-          verifyOwnPublish(spark, f, target, written)
+        if (tryRewriteClaim(spark, path, vPrev, untouched, merged))
           return vPrev + 1
-        } catch {
-          case _: java.io.IOException =>
-            // lost the version to a concurrent commit: the snapshot we
-            // merged against is stale — drop the rewrite, recompute
-            f.delete(new Path(commitDir), true)
-          case _: java.util.ConcurrentModificationException =>
-            // our claim was reclaimed as stalled and the version
-            // reused: NOT retriable blindly, but a merge RECOMPUTE
-            // from the new latest is exactly the safe response
-            f.delete(new Path(commitDir), true)
-        }
+        // lost the version to a concurrent commit (or our claim was
+        // reclaimed as stalled): the snapshot we merged against is
+        // stale — recompute against the winner
       } catch {
         // IllegalStateException: vPrev is an abandoned half-publish
         // (poll timed out). IllegalArgumentException: vPrev's manifest
         // vanished under us (a concurrent reclaimer renamed it aside,
         // or an empty version) — both mean "re-read latest and retry"
         case _: IllegalStateException =>
-          reclaimIfStale(spark, f, manifestPath(path, vPrev))
+          reclaimIfStale(spark, fs(spark, path),
+            manifestPath(path, vPrev))
         case _: IllegalArgumentException =>
-          reclaimIfStale(spark, f, manifestPath(path, vPrev))
+          reclaimIfStale(spark, fs(spark, path),
+            manifestPath(path, vPrev))
       }
     }
     -1 // unreachable

@@ -344,9 +344,9 @@ object IncrementalAgg {
     withP.drop("hll", "qsk")
   }
 
-  /** The maintained aggregate, without the bookkeeping column. */
+  /** The maintained aggregate, without the bookkeeping columns. */
   def read(spark: SparkSession, aggPath: String): DataFrame =
-    VersionedTable.read(spark, aggPath).drop(BaseVCol)
+    VersionedTable.read(spark, aggPath).drop(BaseVCol, DimVCol)
 
   /** Streaming materialized view: a `foreachBatch` sink that appends
     * each micro-batch to the base table (the [[VersionedTable

@@ -634,6 +634,97 @@ class VersionedTableSpec extends SparkTestBase {
       beforeNoop.toSet)
   }
 
+  test("file-granular ops survive URL-encoded special chars in paths") {
+    // input_file_name() returns URL-ENCODED URIs while manifests hold
+    // raw FileStatus strings: without decode-normalization the
+    // discovery never matches on a path with a space and the delete
+    // silently no-ops (metadata-only commit) — the worst possible
+    // failure for a privacy takedown
+    val path = Files.createTempDirectory("enc dir").toString +
+      "/my table"
+    VersionedTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), path)
+    VersionedTable.commitDelete(spark, path,
+      Seq(1L).toDF("id"), Seq("id"))
+    assert(VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().toSeq === Seq(2L),
+      "delete silently no-opped on a special-char path")
+    VersionedTable.commitMerge(
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), path, Seq("id"))
+    assert(VersionedTable.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((2L, "B2"), (3L, "c")),
+      "merge left duplicate keys on a special-char path")
+    VersionedTable.commitReplaceWhere(spark, path,
+      Seq((3L, "C3")).toDF("id", "v"), col("id") === 3L)
+    assert(VersionedTable.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((2L, "B2"), (3L, "C3")),
+      "replace kept the old window rows on a special-char path")
+  }
+
+  test("commitDelete racing a concurrent append loses neither") {
+    // the OCC contract: whichever writer loses the version race
+    // recomputes against the winner — a blind retry with a stale file
+    // list would silently drop the concurrent commit
+    val path = tbl()
+    VersionedTable.commitAppend(
+      spark.range(0, 10).toDF("id").coalesce(1), path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future { VersionedTable.commitAppend(
+        Seq(100L).toDF("id"), path) },
+      Future { VersionedTable.commitDelete(spark, path,
+        Seq(5L).toDF("id"), Seq("id")) })), 2.minutes)
+    // run the delete once more: if the append landed AFTER the
+    // delete's snapshot, 5 is back out; either way 100 must survive
+    VersionedTable.commitDelete(spark, path,
+      Seq(5L).toDF("id"), Seq("id"))
+    val ids = VersionedTable.read(spark, path)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids.contains(100L), "concurrent append was dropped")
+    assert(!ids.contains(5L))
+    assert(ids.size === 10, s"unexpected row set: $ids")
+  }
+
+  test("file-granular merge/replace null-fill across schema evolution") {
+    val path = tbl()
+    VersionedTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), path)
+    // evolve: add c2 in a later file; the old file lacks it
+    VersionedTable.commitAppendEvolve(
+      Seq((3L, "c", 30L)).toDF("id", "v", "c2").coalesce(1), path)
+    // merge collides ONLY with the pre-evolution file: the touched
+    // subset has no c2, the batch does — must null-fill, not crash
+    VersionedTable.commitMerge(
+      Seq((1L, "A2", 10L)).toDF("id", "v", "c2"), path, Seq("id"))
+    val rows = VersionedTable.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getAs[java.lang.Long]("c2")).map(_.toLong))).toSet
+    assert(rows === Set((1L, "A2", Some(10L)), (2L, "b", None),
+      (3L, "c", Some(30L))))
+    // same for REPLACE WHERE into the pre-evolution window
+    VersionedTable.commitReplaceWhere(spark, path,
+      Seq((2L, "B2", 20L)).toDF("id", "v", "c2"), col("id") === 2L)
+    assert(VersionedTable.read(spark, path).filter(col("id") === 2L)
+      .select("c2").as[Long].collect().toSeq === Seq(20L))
+  }
+
+  test("commitReplaceWhere onto an empty snapshot is a pure insert") {
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    VersionedTable.commitOverwrite(
+      Seq.empty[(Long, String)].toDF("id", "v").limit(0), path)
+    val v = VersionedTable.commitReplaceWhere(spark, path,
+      Seq((7L, "w")).toDF("id", "v"), col("id") === 7L)
+    assert(v === 3)
+    assert(VersionedTable.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((7L, "w")))
+  }
+
   test("vacuum reclaims superseded files inside a partly-retained dir") {
     val path = tbl()
     // ONE commit dir holding TWO data files; a file-granular delete
