@@ -89,7 +89,9 @@ object IncrementalAgg {
       mergeDelta: (DataFrame, DataFrame) => DataFrame,
       validate: DataFrame => Unit,
       schemaOk: Seq[String] => Boolean,
-      stateOk: DataFrame => Boolean = _ => true): MaintainResult = {
+      stateAggs: Seq[org.apache.spark.sql.Column] = Nil,
+      stateOk: org.apache.spark.sql.Row => Boolean = _ => true)
+      : MaintainResult = {
     val vBase = VersionedTable.latestVersion(spark, basePath)
     require(vBase > 0, s"$basePath has no committed version to aggregate")
     val baseFiles = VersionedTable.files(spark, basePath, Some(vBase))
@@ -129,12 +131,18 @@ object IncrementalAgg {
     // a state-shape change mid-life (minMax toggled, sum vs sketch
     // flavor switched) is a schema change, not a delta: recompute
     if (!schemaOk(current.columns.toSeq)) return fullCompute("full")
-    // ... and so is a state-PARAMETER change the columns can't show
-    // (e.g. the sketch epsilon): merging mixed-parameter partials
-    // would report an envelope matching neither request
-    if (!stateOk(current)) return fullCompute("full")
-    val reflected = current.select(max(col(BaseVCol))).collect()
-      .headOption.flatMap(r => Option(r.get(0)))
+    // ONE metadata job reads the reflected base version and any
+    // flavor-specific state parameters (sketch epsilon, dim version)
+    // together — a second collect per maintain measurably taxes
+    // high-frequency streaming maintenance
+    val head = current
+      .select((max(col(BaseVCol)) +: stateAggs): _*).collect().head
+    // a state-PARAMETER change the columns can't show (the sketch
+    // epsilon, the joined dim version) is a schema change too:
+    // merging mixed-parameter partials would report an envelope
+    // matching neither request
+    if (!stateOk(head)) return fullCompute("full")
+    val reflected = Option(head.get(0))
       .map(_.toString.toInt).getOrElse(0)
     if (reflected == vBase)
       return MaintainResult(vAgg, "noop", 0)
@@ -267,9 +275,8 @@ object IncrementalAgg {
           .withColumn(DimVCol, lit(vDim)),
       validate = df => requireIntegral(df, valueCol),
       schemaOk = cols => cols.contains(DimVCol) && !cols.contains("hll"),
-      stateOk = current => current.select(max(col(DimVCol))).collect()
-        .headOption.flatMap(r => Option(r.get(0)))
-        .forall(_.toString.toInt == vDim))
+      stateAggs = Seq(max(col(DimVCol))),
+      stateOk = row => Option(row.get(1)).forall(_.toString.toInt == vDim))
   }
 
   /** Sketch-backed maintained view — distinct counts and percentiles
@@ -317,9 +324,8 @@ object IncrementalAgg {
       validate = _ => (),
       schemaOk = cols => cols.contains("hll") && cols.contains("qsk") &&
         cols.contains(EpsCol),
-      stateOk = current => current.select(max(col(EpsCol))).collect()
-        .headOption.flatMap(r => Option(r.get(0)))
-        .forall(_ == relativeError))
+      stateAggs = Seq(max(col(EpsCol))),
+      stateOk = row => Option(row.get(1)).forall(_ == relativeError))
   }
 
   /** The sketch view resolved to numbers: approximate distinct count
