@@ -3518,6 +3518,25 @@ object Oracles {
         |WHERE CAST(inter AS DOUBLE) / (la.len + lb.len - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // compression-ratio quality gate, fixture-oracled the q103-q105
+    // way: DuckDB has no zlib, so the per-doc ratios come from q171's
+    // Spark dump and the oracle replays the whole downstream gate —
+    // threshold filter + per-source rollup — in SQL. A wrong join,
+    // threshold, or rollup breaks the hash; the codec itself stays
+    // under DeflateRatioSpec's roundtrip law
+    "q187_compress_gate" ->
+      """WITH r AS (
+        |  SELECT doc_id, ratio FROM
+        |    read_parquet('__VERIFY_OUT__/q171_compress_ratio/*.parquet'))
+        |SELECT d.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN r.ratio < 0.42 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_repetitive,
+        |  CAST(sum(CAST(round(r.ratio * 10000) AS BIGINT))
+        |    AS BIGINT) AS sum_ratio_e4
+        |FROM documents d JOIN r ON d.doc_id = r.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     // rebuild the fixture pages line-for-line, replay the keep rule,
     // and compare the exact cleaned text by md5
     "q172_boilerplate" ->

@@ -1930,6 +1930,31 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "q187_compress_gate" -> ((s, d) => {
+      // the q171 codec's DOWNSTREAM curation gate, fixture-oracled
+      // the q103-q105 way: DuckDB has no zlib, so the oracle reads
+      // q171's Spark-dumped ratios (__VERIFY_OUT__ fixture) and
+      // replays the whole gate — per-source keep/drop rollup — in
+      // SQL. Only the deflate byte count itself stays under
+      // DeflateRatioSpec's lossless-roundtrip law; everything the
+      // ratio DECIDES is now hash-checked. One narrow scan + one
+      // source-keyed agg, no extra shuffle
+      val dl = graft.functions.Deflate
+      t(s, d, "documents")
+        .select(col("source"),
+          dround(dl.ratio(col("text")), 4).as("ratio"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ratio") < 0.42, 1L).otherwise(0L))
+            .as("n_repetitive"),
+          // fixed-point: the 4-decimal ratio ×10⁴ is integral, so the
+          // distributed sum is exact and order-free (the q108 lesson —
+          // a double sum's 4th decimal is partition-order-dependent)
+          sum(round(col("ratio") * 10000, 0).cast("long"))
+            .as("sum_ratio_e4"))
+        .orderBy(col("source"))
+    }),
+
     // ---- line-level boilerplate removal -------------------------------
     "q172_boilerplate" -> ((s, d) => {
       // jusText-lite over closed-form fixture pages (corpus docs are

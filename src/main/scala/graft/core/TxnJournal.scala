@@ -62,9 +62,23 @@ object TxnJournal {
     val done = new org.apache.hadoop.fs.Path(s"$root/_txn/$tag.done")
     val intent = new org.apache.hadoop.fs.Path(s"$root/_txn/$tag")
     val segs = subs.map(TxnJournal.seg)
-    require(segs.distinct.size == segs.size,
-      s"sub-table last path segments must be unique within a journal " +
-        s"root (they name the pins): $segs")
+    // segment uniqueness + whitespace-freedom are NAMED-format
+    // invariants (segments key the pins and the format is
+    // space-delimited). They are enforced where the named format is
+    // in play — writing a new intent, or replaying a named one — but
+    // deliberately NOT before the LEGACY replay branch: a pre-upgrade
+    // positional intent is valid even when its sub-tables share a
+    // last segment (e.g. a/events and b/events), and refusing to
+    // replay it would leave the crashed batch unrecoverable.
+    def requireNamedSegs(): Unit = {
+      require(segs.distinct.size == segs.size,
+        s"sub-table last path segments must be unique within a " +
+          s"journal root (they name the pins): $segs")
+      val spacey = segs.filter(_.exists(_.isWhitespace))
+      require(spacey.isEmpty,
+        s"sub-table last path segments must not contain whitespace " +
+          s"(the intent format is space-delimited): $spacey")
+    }
     if (f.exists(done)) return false
     if (f.exists(intent)) {
       // crashed mid-update: restore pinned pre-batch snapshots
@@ -75,8 +89,13 @@ object TxnJournal {
         // named intent: restore each pinned NAME; a pinned name the
         // caller no longer passes is corruption (wrong journal or a
         // shrunk list) — fail with the remediation, never guess
+        requireNamedSegs()
         val pinned = line.split(" ").map { e =>
           val i = e.lastIndexOf(':')
+          require(i >= 0,
+            s"txn journal $intent entry '$e' has no ':' — a corrupt " +
+              s"named intent; resolve the crashed batch manually " +
+              s"(restore each pinned version, then delete $intent)")
           (e.substring(0, i), e.substring(i + 1).toInt)
         }.toSeq
         val bySeg = segs.zip(subs).toMap
@@ -112,6 +131,7 @@ object TxnJournal {
         }
       }
     } else {
+      requireNamedSegs()
       val entries = subs.map(s =>
         s"${TxnJournal.seg(s)}:${VersionedTable.latestVersion(spark, s)}")
       f.mkdirs(txnDir)

@@ -374,9 +374,14 @@ object VersionedTable {
               all.filterNot(touched.toSet), rewritten)) return v + 1
         }
       } catch {
-        // abandoned half-publish at v (poll timed out) or its
-        // manifest vanished under us: reclaim if stale, retry beneath
+        // IllegalStateException: abandoned half-publish at v (poll
+        // timed out). IllegalArgumentException: v's manifest vanished
+        // under us (a concurrent reclaimer renamed it aside between
+        // our latestVersion and files reads) — both mean "reclaim if
+        // stale, re-read latest, recompute discovery beneath"
         case _: IllegalStateException =>
+          reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
+        case _: IllegalArgumentException =>
           reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
       }
     }
@@ -412,47 +417,59 @@ object VersionedTable {
     // FALSE rows are kept, and a replacement row with a NULL predicate
     // is as out-of-window as a FALSE one
     val matches = coalesce(predicate, lit(false))
-    // NOTE: this validation evaluates `replacement` once and the
-    // write below evaluates it again — pre-materialize an expensive
-    // replacement feed (graft.core.Scratch) before calling
-    require(replacement.filter(not(matches)).isEmpty,
-      "every replacement row must satisfy the REPLACE WHERE predicate")
-    // optimistic concurrency (the commitMerge discipline): a lost
-    // version race recomputes discovery against the winner's snapshot
-    var attempts = 0
-    while (true) {
-      attempts += 1
-      require(attempts <= 20,
-        s"gave up replacing into $path after 20 version races")
-      val v = latestVersion(spark, path)
-      try {
-        val all = files(spark, path, Some(v))
-        val touched =
-          if (all.isEmpty) Seq.empty[String]
-          else {
-            val touchedNorm = readFileSubset(spark, path, all)
-              .withColumn("__file", input_file_name())
-              .filter(matches)
-              .select(col("__file")).distinct()
-              .collect().map(r => normPath(r.getString(0))).toSet
-            all.filter(p => touchedNorm.contains(normPath(p)))
-          }
-        val kept =
-          if (touched.isEmpty) replacement // pure insert into window
-          else readFileSubset(spark, path, touched)
-            .filter(not(matches))
-            // a touched subset that predates a schema evolution lacks
-            // the added columns; null-fill them exactly like a
-            // whole-table mergeSchema read would
-            .unionByName(replacement, allowMissingColumns = evolved)
-        if (tryRewriteClaim(spark, path, v,
-            all.filterNot(touched.toSet), kept)) return v + 1
-      } catch {
-        case _: IllegalStateException =>
-          reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
+    // materialize the replacement ONCE: the every-row-in-window
+    // validation and the write (and any OCC retry) all read one
+    // parquet scratch instead of re-evaluating an arbitrary caller
+    // plan — a derived feed (a join, a model scorer) pays its cost
+    // exactly once. Dropped on every exit path; the committed
+    // version's own data files are written by the claim below, so
+    // nothing durable references the scratch.
+    val (repl, scratch) =
+      Scratch.materializeWithPath(replacement, "replace_where")
+    try {
+      require(repl.filter(not(matches)).isEmpty,
+        "every replacement row must satisfy the REPLACE WHERE predicate")
+      // optimistic concurrency (the commitMerge discipline): a lost
+      // version race recomputes discovery against the winner's snapshot
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        require(attempts <= 20,
+          s"gave up replacing into $path after 20 version races")
+        val v = latestVersion(spark, path)
+        try {
+          val all = files(spark, path, Some(v))
+          val touched =
+            if (all.isEmpty) Seq.empty[String]
+            else {
+              val touchedNorm = readFileSubset(spark, path, all)
+                .withColumn("__file", input_file_name())
+                .filter(matches)
+                .select(col("__file")).distinct()
+                .collect().map(r => normPath(r.getString(0))).toSet
+              all.filter(p => touchedNorm.contains(normPath(p)))
+            }
+          val kept =
+            if (touched.isEmpty) repl // pure insert into window
+            else readFileSubset(spark, path, touched)
+              .filter(not(matches))
+              // a touched subset that predates a schema evolution lacks
+              // the added columns; null-fill them exactly like a
+              // whole-table mergeSchema read would
+              .unionByName(repl, allowMissingColumns = evolved)
+          if (tryRewriteClaim(spark, path, v,
+              all.filterNot(touched.toSet), kept)) return v + 1
+        } catch {
+          // same pair as commitDelete: half-publish at v, or v's
+          // manifest reclaimed out from under us — retry beneath
+          case _: IllegalStateException =>
+            reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
+          case _: IllegalArgumentException =>
+            reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
+        }
       }
-    }
-    -1 // unreachable
+      -1 // unreachable
+    } finally Scratch.drop(spark, scratch)
   }
 
   /** Manifest entries are raw `FileStatus.getPath.toString` URIs;
@@ -673,6 +690,10 @@ object VersionedTable {
         // version number is wedged forever — then retry on the state
         // beneath it.
         case _: IllegalStateException =>
+          reclaimIfStale(spark, f, manifestPath(path, vPrev))
+        // vPrev's manifest vanished between latestVersion and files —
+        // a concurrent reclaimer renamed it aside: re-read and retry
+        case _: IllegalArgumentException =>
           reclaimIfStale(spark, f, manifestPath(path, vPrev))
       }
     }

@@ -59,7 +59,11 @@ object HybridServe {
       if (line.contains(":")) {
         val byName = line.split(" ").flatMap { e =>
           val i = e.lastIndexOf(':')
-          e.substring(i + 1).toIntOption.map(v =>
+          // an entry without ':' in a named-format line is corrupt —
+          // skip it here (serving must stay available; TxnJournal
+          // replay is where corruption fails loudly)
+          if (i < 0) None
+          else e.substring(i + 1).toIntOption.map(v =>
             e.substring(0, i) -> v)
         }.toMap
         acc.zip(segs).map { case (l, s) =>

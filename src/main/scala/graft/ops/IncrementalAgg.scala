@@ -376,4 +376,51 @@ object IncrementalAgg {
       ()
     }
   }
+
+  /** Streaming enrichment rollup: [[foreachBatchMaintain]]'s sink
+    * shape over [[maintainJoined]] — each micro-batch of FACT rows
+    * appends to the base exactly once (marker protocol), then the
+    * join-aggregate view refreshes against the CURRENT dim version.
+    * The same idempotence argument carries verbatim: a replayed batch
+    * finds its marker (no second append) and maintainJoined no-ops at
+    * the unchanged (base, dim) version pair; a crash between append
+    * and maintain leaves the view one version behind until the next
+    * batch's multi-version delta catch-up. The one new case is a DIM
+    * commit between batches: the pinned `__dim_version` mismatch makes
+    * the next maintain an honest full recompute (stream-static
+    * enrichment's correctness rule — reference
+    * 07_kafka notebook's static-side refresh), after which delta
+    * maintenance resumes against the new pin. */
+  def foreachBatchMaintainJoined(basePath: String, dimPath: String,
+      aggPath: String, joinKey: String, keys: Seq[String],
+      valueCol: String): (DataFrame, Long) => Unit = {
+    val append = VersionedTable.foreachBatchAppend(basePath)
+    (batch, batchId) => {
+      append(batch, batchId)
+      maintainJoined(batch.sparkSession, basePath, dimPath, aggPath,
+        joinKey, keys, valueCol)
+      ()
+    }
+  }
+
+  /** Streaming sketch view: the same sink shape over
+    * [[maintainSketch]] — per micro-batch, exactly-once fact append
+    * then a delta-files-only refresh of the HLL + GK sketch state.
+    * Identical crash/replay argument to [[foreachBatchMaintain]]
+    * (marker protocol + per-version no-op); sketch merge algebra is
+    * what makes the per-batch refresh cheap — distinct counts and
+    * percentiles update from the batch's files without revisiting
+    * the value multiset. An epsilon change mid-stream recomputes
+    * (the pinned-state check), never merges mixed-epsilon partials. */
+  def foreachBatchMaintainSketch(basePath: String, aggPath: String,
+      keys: Seq[String], distinctCol: String, valueCol: String,
+      relativeError: Double = 0.01): (DataFrame, Long) => Unit = {
+    val append = VersionedTable.foreachBatchAppend(basePath)
+    (batch, batchId) => {
+      append(batch, batchId)
+      maintainSketch(batch.sparkSession, basePath, aggPath, keys,
+        distinctCol, valueCol, relativeError)
+      ()
+    }
+  }
 }

@@ -110,7 +110,18 @@ object Takedown {
     * `graceMs = 0` is only safe when no writer is concurrent (the
     * vacuum contract); pass the default grace when streams may be
     * mid-commit. This is SCHEDULED maintenance batching many forgets
-    * (cost ∝ table, like compaction) — never the per-takedown path. */
+    * (cost ∝ table, like compaction) — never the per-takedown path.
+    *
+    * HISTORY CONTRACT: erase vacuums every participating surface to
+    * `retainLast = 1`, which destroys ALL pre-erase time travel on
+    * those tables — including versions that never contained the
+    * forgotten ids. That is deliberate: distinguishing id-bearing
+    * versions would itself require scanning the history about to be
+    * destroyed, and any retained version older than the forget COULD
+    * reference a file carrying the ids (manifests share files across
+    * versions), so the only byte-level-safe retention is "the live
+    * version". Snapshot anything you need for debugging (cloneFrom)
+    * BEFORE scheduled erasure runs. */
   def erase(spark: SparkSession, opId: Long,
       basePath: Option[String] = None,
       bm25Path: Option[String] = None,

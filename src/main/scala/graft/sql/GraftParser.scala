@@ -29,6 +29,8 @@ import graft.core.VersionedTable
   *   [BASE '<t>'] [BM25 '<t>'] [IVF '<t>']
   * ERASE OP <n> [BASE '<t>'] [BM25 '<t>'] [IVF '<t>'] [FORCE]
   * REPLACE '<table>' WHERE <predicate> FROM '<src>'
+  * REFRESH VIEW '<agg>' FROM '<base>' [JOIN '<dim>' ON <key>]
+  *   GROUP BY c1, c2, ... VALUE <col> [MINMAX]
   * }}}
   *
   * Tables are [[VersionedTable]] paths as single-quoted string
@@ -90,8 +92,17 @@ object GraftSqlParser {
   private val EraseRe = pat(
     """ERASE\s+OP\s+(\d+)(?:\s+BASE\s+'([^']+)')?""" +
       """(?:\s+BM25\s+'([^']+)')?(?:\s+IVF\s+'([^']+)')?(\s+FORCE)?""")
+  // GREEDY predicate: the source clause binds to the LAST " FROM '…'"
+  // before end-of-statement, so a predicate containing the token
+  // sequence inside a string literal (WHERE src = 'x FROM y') can't
+  // steal the source path — pat()'s \z anchor makes the final
+  // quoted group the trailing clause.
   private val ReplaceRe = pat(
-    """REPLACE\s+'([^']+)'\s+WHERE\s+(.+?)\s+FROM\s+'([^']+)'""")
+    """REPLACE\s+'([^']+)'\s+WHERE\s+(.+)\s+FROM\s+'([^']+)'""")
+  private val RefreshRe = pat(
+    """REFRESH\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """(?:\s+JOIN\s+'([^']+)'\s+ON\s+(\w+))?""" +
+      """\s+GROUP\s+BY\s+([\w\s,]+?)\s+VALUE\s+(\w+)(\s+MINMAX)?""")
 
   private def opt(s: String): Option[String] = Option(s)
 
@@ -132,6 +143,12 @@ object GraftSqlParser {
     if (rp.matches())
       return Some(ReplaceWhereCommand(rp.group(1), rp.group(2),
         rp.group(3)))
+    val rv = RefreshRe.matcher(sql)
+    if (rv.matches())
+      return Some(RefreshViewCommand(rv.group(1), rv.group(2),
+        for { d <- opt(rv.group(3)); k <- opt(rv.group(4)) } yield (d, k),
+        rv.group(5).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        rv.group(6), rv.group(7) != null))
     None
   }
 
@@ -248,6 +265,38 @@ case class ReplaceWhereCommand(path: String, predicateSql: String,
     val v = VersionedTable.commitReplaceWhere(spark, path,
       replacement, org.apache.spark.sql.functions.expr(predicateSql))
     Seq(Row(path, v))
+  }
+}
+
+/** Materialized-view maintenance from SQL: `REFRESH VIEW '<agg>'
+  * FROM '<base>' [JOIN '<dim>' ON <key>] GROUP BY keys VALUE <col>
+  * [MINMAX]` creates-or-refreshes the incrementally maintained
+  * (join-)aggregate at `<agg>` ([[graft.ops.IncrementalAgg.maintain]]
+  * / [[graft.ops.IncrementalAgg.maintainJoined]] semantics: append-
+  * only base advances scan delta files only; rewrites and dim commits
+  * recompute honestly). Returns which path ran, so operators can see
+  * delta vs full from the SQL shell. */
+case class RefreshViewCommand(aggPath: String, basePath: String,
+    dim: Option[(String, String)], keys: Seq[String], valueCol: String,
+    minMax: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("agg_path", StringType),
+    GraftSqlParser.attr("mode", StringType),
+    GraftSqlParser.attr("version", IntegerType),
+    GraftSqlParser.attr("files_scanned", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = dim match {
+      case Some((dimPath, joinKey)) =>
+        require(!minMax,
+          "MINMAX is not supported on JOIN views (maintainJoined " +
+            "tracks n_rows/sum_val only)")
+        graft.ops.IncrementalAgg.maintainJoined(spark, basePath,
+          dimPath, aggPath, joinKey, keys, valueCol)
+      case None =>
+        graft.ops.IncrementalAgg.maintain(spark, basePath, aggPath,
+          keys, valueCol, minMax)
+    }
+    Seq(Row(aggPath, r.mode, r.aggVersion, r.filesScanned))
   }
 }
 

@@ -222,4 +222,81 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       }
     } finally spark2.stop()
   }
+
+  test("REPLACE predicate containing a ' FROM ' literal parses intact") {
+    // parser-level pin for the GREEDY source clause: the regex must
+    // bind the LAST " FROM '…'" before end-of-statement, so a
+    // predicate string literal containing the token sequence cannot
+    // steal the source path (and run REPLACE against the wrong window)
+    val plan = graft.sql.GraftSqlParser.maintenancePlan(
+      "REPLACE '/tmp/t' WHERE src = 'x FROM y' FROM '/tmp/src'")
+    val cmd = plan.get.asInstanceOf[graft.sql.ReplaceWhereCommand]
+    assert(cmd.path === "/tmp/t")
+    assert(cmd.predicateSql === "src = 'x FROM y'")
+    assert(cmd.srcPath === "/tmp/src")
+    // trailing semicolon + whitespace still anchor correctly
+    val plan2 = graft.sql.GraftSqlParser.maintenancePlan(
+      "REPLACE '/tmp/t' WHERE day = 7 FROM '/tmp/s' ; ")
+    assert(plan2.get.asInstanceOf[graft.sql.ReplaceWhereCommand]
+      .srcPath === "/tmp/s")
+  }
+
+  test("REFRESH VIEW maintains (join-)aggregate views from SQL") {
+    val spark2 = sessionWithExtensions
+    try {
+      import graft.core.VersionedTable
+      import spark2.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("sqlrefresh").toString
+      val (base, agg) = (s"$root/base", s"$root/agg")
+      VersionedTable.commitAppend(
+        Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("k", "g", "v"), base)
+      val r1 = spark2.sql(
+        s"REFRESH VIEW '$agg' FROM '$base' GROUP BY g VALUE v")
+        .collect().head
+      assert(r1.getString(1) === "init")
+      // an append advances by DELTA, visible from the SQL shell
+      VersionedTable.commitAppend(
+        Seq((3L, "x", 5L)).toDF("k", "g", "v"), base)
+      val r2 = spark2.sql(
+        s"REFRESH VIEW '$agg' FROM '$base' GROUP BY g VALUE v")
+        .collect().head
+      assert(r2.getString(1) === "incremental" && r2.getInt(3) >= 1)
+      val rows = graft.ops.IncrementalAgg.read(spark2, agg)
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("sum_val")))
+      assert(rows.toSeq === Seq(("x", 2L, 15L), ("y", 1L, 20L)))
+      // MINMAX flavor
+      val aggM = s"$root/aggm"
+      spark2.sql(
+        s"REFRESH VIEW '$aggM' FROM '$base' GROUP BY g VALUE v MINMAX")
+      val mm = graft.ops.IncrementalAgg.read(spark2, aggM)
+      assert(mm.columns.contains("min_val") &&
+        mm.columns.contains("max_val"))
+      // JOIN view: enrichment rollup by a dim attribute
+      val (dim, aggJ) = (s"$root/dim", s"$root/aggj")
+      VersionedTable.commitAppend(
+        Seq(("x", 100L), ("y", 200L)).toDF("g", "region"), dim)
+      val rj = spark2.sql(s"REFRESH VIEW '$aggJ' FROM '$base' " +
+        s"JOIN '$dim' ON g GROUP BY region VALUE v").collect().head
+      assert(rj.getString(1) === "init")
+      val jr = graft.ops.IncrementalAgg.read(spark2, aggJ)
+        .orderBy("region").collect()
+        .map(r => (r.getAs[Long]("region"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("sum_val")))
+      assert(jr.toSeq === Seq((100L, 2L, 15L), (200L, 1L, 20L)))
+      // unchanged base+dim: the SQL verb reports the no-op honestly
+      assert(spark2.sql(s"REFRESH VIEW '$aggJ' FROM '$base' " +
+        s"JOIN '$dim' ON g GROUP BY region VALUE v").collect().head
+        .getString(1) === "noop")
+      // MINMAX on a JOIN view is refused loudly (state shape has no
+      // extrema), not silently dropped
+      val e = intercept[Exception] {
+        spark2.sql(s"REFRESH VIEW '$aggJ' FROM '$base' " +
+          s"JOIN '$dim' ON g GROUP BY region VALUE v MINMAX").collect()
+      }
+      assert(e.getMessage.contains("MINMAX"))
+    } finally spark2.stop()
+  }
 }

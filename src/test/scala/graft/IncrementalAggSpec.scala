@@ -329,6 +329,26 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(r2.mode == "full")
   }
 
+  test("streaming sketch view: micro-batches merge, replay no-ops") {
+    val root = tmp()
+    val (base, agg) = (s"$root/base", s"$root/agg")
+    val sink = IncrementalAgg.foreachBatchMaintainSketch(
+      base, agg, Seq("k"), "u", "v")
+    sink(Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 5.0))
+      .toDF("k", "u", "v"), 0L)
+    sink(Seq(("a", 4L, 30.0)).toDF("k", "u", "v"), 1L)
+    def state() = IncrementalAgg.readSketch(spark, agg, Seq(0.5))
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("approx_distinct")))
+      .toMap
+    // small exact-mode sketches: distinct is exact at this size
+    assert(state() === Map("a" -> ((3L, 3L)), "b" -> ((1L, 1L))))
+    // replay of batch 1: marker skips the append, maintain no-ops —
+    // the sketch state must not absorb the batch twice
+    sink(Seq(("a", 4L, 30.0)).toDF("k", "u", "v"), 1L)
+    assert(state() === Map("a" -> ((3L, 3L)), "b" -> ((1L, 1L))))
+  }
+
   test("joined view: fact appends delta-merge, dim change recomputes") {
     val root = tmp()
     val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
@@ -367,6 +387,44 @@ class IncrementalAggSpec extends SparkTestBase {
     val r3 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
       "k", Seq("region"), "v")
     assert(r3.mode == "noop")
+  }
+
+  test("streaming joined view: appends, dim commit, replay — all honest") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp()
+    val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq((1L, "east"), (2L, "west")).toDF("k", "region"), dim)
+    val sink = IncrementalAgg.foreachBatchMaintainJoined(
+      fact, dim, agg, "k", Seq("region"), "v")
+    def view() = IncrementalAgg.read(spark, agg)
+      .select("region", "n_rows", "sum_val").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // live micro-batches: each appends the fact delta and refreshes
+    // the enrichment rollup
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(sink).start()
+    try {
+      in.addData((1L, 10L), (2L, 5L)); q.processAllAvailable()
+      assert(view() === Set(("east", 1L, 10L), ("west", 1L, 5L)))
+      in.addData((1L, 20L)); q.processAllAvailable()
+      assert(view() === Set(("east", 2L, 30L), ("west", 1L, 5L)))
+    } finally q.stop()
+    // dim commit mid-stream rewrites history for already-counted
+    // fact rows: the next batch's maintain recomputes under the new
+    // dim (stream-static enrichment's static-side refresh rule)
+    VersionedTable.commitOverwrite(
+      Seq((1L, "north"), (2L, "west")).toDF("k", "region"), dim)
+    sink(Seq((2L, 7L)).toDF("k", "v"), 100L)
+    assert(view() === Set(("north", 2L, 30L), ("west", 2L, 12L)))
+    // replay of the same batch (checkpoint recovery re-delivers):
+    // the commit marker skips the append, maintain no-ops at the
+    // unchanged (base, dim) pair — no double count
+    sink(Seq((2L, 7L)).toDF("k", "v"), 100L)
+    assert(view() === Set(("north", 2L, 30L), ("west", 2L, 12L)))
   }
 
   test("sketch view: epsilon change mid-life recomputes, not merges") {

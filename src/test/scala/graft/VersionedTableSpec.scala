@@ -798,6 +798,27 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, path).count() === 6L)
   }
 
+  test("commitReplaceWhere evaluates the replacement plan exactly once") {
+    // the in-window validation, the write, and any OCC retry all read
+    // ONE materialized scratch — an expensive derived feed (a join, a
+    // model scorer) pays its cost once, not once per pass
+    val path = tbl()
+    VersionedTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), path)
+    val acc = spark.sparkContext.longAccumulator("replEvalRows")
+    val repl = Seq((1L, "A"), (10L, "AA")).toDS()
+      .map { r => acc.add(1); r }.toDF("id", "v")
+    val vNew = VersionedTable.commitReplaceWhere(spark, path, repl,
+      col("id") === 1L || col("id") === 10L)
+    assert(vNew === 2)
+    assert(VersionedTable.read(spark, path).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "A"), (2L, "b"), (10L, "AA")))
+    assert(acc.value === 2L,
+      s"replacement rows evaluated ${acc.value} times across passes " +
+        "— the plan must run exactly once (scratch materialization)")
+  }
+
   test("named intent replays by NAME across inserted/reordered subs") {
     // the current intent format pins name:version, so a sub-table
     // list that grew by INSERTION (not just appending) — or got
@@ -839,5 +860,56 @@ class VersionedTableSpec extends SparkTestBase {
       graft.core.TxnJournal.exactlyOnce(spark, root, 11L, Seq(a, b))(())
     }
     assert(e2.getMessage.contains("zz"))
+  }
+
+  test("legacy replay survives colliding segments; named guards are loud") {
+    // two sub-tables sharing a last path segment — LEGAL under the
+    // legacy positional format. The named-format invariants (segment
+    // uniqueness, no whitespace) must not block replay of a valid
+    // pre-upgrade intent, or the crashed batch becomes unrecoverable
+    val root = Files.createTempDirectory("txn3").toString
+    val (a, b) = (s"$root/x/events", s"$root/y/events")
+    VersionedTable.commitAppend(Seq(1L).toDF("id"), a)
+    VersionedTable.commitAppend(Seq(10L).toDF("id"), b)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_txn"))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_txn/b12"), false)
+    out.write("1 1".getBytes("UTF-8")); out.close()
+    // the crashed apply half-landed an append to a
+    VersionedTable.commitAppend(Seq(2L).toDF("id"), a)
+    val ran = graft.core.TxnJournal.exactlyOnce(spark, root, 12L,
+      Seq(a, b)) {
+      VersionedTable.commitAppend(Seq(3L).toDF("id"), a)
+    }
+    assert(ran)
+    assert(VersionedTable.read(spark, a).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    assert(VersionedTable.read(spark, b).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(10L))
+    // ... but writing a NEW (named) intent over colliding segments is
+    // refused loudly — the names would be ambiguous pins
+    val e = intercept[IllegalArgumentException] {
+      graft.core.TxnJournal.exactlyOnce(spark, root, 13L, Seq(a, b))(())
+    }
+    assert(e.getMessage.contains("unique"))
+    // ... as is a whitespace-bearing segment (space-delimited format:
+    // its replay would split the name across entries)
+    val w = s"$root/bad seg"
+    VersionedTable.commitAppend(Seq(5L).toDF("id"), w)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.core.TxnJournal.exactlyOnce(spark, root, 14L, Seq(w))(())
+    }
+    assert(e2.getMessage.contains("whitespace"))
+    // a named entry missing its ':' hits the documented remediation
+    // message, not a StringIndexOutOfBoundsException
+    val out2 = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_txn/b15"), false)
+    out2.write("events:1 7".getBytes("UTF-8")); out2.close()
+    val e3 = intercept[IllegalArgumentException] {
+      graft.core.TxnJournal.exactlyOnce(spark, root, 15L, Seq(a))(())
+    }
+    assert(e3.getMessage.contains("no ':'"))
   }
 }
