@@ -379,13 +379,27 @@ object VersionedTable {
         // under us (a concurrent reclaimer renamed it aside between
         // our latestVersion and files reads) — both mean "reclaim if
         // stale, re-read latest, recompute discovery beneath"
-        case _: IllegalStateException =>
-          reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
-        case _: IllegalArgumentException =>
+        case _: IllegalStateException | _: IllegalArgumentException =>
           reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
       }
     }
     -1 // unreachable
+  }
+
+  /** True iff `df`'s optimized plan is a bare file-source scan (no
+    * projection, filter, join, or computed column on top): evaluating
+    * it twice costs two scans of files already on disk, so
+    * [[commitReplaceWhere]] skips the scratch copy — writing the
+    * whole window out first would be strictly more I/O. Anything
+    * non-trivial on top materializes once instead. */
+  private[graft] def isBareFileScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    df.queryExecution.optimizedPlan match {
+      case _: LogicalRelation => true
+      case _: DataSourceV2Relation => true
+      case _ => false
+    }
   }
 
   /** REPLACE WHERE (the Delta selective-overwrite analogue): atomically
@@ -405,12 +419,30 @@ object VersionedTable {
       predicate: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.{input_file_name, lit,
       coalesce, not}
-    val v0 = latestVersion(spark, path)
-    require(v0 > 0, s"$path has no committed data to replace into")
+    // the pre-loop snapshot read races the same reclaim/half-publish
+    // window the OCC loop handles — bounded retry here too, or a
+    // concurrent reclaimer crashes the backfill before the loop ever
+    // starts. files() errors only (validateAppendSchema's own
+    // IllegalArgumentException is a REAL schema mismatch and must
+    // propagate, so it stays outside the try)
+    var v0Attempts = 0
+    var snapshotNonEmpty: Option[Boolean] = None
+    while (snapshotNonEmpty.isEmpty) {
+      v0Attempts += 1
+      require(v0Attempts <= 20,
+        s"gave up resolving $path's latest snapshot after 20 races")
+      val v0 = latestVersion(spark, path)
+      require(v0 > 0, s"$path has no committed data to replace into")
+      try snapshotNonEmpty = Some(files(spark, path, Some(v0)).nonEmpty)
+      catch {
+        case _: IllegalStateException | _: IllegalArgumentException =>
+          reclaimIfStale(spark, fs(spark, path), manifestPath(path, v0))
+      }
+    }
     // an EMPTY committed snapshot (zero files — a legal version) has
     // no footer to validate against; the replacement becomes the
     // window's only content below
-    if (files(spark, path, Some(v0)).nonEmpty)
+    if (snapshotNonEmpty.get)
       validateAppendSchema(replacement, path, allowAdded = false)
     val evolved = fs(spark, path).exists(evolvedMarker(path))
     // three-valued logic: "matches" means predicate IS TRUE; NULL and
@@ -421,11 +453,20 @@ object VersionedTable {
     // validation and the write (and any OCC retry) all read one
     // parquet scratch instead of re-evaluating an arbitrary caller
     // plan — a derived feed (a join, a model scorer) pays its cost
-    // exactly once. Dropped on every exit path; the committed
-    // version's own data files are written by the claim below, so
-    // nothing durable references the scratch.
+    // exactly once. EXCEPT when the plan is already a bare
+    // file-source scan (the SQL REPLACE path always passes one):
+    // re-scanning the source files is strictly cheaper than first
+    // WRITING a scratch copy of the whole backfill window. Scratch is
+    // dropped on every exit path; the committed version's own data
+    // files are written by the claim below, so nothing durable
+    // references it.
     val (repl, scratch) =
-      Scratch.materializeWithPath(replacement, "replace_where")
+      if (isBareFileScan(replacement)) (replacement, None)
+      else {
+        val (r, p) = Scratch.materializeWithPath(replacement,
+          "replace_where")
+        (r, Some(p))
+      }
     try {
       require(repl.filter(not(matches)).isEmpty,
         "every replacement row must satisfy the REPLACE WHERE predicate")
@@ -462,14 +503,12 @@ object VersionedTable {
         } catch {
           // same pair as commitDelete: half-publish at v, or v's
           // manifest reclaimed out from under us — retry beneath
-          case _: IllegalStateException =>
-            reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
-          case _: IllegalArgumentException =>
+          case _: IllegalStateException | _: IllegalArgumentException =>
             reclaimIfStale(spark, fs(spark, path), manifestPath(path, v))
         }
       }
       -1 // unreachable
-    } finally Scratch.drop(spark, scratch)
+    } finally scratch.foreach(Scratch.drop(spark, _))
   }
 
   /** Manifest entries are raw `FileStatus.getPath.toString` URIs;
@@ -689,11 +728,10 @@ object VersionedTable {
         // create and close). Reclaim it once stale — otherwise that
         // version number is wedged forever — then retry on the state
         // beneath it.
-        case _: IllegalStateException =>
-          reclaimIfStale(spark, f, manifestPath(path, vPrev))
-        // vPrev's manifest vanished between latestVersion and files —
-        // a concurrent reclaimer renamed it aside: re-read and retry
-        case _: IllegalArgumentException =>
+        // ... or vPrev's manifest vanished between latestVersion and
+        // files (a concurrent reclaimer renamed it aside): same
+        // remedy — re-read latest and retry beneath
+        case _: IllegalStateException | _: IllegalArgumentException =>
           reclaimIfStale(spark, f, manifestPath(path, vPrev))
       }
     }
@@ -897,10 +935,7 @@ object VersionedTable {
         // (poll timed out). IllegalArgumentException: vPrev's manifest
         // vanished under us (a concurrent reclaimer renamed it aside,
         // or an empty version) — both mean "re-read latest and retry"
-        case _: IllegalStateException =>
-          reclaimIfStale(spark, fs(spark, path),
-            manifestPath(path, vPrev))
-        case _: IllegalArgumentException =>
+        case _: IllegalStateException | _: IllegalArgumentException =>
           reclaimIfStale(spark, fs(spark, path),
             manifestPath(path, vPrev))
       }

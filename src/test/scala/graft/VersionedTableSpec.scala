@@ -819,6 +819,26 @@ class VersionedTableSpec extends SparkTestBase {
         "— the plan must run exactly once (scratch materialization)")
   }
 
+  test("replace-where scratch decision: bare scans skip, derived plans don't") {
+    // a bare file-source scan re-reads cheaper than it copies — the
+    // SQL REPLACE path (VersionedTable.read of a staged table) must
+    // not pay a full scratch write of the backfill window; anything
+    // computed on top must materialize (the single-evaluation test
+    // above covers the behavior, this pins the decision itself)
+    val dir = Files.createTempDirectory("bare").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/p")
+    val bare = spark.read.parquet(s"$dir/p")
+    assert(VersionedTable.isBareFileScan(bare))
+    assert(!VersionedTable.isBareFileScan(bare.filter(col("id") > 0)))
+    assert(!VersionedTable.isBareFileScan(bare.select(col("id"))))
+    assert(!VersionedTable.isBareFileScan(Seq(1L).toDF("id")))
+    // the versioned-table reader itself resolves to a bare scan
+    val path = tbl()
+    VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
+    assert(VersionedTable.isBareFileScan(
+      VersionedTable.read(spark, path)))
+  }
+
   test("named intent replays by NAME across inserted/reordered subs") {
     // the current intent format pins name:version, so a sub-table
     // list that grew by INSERTION (not just appending) — or got
