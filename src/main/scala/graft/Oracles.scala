@@ -3537,6 +3537,59 @@ object Oracles {
         |FROM documents d JOIN r ON d.doc_id = r.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
+    // regular-grid LOCF resample: per-user aligned hourly grid over the
+    // click-series span, latest observation at-or-before each point via
+    // DuckDB's native ASOF JOIN (inclusive >=, mirroring the Spark
+    // union-window formulation's tie order)
+    "q188_resample_locf" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id,
+        |    ((min(t) + 3599999999) // 3600000000) * 3600000000 AS lo,
+        |    (max(t) // 3600000000) * 3600000000 AS hi
+        |  FROM r GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS g_us
+        |  FROM b WHERE lo <= hi)
+        |SELECT g.user_id, g.g_us, r.v AS value
+        |FROM g ASOF LEFT JOIN r
+        |  ON g.user_id = r.user_id AND g.g_us >= r.t
+        |ORDER BY 1, 2""".stripMargin,
+
+    // linear interpolation on the same grid: prev neighbour inclusive
+    // (ASOF >=), next strictly-after (ASOF <); at an exact observation
+    // hit the fraction is 0 so both engines emit the raw value. The
+    // lerp is the identical IEEE sequence as the Spark side:
+    // pv + (nv-pv) * ((g-pt)/(nt-pt)) over exact-integer micros
+    "q189_resample_linear" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id,
+        |    ((min(t) + 3599999999) // 3600000000) * 3600000000 AS lo,
+        |    (max(t) // 3600000000) * 3600000000 AS hi
+        |  FROM r GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS g_us
+        |  FROM b WHERE lo <= hi),
+        |p AS (
+        |  SELECT g.user_id, g.g_us, r.t AS pt, r.v AS pv
+        |  FROM g ASOF LEFT JOIN r
+        |    ON g.user_id = r.user_id AND g.g_us >= r.t),
+        |n AS (
+        |  SELECT g.user_id, g.g_us, r.t AS nt, r.v AS nv
+        |  FROM g ASOF LEFT JOIN r
+        |    ON g.user_id = r.user_id AND g.g_us < r.t)
+        |SELECT p.user_id, p.g_us,
+        |  round(CASE WHEN n.nt IS NULL THEN p.pv
+        |    ELSE p.pv + (n.nv - p.pv) * ((p.g_us - p.pt) / (n.nt - p.pt))
+        |    END, 4) AS value
+        |FROM p LEFT JOIN n ON p.user_id = n.user_id AND p.g_us = n.g_us
+        |ORDER BY 1, 2""".stripMargin,
+
     // rebuild the fixture pages line-for-line, replay the keep rule,
     // and compare the exact cleaned text by md5
     "q172_boilerplate" ->

@@ -1955,6 +1955,28 @@ object Queries {
         .orderBy(col("source"))
     }),
 
+    // ---- regular-grid time-series resampling ---------------------------
+    "q188_resample_locf" -> ((s, d) => {
+      // hourly LOCF resample of each user's click-value series: aligned
+      // grid from a per-key (min,max) agg + sequence/explode, value via
+      // the single-shuffle as-of window (no range-join pair blowup)
+      graft.ops.Resample.locf(
+          t(s, d, "events").filter(col("event_type") === "click"),
+          Seq("user_id"), "ts", "value", stepUs = 3600000000L)
+        .orderBy(col("user_id"), col("g_us"))
+    }),
+
+    "q189_resample_linear" -> ((s, d) => {
+      // same grid, linear interpolation between the neighbouring
+      // observations — both neighbours from ONE window pass over the
+      // unioned (observation ∪ grid) timeline, not two as-of joins
+      graft.ops.Resample.linear(
+          t(s, d, "events").filter(col("event_type") === "click"),
+          Seq("user_id"), "ts", "value", stepUs = 3600000000L)
+        .select(col("user_id"), col("g_us"), dround(col("value"), 4).as("value"))
+        .orderBy(col("user_id"), col("g_us"))
+    }),
+
     // ---- line-level boilerplate removal -------------------------------
     "q172_boilerplate" -> ((s, d) => {
       // jusText-lite over closed-form fixture pages (corpus docs are
