@@ -3537,6 +3537,27 @@ object Oracles {
         |FROM documents d JOIN r ON d.doc_id = r.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
+    // EWMA replayed as the identical sequential IEEE fold: list the
+    // ordered series per user, fold prefix i with the same
+    // s := 0.3·x + 0.7·s update (CASTs because DuckDB bare decimals
+    // are DECIMAL, and DECIMAL·DOUBLE could round differently)
+    "q190_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |o AS (
+        |  SELECT user_id, t_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS rn
+        |  FROM r),
+        |l AS (
+        |  SELECT user_id, list(v ORDER BY t_us) AS vs FROM r GROUP BY 1)
+        |SELECT o.user_id, o.t_us,
+        |  round(list_reduce(list_slice(l.vs, 1, o.rn),
+        |    (s, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * s),
+        |    4) AS ewma
+        |FROM o JOIN l USING (user_id)
+        |ORDER BY 1, 2""".stripMargin,
+
     // regular-grid LOCF resample: per-user aligned hourly grid over the
     // click-series span, latest observation at-or-before each point via
     // DuckDB's native ASOF JOIN (inclusive >=, mirroring the Spark

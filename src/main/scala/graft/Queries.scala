@@ -1966,6 +1966,27 @@ object Queries {
         .orderBy(col("user_id"), col("g_us"))
     }),
 
+    "q190_ewma" -> ((s, d) => {
+      // per-user EWMA smoothing of the click-value series: a native
+      // DeclarativeAggregate folded sequentially by the window's
+      // running frame (bit-reproducible IEEE order; groupBy use raises).
+      // Duplicate timestamps collapse by max() first so the fold order
+      // is total — same determinism discipline as q188/q189
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "events").filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .select(col("user_id"), col("t_us"),
+          dround(graft.functions.Ewma.ewma(col("v"), 0.3).over(w), 4)
+            .as("ewma"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
     "q189_resample_linear" -> ((s, d) => {
       // same grid, linear interpolation between the neighbouring
       // observations — both neighbours from ONE window pass over the
