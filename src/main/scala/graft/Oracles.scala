@@ -3558,6 +3558,35 @@ object Oracles {
         |FROM o JOIN l USING (user_id)
         |ORDER BY 1, 2""".stripMargin,
 
+    // CUSUM replayed step-exactly by a recursive CTE walking rn = 1..n
+    // per user (true recursion — bounded by the longest series, NOT the
+    // exponential inline-CTE trap); same parenthesization
+    // s + ((x - mu) - slack) as the Spark update expressions
+    "q191_cusum" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, t_us, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS rn
+        |  FROM (
+        |    SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2)),
+        |c AS (
+        |  SELECT user_id, t_us, rn,
+        |    greatest(CAST(0 AS DOUBLE),
+        |      (v - CAST(100 AS DOUBLE)) - CAST(10 AS DOUBLE)) AS sp,
+        |    greatest(CAST(0 AS DOUBLE),
+        |      (CAST(100 AS DOUBLE) - v) - CAST(10 AS DOUBLE)) AS sn
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.t_us, r.rn,
+        |    greatest(CAST(0 AS DOUBLE),
+        |      c.sp + ((r.v - CAST(100 AS DOUBLE)) - CAST(10 AS DOUBLE))),
+        |    greatest(CAST(0 AS DOUBLE),
+        |      c.sn + ((CAST(100 AS DOUBLE) - r.v) - CAST(10 AS DOUBLE)))
+        |  FROM c JOIN r ON r.user_id = c.user_id AND r.rn = c.rn + 1)
+        |SELECT user_id, t_us, round(sp, 4) AS s_pos, round(sn, 4) AS s_neg,
+        |  (sp > 150 OR sn > 150) AS alarm
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
     // regular-grid LOCF resample: per-user aligned hourly grid over the
     // click-series span, latest observation at-or-before each point via
     // DuckDB's native ASOF JOIN (inclusive >=, mirroring the Spark

@@ -1987,6 +1987,29 @@ object Queries {
         .orderBy(col("user_id"), col("t_us"))
     }),
 
+    "q191_cusum" -> ((s, d) => {
+      // two-sided CUSUM drift alarms on each user's click-value series
+      // vs a known target (mu=100, slack=10, threshold 150): both
+      // one-sided statistics fold sequentially in the running frame
+      // (native DeclarativeAggregate, 2-double buffer)
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      t(s, d, "events").filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .select(col("user_id"), col("t_us"),
+          graft.functions.Cusum.cusum(col("v"), 100.0, 10.0).over(w)
+            .as("c"))
+        .select(col("user_id"), col("t_us"),
+          dround(col("c.s_pos"), 4).as("s_pos"),
+          dround(col("c.s_neg"), 4).as("s_neg"),
+          (col("c.s_pos") > 150.0 || col("c.s_neg") > 150.0).as("alarm"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
     "q189_resample_linear" -> ((s, d) => {
       // same grid, linear interpolation between the neighbouring
       // observations — both neighbours from ONE window pass over the
