@@ -109,5 +109,12 @@ object GraftExtensions {
     "jaro_similarity" -> (exprs =>
       graft.functions.JaroSimilarityExpr(exprs(0), exprs(1))),
     "jaro_winkler_similarity" -> (exprs =>
-      graft.functions.JaroWinklerExpr(exprs(0), exprs(1))))
+      graft.functions.JaroWinklerExpr(exprs(0), exprs(1))),
+    // ordered statistical folds (window running frames only — the
+    // aggregates raise on the groupBy merge path by construction)
+    "ewma" -> (exprs =>
+      graft.functions.EwmaAgg(exprs(0), doubleArg(exprs(1), "alpha"))),
+    "cusum" -> (exprs =>
+      graft.functions.CusumAgg(exprs(0), doubleArg(exprs(1), "mu"),
+        doubleArg(exprs(2), "slack"))))
 }

@@ -73,6 +73,26 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
           |""".stripMargin).collect().head
       val entries = topk.getSeq[org.apache.spark.sql.Row](0)
       assert(entries.map(_.getLong(1)) == Seq(20L, 30L))
+      // ordered statistical folds resolve in SQL over window frames
+      val folds = spark.sql(
+        """SELECT t,
+          |  ewma(v, 0.5) OVER w AS e,
+          |  cusum(v, 10.0, 0.0) OVER w AS c
+          |FROM VALUES (1, 10.0D), (2, 20.0D), (3, 30.0D) AS x(t, v)
+          |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          |  AND CURRENT ROW)
+          |ORDER BY t""".stripMargin).collect()
+      assert(folds.map(_.getDouble(1)).toSeq == Seq(10.0, 15.0, 22.5))
+      assert(folds.last.getStruct(2).getDouble(0) == 30.0) // (0+10)+20
+      // and the groupBy path raises rather than folding shuffle order
+      val err = intercept[Exception] {
+        spark.sql(
+          "SELECT ewma(v, 0.5) FROM VALUES (1.0D), (2.0D) AS x(v)"
+        ).collect()
+      }
+      def msgs(e: Throwable): Seq[String] = Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(err).exists(_.contains("ordered window")))
     } finally spark.stop()
   }
 
