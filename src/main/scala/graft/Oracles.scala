@@ -3544,7 +3544,9 @@ object Oracles {
     "q190_ewma" ->
       """WITH r AS (
         |  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
         |o AS (
         |  SELECT user_id, t_us,
         |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS rn
@@ -3568,7 +3570,9 @@ object Oracles {
         |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS rn
         |  FROM (
         |    SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
-        |    FROM events WHERE event_type = 'click' GROUP BY 1, 2)),
+        |    FROM events
+        |    WHERE event_type = 'click' AND value IS NOT NULL
+        |    GROUP BY 1, 2)),
         |c AS (
         |  SELECT user_id, t_us, rn,
         |    greatest(CAST(0 AS DOUBLE),
@@ -3594,11 +3598,15 @@ object Oracles {
     "q188_resample_locf" ->
       """WITH r AS (
         |  SELECT user_id, epoch_us(ts) AS t, max(value) AS v
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
         |b AS (
         |  SELECT user_id,
-        |    ((min(t) + 3599999999) // 3600000000) * 3600000000 AS lo,
-        |    (max(t) // 3600000000) * 3600000000 AS hi
+        |    min(t) + ((3600000000 - (min(t) % 3600000000 + 3600000000)
+        |      % 3600000000) % 3600000000) AS lo,
+        |    max(t) - ((max(t) % 3600000000 + 3600000000)
+        |      % 3600000000) AS hi
         |  FROM r GROUP BY 1),
         |g AS (
         |  SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS g_us
@@ -3616,11 +3624,15 @@ object Oracles {
     "q189_resample_linear" ->
       """WITH r AS (
         |  SELECT user_id, epoch_us(ts) AS t, max(value) AS v
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
         |b AS (
         |  SELECT user_id,
-        |    ((min(t) + 3599999999) // 3600000000) * 3600000000 AS lo,
-        |    (max(t) // 3600000000) * 3600000000 AS hi
+        |    min(t) + ((3600000000 - (min(t) % 3600000000 + 3600000000)
+        |      % 3600000000) % 3600000000) AS lo,
+        |    max(t) - ((max(t) % 3600000000 + 3600000000)
+        |      % 3600000000) AS hi
         |  FROM r GROUP BY 1),
         |g AS (
         |  SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS g_us

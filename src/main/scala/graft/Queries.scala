@@ -1971,12 +1971,16 @@ object Queries {
       // DeclarativeAggregate folded sequentially by the window's
       // running frame (bit-reproducible IEEE order; groupBy use raises).
       // Duplicate timestamps collapse by max() first so the fold order
-      // is total — same determinism discipline as q188/q189
+      // is total — same determinism discipline as q188/q189. Nulls are
+      // dropped up front: DuckDB's list_reduce fold would NULL-poison
+      // where the aggregate's null-carry law keeps state (spec'd at
+      // unit level instead)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("t_us"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      t(s, d, "events").filter(col("event_type") === "click")
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
         .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
           col("value"))
         .groupBy(col("user_id"), col("t_us"))
@@ -1991,11 +1995,14 @@ object Queries {
       // two-sided CUSUM drift alarms on each user's click-value series
       // vs a known target (mu=100, slack=10, threshold 150): both
       // one-sided statistics fold sequentially in the running frame
-      // (native DeclarativeAggregate, 2-double buffer)
+      // (native DeclarativeAggregate, 2-double buffer). Null values
+      // are dropped up front so the recursive-CTE oracle replays the
+      // same series (the aggregate's null-carry law is unit-spec'd)
       val W = org.apache.spark.sql.expressions.Window
       val w = W.partitionBy(col("user_id")).orderBy(col("t_us"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
-      t(s, d, "events").filter(col("event_type") === "click")
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
         .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
           col("value"))
         .groupBy(col("user_id"), col("t_us"))

@@ -96,7 +96,13 @@ object TxnJournal {
             s"txn journal $intent entry '$e' has no ':' — a corrupt " +
               s"named intent; resolve the crashed batch manually " +
               s"(restore each pinned version, then delete $intent)")
-          (e.substring(0, i), e.substring(i + 1).toInt)
+          val v = e.substring(i + 1).toIntOption
+          require(v.isDefined,
+            s"txn journal $intent entry '$e' has a non-numeric " +
+              s"version — a corrupt named intent; resolve the crashed " +
+              s"batch manually (restore each pinned version, then " +
+              s"delete $intent)")
+          (e.substring(0, i), v.get)
         }.toSeq
         val bySeg = segs.zip(subs).toMap
         val unknown = pinned.map(_._1).filterNot(bySeg.contains)

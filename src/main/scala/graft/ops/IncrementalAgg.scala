@@ -367,12 +367,20 @@ object IncrementalAgg {
     * the delta path is multi-version by construction. */
   def foreachBatchMaintain(basePath: String, aggPath: String,
       keys: Seq[String], valueCol: String, minMax: Boolean = false)
-      : (DataFrame, Long) => Unit = {
+      : (DataFrame, Long) => Unit =
+    appendThenMaintain(basePath)(batch =>
+      maintain(batch.sparkSession, basePath, aggPath, keys, valueCol,
+        minMax))
+
+  /** The one sink shape all three streaming views share: exactly-once
+    * micro-batch append (marker protocol), then the view refresh. Any
+    * change to the append/refresh boundary discipline lives here. */
+  private def appendThenMaintain(basePath: String)(
+      refresh: DataFrame => Unit): (DataFrame, Long) => Unit = {
     val append = VersionedTable.foreachBatchAppend(basePath)
     (batch, batchId) => {
       append(batch, batchId)
-      maintain(batch.sparkSession, basePath, aggPath, keys, valueCol,
-        minMax)
+      refresh(batch)
       ()
     }
   }
@@ -393,15 +401,10 @@ object IncrementalAgg {
     * maintenance resumes against the new pin. */
   def foreachBatchMaintainJoined(basePath: String, dimPath: String,
       aggPath: String, joinKey: String, keys: Seq[String],
-      valueCol: String): (DataFrame, Long) => Unit = {
-    val append = VersionedTable.foreachBatchAppend(basePath)
-    (batch, batchId) => {
-      append(batch, batchId)
+      valueCol: String): (DataFrame, Long) => Unit =
+    appendThenMaintain(basePath)(batch =>
       maintainJoined(batch.sparkSession, basePath, dimPath, aggPath,
-        joinKey, keys, valueCol)
-      ()
-    }
-  }
+        joinKey, keys, valueCol))
 
   /** Streaming sketch view: the same sink shape over
     * [[maintainSketch]] — per micro-batch, exactly-once fact append
@@ -414,13 +417,8 @@ object IncrementalAgg {
     * (the pinned-state check), never merges mixed-epsilon partials. */
   def foreachBatchMaintainSketch(basePath: String, aggPath: String,
       keys: Seq[String], distinctCol: String, valueCol: String,
-      relativeError: Double = 0.01): (DataFrame, Long) => Unit = {
-    val append = VersionedTable.foreachBatchAppend(basePath)
-    (batch, batchId) => {
-      append(batch, batchId)
+      relativeError: Double = 0.01): (DataFrame, Long) => Unit =
+    appendThenMaintain(basePath)(batch =>
       maintainSketch(batch.sparkSession, basePath, aggPath, keys,
-        distinctCol, valueCol, relativeError)
-      ()
-    }
-  }
+        distinctCol, valueCol, relativeError))
 }

@@ -50,11 +50,16 @@ object Resample {
     require(stepUs > 0, "stepUs must be positive")
     val bounds = obs.groupBy(keyCols.map(col): _*)
       .agg(min(col(tUsCol)).as("__lo"), max(col(tUsCol)).as("__hi"))
-      // integer DIV, not double division: epoch micros (~1.7e15) divided
-      // in doubles can round a just-below-integer quotient UP, turning
-      // ceil into ceil+step at pathological spans
-      .withColumn("__glo", expr(s"((__lo + ${stepUs - 1}) DIV $stepUs) * $stepUs"))
-      .withColumn("__ghi", expr(s"(__hi DIV $stepUs) * $stepUs"))
+      // integer mod arithmetic, not double division (epoch micros
+      // ~1.7e15 divided in doubles can round a just-below-integer
+      // quotient UP) and not DIV (truncates toward zero, which flips
+      // ceil/floor for pre-1970 negative epochs): ((x % s + s) % s) is
+      // the non-negative remainder for either sign, so __glo rounds UP
+      // to alignment and __ghi rounds DOWN on the whole timeline
+      .withColumn("__glo", expr(
+        s"__lo + (($stepUs - (__lo % $stepUs + $stepUs) % $stepUs) % $stepUs)"))
+      .withColumn("__ghi", expr(
+        s"__hi - ((__hi % $stepUs + $stepUs) % $stepUs)"))
     bounds
       // a key whose span contains no aligned grid point emits nothing
       // (sequence() with start > stop and a positive step would throw)

@@ -47,6 +47,14 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Decimal, _) =>
       v.toDouble
+    // SQL spells integral parameters as Int/Long literals (cusum(v,
+    // 100, 10)); rejecting them as "not numeric" is a contradiction
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+      v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+      v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Float, _) =>
+      v.toDouble
     case other => throw new IllegalArgumentException(
       s"$what must be a numeric literal, got $other")
   }

@@ -84,6 +84,12 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
           |ORDER BY t""".stripMargin).collect()
       assert(folds.map(_.getDouble(1)).toSeq == Seq(10.0, 15.0, 22.5))
       assert(folds.last.getStruct(2).getDouble(0) == 30.0) // (0+10)+20
+      // integral literal spellings resolve too (cusum(v, 100, 10))
+      val intSpelled = spark.sql(
+        """SELECT cusum(v, 10, 0) OVER (ORDER BY v ROWS BETWEEN
+          |  UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          |FROM VALUES (30.0D) AS x(v)""".stripMargin).collect().head
+      assert(intSpelled.getStruct(0).getDouble(0) == 20.0)
       // and the groupBy path raises rather than folding shuffle order
       val err = intercept[Exception] {
         spark.sql(

@@ -35,6 +35,24 @@ class ResampleSpec extends SparkTestBase {
     assert(g == Seq(("a", 1000000L), ("a", 2000000L), ("a", 3000000L)))
   }
 
+  test("grid alignment is floor/ceil on the whole timeline, " +
+      "including pre-1970 negative epochs") {
+    // DIV truncates toward zero, which would flip ceil/floor below 0:
+    // span [-2.5s, -0.5s] must yield {-2s, -1s}, not {-2s, -1s, 0s}
+    val g = Resample.grid(
+        Seq(("n", -2500000L), ("n", -500000L)).toDF("k", "t_us"),
+        Seq("k"), "t_us", Step)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(g == Seq(-2000000L, -1000000L))
+    // and a sub-step negative span contains no aligned point at all
+    // (the truncating formula would emit t=0, OUTSIDE the span)
+    val none = Resample.grid(
+        Seq(("m", -900000L), ("m", -100000L)).toDF("k", "t_us"),
+        Seq("k"), "t_us", Step)
+      .count()
+    assert(none == 0L)
+  }
+
   test("locf carries the latest at-or-before observation") {
     val out = Resample.locf(series, Seq("k"), "t", "v", Step)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -931,5 +931,14 @@ class VersionedTableSpec extends SparkTestBase {
       graft.core.TxnJournal.exactlyOnce(spark, root, 15L, Seq(a))(())
     }
     assert(e3.getMessage.contains("no ':'"))
+    // ... and a non-numeric (truncated-write) version gets the same
+    // remediation, not a raw NumberFormatException
+    val out3 = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_txn/b16"), false)
+    out3.write("events:3a".getBytes("UTF-8")); out3.close()
+    val e4 = intercept[IllegalArgumentException] {
+      graft.core.TxnJournal.exactlyOnce(spark, root, 16L, Seq(a))(())
+    }
+    assert(e4.getMessage.contains("non-numeric"))
   }
 }
