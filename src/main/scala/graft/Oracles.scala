@@ -3560,6 +3560,58 @@ object Oracles {
         |FROM o JOIN l USING (user_id)
         |ORDER BY 1, 2""".stripMargin,
 
+    // bilinear resize replayed from the PNG generator's closed-form
+    // pixel formulas: identical double operation order (half-pixel
+    // centers, clamp, nested lerp association), float-cast at the
+    // output exactly where the expression casts — any defect in the
+    // decode, orientation, coordinate mapping, or weight arithmetic
+    // moves a 4th decimal somewhere in the 3840 cells
+    "q192_image_resize" ->
+      """WITH img AS (
+        |  SELECT CAST(i AS BIGINT) AS i FROM range(0, 120) t(i)
+        |  WHERE i % 3 < 2),
+        |dims AS (SELECT i, 8 + i % 9 AS w, 6 + i % 7 AS h FROM img),
+        |oys AS (SELECT i, w, h, unnest(range(0, 4)) AS oy FROM dims),
+        |cell AS (SELECT i, w, h, oy, unnest(range(0, 4)) AS ox FROM oys),
+        |coord AS (
+        |  SELECT i, w, h, oy, ox,
+        |    least(greatest(((oy + CAST(0.5 AS DOUBLE)) * h) / 4
+        |        - CAST(0.5 AS DOUBLE), CAST(0 AS DOUBLE)),
+        |      CAST(h - 1 AS DOUBLE)) AS sy,
+        |    least(greatest(((ox + CAST(0.5 AS DOUBLE)) * w) / 4
+        |        - CAST(0.5 AS DOUBLE), CAST(0 AS DOUBLE)),
+        |      CAST(w - 1 AS DOUBLE)) AS sx
+        |  FROM cell),
+        |pts AS (
+        |  SELECT i, w, h, oy, ox,
+        |    CAST(floor(sy) AS BIGINT) AS y0, sy - floor(sy) AS fy,
+        |    CAST(floor(sx) AS BIGINT) AS x0, sx - floor(sx) AS fx,
+        |    least(CAST(floor(sy) AS BIGINT) + 1, h - 1) AS y1,
+        |    least(CAST(floor(sx) AS BIGINT) + 1, w - 1) AS x1
+        |  FROM coord),
+        |chans AS (SELECT p.*, unnest([0, 1, 2]) AS c FROM pts p),
+        |corner AS (
+        |  SELECT i, oy, ox, c, fy, fx,
+        |    CASE c WHEN 0 THEN (i*7 + x0*3 + y0*5) % 256
+        |           WHEN 1 THEN (i*11 + x0*13 + y0*17) % 256
+        |           ELSE (i*19 + x0*23 + y0*29) % 256 END AS p00,
+        |    CASE c WHEN 0 THEN (i*7 + x1*3 + y0*5) % 256
+        |           WHEN 1 THEN (i*11 + x1*13 + y0*17) % 256
+        |           ELSE (i*19 + x1*23 + y0*29) % 256 END AS p01,
+        |    CASE c WHEN 0 THEN (i*7 + x0*3 + y1*5) % 256
+        |           WHEN 1 THEN (i*11 + x0*13 + y1*17) % 256
+        |           ELSE (i*19 + x0*23 + y1*29) % 256 END AS p10,
+        |    CASE c WHEN 0 THEN (i*7 + x1*3 + y1*5) % 256
+        |           WHEN 1 THEN (i*11 + x1*13 + y1*17) % 256
+        |           ELSE (i*19 + x1*23 + y1*29) % 256 END AS p11
+        |  FROM chans)
+        |SELECT i AS asset_id, (oy * 4 + ox) * 3 + c AS idx,
+        |  round(CAST(CAST(
+        |    (1 - fy) * ((1 - fx) * p00 + fx * p01) +
+        |    fy * ((1 - fx) * p10 + fx * p11)
+        |  AS FLOAT) AS DOUBLE), 4) AS v
+        |FROM corner ORDER BY asset_id, idx""".stripMargin,
+
     // CUSUM replayed step-exactly by a recursive CTE walking rn = 1..n
     // per user (true recursion — bounded by the longest series, NOT the
     // exponential inline-CTE trap); same parenthesization

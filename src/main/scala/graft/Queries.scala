@@ -1991,6 +1991,25 @@ object Queries {
         .orderBy(col("user_id"), col("t_us"))
     }),
 
+    "q192_image_resize" -> ((s, d) => {
+      // bilinear thumbnail resize of the synthetic PNG corpus to a
+      // fixed 4x4 RGB tensor (the decode->RESIZE->embed ingestion
+      // step), one value per output row so the oracle can replay the
+      // EXACT double-arithmetic sampling from the generator's pixel
+      // formulas — q161's discipline extended from stats to geometry.
+      // Narrow in-row map (pngScan + zero-shuffle sampling); every
+      // third asset is noise and must null out, not crash
+      val mm = graft.multimodal.MultimodalOps
+      val rs = graft.multimodal.ImageResize.column(col("media_bytes"), 4, 4)
+      mm.syntheticPngAssets(s, 120)
+        .select(col("asset_id"), rs.as("__r"))
+        .filter(col("__r").isNotNull)
+        .select(col("asset_id"), posexplode(col("__r")))
+        .select(col("asset_id"), col("pos").cast("long").as("idx"),
+          dround(col("col").cast("double"), 4).as("v"))
+        .orderBy(col("asset_id"), col("idx"))
+    }),
+
     "q191_cusum" -> ((s, d) => {
       // two-sided CUSUM drift alarms on each user's click-value series
       // vs a known target (mu=100, slack=10, threshold 150): both

@@ -194,6 +194,39 @@ object MediaDecode {
     * of image size, and the whole decode is per-row in-expression
     * work inside whole-stage codegen, exactly like [[bmpStats]]. */
   def pngStats(b: Array[Byte]): InternalRow = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    val dims = pngScan(b, 1L << 34) { (curRow, stride, bpp) =>
+      var px = 0
+      while (px < stride) {
+        sr += curRow(px) & 0xff
+        sg += curRow(px + 1) & 0xff
+        sb += curRow(px + 2) & 0xff
+        if (bpp == 4) sa += curRow(px + 3) & 0xff
+        px += bpp
+      }
+    }
+    if (dims == null) return null
+    val (w, h, channels) = dims
+    val row = new GenericInternalRow(8)
+    row.setInt(0, w); row.setInt(1, h); row.setInt(2, channels)
+    row.setLong(3, w.toLong * h)
+    row.setLong(4, sr); row.setLong(5, sg); row.setLong(6, sb)
+    row.setLong(7, sa)
+    row
+  }
+
+  /** The PNG decode walk shared by [[pngStats]] and
+    * [[ImageResize]]: signature + CRC-checked chunk walk, IDAT
+    * inflate, per-row unfilter across all five filter types. Invokes
+    * `onRow(scanline, stride, bytesPerPixel)` once per row, top-down —
+    * the buffer is REUSED between rows, so callbacks copy what they
+    * keep. Returns (width, height, channels), or null on any
+    * malformation (exactly [[pngStats]]'s reject set, with the
+    * pixel-count envelope as the one caller-chosen knob: the streaming
+    * stats path tolerates far larger images than one that must
+    * materialize). */
+  private[multimodal] def pngScan(b: Array[Byte], maxPixels: Long)(
+      onRow: (Array[Byte], Int, Int) => Unit): (Int, Int, Int) = {
     if (b == null || b.length < 57) return null // sig+IHDR+IDAT+IEND
     if ((b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' ||
       b(3) != 'G' || b(4) != 0x0d || b(5) != 0x0a || b(6) != 0x1a ||
@@ -231,9 +264,10 @@ object MediaDecode {
         }
         // sanity envelope: a crafted IHDR must not allocate past any
         // plausible asset (the scanline buffers are O(w), but the
-        // decode loop is w·h work on a task thread)
+        // decode loop is w·h work on a task thread — and a
+        // materializing caller passes a much smaller maxPixels)
         if (w > (1 << 24) || h > (1 << 24) ||
-          w.toLong * h > (1L << 34)) return null
+          w.toLong * h > maxPixels) return null
       } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         if (!sawIhdr) return null
         idatOff += p + 8; idatLen += len
@@ -263,7 +297,6 @@ object MediaDecode {
         }
         true
       }
-      var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
       val rowBuf = new Array[Byte](stride + 1)
       var prevRow = new Array[Byte](stride)
       var curRow = new Array[Byte](stride)
@@ -294,14 +327,7 @@ object MediaDecode {
           curRow(k) = recon.toByte
           k += 1
         }
-        var px = 0
-        while (px < stride) {
-          sr += curRow(px) & 0xff
-          sg += curRow(px + 1) & 0xff
-          sb += curRow(px + 2) & 0xff
-          if (bpp == 4) sa += curRow(px + 3) & 0xff
-          px += bpp
-        }
+        onRow(curRow, stride, bpp)
         val t = prevRow; prevRow = curRow; curRow = t
         y += 1
       }
@@ -315,12 +341,7 @@ object MediaDecode {
         extra = inf.inflate(probe)
       }
       if (extra > 0) return null
-      val row = new GenericInternalRow(8)
-      row.setInt(0, w); row.setInt(1, h); row.setInt(2, channels)
-      row.setLong(3, w.toLong * h)
-      row.setLong(4, sr); row.setLong(5, sg); row.setLong(6, sb)
-      row.setLong(7, sa)
-      row
+      (w, h, channels)
     } catch {
       case _: java.util.zip.DataFormatException => null
     } finally inf.end()

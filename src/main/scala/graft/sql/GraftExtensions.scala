@@ -103,6 +103,9 @@ object GraftExtensions {
       graft.multimodal.WavPcmStatsExpr(exprs.head)),
     "png_pixel_stats" -> (exprs =>
       graft.multimodal.PngPixelStatsExpr(exprs.head)),
+    "image_resize" -> (exprs =>
+      graft.multimodal.ImageResizeExpr(exprs(0),
+        intArg(exprs(1), "outW"), intArg(exprs(2), "outH"))),
     // compressed-payload decode (gzipped records from plain SQL)
     "gunzip" -> (exprs => graft.functions.GunzipExpr(exprs.head)),
     "gunzip_text" -> (exprs =>

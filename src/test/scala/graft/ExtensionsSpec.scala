@@ -118,6 +118,12 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
           |FROM media WHERE id = 1""".stripMargin).collect().head
       assert(bmp.getString(0) == "bmp")
       assert(bmp.getLong(1) == 30L && bmp.getLong(2) == 2L)
+      // bilinear resize resolves in SQL too: 2x1 -> 1x1 mixes the two
+      // pixels equally ((10,0,5) and (20,0,5) -> (15, 0, 5))
+      val rs = spark2.sql(
+        "SELECT image_resize(b, 1, 1) AS r FROM media WHERE id = 1"
+      ).collect().head.getSeq[Float](0)
+      assert(rs == Seq(15f, 0f, 5f))
       val wav = spark2.sql(
         """SELECT media_header(b).sample_rate AS rate,
           |  wav_pcm_stats(b).n_samples AS n,
