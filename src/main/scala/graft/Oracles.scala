@@ -3612,6 +3612,32 @@ object Oracles {
         |  AS FLOAT) AS DOUBLE), 4) AS v
         |FROM corner ORDER BY asset_id, idx""".stripMargin,
 
+    // PCM resample replayed from the WAV generator's sample formula:
+    // the q192 sampling law in 1-D, identical double order, float-cast
+    // where the expression casts
+    "q193_wav_resample" ->
+      """WITH aud AS (
+        |  SELECT CAST(i AS BIGINT) AS i, 60 + (i % 50) * 3 AS n
+        |  FROM range(0, 120) t(i) WHERE i % 3 = 1),
+        |cell AS (SELECT i, n, unnest(range(0, 32)) AS o FROM aud),
+        |coord AS (
+        |  SELECT i, n, o,
+        |    least(greatest(((o + CAST(0.5 AS DOUBLE)) * n) / 32
+        |        - CAST(0.5 AS DOUBLE), CAST(0 AS DOUBLE)),
+        |      CAST(n - 1 AS DOUBLE)) AS sx
+        |  FROM cell),
+        |pts AS (
+        |  SELECT i, n, o,
+        |    CAST(floor(sx) AS BIGINT) AS x0, sx - floor(sx) AS fx,
+        |    least(CAST(floor(sx) AS BIGINT) + 1, n - 1) AS x1
+        |  FROM coord)
+        |SELECT i AS asset_id, o AS idx,
+        |  round(CAST(CAST(
+        |    (1 - fx) * (((i*37 + x0*101) % 65536) - 32768) +
+        |    fx * (((i*37 + x1*101) % 65536) - 32768)
+        |  AS FLOAT) AS DOUBLE), 4) AS v
+        |FROM pts ORDER BY asset_id, idx""".stripMargin,
+
     // CUSUM replayed step-exactly by a recursive CTE walking rn = 1..n
     // per user (true recursion — bounded by the longest series, NOT the
     // exponential inline-CTE trap); same parenthesization

@@ -2010,6 +2010,23 @@ object Queries {
         .orderBy(col("asset_id"), col("idx"))
     }),
 
+    "q193_wav_resample" -> ((s, d) => {
+      // fixed-length PCM resample of the synthetic audio clips to a
+      // 32-sample tensor (q192's sampling law in 1-D): the oracle
+      // replays the interpolation from the generator's sample formula.
+      // Zero-copy in-row sampling straight off the container bytes
+      val mm = graft.multimodal.MultimodalOps
+      val rs = graft.multimodal.AudioResample.column(col("media_bytes"), 32)
+      mm.syntheticDecodableAssets(s, 120)
+        .filter(col("modality") === "audio")
+        .select(col("asset_id"), rs.as("__r"))
+        .filter(col("__r").isNotNull)
+        .select(col("asset_id"), posexplode(col("__r")))
+        .select(col("asset_id"), col("pos").cast("long").as("idx"),
+          dround(col("col").cast("double"), 4).as("v"))
+        .orderBy(col("asset_id"), col("idx"))
+    }),
+
     "q191_cusum" -> ((s, d) => {
       // two-sided CUSUM drift alarms on each user's click-value series
       // vs a known target (mu=100, slack=10, threshold 150): both

@@ -125,6 +125,32 @@ object MediaDecode {
     * `data` chunk). Samples across all channels are accumulated
     * together (channel stats are a trivial variant). */
   def wavStats(b: Array[Byte]): InternalRow = {
+    val pcm = wavPcm(b)
+    if (pcm == null) return null
+    val (rate, channels, dataPos, n) = pcm
+    var sum = 0L; var sumSq = 0L; var peak = 0
+    var i = 0
+    while (i < n) {
+      val s = le16s(b, (dataPos + 2L * i).toInt) // bounded by guard
+      sum += s; sumSq += s.toLong * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      i += 1
+    }
+    val row = new GenericInternalRow(6)
+    row.setInt(0, rate); row.setInt(1, channels)
+    row.setLong(2, n.toLong)
+    row.setLong(3, sum); row.setLong(4, sumSq); row.setInt(5, peak)
+    row
+  }
+
+  /** The RIFF walk shared by [[wavStats]] and [[AudioResample]]:
+    * validates a 16-bit PCM WAV and returns (sampleRate, channels,
+    * dataOffset, nSamples) — samples across ALL channels, interleaved
+    * at `dataOffset` as little-endian shorts — or null on anything
+    * malformed ([[wavStats]]'s exact reject set). */
+  private[multimodal] def wavPcm(b: Array[Byte])
+      : (Int, Int, Long, Int) = {
     if (b == null || b.length < 44 || b(0) != 'R' || b(1) != 'I' ||
       b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'A' ||
       b(10) != 'V' || b(11) != 'E') return null
@@ -154,21 +180,7 @@ object MediaDecode {
     }
     if (rate < 0 || dataPos < 0 ||
       dataPos + dataLen > b.length) return null
-    val n = dataLen / 2
-    var sum = 0L; var sumSq = 0L; var peak = 0
-    var i = 0
-    while (i < n) {
-      val s = le16s(b, (dataPos + 2L * i).toInt) // bounded by guard
-      sum += s; sumSq += s.toLong * s
-      val a = math.abs(s)
-      if (a > peak) peak = a
-      i += 1
-    }
-    val row = new GenericInternalRow(6)
-    row.setInt(0, rate); row.setInt(1, channels)
-    row.setLong(2, n.toLong)
-    row.setLong(3, sum); row.setLong(4, sumSq); row.setInt(5, peak)
-    row
+    (rate, channels, dataPos, dataLen / 2)
   }
 
   private def be32(b: Array[Byte], i: Int): Int =

@@ -106,6 +106,9 @@ object GraftExtensions {
     "image_resize" -> (exprs =>
       graft.multimodal.ImageResizeExpr(exprs(0),
         intArg(exprs(1), "outW"), intArg(exprs(2), "outH"))),
+    "wav_resample" -> (exprs =>
+      graft.multimodal.AudioResampleExpr(exprs(0),
+        intArg(exprs(1), "outN"))),
     // compressed-payload decode (gzipped records from plain SQL)
     "gunzip" -> (exprs => graft.functions.GunzipExpr(exprs.head)),
     "gunzip_text" -> (exprs =>
