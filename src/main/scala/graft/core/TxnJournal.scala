@@ -119,7 +119,15 @@ object TxnJournal {
               VersionedTable.read(spark, sub, Some(v)), sub)
         }
       } else {
-        val pinned = line.split(" ").map(_.toInt).toSeq
+        val pinned = line.split(" ").map { e =>
+          val v = e.toIntOption
+          require(v.isDefined,
+            s"txn journal $intent entry '$e' is not a version number " +
+              s"— a corrupt legacy intent; resolve the crashed batch " +
+              s"manually (restore each pinned version, then delete " +
+              s"$intent)")
+          v.get
+        }.toSeq
         // legacy bare-version intent (no names): the list may only
         // have GROWN by APPENDING since it was written — roll back the
         // zipped prefix; the appended tables postdate the intent

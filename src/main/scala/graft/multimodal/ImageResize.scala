@@ -126,18 +126,14 @@ object ImageResize {
     var buf: Array[Byte] = null
     var at = 0
     var chans = 0
-    val dims = MediaDecode.pngScan(b, MaxPixels) { (row, stride, bpp) =>
-      if (buf == null) {
-        // rows stream before dims are returned: start height-16 and
-        // double (total pixels are already envelope-bounded upstream)
-        chans = bpp
-        buf = new Array[Byte](stride * 16)
-      }
-      if (at + stride > buf.length) {
-        val grown = new Array[Byte](math.max(buf.length * 2, at + stride))
-        System.arraycopy(buf, 0, grown, 0, at)
-        buf = grown
-      }
+    // the onHeader hook sizes the buffer EXACTLY from the validated
+    // (envelope-bounded) dims — a guessed initial size could be driven
+    // far past the envelope by a crafted wide-and-short header
+    val dims = MediaDecode.pngScan(b, MaxPixels,
+      onHeader = (w, h, ch) => {
+        chans = ch
+        buf = new Array[Byte](w * h * ch)
+      }) { (row, stride, _) =>
       System.arraycopy(row, 0, buf, at, stride)
       at += stride
     }

@@ -237,7 +237,8 @@ object MediaDecode {
     * pixel-count envelope as the one caller-chosen knob: the streaming
     * stats path tolerates far larger images than one that must
     * materialize). */
-  private[multimodal] def pngScan(b: Array[Byte], maxPixels: Long)(
+  private[multimodal] def pngScan(b: Array[Byte], maxPixels: Long,
+      onHeader: (Int, Int, Int) => Unit = (_, _, _) => ())(
       onRow: (Array[Byte], Int, Int) => Unit): (Int, Int, Int) = {
     if (b == null || b.length < 57) return null // sig+IHDR+IDAT+IEND
     if ((b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' ||
@@ -289,6 +290,9 @@ object MediaDecode {
       pos += 12L + len
     }
     if (!sawIhdr || !sawIend || idatOff.isEmpty) return null
+    // dims are validated before any row streams: a materializing
+    // caller sizes its buffer EXACTLY here instead of guessing
+    onHeader(w, h, channels)
     val bpp = channels
     val stride = w * bpp
     val inf = new java.util.zip.Inflater()

@@ -78,12 +78,16 @@ class ImageResizeSpec extends SparkTestBase {
     rs.foreach(v => assert(math.abs(v - 128f) <= 4f, v))
 
     val gray = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
-    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x404040)
+    // raster writes, not setRGB: setRGB on TYPE_BYTE_GRAY converts
+    // sRGB->linear (0x40 would land as ~13) before encoding
+    for (y <- 0 until 8; x <- 0 until 8)
+      gray.getRaster.setSample(x, y, 0, 0x40)
     val out2 = new java.io.ByteArrayOutputStream()
     assert(ImageIO.write(gray, "jpg", out2))
     val g2 = floats(out2.toByteArray, 1, 1)
     assert(g2 != null && g2.length == 3)
     assert(g2(0) == g2(1) && g2(1) == g2(2)) // luma on every channel
+    assert(math.abs(g2(0) - 64f) <= 4f, g2(0)) // and it IS the 0x40 luma
   }
 
   test("malformed, unsupported, and abusive inputs null out") {

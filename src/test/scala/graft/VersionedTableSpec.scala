@@ -940,5 +940,14 @@ class VersionedTableSpec extends SparkTestBase {
       graft.core.TxnJournal.exactlyOnce(spark, root, 16L, Seq(a))(())
     }
     assert(e4.getMessage.contains("non-numeric"))
+    // the LEGACY (bare-version) branch gets the same loud remediation
+    // for a truncated write, not a raw NumberFormatException
+    val out4 = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_txn/b17"), false)
+    out4.write("12 3a".getBytes("UTF-8")); out4.close()
+    val e5 = intercept[IllegalArgumentException] {
+      graft.core.TxnJournal.exactlyOnce(spark, root, 17L, Seq(a, b))(())
+    }
+    assert(e5.getMessage.contains("not a version number"))
   }
 }
