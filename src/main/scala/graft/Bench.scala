@@ -110,8 +110,13 @@ object Bench {
     val full = results.map { case (k, v, s) =>
       s""""$k":{"sec":${ms(v)},"spread_sec":${ms(s)}}"""
     }.mkString("{", ",", "}")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL.json")
+    // an ONLY-filtered run must never clobber the committed
+    // full-catalog record: a one-query isolated re-bench (the triage
+    // rule's own tool) overwrote BENCH_FULL.json in rounds 8 AND 9,
+    // shipping a single-query file as "the" bench record both times
+    val defaultOut =
+      if (only.isDefined) "BENCH_ISOLATED.json" else "BENCH_FULL.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       s"""{"metric":"total",$header,"sf":"$sfDir",""" +
         s""""queries":$full}""" + "\n")
