@@ -117,6 +117,13 @@ object Bench {
     val defaultOut =
       if (only.isDefined) "BENCH_ISOLATED.json" else "BENCH_FULL.json"
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    // ... and an explicit override can't re-open the hole (a lingering
+    // BENCH_OUT env var from a prior full run + an ONLY filter is
+    // exactly the clobber this guard exists for)
+    require(only.isEmpty || outFile != "BENCH_FULL.json",
+      "refusing to write a filtered (SPARK_GRAFT_BENCH_ONLY) record " +
+        "over BENCH_FULL.json — unset SPARK_GRAFT_BENCH_OUT or point " +
+        "it elsewhere")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       s"""{"metric":"total",$header,"sf":"$sfDir",""" +
         s""""queries":$full}""" + "\n")

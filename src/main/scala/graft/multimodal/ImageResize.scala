@@ -132,7 +132,9 @@ object ImageResize {
     val dims = MediaDecode.pngScan(b, MaxPixels,
       onHeader = (w, h, ch) => {
         chans = ch
-        buf = new Array[Byte](w * h * ch)
+        // Long math + toIntExact: safe under ANY future envelope, not
+        // just this caller's 2^24 (where the product tops out at 2^26)
+        buf = new Array[Byte](math.toIntExact(w.toLong * h * ch))
       }) { (row, stride, _) =>
       System.arraycopy(row, 0, buf, at, stride)
       at += stride

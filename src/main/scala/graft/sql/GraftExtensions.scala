@@ -39,11 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private def intArg(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    // SQL also spells sizes as BIGINT literals (32L, CAST(32 AS
-    // BIGINT)); accept any integral that fits an Int
+    // SQL also spells sizes as other integral LITERALS (32L, 16S,
+    // 8Y); accept any that fits an Int. (A CAST(32 AS BIGINT) is a
+    // Cast node at resolution time, not a literal — still rejected,
+    // like any non-literal expression.)
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
         if v.isValidInt => v.toInt
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) =>
+      v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) =>
       v.toInt
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
