@@ -3638,6 +3638,34 @@ object Oracles {
         |  AS FLOAT) AS DOUBLE), 4) AS v
         |FROM pts ORDER BY asset_id, idx""".stripMargin,
 
+    // Holt replayed step-exactly by a recursive CTE (q191's shape):
+    // the new level expression is DUPLICATED inside the trend update
+    // exactly as the aggregate re-derives it, same parenthesization
+    "q194_holt" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, t_us, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS rn
+        |  FROM (
+        |    SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |    FROM events
+        |    WHERE event_type = 'click' AND value IS NOT NULL
+        |    GROUP BY 1, 2)),
+        |c AS (
+        |  SELECT user_id, t_us, rn, v AS s, CAST(0 AS DOUBLE) AS b
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.t_us, r.rn,
+        |    CAST(0.4 AS DOUBLE) * r.v
+        |      + CAST(0.6 AS DOUBLE) * (c.s + c.b),
+        |    CAST(0.3 AS DOUBLE) * ((CAST(0.4 AS DOUBLE) * r.v
+        |        + CAST(0.6 AS DOUBLE) * (c.s + c.b)) - c.s)
+        |      + CAST(0.7 AS DOUBLE) * c.b
+        |  FROM c JOIN r ON r.user_id = c.user_id AND r.rn = c.rn + 1)
+        |SELECT user_id, t_us,
+        |  round(s, 4) + 0 AS level, round(b, 4) + 0 AS trend,
+        |  round(s + b, 4) + 0 AS forecast
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
     // CUSUM replayed step-exactly by a recursive CTE walking rn = 1..n
     // per user (true recursion — bounded by the longest series, NOT the
     // exponential inline-CTE trap); same parenthesization

@@ -2027,6 +2027,33 @@ object Queries {
         .orderBy(col("asset_id"), col("idx"))
     }),
 
+    "q194_holt" -> ((s, d) => {
+      // Holt linear-trend smoothing of the click series (level+slope
+      // state; level+trend = the one-step forecast a sensor pipeline
+      // alarms against) — third ordered-fold aggregate, same window
+      // contract and null discipline as q190/q191
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .select(col("user_id"), col("t_us"),
+          graft.functions.Holt.holt(col("v"), 0.4, 0.3).over(w).as("h"))
+        .select(col("user_id"), col("t_us"),
+          // + 0 normalizes IEEE -0.0 (a trend decaying to zero from
+          // below rounds to '-0.0' in one engine and '0.0' in the
+          // other — hit 1 cell in 19,863 at sf0.1)
+          (dround(col("h.level"), 4) + lit(0)).as("level"),
+          (dround(col("h.trend"), 4) + lit(0)).as("trend"),
+          (dround(col("h.level") + col("h.trend"), 4) + lit(0))
+            .as("forecast"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
     "q191_cusum" -> ((s, d) => {
       // two-sided CUSUM drift alarms on each user's click-value series
       // vs a known target (mu=100, slack=10, threshold 150): both

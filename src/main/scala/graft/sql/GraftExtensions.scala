@@ -140,5 +140,8 @@ object GraftExtensions {
       graft.functions.EwmaAgg(exprs(0), doubleArg(exprs(1), "alpha"))),
     "cusum" -> (exprs =>
       graft.functions.CusumAgg(exprs(0), doubleArg(exprs(1), "mu"),
-        doubleArg(exprs(2), "slack"))))
+        doubleArg(exprs(2), "slack"))),
+    "holt" -> (exprs =>
+      graft.functions.HoltAgg(exprs(0), doubleArg(exprs(1), "alpha"),
+        doubleArg(exprs(2), "beta"))))
 }
