@@ -135,13 +135,21 @@ object GraftExtensions {
     "jaro_winkler_similarity" -> (exprs =>
       graft.functions.JaroWinklerExpr(exprs(0), exprs(1))),
     // ordered statistical folds (window running frames only — the
-    // aggregates raise on the groupBy merge path by construction)
-    "ewma" -> (exprs =>
-      graft.functions.EwmaAgg(exprs(0), doubleArg(exprs(1), "alpha"))),
-    "cusum" -> (exprs =>
+    // aggregates raise on the groupBy merge path by construction);
+    // arity-checked so a wrong-arity SQL call names the signature
+    // instead of throwing IndexOutOfBounds from the analyzer
+    "ewma" -> (exprs => {
+      require(exprs.length == 2, "ewma(x, alpha) takes 2 arguments")
+      graft.functions.EwmaAgg(exprs(0), doubleArg(exprs(1), "alpha"))
+    }),
+    "cusum" -> (exprs => {
+      require(exprs.length == 3, "cusum(x, mu, slack) takes 3 arguments")
       graft.functions.CusumAgg(exprs(0), doubleArg(exprs(1), "mu"),
-        doubleArg(exprs(2), "slack"))),
-    "holt" -> (exprs =>
+        doubleArg(exprs(2), "slack"))
+    }),
+    "holt" -> (exprs => {
+      require(exprs.length == 3, "holt(x, alpha, beta) takes 3 arguments")
       graft.functions.HoltAgg(exprs(0), doubleArg(exprs(1), "alpha"),
-        doubleArg(exprs(2), "beta"))))
+        doubleArg(exprs(2), "beta"))
+    }))
 }

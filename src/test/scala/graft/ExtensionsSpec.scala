@@ -90,6 +90,25 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
           |  UNBOUNDED PRECEDING AND CURRENT ROW) AS c
           |FROM VALUES (30.0D) AS x(v)""".stripMargin).collect().head
       assert(intSpelled.getStruct(0).getDouble(0) == 20.0)
+      // holt resolves from SQL with the documented (x, alpha, beta)
+      // order: rows 10, 20 at a=0.5, b=0.5 -> level 15.0, trend 2.5
+      val hl = spark.sql(
+        """SELECT t, holt(v, 0.5, 0.5) OVER w AS h
+          |FROM VALUES (1, 10.0D), (2, 20.0D) AS x(t, v)
+          |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          |  AND CURRENT ROW)
+          |ORDER BY t""".stripMargin).collect()
+      val h2 = hl.last.getStruct(1)
+      assert(h2.getDouble(0) == 15.0 && h2.getDouble(1) == 2.5,
+        h2.toString)
+      // a wrong-arity call names the signature, not IndexOutOfBounds
+      val arity = intercept[Exception] {
+        spark.sql("SELECT holt(v, 0.5) OVER (ORDER BY v) FROM " +
+          "VALUES (1.0D) AS x(v)").collect()
+      }
+      def am(e: Throwable): Seq[String] = Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ am(x.getCause))
+      assert(am(arity).exists(_.contains("takes 3 arguments")))
       // and the groupBy path raises rather than folding shuffle order
       val err = intercept[Exception] {
         spark.sql(
