@@ -27,6 +27,40 @@ import org.apache.spark.sql.SparkSession
   * also reported for transparency.
   */
 object Bench {
+  /** A filter token matches a catalog query by full name
+    * (`q139_bm25_incremental`) or by bare id (`q139`) — BASELINE.md
+    * documents the bare-id form and ids are unique, so both must work.
+    * A filter that selects nothing is an error, not an all-zero record
+    * (round 9: `SPARK_GRAFT_BENCH_ONLY=q139` silently wrote
+    * `{"value":0.000,"queries":{}}` with exit 0).
+    */
+  def selectNames(only: Option[Set[String]], names: Seq[String])
+      : Seq[String] = {
+    val out = names.filter { n =>
+      only.forall(f => f.contains(n) || f.contains(n.takeWhile(_ != '_')))
+    }
+    require(only.isEmpty || out.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.get.mkString(",")} matched zero " +
+        "catalog queries — use a full name (q139_bm25_incremental) or " +
+        "a bare id (q139)")
+    out
+  }
+
+  /** An ONLY-filtered run must never clobber the committed
+    * full-catalog record; compare canonicalized paths so
+    * `SPARK_GRAFT_BENCH_OUT=./BENCH_FULL.json` (or an absolute path to
+    * it) can't re-open the hole the raw-string compare left.
+    */
+  def guardOutFile(onlySet: Boolean, outFile: String): Unit = {
+    val full = java.nio.file.Paths.get("BENCH_FULL.json")
+      .toAbsolutePath.normalize
+    val out = java.nio.file.Paths.get(outFile).toAbsolutePath.normalize
+    require(!onlySet || out != full,
+      "refusing to write a filtered (SPARK_GRAFT_BENCH_ONLY) record " +
+        "over BENCH_FULL.json — unset SPARK_GRAFT_BENCH_OUT or point " +
+        "it elsewhere")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,9 +77,11 @@ object Bench {
     // optional comma-separated name filter for local iteration; the
     // driver never sets it, so driver runs always bench the catalog
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = selectNames(only, SparkEntry.queries.keys.toSeq.sorted)
+      .toSet
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => selected.contains(n) }
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
@@ -120,10 +156,7 @@ object Bench {
     // ... and an explicit override can't re-open the hole (a lingering
     // BENCH_OUT env var from a prior full run + an ONLY filter is
     // exactly the clobber this guard exists for)
-    require(only.isEmpty || outFile != "BENCH_FULL.json",
-      "refusing to write a filtered (SPARK_GRAFT_BENCH_ONLY) record " +
-        "over BENCH_FULL.json — unset SPARK_GRAFT_BENCH_OUT or point " +
-        "it elsewhere")
+    guardOutFile(only.isDefined, outFile)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       s"""{"metric":"total",$header,"sf":"$sfDir",""" +
         s""""queries":$full}""" + "\n")

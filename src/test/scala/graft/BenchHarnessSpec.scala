@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's filter + clobber-guard logic, pure-function
+  * tested (no Spark). Round 9's judge hit both holes live:
+  * `SPARK_GRAFT_BENCH_ONLY=q139` silently produced an all-zero record,
+  * and the clobber guard compared raw strings so `./BENCH_FULL.json`
+  * slipped past it.
+  */
+class BenchHarnessSpec extends AnyFunSuite {
+  private val names = Seq(
+    "q139_bm25_incremental", "q140_bm25_forget", "q14_filter_defaults")
+
+  test("ONLY filter matches the documented bare qNNN id") {
+    assert(Bench.selectNames(Some(Set("q139")), names) ===
+      Seq("q139_bm25_incremental"))
+  }
+
+  test("ONLY filter still matches a full query name") {
+    assert(Bench.selectNames(Some(Set("q140_bm25_forget")), names) ===
+      Seq("q140_bm25_forget"))
+  }
+
+  test("bare-id match is exact on the id, not a substring") {
+    // q14 must not drag in q139/q140
+    assert(Bench.selectNames(Some(Set("q14")), names) ===
+      Seq("q14_filter_defaults"))
+  }
+
+  test("a filter matching zero queries fails loudly, not all-zero") {
+    val e = intercept[IllegalArgumentException] {
+      Bench.selectNames(Some(Set("q999")), names)
+    }
+    assert(e.getMessage.contains("matched zero"))
+  }
+
+  test("no filter keeps the whole catalog") {
+    assert(Bench.selectNames(None, names) === names)
+  }
+
+  test("clobber guard rejects relative and dot-path aliases") {
+    intercept[IllegalArgumentException] {
+      Bench.guardOutFile(onlySet = true, "BENCH_FULL.json")
+    }
+    intercept[IllegalArgumentException] {
+      Bench.guardOutFile(onlySet = true, "./BENCH_FULL.json")
+    }
+    intercept[IllegalArgumentException] {
+      Bench.guardOutFile(onlySet = true,
+        java.nio.file.Paths.get("BENCH_FULL.json")
+          .toAbsolutePath.toString)
+    }
+  }
+
+  test("clobber guard allows other files and unfiltered full runs") {
+    Bench.guardOutFile(onlySet = true, "BENCH_ISOLATED.json")
+    Bench.guardOutFile(onlySet = false, "BENCH_FULL.json")
+  }
+}
