@@ -3666,6 +3666,47 @@ object Oracles {
         |  round(s + b, 4) + 0 AS forecast
         |FROM c ORDER BY 1, 2""".stripMargin,
 
+    // Holt-Winters replayed step-exactly by a recursive CTE carrying
+    // the period-6 seasonal cycle as a LIST column: the new level is
+    // DUPLICATED inside the trend and seasonal updates exactly as the
+    // aggregate re-derives it, same parenthesization; the cycle rewrite
+    // (list_transform CASE on the slot) mirrors the concat-of-slices
+    "q195_holt_winters" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, t_us, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS rn
+        |  FROM (
+        |    SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |    FROM events
+        |    WHERE event_type = 'click' AND value IS NOT NULL
+        |    GROUP BY 1, 2)),
+        |c AS (
+        |  SELECT user_id, t_us, rn, CAST(v AS DOUBLE) AS l,
+        |    CAST(0 AS DOUBLE) AS b,
+        |    list_transform(range(0, 6), j -> CAST(0 AS DOUBLE)) AS seas
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.t_us, r.rn,
+        |    CAST(0.3 AS DOUBLE) * (r.v - c.seas[((r.rn - 1) % 6) + 1])
+        |      + CAST(0.7 AS DOUBLE) * (c.l + c.b),
+        |    CAST(0.2 AS DOUBLE) * ((CAST(0.3 AS DOUBLE)
+        |          * (r.v - c.seas[((r.rn - 1) % 6) + 1])
+        |        + CAST(0.7 AS DOUBLE) * (c.l + c.b)) - c.l)
+        |      + CAST(0.8 AS DOUBLE) * c.b,
+        |    list_transform(range(0, 6), j ->
+        |      CASE WHEN j = (r.rn - 1) % 6
+        |        THEN CAST(0.4 AS DOUBLE) * (r.v - (CAST(0.3 AS DOUBLE)
+        |              * (r.v - c.seas[((r.rn - 1) % 6) + 1])
+        |            + CAST(0.7 AS DOUBLE) * (c.l + c.b)))
+        |          + CAST(0.6 AS DOUBLE) * c.seas[((r.rn - 1) % 6) + 1]
+        |        ELSE c.seas[j + 1] END)
+        |  FROM c JOIN r ON r.user_id = c.user_id AND r.rn = c.rn + 1)
+        |SELECT user_id, t_us,
+        |  round(l, 4) + 0 AS level, round(b, 4) + 0 AS trend,
+        |  round(seas[((rn - 1) % 6) + 1], 4) + 0 AS seasonal,
+        |  round(l + b + seas[(rn % 6) + 1], 4) + 0 AS forecast
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
     // CUSUM replayed step-exactly by a recursive CTE walking rn = 1..n
     // per user (true recursion — bounded by the longest series, NOT the
     // exponential inline-CTE trap); same parenthesization

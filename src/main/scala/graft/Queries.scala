@@ -2054,6 +2054,35 @@ object Queries {
         .orderBy(col("user_id"), col("t_us"))
     }),
 
+    "q195_holt_winters" -> ((s, d) => {
+      // Holt-Winters additive seasonal smoothing (triple exponential)
+      // of the click series: level + trend + a period-6 seasonal cycle
+      // (the reference's electricity domain is daily-periodic hourly
+      // prices, which plain Holt q194 cannot track). Fourth ordered-
+      // fold aggregate, same window contract and null discipline; the
+      // seasonal index counts observations, so the q188/q189 grid
+      // resample is the companion when wall-clock periodicity is meant
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .select(col("user_id"), col("t_us"),
+          graft.functions.HoltWinters
+            .holtWinters(col("v"), 0.3, 0.2, 0.4, 6).over(w).as("h"))
+        .select(col("user_id"), col("t_us"),
+          // + 0 normalizes IEEE -0.0 (q194's one-in-20k cell)
+          (dround(col("h.level"), 4) + lit(0)).as("level"),
+          (dround(col("h.trend"), 4) + lit(0)).as("trend"),
+          (dround(col("h.seasonal"), 4) + lit(0)).as("seasonal"),
+          (dround(col("h.forecast"), 4) + lit(0)).as("forecast"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
     "q191_cusum" -> ((s, d) => {
       // two-sided CUSUM drift alarms on each user's click-value series
       // vs a known target (mu=100, slack=10, threshold 150): both

@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DETAIL/FORGET/ERASE) as SQL statements; everything else falls
     // through to the stock parser
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // defense-in-depth for the ordered-fold aggregates: reject grouping
+    // -aggregate use at ANALYSIS time, before a physical mode is chosen
+    // (the merge-raise alone only fires if the planner picks
+    // Partial+Final; a Complete-mode plan would skip merge entirely)
+    ext.injectCheckRule(_ => graft.plans.OrderedFoldCheck)
   }
 }
 
@@ -151,5 +156,12 @@ object GraftExtensions {
       require(exprs.length == 3, "holt(x, alpha, beta) takes 3 arguments")
       graft.functions.HoltAgg(exprs(0), doubleArg(exprs(1), "alpha"),
         doubleArg(exprs(2), "beta"))
+    }),
+    "holt_winters" -> (exprs => {
+      require(exprs.length == 5,
+        "holt_winters(x, alpha, beta, gamma, m) takes 5 arguments")
+      graft.functions.HoltWintersAgg(exprs(0),
+        doubleArg(exprs(1), "alpha"), doubleArg(exprs(2), "beta"),
+        doubleArg(exprs(3), "gamma"), intArg(exprs(4), "m"))
     }))
 }

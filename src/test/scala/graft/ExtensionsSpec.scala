@@ -121,6 +121,37 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("ordered folds are rejected at ANALYSIS time in grouping aggs") {
+    // defense-in-depth beyond the merge-raise: the check rule fires
+    // when the plan is analyzed (no collect), so even a hypothetical
+    // Complete-mode physical plan — which never runs merge — cannot
+    // fold shuffle order. Window use still analyzes fine.
+    val spark2 = sessionWithExtensions
+    try {
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        spark2.sql(
+          "SELECT ewma(v, 0.5) FROM VALUES (1.0D), (2.0D) AS x(v)")
+      }
+      assert(err.getMessage.contains("ordered window"))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark2.sql("SELECT holt_winters(v, 0.3, 0.2, 0.4, 4) FROM " +
+          "VALUES (1.0D) AS x(v)")
+      }
+      // window use is untouched by the rule
+      val hw = spark2.sql(
+        """SELECT t, holt_winters(v, 0.5, 0.5, 0.5, 4) OVER w AS h
+          |FROM VALUES (1, 10.0D), (2, 20.0D) AS x(t, v)
+          |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          |  AND CURRENT ROW)
+          |ORDER BY t""".stripMargin).collect()
+      val h2 = hw.last.getStruct(1)
+      // seed l=10, b=0; step: sm=seas[1]=0, l'=0.5*20+0.5*10=15,
+      // b'=0.5*5=2.5, s'=0.5*(20-15)=2.5, forecast=15+2.5+seas[2]=17.5
+      assert(h2.getDouble(0) == 15.0 && h2.getDouble(1) == 2.5 &&
+        h2.getDouble(2) == 2.5 && h2.getDouble(3) == 17.5, h2.toString)
+    } finally spark2.stop()
+  }
+
   test("media parse/decode functions resolve in plain SQL") {
     val spark2 = sessionWithExtensions
     try {
