@@ -386,19 +386,38 @@ object VersionedTable {
     -1 // unreachable
   }
 
-  /** True iff `df`'s optimized plan is a bare file-source scan (no
-    * projection, filter, join, or computed column on top): evaluating
-    * it twice costs two scans of files already on disk, so
-    * [[commitReplaceWhere]] skips the scratch copy — writing the
-    * whole window out first would be strictly more I/O. Anything
-    * non-trivial on top materializes once instead. */
-  private[graft] def isBareFileScan(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.execution.datasources.LogicalRelation
-    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  /** If `df`'s optimized plan is a bare parquet file-source scan (no
+    * projection, filter, join, or computed column on top), return the
+    * same scan PINNED to its concrete file list: evaluating a bare
+    * scan twice costs two reads of files already on disk, so
+    * [[commitReplaceWhere]] skips the scratch copy — but the two
+    * evaluations must see IDENTICAL bytes, or rows that landed in the
+    * source directory between the validation scan and the write scan
+    * would be committed unvalidated. Re-reading the exact `inputFiles`
+    * (immutable once written, like every parquet producer's contract)
+    * closes that race for live directories; [[read]]'s own manifest
+    * file list was already pinned by construction. Partitioned or
+    * non-parquet or empty relations return None and take the scratch
+    * path (partition-column values come from directory names, which an
+    * explicit file list without a basePath would drop). */
+  private[graft] def pinnedBareScan(df: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     df.queryExecution.optimizedPlan match {
-      case _: LogicalRelation => true
-      case _: DataSourceV2Relation => true
-      case _ => false
+      case lr: LogicalRelation => lr.relation match {
+        case r: HadoopFsRelation
+            if r.fileFormat.isInstanceOf[ParquetFileFormat] &&
+              r.partitionSchema.isEmpty =>
+          val files = df.inputFiles
+          if (files.isEmpty) None
+          else Some(df.sparkSession.read
+            .options(r.options -- Seq("path", "paths"))
+            .schema(df.schema)
+            .parquet(scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(files): _*))
+        case _ => None
+      }
+      case _ => None
     }
   }
 
@@ -453,19 +472,21 @@ object VersionedTable {
     // validation and the write (and any OCC retry) all read one
     // parquet scratch instead of re-evaluating an arbitrary caller
     // plan — a derived feed (a join, a model scorer) pays its cost
-    // exactly once. EXCEPT when the plan is already a bare
-    // file-source scan (the SQL REPLACE path always passes one):
-    // re-scanning the source files is strictly cheaper than first
-    // WRITING a scratch copy of the whole backfill window. Scratch is
-    // dropped on every exit path; the committed version's own data
-    // files are written by the claim below, so nothing durable
-    // references it.
+    // exactly once. EXCEPT when the plan is already a bare parquet
+    // scan (the SQL REPLACE path always passes one): re-scanning the
+    // source files is strictly cheaper than first WRITING a scratch
+    // copy of the whole backfill window — PINNED to the concrete file
+    // list so every evaluation reads identical bytes even if the
+    // source directory is live. Scratch is dropped on every exit
+    // path; the committed version's own data files are written by the
+    // claim below, so nothing durable references it.
     val (repl, scratch) =
-      if (isBareFileScan(replacement)) (replacement, None)
-      else {
-        val (r, p) = Scratch.materializeWithPath(replacement,
-          "replace_where")
-        (r, Some(p))
+      pinnedBareScan(replacement) match {
+        case Some(pinned) => (pinned, None)
+        case None =>
+          val (r, p) = Scratch.materializeWithPath(replacement,
+            "replace_where")
+          (r, Some(p))
       }
     try {
       require(repl.filter(not(matches)).isEmpty,

@@ -120,6 +120,17 @@ object Resample {
       .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
       .withColumn("__nt", first(obsT, ignoreNulls = true).over(fwd))
       .filter(col("__side") === 1)
+      // INVARIANT (pinned by ResampleSpec's exact-hit permutation
+      // test): the (__t, __side) sort puts an observation BEFORE a
+      // grid point at the same timestamp, so for every emitted grid
+      // row __pt <= __t and __nt (when non-null) is STRICTLY greater
+      // than __pt — the divide below can never see __nt == __pt. An
+      // exact grid-on-observation hit lands in this branch with
+      // fraction (__t - __pt) = 0 and emits the observation itself.
+      // Editing the tie order flips exact hits into the fwd frame
+      // (fraction 1 — still the observation) EXCEPT at a key's first
+      // observation, where __pt is null and the output silently nulls:
+      // that is the regression the spec exists to catch.
       .withColumn(valueCol,
         when(col("__nt").isNull, col("__pv")).otherwise(
           col("__pv") + (col("__nv") - col("__pv")) *

@@ -133,4 +133,39 @@ class ResampleSpec extends SparkTestBase {
     assert(locf == expected.map(e => (e._1, e._2, e._3)))
     assert(lin == expected.map(e => (e._1, e._2, e._4)))
   }
+
+  test("exact grid-on-observation hits survive any input partitioning") {
+    // Pins linear()'s tie-order invariant (obs sorts before grid at an
+    // equal timestamp): observations placed EXACTLY on aligned grid
+    // points — including each key's FIRST observation, the row a
+    // flipped tie order would silently null — must come back as the
+    // observation value, never null/NaN, under permuted partitioning.
+    val step = 2000000L // 2 s
+    val rows = for (k <- 0 until 4; i <- 0 until 12) yield {
+      // every third observation lands exactly on a grid multiple; the
+      // first observation of every key is an exact hit by construction
+      val t = if (i % 3 == 0) (i / 3) * 3 * step
+              else (i / 3) * 3 * step + i % 3 * 700000L
+      (s"k$k", ts(t), (k * 100 + i).toDouble)
+    }
+    val exactHits = rows.collect {
+      case (k, t, v) if (t.getTime * 1000L) % step == 0 =>
+        (k, t.getTime * 1000L) -> v
+    }.toMap
+    assert(exactHits.nonEmpty)
+    for (parts <- Seq(1, 3, 7)) {
+      val out = Resample.linear(
+          rows.toDF("k", "t", "v").repartition(parts),
+          Seq("k"), "t", "v", step)
+        .collect().map(r => ((r.getString(0), r.getLong(1)),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+      out.foreach { case (key, v) =>
+        assert(v.isDefined && !v.get.isNaN, s"null/NaN at $key ($parts)")
+        exactHits.get(key).foreach(exp =>
+          assert(v.get == exp, s"exact hit $key: ${v.get} != $exp"))
+      }
+      // every exact hit is an emitted grid row
+      assert(exactHits.keySet.subsetOf(out.map(_._1).toSet))
+    }
+  }
 }

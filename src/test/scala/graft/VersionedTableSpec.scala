@@ -828,15 +828,39 @@ class VersionedTableSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("bare").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/p")
     val bare = spark.read.parquet(s"$dir/p")
-    assert(VersionedTable.isBareFileScan(bare))
-    assert(!VersionedTable.isBareFileScan(bare.filter(col("id") > 0)))
-    assert(!VersionedTable.isBareFileScan(bare.select(col("id"))))
-    assert(!VersionedTable.isBareFileScan(Seq(1L).toDF("id")))
+    assert(VersionedTable.pinnedBareScan(bare).isDefined)
+    assert(VersionedTable.pinnedBareScan(bare.filter(col("id") > 0)).isEmpty)
+    assert(VersionedTable.pinnedBareScan(bare.select(col("id"))).isEmpty)
+    assert(VersionedTable.pinnedBareScan(Seq(1L).toDF("id")).isEmpty)
     // the versioned-table reader itself resolves to a bare scan
     val path = tbl()
     VersionedTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), path)
-    assert(VersionedTable.isBareFileScan(
-      VersionedTable.read(spark, path)))
+    assert(VersionedTable.pinnedBareScan(
+      VersionedTable.read(spark, path)).isDefined)
+  }
+
+  test("bare-scan fast path is pinned to its files, not the live dir") {
+    // the validation scan and the OCC-loop write scan must read
+    // IDENTICAL bytes: a file landing in the source directory between
+    // them must not be committed unvalidated. The pin re-reads the
+    // exact inputFiles, so later arrivals are invisible to it.
+    val dir = Files.createTempDirectory("pin").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/p")
+    val pinned = VersionedTable.pinnedBareScan(
+      spark.read.parquet(s"$dir/p")).get
+    assert(pinned.count() === 1L)
+    // a new file lands in the directory after the pin
+    Seq((99L, "late")).toDF("id", "v")
+      .write.mode("append").parquet(s"$dir/p")
+    assert(spark.read.parquet(s"$dir/p").count() === 2L)
+    assert(pinned.count() === 1L, "pinned scan must not see late files")
+    // partitioned sources decline the fast path (partition-column
+    // values come from directory names an explicit file list drops)
+    val pdir = Files.createTempDirectory("pinpart").toString
+    Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "part")
+      .write.partitionBy("part").parquet(s"$pdir/p")
+    assert(VersionedTable.pinnedBareScan(
+      spark.read.parquet(s"$pdir/p")).isEmpty)
   }
 
   test("named intent replays by NAME across inserted/reordered subs") {
