@@ -3738,6 +3738,43 @@ object Oracles {
         |  (sp > 150 OR sn > 150) AS alarm
         |FROM c ORDER BY 1, 2""".stripMargin,
 
+    // the maintained smoothed view's batch twin: q188's grid + ASOF
+    // LOCF at a 6-hour step, then q190's slice/list_reduce EWMA fold
+    // over the GRID values in grid order — one oracle for the
+    // composition TimeSeriesView maintains incrementally
+    "q198_smoothed_view" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id,
+        |    min(t) + ((21600000000 - (min(t) % 21600000000 + 21600000000)
+        |      % 21600000000) % 21600000000) AS lo,
+        |    max(t) - ((max(t) % 21600000000 + 21600000000)
+        |      % 21600000000) AS hi
+        |  FROM r GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, 21600000000)) AS g_us
+        |  FROM b WHERE lo <= hi),
+        |loc AS (
+        |  SELECT g.user_id, g.g_us, r.v
+        |  FROM g ASOF LEFT JOIN r
+        |    ON g.user_id = r.user_id AND g.g_us >= r.t),
+        |o AS (
+        |  SELECT user_id, g_us, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY g_us) AS rn
+        |  FROM loc),
+        |l AS (
+        |  SELECT user_id, list(v ORDER BY g_us) AS vs FROM loc GROUP BY 1)
+        |SELECT o.user_id, o.g_us, round(o.v, 4) AS value,
+        |  round(list_reduce(list_slice(l.vs, 1, o.rn),
+        |    (s, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * s),
+        |    4) AS ewma
+        |FROM o JOIN l USING (user_id)
+        |ORDER BY 1, 2""".stripMargin,
+
     // regular-grid LOCF resample: per-user aligned hourly grid over the
     // click-series span, latest observation at-or-before each point via
     // DuckDB's native ASOF JOIN (inclusive >=, mirroring the Spark

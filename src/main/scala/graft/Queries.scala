@@ -2083,6 +2083,23 @@ object Queries {
         .orderBy(col("user_id"), col("t_us"))
     }),
 
+    "q198_smoothed_view" -> ((s, d) => {
+      // the maintained gold-table composition (q188 LOCF grid resample
+      // → q190 EWMA) as a batch query: what TimeSeriesView maintains
+      // incrementally from a stream, verified here end-to-end against
+      // one oracle (grid ASOF + per-key ordered fold). 6-hour grid —
+      // the smoothing grain a dashboard stores, and it keeps the
+      // oracle's O(n²) slice-fold tractable at sf0.1
+      graft.ops.TimeSeriesView.smoothedBatch(
+          t(s, d, "events").filter(col("event_type") === "click"),
+          Seq("user_id"), "ts", "value", stepUs = 21600000000L,
+          alpha = 0.3)
+        .select(col("user_id"), col("g_us"),
+          dround(col("value"), 4).as("value"),
+          dround(col("ewma"), 4).as("ewma"))
+        .orderBy(col("user_id"), col("g_us"))
+    }),
+
     "q191_cusum" -> ((s, d) => {
       // two-sided CUSUM drift alarms on each user's click-value series
       // vs a known target (mu=100, slack=10, threshold 150): both

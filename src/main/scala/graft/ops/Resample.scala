@@ -69,8 +69,10 @@ object Resample {
   }
 
   /** Deterministic observation series: duplicate timestamps collapse to
-    * their max value (order-independent, unlike avg/first). */
-  private def series(readings: DataFrame, keyCols: Seq[String],
+    * their max value (order-independent, unlike avg/first). Shared with
+    * [[TimeSeriesView]] so the streaming-maintained gold table dedups
+    * exactly like the batch resample. */
+  private[graft] def series(readings: DataFrame, keyCols: Seq[String],
                      tsCol: String, valueCol: String): DataFrame =
     readings
       .select(keyCols.map(col) :+ unix_micros(col(tsCol)).as("__t_us") :+
