@@ -3738,6 +3738,52 @@ object Oracles {
         |  (sp > 150 OR sn > 150) AS alarm
         |FROM c ORDER BY 1, 2""".stripMargin,
 
+    // multimodal ANN capstone: the ENTIRE pipeline downstream of the
+    // resize — vector assembly, deterministic codebook, cosine cell
+    // assignment (ties to the smaller cell), 2-probe, exclude-self
+    // exact cosine, (score desc, id) ranking — replayed in SQL from
+    // the dumped q192 tensor fixture (the q132 oracle's shape over
+    // image features). Only the decode+resize arithmetic itself stays
+    // with q192's own generator-formula oracle.
+    "q196_image_ann_ivf" ->
+      """WITH fx AS (
+        |  SELECT * FROM
+        |    read_parquet('__VERIFY_OUT__/q192_image_resize/*.parquet')),
+        |dv AS (
+        |  SELECT asset_id, list(v ORDER BY idx) AS vv
+        |  FROM fx GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY asset_id) - 1
+        |      AS INTEGER) AS cell, vv AS cv
+        |  FROM (SELECT asset_id, vv FROM dv ORDER BY asset_id LIMIT 8)),
+        |asn AS (
+        |  SELECT asset_id, cell FROM (
+        |    SELECT dv.asset_id, cb.cell, row_number() OVER (
+        |      PARTITION BY dv.asset_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM dv CROSS JOIN cb) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT dv.asset_id AS query_id, cb.cell, row_number() OVER (
+        |      PARTITION BY dv.asset_id
+        |      ORDER BY list_cosine_similarity(vv, cv) DESC, cell) AS rn
+        |    FROM dv CROSS JOIN cb WHERE dv.asset_id < 30) WHERE rn <= 2),
+        |probescore AS (
+        |  SELECT p.query_id, a.asset_id AS neighbor_id,
+        |    list_cosine_similarity(qv.vv, nv.vv) AS cs
+        |  FROM probes p JOIN asn a ON p.cell = a.cell
+        |  JOIN dv qv ON qv.asset_id = p.query_id
+        |  JOIN dv nv ON nv.asset_id = a.asset_id
+        |  WHERE a.asset_id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cs, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |    AS INTEGER) AS rn
+        |  FROM probescore)
+        |SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rn
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+
     // the maintained smoothed view's batch twin: q188's grid + ASOF
     // LOCF at a 6-hour step, then q190's slice/list_reduce EWMA fold
     // over the GRID values in grid order — one oracle for the

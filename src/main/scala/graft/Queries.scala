@@ -2083,6 +2083,22 @@ object Queries {
         .orderBy(col("user_id"), col("t_us"))
     }),
 
+    "q196_image_ann_ivf" -> ((s, d) => {
+      // the multimodal retrieval capstone: decode → bilinear resize
+      // (q192's tensors, 4dp-quantized — the indexing contract that
+      // makes the fixture replay exact) → IVF image similarity, the
+      // way q132 closed text ANN. Deterministic first-8-by-id
+      // codebook, 2-probe, exact cosine inside probed cells only; the
+      // oracle replays cell assignment, probing, and ranking in SQL
+      // from the dumped q192 fixture
+      val vecs = graft.multimodal.MultimodalOps
+        .imageTensorVectors(s, 120, 4, 4)
+      graft.operators.SimilarityOps.ivfTopK(
+        vecs, vecs.filter(col("asset_id") < 30), "asset_id", "vec",
+        "asset_id", k = 5, cells = 8, nprobe = 2, trainIters = 0)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     "q198_smoothed_view" -> ((s, d) => {
       // the maintained gold-table composition (q188 LOCF grid resample
       // → q190 EWMA) as a batch query: what TimeSeriesView maintains

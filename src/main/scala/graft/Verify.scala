@@ -16,7 +16,8 @@ object Verify {
       "q24_minhash_neardups" -> "q104_minhash_band_fixture",
       "q25_simhash_neardups" -> "q103_simhash_fixture",
       "q30_embedding_neardups" -> "q105_lsh_bucket_fixture",
-      "q187_compress_gate" -> "q171_compress_ratio")
+      "q187_compress_gate" -> "q171_compress_ratio",
+      "q196_image_ann_ivf" -> "q192_image_resize")
     val only: Option[Set[String]] =
       if (args.length > 2) {
         val asked = args(2).split(",").toSet

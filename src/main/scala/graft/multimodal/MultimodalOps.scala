@@ -476,4 +476,37 @@ object MultimodalOps {
       .putShort(1.toShort).putShort(1.toShort).putInt(sampleRate)
     b.array()
   }
+
+  /** Image embedding ingestion: decode → bilinear-resize to a fixed
+    * `outW`×`outH`×3 tensor ([[ImageResize]]) → flat `Array[Double]`
+    * feature vector, quantized to 4 decimals. The quantization is the
+    * indexing contract, not a shortcut: it makes the indexed
+    * representation byte-equal to the dumped q192 fixture, so the
+    * whole downstream ANN pipeline (cell assignment, probing, cosine
+    * ranking — q196) replays in SQL from that fixture alone, the
+    * q103–q105 oracle discipline. Undecodable assets drop (NULL
+    * tensor), never crash.
+    *
+    * Materialized once per session (the [[graft.operators
+    * .HashingVectorizer.denseVectors]] pattern): codebook init, corpus
+    * assignment, and query probing each scan the vector table, and
+    * re-decoding images per consumer would triple the decode cost —
+    * at 100 TB the decode IS the expensive stage, so it runs once. */
+  def imageTensorVectors(spark: SparkSession, n: Int, outW: Int,
+      outH: Int): DataFrame = {
+    val assets = syntheticPngAssets(spark, n)
+    val path = graft.core.ModelCache.cached(assets,
+      s"img-tensor:$n:${outW}x$outH") {
+      graft.core.Scratch.materializeWithPath(
+        assets.select(col("asset_id"),
+          ImageResize.column(col("media_bytes"), outW, outH).as("__r"))
+          .filter(col("__r").isNotNull)
+          // element-wise Rounding.dround (scale-first IEEE sequence)
+          .select(col("asset_id"), expr(
+            "transform(__r, x -> round(cast(x as double) * 10000.0D, 0)" +
+              " / 10000.0D)").as("vec")),
+        "img_tensor")._2
+    }
+    spark.read.parquet(path)
+  }
 }

@@ -312,4 +312,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_pixels") == w.toLong * h)
     assert(math.abs(r.getAs[Double]("mean_r") - expected) < 1e-9)
   }
+
+  test("image ANN IVF path holds a recall floor vs brute force") {
+    // q196 (decode → resize → quantized tensor → IVF) against the
+    // exhaustive cosine baseline over the SAME vectors: with 8
+    // first-by-id cells and nprobe=2 the probed fraction is ~1/4 of
+    // the corpus, yet recall@5 must stay high — pins the multimodal
+    // vector plumbing end-to-end, not just "100 rows came back"
+    import org.apache.spark.sql.functions._
+    val vecs = graft.multimodal.MultimodalOps
+      .imageTensorVectors(spark, 120, 4, 4)
+    val queries = vecs.filter(col("asset_id") < 30)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.operators.SimilarityOps.bruteForceTopK(
+      vecs, queries, "asset_id", "vec", "asset_id", k = 5))
+    val ivf = pairs(graft.operators.SimilarityOps.ivfTopK(
+      vecs, queries, "asset_id", "vec", "asset_id", k = 5,
+      cells = 8, nprobe = 2, trainIters = 0))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.70, f"image ANN recall@5 $recall%.3f < 0.70")
+  }
+
+  test("undecodable assets drop from the tensor table, never crash") {
+    // every third synthetic asset is noise; the vector table must hold
+    // exactly the decodable PNGs with 4x4x3 = 48-dim quantized vectors
+    val vecs = graft.multimodal.MultimodalOps
+      .imageTensorVectors(spark, 120, 4, 4)
+    val rows = vecs.collect()
+    assert(rows.length === 80)
+    assert(rows.forall(_.getSeq[Double](1).length === 48))
+    assert(rows.forall(r => !r.getSeq[Double](1).exists(_.isNaN)))
+  }
 }
