@@ -4073,6 +4073,22 @@ object Oracles {
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
 
+    // dim-delta view repair: the oracle is the FULL recompute under
+    // the updated dim — the repaired view must be indistinguishable
+    // from it, and the pinned mode proves the cheap path produced it
+    "q197_dim_delta_view" ->
+      """SELECT 'dim_delta' AS mode, c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_val
+        |FROM orders JOIN (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 100 = 0 THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM customer) c ON o_custkey = c_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
     // JSONL round-trip: the oracle reads the parquet directly, so any
     // infidelity in the engine's JSON escape/parse of free text
     // (newlines, quotes, unicode) breaks the hash

@@ -2384,6 +2384,40 @@ object Queries {
         .orderBy(col("c_nationkey"))
     }),
 
+    "q197_dim_delta_view" -> ((s, d) => {
+      // slowly-changing-dim maintenance: the q185 rollup kept current
+      // through a DIM UPDATE without the full recompute — customers
+      // with custkey % 100 == 0 migrate to the next nation, and the
+      // repair rebuilds only the groups reachable from those keys
+      // (subtract old-dim contribution, add new-dim, additive integer
+      // algebra). The emitted `mode` pins that the cheap path ran; the
+      // oracle derives the rollup from the raw join under the UPDATED
+      // dim, so a wrong repair breaks the hash
+      val orders = t(s, d, "orders").withColumn("oop",
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val root = s"${graft.core.Scratch.root(orders)}/dimdelta_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val (fact, dimP, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+      graft.core.VersionedTable.commitAppend(dim, dimP)
+      graft.core.VersionedTable.commitAppend(orders, fact)
+      graft.ops.IncrementalAgg.maintainJoined(s, fact, dimP, agg,
+        "o_custkey", Seq("c_nationkey"), "oop")
+      graft.core.VersionedTable.commitOverwrite(
+        dim.withColumn("c_nationkey",
+          when(col("o_custkey") % 100 === 0,
+            (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey"))), dimP)
+      val r = graft.ops.IncrementalAgg.maintainJoined(s, fact, dimP,
+        agg, "o_custkey", Seq("c_nationkey"), "oop")
+      graft.ops.IncrementalAgg.read(s, agg)
+        .select(lit(r.mode).as("mode"), col("c_nationkey"),
+          col("n_rows"), col("sum_val"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // ---- interchange-format ingestion (JSONL / ORC) -------------------
     "q183_jsonl_roundtrip" -> ((s, d) => {
       // JSONL is THE LLM-corpus interchange format: export the corpus

@@ -261,10 +261,16 @@ object IncrementalAgg {
       keys: Seq[String], valueCol: String): MaintainResult = {
     val vDim = VersionedTable.latestVersion(spark, dimPath)
     require(vDim > 0, s"$dimPath has no committed version to join")
+    // slowly-changing-dim fast path: if ONLY the dim moved (or moved
+    // alongside an append-only base advance), repair just the groups
+    // reachable from the CHANGED dim keys, then let the normal drive
+    // handle any base delta against the re-pinned dim version
+    val repaired = dimDeltaRepair(spark, basePath, dimPath, aggPath,
+      joinKey, keys, valueCol, vDim)
     val dim = VersionedTable.read(spark, dimPath, Some(vDim))
     def joined(rows: DataFrame): DataFrame =
       rows.join(dim, Seq(joinKey))
-    drive(spark, basePath, aggPath,
+    val r = drive(spark, basePath, aggPath,
       computeFull = rows =>
         aggregate(joined(rows), keys, valueCol, minMax = false)
           .withColumn(DimVCol, lit(vDim)),
@@ -277,7 +283,99 @@ object IncrementalAgg {
       schemaOk = cols => cols.contains(DimVCol) && !cols.contains("hll"),
       stateAggs = Seq(max(col(DimVCol))),
       stateOk = row => Option(row.get(1)).forall(_.toString.toInt == vDim))
+    repaired match {
+      case Some(n) if r.mode == "noop" =>
+        MaintainResult(r.aggVersion, "dim_delta", n)
+      case Some(n) =>
+        MaintainResult(r.aggVersion, s"dim_delta+${r.mode}",
+          r.filesScanned + n)
+      case None => r
+    }
   }
+
+  /** Repair the joined view for a dim advance WITHOUT the full
+    * recompute: under the inner equi-join, a dim commit can only
+    * change the view's contribution of fact rows whose `joinKey` is in
+    * the dim DIFF (rows inserted/deleted/updated between the pinned
+    * and latest dim versions — usually a handful of keys for a
+    * slowly-changing dim). The repair subtracts the affected facts
+    * joined through the OLD dim rows and adds them joined through the
+    * NEW ones — exact because the aggregate is an additive integer
+    * monoid (the same algebra the append delta rides), and groups
+    * whose count reaches zero drop out of the merge. Shuffle volume is
+    * proportional to the affected facts, not the table; the fact scan
+    * itself is restricted by a broadcast semi-join on the changed keys
+    * (at 100 TB pair it with partitioning/bloom skipping on `joinKey`
+    * to prune the scan too).
+    *
+    * Declines (returns None → the caller's drive recomputes honestly):
+    * a dim SCHEMA change (retypes the view's inputs), unreadable old
+    * dim version (vacuumed/erased history), a dim RESTORE moving
+    * backward, a rewritten (non-append) base lineage, or any missing
+    * bookkeeping. A content-identical dim rewrite (same rows, new
+    * version) re-pins the version without touching values. Commits the
+    * repaired view at (unchanged base pin, latest dim pin); returns
+    * the number of base files the repair scanned. */
+  private def dimDeltaRepair(spark: SparkSession, basePath: String,
+      dimPath: String, aggPath: String, joinKey: String,
+      keys: Seq[String], valueCol: String, vDim: Int): Option[Int] =
+    try {
+      val vAgg = VersionedTable.latestVersion(spark, aggPath)
+      if (vAgg == 0) return None
+      val current = VersionedTable.read(spark, aggPath, Some(vAgg))
+      if (!current.columns.contains(DimVCol) ||
+          !current.columns.contains(BaseVCol)) return None
+      val head = current.select(max(col(BaseVCol)), max(col(DimVCol)))
+        .collect().head
+      if (head.isNullAt(0) || head.isNullAt(1)) return None
+      val vB0 = head.get(0).toString.toInt
+      val vD0 = head.get(1).toString.toInt
+      if (vD0 >= vDim) return None
+      // if the base lineage is not append-only from the pinned
+      // version, drive() recomputes anyway — don't pay the repair
+      val bf0 = VersionedTable.files(spark, basePath, Some(vB0)).toSet
+      val bfN = VersionedTable.files(spark, basePath,
+        Some(VersionedTable.latestVersion(spark, basePath))).toSet
+      if (bf0.isEmpty || !bf0.subsetOf(bfN)) return None
+      val dimOld = VersionedTable.read(spark, dimPath, Some(vD0))
+      val dimNew = VersionedTable.read(spark, dimPath, Some(vDim))
+      if (dimOld.schema.map(f => (f.name, f.dataType.sql)).toSet !=
+          dimNew.schema.map(f => (f.name, f.dataType.sql)).toSet)
+        return None
+      val changed = dimOld.exceptAll(dimNew).select(col(joinKey))
+        .union(dimNew.exceptAll(dimOld).select(col(joinKey)))
+        .distinct()
+      if (changed.isEmpty) {
+        // content-identical rewrite: values can't have moved — re-pin
+        VersionedTable.commitOverwrite(
+          current.withColumn(DimVCol, lit(vDim)), aggPath)
+        return Some(0)
+      }
+      val facts = VersionedTable.read(spark, basePath, Some(vB0))
+      val factsK = facts.join(broadcast(changed), Seq(joinKey))
+      val dimOldK = dimOld.join(broadcast(changed), Seq(joinKey))
+      val dimNewK = dimNew.join(broadcast(changed), Seq(joinKey))
+      val plus = aggregate(factsK.join(dimNewK, Seq(joinKey)), keys,
+        valueCol, minMax = false)
+      val minus = aggregate(factsK.join(dimOldK, Seq(joinKey)), keys,
+        valueCol, minMax = false)
+        .select(keys.map(col) :+ (-col("n_rows")).as("n_rows") :+
+          (-col("sum_val")).as("sum_val"): _*)
+      val deltaAgg = plus.unionByName(minus)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("sum_val")).as("sum_val"))
+      val merged = mergeAggFrames(keys, minMax = false)(
+        current.drop(BaseVCol, DimVCol), deltaAgg)
+        .withColumn(DimVCol, lit(vDim))
+        .withColumn(BaseVCol, lit(vB0))
+      VersionedTable.commitOverwrite(merged, aggPath)
+      Some(bf0.size)
+    } catch {
+      // any structural surprise (un-diffable column types, vacuumed
+      // history racing the reads) falls back to the honest recompute
+      case _: Exception => None
+    }
 
   /** Sketch-backed maintained view — distinct counts and percentiles
     * updating from DELTA FILES ONLY, which exact distinct/percentile

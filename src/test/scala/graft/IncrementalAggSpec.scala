@@ -349,7 +349,7 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(state() === Map("a" -> ((3L, 3L)), "b" -> ((1L, 1L))))
   }
 
-  test("joined view: fact appends delta-merge, dim change recomputes") {
+  test("joined view: fact appends delta-merge, dim change dim-deltas") {
     val root = tmp()
     val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
     VersionedTable.commitAppend(
@@ -373,20 +373,102 @@ class IncrementalAggSpec extends SparkTestBase {
       "k", Seq("region"), "v")
     assert(r1.mode == "incremental" && r1.filesScanned >= 1)
     assert(view() === Set(("east", 3L, 31L), ("west", 2L, 12L)))
-    // dim change rewrites history for already-counted fact rows:
-    // per-file deltas are invalid, must recompute under the new dim
+    // dim change rewrites history for already-counted fact rows; the
+    // slowly-changing-dim repair recomputes ONLY the groups reachable
+    // from the changed keys (k=1 moved, k=3 appeared; k=2 untouched)
     VersionedTable.commitOverwrite(
       Seq((1L, "north"), (2L, "west"), (3L, "south"))
         .toDF("k", "region"), dim)
     val r2 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
       "k", Seq("region"), "v")
-    assert(r2.mode == "full")
+    assert(r2.mode == "dim_delta")
     assert(view() === Set(("north", 3L, 31L), ("west", 2L, 12L),
       ("south", 1L, 99L)))
     // and with base+dim both unchanged, the next maintain no-ops
     val r3 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
       "k", Seq("region"), "v")
     assert(r3.mode == "noop")
+  }
+
+  test("dim-delta repair touches ONLY the changed keys' groups") {
+    val root = tmp()
+    val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq((1L, "east"), (2L, "west"), (3L, "south"))
+        .toDF("k", "region"), dim)
+    VersionedTable.commitAppend(
+      Seq((1L, 10L), (2L, 5L), (2L, 6L), (3L, 7L)).toDF("k", "v"), fact)
+    IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    // DOCTOR an untouched group's value in the view. If the repair
+    // recomputed the whole view, the doctored value would heal; if it
+    // only rebuilds groups reachable from the changed dim keys, the
+    // lie SURVIVES — the definitive observable that untouched groups
+    // were never recomputed.
+    val doctored = VersionedTable.read(spark, agg)
+      .withColumn("sum_val",
+        when(col("region") === "west", lit(777L))
+          .otherwise(col("sum_val")))
+    VersionedTable.commitOverwrite(doctored, agg)
+    // 1-key change: k=1 east→north. k=2 (west) and k=3 (south) keys
+    // are byte-identical dim rows — out of the diff
+    VersionedTable.commitOverwrite(
+      Seq((1L, "north"), (2L, "west"), (3L, "south"))
+        .toDF("k", "region"), dim)
+    val r = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r.mode == "dim_delta")
+    def view() = IncrementalAgg.read(spark, agg)
+      .select("region", "n_rows", "sum_val")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(view() === Set(("north", 1L, 10L), ("west", 2L, 777L),
+      ("south", 1L, 7L)),
+      "untouched groups must carry verbatim (777 survives); only the " +
+        "changed key's groups rebuild")
+  }
+
+  test("dim-delta edge cases: identical rewrite, schema change, vacuum") {
+    val root = tmp()
+    val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq((1L, "east"), (2L, "west")).toDF("k", "region"), dim)
+    VersionedTable.commitAppend(
+      Seq((1L, 10L), (2L, 5L)).toDF("k", "v"), fact)
+    IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    def view() = IncrementalAgg.read(spark, agg)
+      .select("region", "n_rows", "sum_val")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // content-identical dim rewrite: re-pin without touching values
+    VersionedTable.commitOverwrite(
+      Seq((1L, "east"), (2L, "west")).toDF("k", "region"), dim)
+    val r1 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r1.mode == "dim_delta" && r1.filesScanned == 0)
+    assert(view() === Set(("east", 1L, 10L), ("west", 1L, 5L)))
+    // ... and the very next maintain is a plain noop at the new pin
+    assert(IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v").mode == "noop")
+    // a dim SCHEMA change retypes the view's inputs: honest recompute
+    VersionedTable.commitOverwrite(
+      Seq((1L, "east", "E"), (2L, "west", "W"))
+        .toDF("k", "region", "code"), dim)
+    val r2 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r2.mode == "full")
+    assert(view() === Set(("east", 1L, 10L), ("west", 1L, 5L)))
+    // dim change arriving TOGETHER with a fact append: repair then
+    // delta-merge in one maintain
+    VersionedTable.commitOverwrite(
+      Seq((1L, "north", "N"), (2L, "west", "W"))
+        .toDF("k", "region", "code"), dim)
+    VersionedTable.commitAppend(Seq((2L, 2L)).toDF("k", "v"), fact)
+    val r3 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r3.mode == "dim_delta+incremental", r3.mode)
+    assert(view() === Set(("north", 1L, 10L), ("west", 2L, 7L)))
   }
 
   test("streaming joined view: appends, dim commit, replay — all honest") {
@@ -414,8 +496,9 @@ class IncrementalAggSpec extends SparkTestBase {
       assert(view() === Set(("east", 2L, 30L), ("west", 1L, 5L)))
     } finally q.stop()
     // dim commit mid-stream rewrites history for already-counted
-    // fact rows: the next batch's maintain recomputes under the new
-    // dim (stream-static enrichment's static-side refresh rule)
+    // fact rows: the next batch's maintain repairs the changed keys'
+    // groups (dim-delta) and then delta-merges the batch itself
+    // (stream-static enrichment's static-side refresh rule)
     VersionedTable.commitOverwrite(
       Seq((1L, "north"), (2L, "west")).toDF("k", "region"), dim)
     sink(Seq((2L, 7L)).toDF("k", "v"), 100L)
