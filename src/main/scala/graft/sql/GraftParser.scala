@@ -31,6 +31,8 @@ import graft.core.VersionedTable
   * REPLACE '<table>' WHERE <predicate> FROM '<src>'
   * REFRESH VIEW '<agg>' FROM '<base>' [JOIN '<dim>' ON <key>]
   *   GROUP BY c1, c2, ... VALUE <col> [MINMAX]
+  * REFRESH SMOOTHED VIEW '<gold>' FROM '<base>'
+  *   KEY c1, c2, ... TIME <col> VALUE <col> STEP <µs> ALPHA <a>
   * }}}
   *
   * Tables are [[VersionedTable]] paths as single-quoted string
@@ -103,6 +105,12 @@ object GraftSqlParser {
     """REFRESH\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
       """(?:\s+JOIN\s+'([^']+)'\s+ON\s+(\w+))?""" +
       """\s+GROUP\s+BY\s+([\w\s,]+?)\s+VALUE\s+(\w+)(\s+MINMAX)?""")
+  // the time-series gold-table twin: LOCF grid resample + EWMA
+  // ([[graft.ops.TimeSeriesView]]) maintained from SQL
+  private val RefreshSmoothRe = pat(
+    """REFRESH\s+SMOOTHED\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """\s+KEY\s+([\w\s,]+?)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s+STEP\s+(\d+)\s+ALPHA\s+([0-9.]+)""")
 
   private def opt(s: String): Option[String] = Option(s)
 
@@ -149,6 +157,12 @@ object GraftSqlParser {
         for { d <- opt(rv.group(3)); k <- opt(rv.group(4)) } yield (d, k),
         rv.group(5).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         rv.group(6), rv.group(7) != null))
+    val rs = RefreshSmoothRe.matcher(sql)
+    if (rs.matches())
+      return Some(RefreshSmoothedViewCommand(rs.group(1), rs.group(2),
+        rs.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        rs.group(4), rs.group(5), rs.group(6).toLong,
+        rs.group(7).toDouble))
     None
   }
 
@@ -297,6 +311,27 @@ case class RefreshViewCommand(aggPath: String, basePath: String,
           keys, valueCol, minMax)
     }
     Seq(Row(aggPath, r.mode, r.aggVersion, r.filesScanned))
+  }
+}
+
+/** Time-series gold-table maintenance from SQL: `REFRESH SMOOTHED
+  * VIEW '<gold>' FROM '<base>' KEY k1[,k2] TIME ts VALUE v STEP <µs>
+  * ALPHA <a>` creates-or-extends the LOCF-resample + EWMA view
+  * ([[graft.ops.TimeSeriesView.maintainSmoothed]] semantics: O(delta)
+  * forward fold from keys-sized state; honest recompute on late data
+  * or parameter changes). */
+case class RefreshSmoothedViewCommand(goldPath: String,
+    basePath: String, keys: Seq[String], tsCol: String, valueCol: String,
+    stepUs: Long, alpha: Double) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("gold_path", StringType),
+    GraftSqlParser.attr("mode", StringType),
+    GraftSqlParser.attr("version", IntegerType),
+    GraftSqlParser.attr("files_scanned", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = graft.ops.TimeSeriesView.maintainSmoothed(spark, basePath,
+      goldPath, keys, tsCol, valueCol, stepUs, alpha)
+    Seq(Row(goldPath, r.mode, r.goldVersion, r.filesScanned))
   }
 }
 

@@ -323,6 +323,40 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .srcPath === "/tmp/s")
   }
 
+  test("REFRESH SMOOTHED VIEW maintains the time-series gold from SQL") {
+    val spark2 = sessionWithExtensions
+    try {
+      import graft.core.VersionedTable
+      import spark2.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("sqlsmooth").toString
+      val (base, gold) = (s"$root/base", s"$root/gold")
+      def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+      VersionedTable.commitAppend(
+        Seq(("a", ts(400000L), 10.0), ("a", ts(2100000L), 30.0))
+          .toDF("k", "t", "v"), base)
+      val verb = s"REFRESH SMOOTHED VIEW '$gold' FROM '$base' " +
+        "KEY k TIME t VALUE v STEP 1000000 ALPHA 0.3"
+      val r1 = spark2.sql(verb).collect().head
+      assert(r1.getString(1) === "init")
+      // strictly-later observations extend by delta from SQL too
+      VersionedTable.commitAppend(
+        Seq(("a", ts(4700000L), 50.0)).toDF("k", "t", "v"), base)
+      val r2 = spark2.sql(verb).collect().head
+      assert(r2.getString(1) === "incremental" && r2.getInt(3) >= 1)
+      assert(spark2.sql(verb).collect().head.getString(1) === "noop")
+      val got = graft.ops.TimeSeriesView.read(spark2, gold)
+        .orderBy("g_us").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      val twin = graft.ops.TimeSeriesView.smoothedBatch(
+          VersionedTable.read(spark2, base), Seq("k"), "t", "v",
+          1000000L, 0.3)
+        .orderBy("g_us").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(got.toSeq === twin.toSeq)
+    } finally spark2.stop()
+  }
+
   test("REFRESH VIEW maintains (join-)aggregate views from SQL") {
     val spark2 = sessionWithExtensions
     try {
