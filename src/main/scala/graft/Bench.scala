@@ -47,15 +47,26 @@ object Bench {
   }
 
   /** An ONLY-filtered run must never clobber the committed
-    * full-catalog record; compare canonicalized paths so
-    * `SPARK_GRAFT_BENCH_OUT=./BENCH_FULL.json` (or an absolute path to
-    * it) can't re-open the hole the raw-string compare left.
+    * full-catalog record; compare canonicalized paths AND (when both
+    * exist) filesystem identity, so `./BENCH_FULL.json`, an absolute
+    * alias, or a SYMLINK to it can't re-open the hole the raw-string
+    * compare left. An IO error while resolving counts as a clash —
+    * fail safe, never overwrite.
     */
   def guardOutFile(onlySet: Boolean, outFile: String): Unit = {
-    val full = java.nio.file.Paths.get("BENCH_FULL.json")
-      .toAbsolutePath.normalize
-    val out = java.nio.file.Paths.get(outFile).toAbsolutePath.normalize
-    require(!onlySet || out != full,
+    if (!onlySet) return
+    import java.nio.file.{Files, Paths}
+    val full = Paths.get("BENCH_FULL.json")
+    val out = Paths.get(outFile)
+    val clash =
+      // any file NAMED BENCH_FULL.json is a full-catalog record by
+      // convention, wherever it lives (covers a JVM cwd that differs
+      // from the repo root, e.g. tools/run_main.sh launched elsewhere)
+      out.getFileName.toString == "BENCH_FULL.json" ||
+        (try Files.exists(out) && Files.exists(full) &&
+          Files.isSameFile(out, full)
+        catch { case _: java.io.IOException => true })
+    require(!clash,
       "refusing to write a filtered (SPARK_GRAFT_BENCH_ONLY) record " +
         "over BENCH_FULL.json — unset SPARK_GRAFT_BENCH_OUT or point " +
         "it elsewhere")

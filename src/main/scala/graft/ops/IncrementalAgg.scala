@@ -235,6 +235,22 @@ object IncrementalAgg {
 
   private val DimVCol = "__dim_version"
 
+  // (aggPath, committed agg version) → that version's pinned dim
+  // version. A committed version's pins are immutable, so entries can
+  // never go stale; the cache lets a streaming maintainJoined against
+  // a STATIC dim skip dimDeltaRepair's metadata job entirely — without
+  // it the repair adds a collect per micro-batch, the exact tax
+  // drive's single-metadata-job comment warns about. Driver-side and
+  // tiny (two ints per committed view version); cleared wholesale at a
+  // size no real session reaches.
+  private val dimPinCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Int]
+  private def cacheDimPin(aggPath: String, v: Int, vDim: Int): Unit = {
+    if (dimPinCache.size > 8192) dimPinCache.clear()
+    dimPinCache.put((aggPath, v), vDim)
+    ()
+  }
+
   /** Incrementally maintained JOIN-aggregate view — the enrichment
     * rollup: `SELECT keys…, count(*), sum(valueCol) FROM base INNER
     * JOIN dim USING (joinKey) GROUP BY keys…`, where `keys` may name
@@ -283,6 +299,10 @@ object IncrementalAgg {
       schemaOk = cols => cols.contains(DimVCol) && !cols.contains("hll"),
       stateAggs = Seq(max(col(DimVCol))),
       stateOk = row => Option(row.get(1)).forall(_.toString.toInt == vDim))
+    // whatever drive committed (or verified, for noop) pins vDim: every
+    // write path stamps lit(vDim), and noop means stateOk matched it —
+    // recording it here is what makes the next static-dim repair free
+    cacheDimPin(aggPath, r.aggVersion, vDim)
     repaired match {
       case Some(n) if r.mode == "noop" =>
         MaintainResult(r.aggVersion, "dim_delta", n)
@@ -322,6 +342,9 @@ object IncrementalAgg {
     try {
       val vAgg = VersionedTable.latestVersion(spark, aggPath)
       if (vAgg == 0) return None
+      // the cached pin makes the static-dim skip FREE (no Spark job):
+      // this version's pin was recorded when it was committed
+      if (dimPinCache.get((aggPath, vAgg)).contains(vDim)) return None
       val current = VersionedTable.read(spark, aggPath, Some(vAgg))
       if (!current.columns.contains(DimVCol) ||
           !current.columns.contains(BaseVCol)) return None
@@ -330,6 +353,7 @@ object IncrementalAgg {
       if (head.isNullAt(0) || head.isNullAt(1)) return None
       val vB0 = head.get(0).toString.toInt
       val vD0 = head.get(1).toString.toInt
+      cacheDimPin(aggPath, vAgg, vD0)
       if (vD0 >= vDim) return None
       // if the base lineage is not append-only from the pinned
       // version, drive() recomputes anyway — don't pay the repair
@@ -338,17 +362,23 @@ object IncrementalAgg {
         Some(VersionedTable.latestVersion(spark, basePath))).toSet
       if (bf0.isEmpty || !bf0.subsetOf(bfN)) return None
       val dimOld = VersionedTable.read(spark, dimPath, Some(vD0))
-      val dimNew = VersionedTable.read(spark, dimPath, Some(vDim))
+      val dimNewRaw = VersionedTable.read(spark, dimPath, Some(vDim))
       if (dimOld.schema.map(f => (f.name, f.dataType.sql)).toSet !=
-          dimNew.schema.map(f => (f.name, f.dataType.sql)).toSet)
+          dimNewRaw.schema.map(f => (f.name, f.dataType.sql)).toSet)
         return None
+      // exceptAll compares POSITIONALLY while joins resolve by name: a
+      // commit that merely reordered same-typed columns must diff as
+      // content, not as every-row-changed (or worse, silently equal
+      // tuples under a swapped pair) — align by the old column order
+      val dimNew = dimNewRaw.select(dimOld.columns.map(col): _*)
       val changed = dimOld.exceptAll(dimNew).select(col(joinKey))
         .union(dimNew.exceptAll(dimOld).select(col(joinKey)))
         .distinct()
       if (changed.isEmpty) {
         // content-identical rewrite: values can't have moved — re-pin
-        VersionedTable.commitOverwrite(
+        val v = VersionedTable.commitOverwrite(
           current.withColumn(DimVCol, lit(vDim)), aggPath)
+        cacheDimPin(aggPath, v, vDim)
         return Some(0)
       }
       val facts = VersionedTable.read(spark, basePath, Some(vB0))
@@ -369,7 +399,8 @@ object IncrementalAgg {
         current.drop(BaseVCol, DimVCol), deltaAgg)
         .withColumn(DimVCol, lit(vDim))
         .withColumn(BaseVCol, lit(vB0))
-      VersionedTable.commitOverwrite(merged, aggPath)
+      val v = VersionedTable.commitOverwrite(merged, aggPath)
+      cacheDimPin(aggPath, v, vDim)
       Some(bf0.size)
     } catch {
       // any structural surprise (un-diffable column types, vacuumed

@@ -41,6 +41,11 @@ import graft.core.VersionedTable
   *    recompute, exactly like [[IncrementalAgg.maintain]].
   *  - A smoothing-parameter or step change mid-life is a state-schema
   *    change → full recompute (pinned `__alpha`/`__step_us`).
+  *  - Gold and state are two separate commits; the state pins the gold
+  *    version it describes (`__gold_version`), so a crash BETWEEN the
+  *    gold append and the state overwrite is detected at the next
+  *    maintain (gold ahead of the pin) and healed by a full recompute
+  *    — re-folding the same delta would append duplicate grid rows.
   *
   * State lives in a sibling VersionedTable at `goldPath + "_state"`:
   * one row per key — first/last observation, last grid point, the EWMA
@@ -55,6 +60,12 @@ object TimeSeriesView {
   private val BaseVCol = "__base_version"
   private val AlphaCol = "__alpha"
   private val StepCol = "__step_us"
+  // the GOLD version this state row describes: gold and state are two
+  // separate commits, so a crash between them leaves gold one version
+  // AHEAD of the state's pin — detected as a metadata-only check at
+  // the next maintain and healed by a full recompute (without it, the
+  // recovery would re-fold the same delta and APPEND duplicate rows)
+  private val GoldVCol = "__gold_version"
 
   def statePath(goldPath: String): String = goldPath + "_state"
 
@@ -105,6 +116,7 @@ object TimeSeriesView {
         .withColumn(AlphaCol, lit(alpha))
         .withColumn(StepCol, lit(stepUs))
         .withColumn(BaseVCol, lit(vBase))
+        .withColumn(GoldVCol, lit(goldV))
       VersionedTable.commitOverwrite(state, stPath)
       MaintainResult(goldV, mode, baseFiles.size)
     }
@@ -134,19 +146,26 @@ object TimeSeriesView {
     if (stateEmpty) return fullCompute("full")
 
     val state = VersionedTable.read(spark, stPath, Some(vState))
-    if (!Seq(BaseVCol, AlphaCol, StepCol)
+    if (!Seq(BaseVCol, AlphaCol, StepCol, GoldVCol)
         .forall(state.columns.contains(_)))
       return fullCompute("full")
-    // one metadata job: reflected base version + pinned parameters
+    // one metadata job: reflected base/gold versions + pinned params
     val head = state.select(max(col(BaseVCol)), max(col(AlphaCol)),
-      max(col(StepCol))).collect().head
+      max(col(StepCol)), max(col(GoldVCol))).collect().head
     if (Option(head.get(1)).forall(_ != alpha) ||
         Option(head.get(2)).forall(_ != stepUs))
       return fullCompute("full")
+    // crash-window detection: gold and state are SEPARATE commits, so
+    // a crash after the gold append but before the state overwrite
+    // leaves gold ahead of the state's pin; re-folding the same delta
+    // would append duplicates — recompute instead (overwrite heals)
+    val goldNow = VersionedTable.latestVersion(spark, goldPath)
+    if (Option(head.get(3)).map(_.toString.toInt).getOrElse(-1)
+        != goldNow)
+      return fullCompute("full")
     val reflected = Option(head.get(0))
       .map(_.toString.toInt).getOrElse(0)
-    if (reflected == vBase) return MaintainResult(
-      VersionedTable.latestVersion(spark, goldPath), "noop", 0)
+    if (reflected == vBase) return MaintainResult(goldNow, "noop", 0)
     if (reflected > vBase) return fullCompute("full")
 
     val oldFiles =
@@ -168,7 +187,7 @@ object TimeSeriesView {
     val delta = Resample.series(rd.parquet(newFiles: _*), keys, tsCol,
       valueCol)
 
-    val st = state.drop(BaseVCol, AlphaCol, StepCol)
+    val st = state.drop(BaseVCol, AlphaCol, StepCol, GoldVCol)
     // LATE data: any delta observation at or before a key's recorded
     // last observation rewrites emitted history — honest recompute
     val lateJoin = delta.join(st, keys)
@@ -256,6 +275,7 @@ object TimeSeriesView {
       .withColumn(AlphaCol, lit(alpha))
       .withColumn(StepCol, lit(stepUs))
       .withColumn(BaseVCol, lit(vBase))
+      .withColumn(GoldVCol, lit(goldV))
     VersionedTable.commitOverwrite(newState, stPath)
     MaintainResult(goldV, "incremental", newFiles.size)
   }

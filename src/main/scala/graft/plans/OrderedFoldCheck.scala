@@ -33,20 +33,25 @@ object OrderedFoldCheck extends (LogicalPlan => Unit) {
       case _                 => None
     }
 
-  override def apply(plan: LogicalPlan): Unit = plan.foreach {
-    case agg: Aggregate =>
-      agg.aggregateExpressions.foreach(_.foreach {
-        case ae: AggregateExpression =>
-          orderedFoldName(ae.aggregateFunction).foreach { name =>
-            throw new AnalysisException(
-              "USER_RAISED_EXCEPTION",
-              Map("errorMessage" ->
-                (s"$name is order-dependent and only defined over an " +
-                  "ordered window frame (ORDER BY ... ROWS UNBOUNDED " +
-                  "PRECEDING); it cannot be used as a groupBy aggregate")))
-          }
-        case _ =>
-      })
-    case _ =>
-  }
+  override def apply(plan: LogicalPlan): Unit =
+    // subqueriesAll: an ordered fold inside a scalar/IN/EXISTS subquery
+    // lives in a nested plan the root foreach never visits — the
+    // Complete-mode hole would stay open there without this
+    (plan +: plan.subqueriesAll).foreach(_.foreach {
+      case agg: Aggregate =>
+        agg.aggregateExpressions.foreach(_.foreach {
+          case ae: AggregateExpression =>
+            orderedFoldName(ae.aggregateFunction).foreach { name =>
+              throw new AnalysisException(
+                "USER_RAISED_EXCEPTION",
+                Map("errorMessage" ->
+                  (s"$name is order-dependent and only defined over an " +
+                    "ordered window frame (ORDER BY ... ROWS UNBOUNDED " +
+                    "PRECEDING); it cannot be used as a groupBy " +
+                    "aggregate")))
+            }
+          case _ =>
+        })
+      case _ =>
+    })
 }

@@ -57,4 +57,25 @@ class BenchHarnessSpec extends AnyFunSuite {
     Bench.guardOutFile(onlySet = true, "BENCH_ISOLATED.json")
     Bench.guardOutFile(onlySet = false, "BENCH_FULL.json")
   }
+
+  test("clobber guard rejects symlinks and out-of-cwd name aliases") {
+    import java.nio.file.{Files => F, Paths}
+    // ANY file named BENCH_FULL.json is a full-catalog record by
+    // convention — an absolute path outside the cwd is still refused
+    val dir = F.createTempDirectory("benchguard")
+    intercept[IllegalArgumentException] {
+      Bench.guardOutFile(onlySet = true,
+        dir.resolve("BENCH_FULL.json").toString)
+    }
+    // a SYMLINK named something else but pointing at the cwd's record
+    // follows on write — only filesystem identity can see it
+    val cwdRecord = Paths.get("BENCH_FULL.json").toAbsolutePath
+    assume(F.exists(cwdRecord), "committed record expected in cwd")
+    val link = dir.resolve("alias.json")
+    try F.createSymbolicLink(link, cwdRecord)
+    catch { case _: UnsupportedOperationException => cancel("no symlinks") }
+    intercept[IllegalArgumentException] {
+      Bench.guardOutFile(onlySet = true, link.toString)
+    }
+  }
 }

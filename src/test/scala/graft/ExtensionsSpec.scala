@@ -137,6 +137,15 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         spark2.sql("SELECT holt_winters(v, 0.3, 0.2, 0.4, 4) FROM " +
           "VALUES (1.0D) AS x(v)")
       }
+      // nested plans too: an ordered fold inside a scalar subquery's
+      // grouping aggregate must not slip past the root-plan traversal
+      val sub = intercept[org.apache.spark.sql.AnalysisException] {
+        spark2.sql(
+          """SELECT k, (SELECT ewma(v, 0.5) FROM VALUES (1.0D), (2.0D)
+            |  AS y(v)) AS e
+            |FROM VALUES ('a') AS x(k)""".stripMargin)
+      }
+      assert(sub.getMessage.contains("ordered window"))
       // window use is untouched by the rule
       val hw = spark2.sql(
         """SELECT t, holt_winters(v, 0.5, 0.5, 0.5, 4) OVER w AS h

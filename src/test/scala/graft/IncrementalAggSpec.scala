@@ -469,6 +469,16 @@ class IncrementalAggSpec extends SparkTestBase {
       "k", Seq("region"), "v")
     assert(r3.mode == "dim_delta+incremental", r3.mode)
     assert(view() === Set(("north", 1L, 10L), ("west", 2L, 7L)))
+    // a dim commit that REORDERS same-typed columns while changing
+    // content: positional diffing would miss the swapped values —
+    // the name-aligned diff must still catch the changed key
+    VersionedTable.commitOverwrite(
+      Seq((1L, "N", "east"), (2L, "W", "west"))
+        .toDF("k", "code", "region"), dim) // k=1: north→east (+ swap)
+    val r4 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r4.mode == "dim_delta", r4.mode)
+    assert(view() === Set(("east", 1L, 10L), ("west", 2L, 7L)))
   }
 
   test("streaming joined view: appends, dim commit, replay — all honest") {

@@ -137,6 +137,29 @@ class TimeSeriesViewSpec extends SparkTestBase {
     assert(goldSet(gold).map(_._2) === Set(2000000L, 3000000L, 4000000L))
   }
 
+  test("crash between gold append and state overwrite heals, no dupes") {
+    val root = tmp()
+    val (base, gold) = (s"$root/base", s"$root/gold")
+    VersionedTable.commitAppend(
+      rows(("a", 400000L, 10.0), ("a", 2100000L, 30.0)), base)
+    maintain(base, gold)
+    // simulate the torn maintain: gold advanced (a delta's rows were
+    // appended) but the state overwrite never happened — exactly what
+    // a crash inside the incremental path leaves behind
+    VersionedTable.commitAppend(
+      TimeSeriesView.read(spark, gold).limit(1), gold)
+    VersionedTable.commitAppend(rows(("a", 4700000L, 50.0)), base)
+    val r = maintain(base, gold)
+    assert(r.mode === "full",
+      "gold ahead of the state's pin must recompute, not re-fold")
+    assert(goldSet(gold) === twinSet(base),
+      "the recompute must heal the torn write (no duplicate grid rows)")
+    // and the system returns to the cheap path afterwards
+    VersionedTable.commitAppend(rows(("a", 6300000L, 70.0)), base)
+    assert(maintain(base, gold).mode === "incremental")
+    assert(goldSet(gold) === twinSet(base))
+  }
+
   test("streaming sink: micro-batches, crash catch-up, replay no-op") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

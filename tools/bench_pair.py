@@ -31,6 +31,10 @@ def main():
     b = load(sys.argv[2])
     common = sorted(set(a) & set(b))
     ok = [k for k in common if a[k][0] >= 0 and b[k][0] >= 0]
+    if not ok:
+        print(f"no common successful queries ({len(common)} common, "
+              f"{len(a)} in A, {len(b)} in B) — nothing to compare")
+        return
     tot_a = sum(a[k][0] for k in ok)
     tot_b = sum(b[k][0] for k in ok)
     rel = {k: abs(a[k][0] - b[k][0]) / max(min(a[k][0], b[k][0]), 1e-9)
