@@ -3707,6 +3707,147 @@ object Oracles {
         |  round(l + b + seas[(rn % 6) + 1], 4) + 0 AS forecast
         |FROM c ORDER BY 1, 2""".stripMargin,
 
+    // classical additive decomposition replayed step-exactly: the MA
+    // numerator and all slot sums are INTEGER arithmetic on the 1e-4
+    // quantized values (Decompose's determinism contract), each double
+    // division on identical operands — window frames, slot grouping,
+    // centering and the left join mirror the operator stage by stage
+    "q199_seasonal_decompose" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, t_us, v,
+        |    CAST((row_number() OVER w - 1) % 6 AS INTEGER) AS slot,
+        |    sum(CAST(round(v * 10000) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY t_us
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |    count(*) OVER (
+        |      PARTITION BY user_id ORDER BY t_us
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7,
+        |    lag(CAST(round(v * 10000) AS BIGINT), 3) OVER w AS vlag,
+        |    lead(CAST(round(v * 10000) AS BIGINT), 3) OVER w AS vlead
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+        |de AS (
+        |  SELECT user_id, t_us, v, slot, trend,
+        |    CAST(round((v - trend) * 10000) AS BIGINT) AS d_e4
+        |  FROM (
+        |    SELECT user_id, t_us, v, slot,
+        |      CASE WHEN c7 = 7 THEN
+        |        CAST(2 * s7 - vlag - vlead AS DOUBLE) / 120000.0
+        |      END AS trend
+        |    FROM r)),
+        |slots AS (
+        |  SELECT user_id, slot,
+        |    CAST(round(CAST(sum(d_e4) AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS sme
+        |  FROM de WHERE d_e4 IS NOT NULL GROUP BY 1, 2),
+        |ctr AS (
+        |  SELECT user_id, slot,
+        |    (CAST(sme AS DOUBLE)
+        |      - CAST(sum(sme) OVER (PARTITION BY user_id) AS DOUBLE)
+        |        / count(*) OVER (PARTITION BY user_id)) / 10000.0
+        |      AS seasonal
+        |  FROM slots)
+        |SELECT d.user_id, d.t_us, round(d.v, 4) AS v, d.slot,
+        |  round(d.trend, 4) + 0 AS trend,
+        |  round(c.seasonal, 4) + 0 AS seasonal,
+        |  round(d.v - d.trend - c.seasonal, 4) + 0 AS resid
+        |FROM de d LEFT JOIN ctr c
+        |  ON c.user_id = d.user_id AND c.slot = d.slot
+        |ORDER BY 1, 2""".stripMargin,
+
+    // EW mean/variance replayed step-exactly by a recursive CTE
+    // (q194's shape): the PINNED parenthesization Δ·(α·Δ), variance
+    // reading the pre-step mean; α=0.25 so α and 1−α are exact
+    "q200_ewvar" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, t_us, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS rn
+        |  FROM (
+        |    SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |    FROM events
+        |    WHERE event_type = 'click' AND value IS NOT NULL
+        |    GROUP BY 1, 2)),
+        |c AS (
+        |  SELECT user_id, t_us, rn, CAST(v AS DOUBLE) AS m,
+        |    CAST(0 AS DOUBLE) AS s2
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.t_us, r.rn,
+        |    c.m + CAST(0.25 AS DOUBLE) * (r.v - c.m),
+        |    CAST(0.75 AS DOUBLE) * (c.s2 + (r.v - c.m)
+        |      * (CAST(0.25 AS DOUBLE) * (r.v - c.m)))
+        |  FROM c JOIN r ON r.user_id = c.user_id AND r.rn = c.rn + 1)
+        |SELECT user_id, t_us,
+        |  round(m, 4) + 0 AS ew_mean, round(s2, 4) + 0 AS ew_var
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
+    // the z-score detector over the same fold: each point tested
+    // against the PRIOR (μ, σ²) via lag(1); warmups read false
+    "q201_ew_anomaly" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, t_us, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS rn
+        |  FROM (
+        |    SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |    FROM events
+        |    WHERE event_type = 'click' AND value IS NOT NULL
+        |    GROUP BY 1, 2)),
+        |c AS (
+        |  SELECT user_id, t_us, rn, v, CAST(v AS DOUBLE) AS m,
+        |    CAST(0 AS DOUBLE) AS s2
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.t_us, r.rn, r.v,
+        |    c.m + CAST(0.25 AS DOUBLE) * (r.v - c.m),
+        |    CAST(0.75 AS DOUBLE) * (c.s2 + (r.v - c.m)
+        |      * (CAST(0.25 AS DOUBLE) * (r.v - c.m)))
+        |  FROM c JOIN r ON r.user_id = c.user_id AND r.rn = c.rn + 1),
+        |z AS (
+        |  SELECT user_id, t_us, v,
+        |    lag(m) OVER (PARTITION BY user_id ORDER BY t_us) AS pm,
+        |    lag(s2) OVER (PARTITION BY user_id ORDER BY t_us) AS pv
+        |  FROM c)
+        |SELECT user_id, t_us, round(v, 4) AS v,
+        |  CASE WHEN pv > 0
+        |    THEN round((v - pm) / sqrt(pv), 4) + 0 END AS zscore,
+        |  coalesce(CASE WHEN pv > 0
+        |    THEN abs((v - pm) / sqrt(pv)) > 3 END, FALSE) AS anomaly
+        |FROM z ORDER BY 1, 2""".stripMargin,
+
+    // MAD outlier flags replayed exactly: quantile_cont over the same
+    // integer-scaled values interpolates exact binary fractions (d is
+    // always 0 or 0.5), so median, MAD and the flag comparison are
+    // bit-identical to Spark's exact `percentile` despite the two
+    // engines' different (algebraically equal) interpolation forms
+    "q202_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v,
+        |    CAST(round(max(value) * 100) AS BIGINT) AS ve
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |med AS (
+        |  SELECT user_id, quantile_cont(ve, 0.5) AS med
+        |  FROM base GROUP BY 1),
+        |dev AS (
+        |  SELECT b.user_id, b.t_us, b.v, m.med,
+        |    abs(b.ve - m.med) AS ad
+        |  FROM base b JOIN med m USING (user_id)),
+        |mad AS (
+        |  SELECT user_id, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.user_id, d.t_us, round(d.v, 4) AS v,
+        |  round(d.med / 100.0, 4) AS med,
+        |  round(m.mad / 100.0, 4) AS mad,
+        |  d.ad > 3.0 * m.mad AS outlier
+        |FROM dev d JOIN mad m USING (user_id)
+        |ORDER BY 1, 2""".stripMargin,
+
     // CUSUM replayed step-exactly by a recursive CTE walking rn = 1..n
     // per user (true recursion — bounded by the longest series, NOT the
     // exponential inline-CTE trap); same parenthesization

@@ -2116,6 +2116,92 @@ object Queries {
         .orderBy(col("user_id"), col("g_us"))
     }),
 
+    "q199_seasonal_decompose" -> ((s, d) => {
+      // classical additive decomposition of the click series (period-6
+      // centered 2×m MA trend, zero-centered per-slot seasonal,
+      // residual): the two-sided EXPLANATION of a finished series,
+      // complementing the forward ordered-fold smoothers q190/q194/
+      // q195. All distributed sums are integer (1e-4 quantization on
+      // entry), so the oracle replays the arithmetic hash-exactly
+      graft.ops.Decompose.additive(
+          t(s, d, "events").filter(col("event_type") === "click"),
+          Seq("user_id"), "ts", "value", period = 6)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          dround(col("v"), 4).as("v"), col("slot"),
+          (dround(col("trend"), 4) + lit(0)).as("trend"),
+          (dround(col("seasonal"), 4) + lit(0)).as("seasonal"),
+          (dround(col("resid"), 4) + lit(0)).as("resid"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
+    "q200_ewvar" -> ((s, d) => {
+      // exponentially-weighted mean AND variance of the click series
+      // (West's one-pass update): the (μ, σ²) state a streaming
+      // z-score detector thresholds against — fifth ordered-fold
+      // aggregate, same window contract and null discipline as q190.
+      // α=0.25 so both α and 1−α are exactly representable doubles
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .select(col("user_id"), col("t_us"),
+          graft.functions.EwVar.ewvar(col("v"), 0.25).over(w).as("e"))
+        .select(col("user_id"), col("t_us"),
+          (dround(col("e.mean"), 4) + lit(0)).as("ew_mean"),
+          (dround(col("e.var"), 4) + lit(0)).as("ew_var"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
+    "q201_ew_anomaly" -> ((s, d) => {
+      // z-score anomaly flags from the EW state: each point is tested
+      // against the PRIOR (μ, σ²) — lag(1) of the q200 fold — so the
+      // tested observation never absorbs itself before the test.
+      // |z| > 3 with a positive prior variance flags the point; the
+      // first point and zero-variance warmups read false, never null
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wo = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+      val z = (col("v") - col("pm")) / sqrt(col("pv"))
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .select(col("user_id"), col("t_us"), col("v"),
+          graft.functions.EwVar.ewvar(col("v"), 0.25).over(w).as("e"))
+        .select(col("user_id"), col("t_us"), col("v"),
+          lag(col("e.mean"), 1).over(wo).as("pm"),
+          lag(col("e.var"), 1).over(wo).as("pv"))
+        .select(col("user_id"), col("t_us"), dround(col("v"), 4).as("v"),
+          (dround(when(col("pv") > 0, z), 4) + lit(0)).as("zscore"),
+          coalesce(when(col("pv") > 0, abs(z) > 3), lit(false))
+            .as("anomaly"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
+    "q202_mad_outliers" -> ((s, d) => {
+      // robust per-key outlier flags: |v − median| > 3 × MAD over each
+      // user's click series — the whole-series robust complement to
+      // q201's forward EW z-score. Exact medians over integer-scaled
+      // values keep every intermediate an exact binary fraction, so
+      // the flag comparison replays bit-for-bit in the oracle
+      graft.ops.RobustStats.madOutliers(
+          t(s, d, "events").filter(col("event_type") === "click"),
+          Seq("user_id"), "ts", "value", k = 3.0)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          dround(col("v"), 4).as("v"),
+          dround(col("med"), 4).as("med"),
+          dround(col("mad"), 4).as("mad"), col("outlier"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
     "q191_cusum" -> ((s, d) => {
       // two-sided CUSUM drift alarms on each user's click-value series
       // vs a known target (mu=100, slack=10, threshold 150): both

@@ -19,6 +19,47 @@ import graft.functions.Rounding.dround
   */
 object RobustStats {
 
+  /** Per-key MAD outlier flags: a row is an outlier when its absolute
+    * deviation from the key's exact median exceeds k × the key's
+    * median absolute deviation — the robust z-score that a handful of
+    * extreme points cannot drag the way μ/σ thresholds can (the
+    * complement to the EW z-score in q201, which tests against a
+    * FORWARD state; this one tests against the whole series).
+    *
+    * Determinism contract: values are quantized to integers at
+    * 1/`scale` on entry, so both exact percentiles interpolate over
+    * integer-valued (then half-integer-valued) doubles — every
+    * intermediate is an exact binary fraction and the comparison is
+    * engine-replayable bit-for-bit (the q199 discipline applied to
+    * order statistics). Duplicate timestamps collapse by max, nulls
+    * drop.
+    *
+    * Scale shape: two keyed exact-percentile aggregates (sort-based,
+    * only (key, value) pairs reach them, Spark spills) and two
+    * keys-sized joins back onto the facts; swap for approx_percentile
+    * when a 1e-3-relative bound is enough at 100 TB.
+    */
+  def madOutliers(df: DataFrame, keys: Seq[String], tsCol: String,
+      valCol: String, k: Double, scale: Int = 100): DataFrame = {
+    require(k > 0.0, s"k must be positive, got $k")
+    val kc = keys.map(col)
+    val base = df.filter(col(valCol).isNotNull)
+      .groupBy((kc :+ col(tsCol)): _*)
+      .agg(max(col(valCol)).cast("double").as("v"))
+      .withColumn("__ve", round(col("v") * lit(scale), 0).cast("long"))
+    val med = base.groupBy(kc: _*)
+      .agg(expr("percentile(__ve, 0.5)").as("__med"))
+    val dev = base.join(med, keys)
+      .withColumn("__ad", abs(col("__ve") - col("__med")))
+    val mad = dev.groupBy(kc: _*)
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(mad, keys)
+      .select((kc :+ col(tsCol) :+ col("v") :+
+        (col("__med") / lit(scale.toDouble)).as("med") :+
+        (col("__mad") / lit(scale.toDouble)).as("mad") :+
+        (col("__ad") > lit(k) * col("__mad")).as("outlier")): _*)
+  }
+
   def winsorized(df: DataFrame, valueCol: String, groupCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     val v: Column = col(valueCol)

@@ -4,10 +4,10 @@ import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 
-import graft.functions.{CusumAgg, EwmaAgg, HoltAgg, HoltWintersAgg}
+import graft.functions.{CusumAgg, EwmaAgg, EwVarAgg, HoltAgg, HoltWintersAgg}
 
-/** Analysis-time rejection of ordered-fold aggregates (ewma / cusum /
-  * holt / holt_winters) inside a grouping `Aggregate`.
+/** Analysis-time rejection of ordered-fold aggregates (ewma / ewvar /
+  * cusum / holt / holt_winters) inside a grouping `Aggregate`.
   *
   * These folds are order-dependent, so they are only defined over an
   * ordered running window frame (a logical `Window` node, where the
@@ -27,6 +27,7 @@ object OrderedFoldCheck extends (LogicalPlan => Unit) {
   private def orderedFoldName(f: AggregateFunction): Option[String] =
     f match {
       case _: EwmaAgg        => Some("ewma")
+      case _: EwVarAgg       => Some("ewvar")
       case _: CusumAgg       => Some("cusum")
       case _: HoltAgg        => Some("holt")
       case _: HoltWintersAgg => Some("holt_winters")

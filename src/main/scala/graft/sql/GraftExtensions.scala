@@ -157,6 +157,10 @@ object GraftExtensions {
       graft.functions.HoltAgg(exprs(0), doubleArg(exprs(1), "alpha"),
         doubleArg(exprs(2), "beta"))
     }),
+    "ewvar" -> (exprs => {
+      require(exprs.length == 2, "ewvar(x, alpha) takes 2 arguments")
+      graft.functions.EwVarAgg(exprs(0), doubleArg(exprs(1), "alpha"))
+    }),
     "holt_winters" -> (exprs => {
       require(exprs.length == 5,
         "holt_winters(x, alpha, beta, gamma, m) takes 5 arguments")

@@ -101,6 +101,17 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       val h2 = hl.last.getStruct(1)
       assert(h2.getDouble(0) == 15.0 && h2.getDouble(1) == 2.5,
         h2.toString)
+      // ewvar resolves from SQL: rows 10, 20 at a=0.5 -> mean 15.0,
+      // var = 0.5*(0 + 10*(0.5*10)) = 25.0
+      val ev = spark.sql(
+        """SELECT t, ewvar(v, 0.5) OVER w AS e
+          |FROM VALUES (1, 10.0D), (2, 20.0D) AS x(t, v)
+          |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          |  AND CURRENT ROW)
+          |ORDER BY t""".stripMargin).collect()
+      val e2 = ev.last.getStruct(1)
+      assert(e2.getDouble(0) == 15.0 && e2.getDouble(1) == 25.0,
+        e2.toString)
       // a wrong-arity call names the signature, not IndexOutOfBounds
       val arity = intercept[Exception] {
         spark.sql("SELECT holt(v, 0.5) OVER (ORDER BY v) FROM " +
@@ -136,6 +147,10 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       intercept[org.apache.spark.sql.AnalysisException] {
         spark2.sql("SELECT holt_winters(v, 0.3, 0.2, 0.4, 4) FROM " +
           "VALUES (1.0D) AS x(v)")
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark2.sql(
+          "SELECT ewvar(v, 0.5) FROM VALUES (1.0D), (2.0D) AS x(v)")
       }
       // nested plans too: an ordered fold inside a scalar subquery's
       // grouping aggregate must not slip past the root-plan traversal

@@ -165,6 +165,66 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(math.abs(out.getAs[Double]("mean_w") - mean) < 1e-3)
   }
 
+  test("madOutliers: flags the planted spike and nothing else") {
+    // 20 points near 50 plus one spike at 500: median ≈ 50, MAD small,
+    // only the spike crosses 3×MAD; a mean/σ threshold would have been
+    // dragged by the spike itself
+    val rows = ((1 to 20).map(i =>
+        ("u", i.toLong, 50.0 + (i % 5) - 2)) :+ ("u", 21L, 500.0))
+    val out = graft.ops.RobustStats.madOutliers(
+        rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v", k = 3.0)
+      .collect()
+      .map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    assert(out(21L))
+    assert(out.filter(_._2).keySet == Set(21L))
+  }
+
+  test("madOutliers matches an exact sequential replay incl. " +
+      "interpolated medians") {
+    // even counts force the d=0.5 interpolation branch on both the
+    // median and the MAD; the replay uses the same integer-scaled
+    // arithmetic so doubles compare with ==
+    val rnd = new scala.util.Random(17)
+    val rows: Seq[(String, Long, Double)] =
+      for (k <- 0 until 3; i <- 0 until 24)
+        yield (s"k$k", i.toLong, rnd.nextInt(10000) / 100.0)
+    val out = graft.ops.RobustStats.madOutliers(
+        rows.toDF("k", "ts", "v").repartition(5),
+        Seq("k"), "ts", "v", k = 3.0)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    def q50(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val pos = 0.5 * (s.length - 1)
+      val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val ve = rs.map(r => math.rint(r._3 * 100))
+      val med = q50(ve)
+      val mad = q50(ve.map(x => math.abs(x - med)))
+      rs.foreach { case (_, t, v) =>
+        val exp = (med / 100.0, mad / 100.0,
+          math.abs(math.rint(v * 100) - med) > 3.0 * mad)
+        assert(out((k, t)) == exp, s"($k, $t)")
+      }
+    }
+  }
+
+  test("madOutliers: duplicate timestamps collapse, nulls drop, " +
+      "zero-MAD keys flag any deviation") {
+    val rows: Seq[(String, Long, java.lang.Double)] = Seq(
+      ("z", 1L, Double.box(5.0)), ("z", 1L, Double.box(7.0)),
+      ("z", 2L, null), ("z", 3L, Double.box(7.0)),
+      ("z", 4L, Double.box(7.0)), ("z", 5L, Double.box(9.0)))
+    val out = graft.ops.RobustStats.madOutliers(
+        rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v", k = 3.0)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    // collapsed series: 7, 7, 7, 9 → median 7, MAD 0: the 9 deviates
+    assert(out.keySet == Set(1L, 3L, 4L, 5L))
+    assert(out(5L) && !out(1L) && !out(3L))
+  }
+
   test("psi drift: zero for identical slices, large for a shift, empty buckets finite") {
     import org.apache.spark.sql.functions._
     val base = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
