@@ -3848,6 +3848,74 @@ object Oracles {
         |FROM dev d JOIN mad m USING (user_id)
         |ORDER BY 1, 2""".stripMargin,
 
+    // seasonal-adjusted outliers: q199's decomposition chain verbatim,
+    // then q202's MAD chain over the RESIDUAL at 1e-4 scale — both
+    // already proven hash-exact on their own, composed here
+    "q203_seasonal_outliers" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, t_us, v,
+        |    CAST((row_number() OVER w - 1) % 6 AS INTEGER) AS slot,
+        |    sum(CAST(round(v * 10000) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY t_us
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |    count(*) OVER (
+        |      PARTITION BY user_id ORDER BY t_us
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7,
+        |    lag(CAST(round(v * 10000) AS BIGINT), 3) OVER w AS vlag,
+        |    lead(CAST(round(v * 10000) AS BIGINT), 3) OVER w AS vlead
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+        |de AS (
+        |  SELECT user_id, t_us, v, slot, trend,
+        |    CAST(round((v - trend) * 10000) AS BIGINT) AS d_e4
+        |  FROM (
+        |    SELECT user_id, t_us, v, slot,
+        |      CASE WHEN c7 = 7 THEN
+        |        CAST(2 * s7 - vlag - vlead AS DOUBLE) / 120000.0
+        |      END AS trend
+        |    FROM r)),
+        |slots AS (
+        |  SELECT user_id, slot,
+        |    CAST(round(CAST(sum(d_e4) AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS sme
+        |  FROM de WHERE d_e4 IS NOT NULL GROUP BY 1, 2),
+        |ctr AS (
+        |  SELECT user_id, slot,
+        |    (CAST(sme AS DOUBLE)
+        |      - CAST(sum(sme) OVER (PARTITION BY user_id) AS DOUBLE)
+        |        / count(*) OVER (PARTITION BY user_id)) / 10000.0
+        |      AS seasonal
+        |  FROM slots),
+        |res AS (
+        |  SELECT d.user_id, d.t_us,
+        |    d.v - d.trend - c.seasonal AS resid,
+        |    CAST(round((d.v - d.trend - c.seasonal) * 10000) AS BIGINT)
+        |      AS ve
+        |  FROM de d JOIN ctr c
+        |    ON c.user_id = d.user_id AND c.slot = d.slot
+        |  WHERE d.trend IS NOT NULL),
+        |med2 AS (
+        |  SELECT user_id, quantile_cont(ve, 0.5) AS med
+        |  FROM res GROUP BY 1),
+        |dev2 AS (
+        |  SELECT b.user_id, b.t_us, b.resid, m.med,
+        |    abs(b.ve - m.med) AS ad
+        |  FROM res b JOIN med2 m USING (user_id)),
+        |mad2 AS (
+        |  SELECT user_id, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev2 GROUP BY 1)
+        |SELECT d.user_id, d.t_us, round(d.resid, 4) + 0 AS resid,
+        |  round(d.med / 10000.0, 4) + 0 AS med,
+        |  round(m.mad / 10000.0, 4) AS mad,
+        |  d.ad > 3.0 * m.mad AS outlier
+        |FROM dev2 d JOIN mad2 m USING (user_id)
+        |ORDER BY 1, 2""".stripMargin,
+
     // CUSUM replayed step-exactly by a recursive CTE walking rn = 1..n
     // per user (true recursion — bounded by the longest series, NOT the
     // exponential inline-CTE trap); same parenthesization

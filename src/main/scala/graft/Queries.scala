@@ -2202,6 +2202,26 @@ object Queries {
         .orderBy(col("user_id"), col("t_us"))
     }),
 
+    "q203_seasonal_outliers" -> ((s, d) => {
+      // seasonally-adjusted robust outliers: q199's decomposition
+      // removes trend + seasonal, q202's MAD thresholds the RESIDUAL —
+      // a spike that is merely "the seasonal peak" no longer flags,
+      // and a modest value at the seasonal trough now can. Residuals
+      // quantize at 1e-4 (they carry full double precision), so the
+      // MAD chain stays on exact binary fractions
+      val dec = graft.ops.Decompose.additive(
+          t(s, d, "events").filter(col("event_type") === "click"),
+          Seq("user_id"), "ts", "value", period = 6)
+        .filter(col("resid").isNotNull)
+      graft.ops.RobustStats.madOutliers(
+          dec, Seq("user_id"), "ts", "resid", k = 3.0, scale = 10000)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          (dround(col("v"), 4) + lit(0)).as("resid"),
+          (dround(col("med"), 4) + lit(0)).as("med"),
+          dround(col("mad"), 4).as("mad"), col("outlier"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
     "q191_cusum" -> ((s, d) => {
       // two-sided CUSUM drift alarms on each user's click-value series
       // vs a known target (mu=100, slack=10, threshold 150): both
