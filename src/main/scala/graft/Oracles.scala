@@ -3916,6 +3916,50 @@ object Oracles {
         |FROM dev2 d JOIN mad2 m USING (user_id)
         |ORDER BY 1, 2""".stripMargin,
 
+    // forecast backtest: q194's Holt CTE (same α/β literals and
+    // parenthesization), one-step forecasts via lag, absolute errors
+    // quantized e4 and summed as BIGINTs — winner compares integers
+    "q204_forecast_backtest" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, t_us, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS rn
+        |  FROM (
+        |    SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |    FROM events
+        |    WHERE event_type = 'click' AND value IS NOT NULL
+        |    GROUP BY 1, 2)),
+        |c AS (
+        |  SELECT user_id, t_us, rn, v, v AS s, CAST(0 AS DOUBLE) AS b
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.t_us, r.rn, r.v,
+        |    CAST(0.4 AS DOUBLE) * r.v
+        |      + CAST(0.6 AS DOUBLE) * (c.s + c.b),
+        |    CAST(0.3 AS DOUBLE) * ((CAST(0.4 AS DOUBLE) * r.v
+        |        + CAST(0.6 AS DOUBLE) * (c.s + c.b)) - c.s)
+        |      + CAST(0.7 AS DOUBLE) * c.b
+        |  FROM c JOIN r ON r.user_id = c.user_id AND r.rn = c.rn + 1),
+        |fc AS (
+        |  SELECT user_id, t_us, v,
+        |    lag(s + b) OVER (PARTITION BY user_id ORDER BY t_us)
+        |      AS fc_holt,
+        |    lag(v) OVER (PARTITION BY user_id ORDER BY t_us)
+        |      AS fc_naive
+        |  FROM c),
+        |ag AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(abs(v - fc_holt) * 10000) AS BIGINT))
+        |      AS BIGINT) AS ah,
+        |    CAST(sum(CAST(round(abs(v - fc_naive) * 10000) AS BIGINT))
+        |      AS BIGINT) AS an
+        |  FROM fc WHERE fc_holt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n,
+        |  round(CAST(ah AS DOUBLE) / n / 10000.0, 4) AS mae_holt,
+        |  round(CAST(an AS DOUBLE) / n / 10000.0, 4) AS mae_naive,
+        |  CASE WHEN ah < an THEN 'holt'
+        |       WHEN ah > an THEN 'naive' ELSE 'tie' END AS winner
+        |FROM ag ORDER BY user_id""".stripMargin,
+
     // CUSUM replayed step-exactly by a recursive CTE walking rn = 1..n
     // per user (true recursion — bounded by the longest series, NOT the
     // exponential inline-CTE trap); same parenthesization

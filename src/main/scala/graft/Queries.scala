@@ -2222,6 +2222,47 @@ object Queries {
         .orderBy(col("user_id"), col("t_us"))
     }),
 
+    "q204_forecast_backtest" -> ((s, d) => {
+      // one-step-ahead forecast backtest: Holt's level+trend at t−1
+      // vs the naive carry-forward, scored as per-user MAE — the
+      // ship/no-ship table for the smoothing family (q156's A/B
+      // discipline applied to forecasting). Absolute errors quantize
+      // at 1e-4 and sum as longs, so the distributed aggregation is
+      // exact and the winner column can compare INTEGERS, never two
+      // float sums a partition order could flip
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wo = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+      def aeE4(fc: org.apache.spark.sql.Column) =
+        sum(round(abs(col("v") - fc) * lit(10000), 0).cast("long"))
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .select(col("user_id"), col("t_us"), col("v"),
+          graft.functions.Holt.holt(col("v"), 0.4, 0.3).over(w).as("h"))
+        .select(col("user_id"), col("t_us"), col("v"),
+          lag(col("h.level") + col("h.trend"), 1).over(wo).as("fc_holt"),
+          lag(col("v"), 1).over(wo).as("fc_naive"))
+        .filter(col("fc_holt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          aeE4(col("fc_holt")).as("__ah"),
+          aeE4(col("fc_naive")).as("__an"))
+        .select(col("user_id"), col("n"),
+          dround(col("__ah").cast("double") / col("n") / lit(10000.0), 4)
+            .as("mae_holt"),
+          dround(col("__an").cast("double") / col("n") / lit(10000.0), 4)
+            .as("mae_naive"),
+          when(col("__ah") < col("__an"), "holt")
+            .when(col("__ah") > col("__an"), "naive")
+            .otherwise("tie").as("winner"))
+        .orderBy(col("user_id"))
+    }),
+
     "q191_cusum" -> ((s, d) => {
       // two-sided CUSUM drift alarms on each user's click-value series
       // vs a known target (mu=100, slack=10, threshold 150): both

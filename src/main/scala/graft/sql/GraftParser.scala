@@ -33,6 +33,8 @@ import graft.core.VersionedTable
   *   GROUP BY c1, c2, ... VALUE <col> [MINMAX]
   * REFRESH SMOOTHED VIEW '<gold>' FROM '<base>'
   *   KEY c1, c2, ... TIME <col> VALUE <col> STEP <µs> ALPHA <a>
+  * REFRESH ANOMALY VIEW '<log>' FROM '<base>'
+  *   KEY c1, c2, ... TIME <col> VALUE <col> ALPHA <a> THRESHOLD <k>
   * }}}
   *
   * Tables are [[VersionedTable]] paths as single-quoted string
@@ -111,6 +113,12 @@ object GraftSqlParser {
     """REFRESH\s+SMOOTHED\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
       """\s+KEY\s+([\w\s,]+?)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+STEP\s+(\d+)\s+ALPHA\s+([0-9.]+)""")
+  // the alerting twin: EW mean/variance fold + prior-state z-score
+  // flags ([[graft.ops.AnomalyView]]) maintained from SQL
+  private val RefreshAnomalyRe = pat(
+    """REFRESH\s+ANOMALY\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """\s+KEY\s+([\w\s,]+?)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s+ALPHA\s+([0-9.]+)\s+THRESHOLD\s+([0-9.]+)""")
 
   private def opt(s: String): Option[String] = Option(s)
 
@@ -163,6 +171,12 @@ object GraftSqlParser {
         rs.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         rs.group(4), rs.group(5), rs.group(6).toLong,
         rs.group(7).toDouble))
+    val ra = RefreshAnomalyRe.matcher(sql)
+    if (ra.matches())
+      return Some(RefreshAnomalyViewCommand(ra.group(1), ra.group(2),
+        ra.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        ra.group(4), ra.group(5), ra.group(6).toDouble,
+        ra.group(7).toDouble))
     None
   }
 
@@ -332,6 +346,27 @@ case class RefreshSmoothedViewCommand(goldPath: String,
     val r = graft.ops.TimeSeriesView.maintainSmoothed(spark, basePath,
       goldPath, keys, tsCol, valueCol, stepUs, alpha)
     Seq(Row(goldPath, r.mode, r.goldVersion, r.filesScanned))
+  }
+}
+
+/** Anomaly-log maintenance from SQL: `REFRESH ANOMALY VIEW '<log>'
+  * FROM '<base>' KEY k1[,k2] TIME ts VALUE v ALPHA <a> THRESHOLD <k>`
+  * creates-or-extends the EW z-score alert log
+  * ([[graft.ops.AnomalyView.maintainAnomalies]] semantics: O(delta)
+  * forward fold from keys-sized (μ, σ²) state; honest recompute on
+  * late data or parameter changes). */
+case class RefreshAnomalyViewCommand(logPath: String,
+    basePath: String, keys: Seq[String], tsCol: String, valueCol: String,
+    alpha: Double, k: Double) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("log_path", StringType),
+    GraftSqlParser.attr("mode", StringType),
+    GraftSqlParser.attr("version", IntegerType),
+    GraftSqlParser.attr("files_scanned", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = graft.ops.AnomalyView.maintainAnomalies(spark, basePath,
+      logPath, keys, tsCol, valueCol, alpha, k)
+    Seq(Row(logPath, r.mode, r.logVersion, r.filesScanned))
   }
 }
 

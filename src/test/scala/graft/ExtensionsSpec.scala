@@ -381,6 +381,42 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark2.stop()
   }
 
+  test("REFRESH ANOMALY VIEW maintains the alert log from SQL") {
+    val spark2 = sessionWithExtensions
+    try {
+      import graft.core.VersionedTable
+      import spark2.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("sqlanomaly").toString
+      val (base, log) = (s"$root/base", s"$root/log")
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      VersionedTable.commitAppend(
+        Seq(("a", ts(1L), 10.0), ("a", ts(2L), 12.0))
+          .toDF("k", "t", "v"), base)
+      val verb = s"REFRESH ANOMALY VIEW '$log' FROM '$base' " +
+        "KEY k TIME t VALUE v ALPHA 0.25 THRESHOLD 3.0"
+      val r1 = spark2.sql(verb).collect().head
+      assert(r1.getString(1) === "init")
+      // strictly-later observations extend by delta from SQL too
+      VersionedTable.commitAppend(
+        Seq(("a", ts(3L), 11.0), ("a", ts(4L), 60.0))
+          .toDF("k", "t", "v"), base)
+      val r2 = spark2.sql(verb).collect().head
+      assert(r2.getString(1) === "incremental" && r2.getInt(3) >= 1)
+      assert(spark2.sql(verb).collect().head.getString(1) === "noop")
+      val got = graft.ops.AnomalyView.read(spark2, log)
+        .orderBy("t_us").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(4)))
+      val twin = graft.ops.AnomalyView.anomalyBatch(
+          VersionedTable.read(spark2, base), Seq("k"), "t", "v",
+          0.25, 3.0)
+        .orderBy("t_us").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(4)))
+      assert(got.toSeq === twin.toSeq)
+      assert(got.last._3, "the spike must flag from the SQL surface")
+    } finally spark2.stop()
+  }
+
   test("REFRESH VIEW maintains (join-)aggregate views from SQL") {
     val spark2 = sessionWithExtensions
     try {
