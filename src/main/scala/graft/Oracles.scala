@@ -3960,6 +3960,92 @@ object Oracles {
         |       WHEN ah > an THEN 'naive' ELSE 'tie' END AS winner
         |FROM ag ORDER BY user_id""".stripMargin,
 
+    // OHLC bars: plain bucket aggregation; min_by/max_by tie-free
+    // because duplicate timestamps collapse first
+    "q205_ohlc_bars" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, t_us, v,
+        |    t_us - ((t_us % 21600000000 + 21600000000) % 21600000000)
+        |      AS bucket_us
+        |  FROM base)
+        |SELECT user_id, bucket_us, CAST(count(*) AS BIGINT) AS n,
+        |  round(min_by(v, t_us), 4) AS open,
+        |  round(max(v), 4) AS high,
+        |  round(min(v), 4) AS low,
+        |  round(max_by(v, t_us), 4) AS close
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // rolling lag-1 autocorrelation: all five Pearson components are
+    // window sums of integers (HUGEINT-exact in DuckDB, long-exact in
+    // Spark — both < 2^53 so the DOUBLE casts agree bit-for-bit); the
+    // final sqrt/divide runs on identical operands
+    "q206_rolling_autocorr" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us,
+        |    CAST(round(max(value) * 100) AS BIGINT) AS ve
+        |  FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT user_id, t_us, x, y FROM (
+        |    SELECT user_id, t_us, ve AS x,
+        |      lag(ve) OVER (PARTITION BY user_id ORDER BY t_us) AS y
+        |    FROM base) WHERE y IS NOT NULL),
+        |wnd AS (
+        |  SELECT user_id, t_us,
+        |    count(*) OVER w AS n,
+        |    CAST(12 * sum(x * y) OVER w
+        |      - sum(x) OVER w * sum(y) OVER w AS DOUBLE) AS num,
+        |    CAST(12 * sum(x * x) OVER w
+        |      - sum(x) OVER w * sum(x) OVER w AS DOUBLE) AS dx,
+        |    CAST(12 * sum(y * y) OVER w
+        |      - sum(y) OVER w * sum(y) OVER w AS DOUBLE) AS dy
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, t_us,
+        |  round(num / (sqrt(dx) * sqrt(dy)), 4) + 0 AS ac1
+        |FROM wnd WHERE n = 12 AND dx > 0 AND dy > 0
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Kalman local-level filter replayed step-exactly (q194's shape):
+    // every output column re-derives P⁻ and K VERBATIM as the
+    // aggregate's update expressions do, same parenthesization; Q and
+    // R are exactly representable doubles
+    "q207_kalman" ->
+      """WITH RECURSIVE r AS (
+        |  SELECT user_id, t_us, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS rn
+        |  FROM (
+        |    SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |    FROM events
+        |    WHERE event_type = 'click' AND value IS NOT NULL
+        |    GROUP BY 1, 2)),
+        |c AS (
+        |  SELECT user_id, t_us, rn, CAST(v AS DOUBLE) AS xh,
+        |    CAST(4 AS DOUBLE) AS p, CAST(0 AS DOUBLE) AS g
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.t_us, r.rn,
+        |    c.xh + ((c.p + CAST(0.25 AS DOUBLE))
+        |        / ((c.p + CAST(0.25 AS DOUBLE)) + CAST(4 AS DOUBLE)))
+        |      * (r.v - c.xh),
+        |    (CAST(1 AS DOUBLE) - ((c.p + CAST(0.25 AS DOUBLE))
+        |        / ((c.p + CAST(0.25 AS DOUBLE)) + CAST(4 AS DOUBLE))))
+        |      * (c.p + CAST(0.25 AS DOUBLE)),
+        |    (c.p + CAST(0.25 AS DOUBLE))
+        |      / ((c.p + CAST(0.25 AS DOUBLE)) + CAST(4 AS DOUBLE))
+        |  FROM c JOIN r ON r.user_id = c.user_id AND r.rn = c.rn + 1)
+        |SELECT user_id, t_us,
+        |  round(xh, 4) + 0 AS estimate, round(p, 4) AS variance,
+        |  round(g, 4) AS gain
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
     // CUSUM replayed step-exactly by a recursive CTE walking rn = 1..n
     // per user (true recursion — bounded by the longest series, NOT the
     // exponential inline-CTE trap); same parenthesization

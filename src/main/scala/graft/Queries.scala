@@ -2263,6 +2263,94 @@ object Queries {
         .orderBy(col("user_id"))
     }),
 
+    "q205_ohlc_bars" -> ((s, d) => {
+      // OHLC downsampling bars: 6-hour buckets per user with open =
+      // earliest, close = latest, high/low extremes and count — the
+      // lossy-but-shaped aggregation a dashboard stores when the LOCF
+      // grid (q188) is too fine. Duplicate timestamps collapse first
+      // so min_by/max_by never tie; one shuffle at (key, bucket) grain
+      val bucketUs = 21600000000L
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .withColumn("bucket_us",
+          col("t_us") - ((col("t_us") % bucketUs + bucketUs) % bucketUs))
+        .groupBy(col("user_id"), col("bucket_us"))
+        .agg(count(lit(1)).as("n"),
+          dround(min_by(col("v"), col("t_us")), 4).as("open"),
+          dround(max(col("v")), 4).as("high"),
+          dround(min(col("v")), 4).as("low"),
+          dround(max_by(col("v"), col("t_us")), 4).as("close"))
+        .orderBy(col("user_id"), col("bucket_us"))
+    }),
+
+    "q206_rolling_autocorr" -> ((s, d) => {
+      // rolling lag-1 autocorrelation over a 12-observation window:
+      // the persistence diagnostic that tells a forecaster whether
+      // q190's smoothing or q194's trend model is even applicable.
+      // All five Pearson components are window sums of LONGS (values
+      // quantized e2 — exact, the inputs carry 2 decimals), so the
+      // only floating-point ops are the final sqrt/divide on identical
+      // operands — partition-independent and oracle-replayable
+      val W = org.apache.spark.sql.expressions.Window
+      val wo = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+      val wf = wo.rowsBetween(-11, 0)
+      val x = col("__xe")
+      val y = col("__ye")
+      val n = count(lit(1)).over(wf)
+      val num = (lit(12) * sum(x * y).over(wf)
+        - sum(x).over(wf) * sum(y).over(wf)).cast("double")
+      val dx = (lit(12) * sum(x * x).over(wf)
+        - sum(x).over(wf) * sum(x).over(wf)).cast("double")
+      val dy = (lit(12) * sum(y * y).over(wf)
+        - sum(y).over(wf) * sum(y).over(wf)).cast("double")
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .withColumn("__xe", round(col("v") * lit(100), 0).cast("long"))
+        .withColumn("__ye", lag(col("__xe"), 1).over(wo))
+        .filter(col("__ye").isNotNull)
+        .withColumn("ac1",
+          when(n === 12 && dx > 0 && dy > 0,
+            num / (sqrt(dx) * sqrt(dy))))
+        .filter(col("ac1").isNotNull)
+        .select(col("user_id"), col("t_us"),
+          (dround(col("ac1"), 4) + lit(0)).as("ac1"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
+    "q207_kalman" -> ((s, d) => {
+      // local-level Kalman filtering of the click series: where q190's
+      // EWMA blends with a FIXED gain, the Kalman gain adapts to the
+      // estimate's own uncertainty (high after the seed, converging to
+      // the steady Q/R blend) — sixth ordered-fold aggregate, same
+      // window contract and null discipline. Q=0.25, R=4 are exactly
+      // representable so the oracle literals are bit-identical
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .select(col("user_id"), col("t_us"),
+          graft.functions.Kalman.kalman(col("v"), 0.25, 4.0).over(w)
+            .as("k"))
+        .select(col("user_id"), col("t_us"),
+          (dround(col("k.estimate"), 4) + lit(0)).as("estimate"),
+          dround(col("k.variance"), 4).as("variance"),
+          dround(col("k.gain"), 4).as("gain"))
+        .orderBy(col("user_id"), col("t_us"))
+    }),
+
     "q191_cusum" -> ((s, d) => {
       // two-sided CUSUM drift alarms on each user's click-value series
       // vs a known target (mu=100, slack=10, threshold 150): both

@@ -4,7 +4,7 @@ import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 
-import graft.functions.{CusumAgg, EwmaAgg, EwVarAgg, HoltAgg, HoltWintersAgg}
+import graft.functions.{CusumAgg, EwmaAgg, EwVarAgg, HoltAgg, HoltWintersAgg, KalmanAgg}
 
 /** Analysis-time rejection of ordered-fold aggregates (ewma / ewvar /
   * cusum / holt / holt_winters) inside a grouping `Aggregate`.
@@ -31,6 +31,7 @@ object OrderedFoldCheck extends (LogicalPlan => Unit) {
       case _: CusumAgg       => Some("cusum")
       case _: HoltAgg        => Some("holt")
       case _: HoltWintersAgg => Some("holt_winters")
+      case _: KalmanAgg      => Some("kalman")
       case _                 => None
     }
 

@@ -161,6 +161,11 @@ object GraftExtensions {
       require(exprs.length == 2, "ewvar(x, alpha) takes 2 arguments")
       graft.functions.EwVarAgg(exprs(0), doubleArg(exprs(1), "alpha"))
     }),
+    "kalman" -> (exprs => {
+      require(exprs.length == 3, "kalman(z, q, r) takes 3 arguments")
+      graft.functions.KalmanAgg(exprs(0), doubleArg(exprs(1), "q"),
+        doubleArg(exprs(2), "r"))
+    }),
     "holt_winters" -> (exprs => {
       require(exprs.length == 5,
         "holt_winters(x, alpha, beta, gamma, m) takes 5 arguments")

@@ -112,6 +112,18 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       val e2 = ev.last.getStruct(1)
       assert(e2.getDouble(0) == 15.0 && e2.getDouble(1) == 25.0,
         e2.toString)
+      // kalman resolves from SQL: rows 10, 20 at q=0.25, r=4
+      val kf = spark.sql(
+        """SELECT t, kalman(v, 0.25, 4.0) OVER w AS f
+          |FROM VALUES (1, 10.0D), (2, 20.0D) AS x(t, v)
+          |WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          |  AND CURRENT ROW)
+          |ORDER BY t""".stripMargin).collect()
+      val kk = (4.0 + 0.25) / ((4.0 + 0.25) + 4.0)
+      val f2 = kf.last.getStruct(1)
+      assert(f2.getDouble(0) == 10.0 + kk * 10.0 &&
+        f2.getDouble(1) == (1.0 - kk) * 4.25 &&
+        f2.getDouble(2) == kk, f2.toString)
       // a wrong-arity call names the signature, not IndexOutOfBounds
       val arity = intercept[Exception] {
         spark.sql("SELECT holt(v, 0.5) OVER (ORDER BY v) FROM " +
@@ -151,6 +163,10 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       intercept[org.apache.spark.sql.AnalysisException] {
         spark2.sql(
           "SELECT ewvar(v, 0.5) FROM VALUES (1.0D), (2.0D) AS x(v)")
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark2.sql(
+          "SELECT kalman(v, 0.25, 4.0) FROM VALUES (1.0D) AS x(v)")
       }
       // nested plans too: an ordered fold inside a scalar subquery's
       // grouping aggregate must not slip past the root-plan traversal
