@@ -258,6 +258,27 @@ class SqlAndPlanSpec extends SparkTestBase {
     }
   }
 
+  test("ordered-fold family plans collapse + keyed sort + output " +
+      "order, nothing more") {
+    // the scale contract for the whole window-fold family (q190/q191/
+    // q194/q195/q200/q207 share this shape): ONE (key, t) collapse
+    // exchange + ONE keyed window exchange + the final presentation
+    // orderBy's range exchange, nothing else — lag stages with the
+    // same partitioning must reuse the window sort, never add a fourth
+    // shuffle (q201), and the bucket rollup (q205) likewise stays here
+    for (q <- Seq("q200_ewvar", "q207_kalman", "q201_ew_anomaly",
+        "q205_ohlc_bars", "q206_rolling_autocorr")) {
+      val df = Queries.all(q)(spark, sfDir)
+      assert(PlanAsserts.countShuffles(df) <= 3, s"$q over-shuffled")
+    }
+    // decomposition adds the slot-grain stats + centering + join back;
+    // bound it so a future edit can't quietly go quadratic in
+    // exchanges (collapse, keyed window, slot agg, slot window, join
+    // sides, presentation sort)
+    val dec = Queries.all("q199_seasonal_decompose")(spark, sfDir)
+    assert(PlanAsserts.countShuffles(dec) <= 7, "q199 over-shuffled")
+  }
+
   test("dup-span shuffles digests only, never text or raw windows") {
     val exchanges = executedNodes("q119_dup_spans").collect {
       case e: Exchange => e
