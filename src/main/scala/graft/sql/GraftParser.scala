@@ -35,6 +35,8 @@ import graft.core.VersionedTable
   *   KEY c1, c2, ... TIME <col> VALUE <col> STEP <µs> ALPHA <a>
   * REFRESH ANOMALY VIEW '<log>' FROM '<base>'
   *   KEY c1, c2, ... TIME <col> VALUE <col> ALPHA <a> THRESHOLD <k>
+  * REFRESH OHLC VIEW '<gold>' FROM '<base>'
+  *   KEY c1, c2, ... TIME <col> VALUE <col> BUCKET <µs>
   * }}}
   *
   * Tables are [[VersionedTable]] paths as single-quoted string
@@ -119,6 +121,11 @@ object GraftSqlParser {
     """REFRESH\s+ANOMALY\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
       """\s+KEY\s+([\w\s,]+?)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+ALPHA\s+([0-9.]+)\s+THRESHOLD\s+([0-9.]+)""")
+  // downsampling bars ([[graft.ops.OhlcView]]) maintained from SQL
+  private val RefreshOhlcRe = pat(
+    """REFRESH\s+OHLC\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """\s+KEY\s+([\w\s,]+?)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s+BUCKET\s+(\d+)""")
 
   private def opt(s: String): Option[String] = Option(s)
 
@@ -177,6 +184,11 @@ object GraftSqlParser {
         ra.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         ra.group(4), ra.group(5), ra.group(6).toDouble,
         ra.group(7).toDouble))
+    val ro = RefreshOhlcRe.matcher(sql)
+    if (ro.matches())
+      return Some(RefreshOhlcViewCommand(ro.group(1), ro.group(2),
+        ro.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        ro.group(4), ro.group(5), ro.group(6).toLong))
     None
   }
 
@@ -367,6 +379,26 @@ case class RefreshAnomalyViewCommand(logPath: String,
     val r = graft.ops.AnomalyView.maintainAnomalies(spark, basePath,
       logPath, keys, tsCol, valueCol, alpha, k)
     Seq(Row(logPath, r.mode, r.logVersion, r.filesScanned))
+  }
+}
+
+/** OHLC-bar maintenance from SQL: `REFRESH OHLC VIEW '<gold>' FROM
+  * '<base>' KEY k1[,k2] TIME ts VALUE v BUCKET <µs>` creates-or-merges
+  * the downsampling bars ([[graft.ops.OhlcView.maintainOhlc]]
+  * semantics: delta bars merge into existing ones, honest recompute on
+  * late data or a width change). */
+case class RefreshOhlcViewCommand(goldPath: String, basePath: String,
+    keys: Seq[String], tsCol: String, valueCol: String, bucketUs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("gold_path", StringType),
+    GraftSqlParser.attr("mode", StringType),
+    GraftSqlParser.attr("version", IntegerType),
+    GraftSqlParser.attr("files_scanned", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = graft.ops.OhlcView.maintainOhlc(spark, basePath, goldPath,
+      keys, tsCol, valueCol, bucketUs)
+    Seq(Row(goldPath, r.mode, r.goldVersion, r.filesScanned))
   }
 }
 

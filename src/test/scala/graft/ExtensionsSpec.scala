@@ -433,6 +433,35 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark2.stop()
   }
 
+  test("REFRESH OHLC VIEW maintains downsampling bars from SQL") {
+    val spark2 = sessionWithExtensions
+    try {
+      import graft.core.VersionedTable
+      import spark2.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("sqlohlc").toString
+      val (base, gold) = (s"$root/base", s"$root/gold")
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      VersionedTable.commitAppend(
+        Seq(("a", ts(1L), 5.0), ("a", ts(4L), 9.0))
+          .toDF("k", "t", "v"), base)
+      val verb = s"REFRESH OHLC VIEW '$gold' FROM '$base' " +
+        "KEY k TIME t VALUE v BUCKET 10000000"
+      val r1 = spark2.sql(verb).collect().head
+      assert(r1.getString(1) === "init")
+      // a strictly-later delta extends the open bar from SQL too
+      VersionedTable.commitAppend(
+        Seq(("a", ts(7L), 11.0)).toDF("k", "t", "v"), base)
+      val r2 = spark2.sql(verb).collect().head
+      assert(r2.getString(1) === "incremental" && r2.getInt(3) >= 1)
+      assert(spark2.sql(verb).collect().head.getString(1) === "noop")
+      val bar = graft.ops.OhlcView.read(spark2, gold).collect().head
+      assert(bar.getLong(2) == 3L && bar.getDouble(5) == 5.0 &&
+        bar.getDouble(6) == 11.0 && bar.getDouble(8) == 11.0,
+        bar.toString)
+    } finally spark2.stop()
+  }
+
   test("REFRESH VIEW maintains (join-)aggregate views from SQL") {
     val spark2 = sessionWithExtensions
     try {
