@@ -46,7 +46,7 @@ object Bench {
     out
   }
 
-  /** An ONLY-filtered run must never clobber the committed
+  /** An ONLY-filtered run must never clobber a committed
     * full-catalog record; compare canonicalized paths AND (when both
     * exist) filesystem identity, so `./BENCH_FULL.json`, an absolute
     * alias, or a SYMLINK to it can't re-open the hole the raw-string
@@ -59,10 +59,13 @@ object Bench {
     val full = Paths.get("BENCH_FULL.json")
     val out = Paths.get(outFile)
     val clash =
-      // any file NAMED BENCH_FULL.json is a full-catalog record by
-      // convention, wherever it lives (covers a JVM cwd that differs
-      // from the repo root, e.g. tools/run_main.sh launched elsewhere)
-      out.getFileName.toString == "BENCH_FULL.json" ||
+      // any file NAMED BENCH_FULL*.json is a full-catalog record by
+      // convention — the mutable latest AND the immutable per-round
+      // pair records (BENCH_FULL_r10.json / _runA.json) — wherever it
+      // lives (covers a JVM cwd that differs from the repo root, e.g.
+      // tools/run_main.sh launched elsewhere)
+      (out.getFileName.toString.startsWith("BENCH_FULL") &&
+        out.getFileName.toString.endsWith(".json")) ||
         (try Files.exists(out) && Files.exists(full) &&
           Files.isSameFile(out, full)
         catch { case _: java.io.IOException => true })

@@ -56,6 +56,19 @@ class BenchHarnessSpec extends AnyFunSuite {
   test("clobber guard allows other files and unfiltered full runs") {
     Bench.guardOutFile(onlySet = true, "BENCH_ISOLATED.json")
     Bench.guardOutFile(onlySet = false, "BENCH_FULL.json")
+    Bench.guardOutFile(onlySet = false, "BENCH_FULL_r10.json")
+  }
+
+  test("clobber guard protects the immutable per-round pair records") {
+    // BENCH_FULL_r{N}.json / _runA.json are committed run-pair
+    // records — a filtered run must refuse them exactly like the
+    // mutable latest
+    intercept[IllegalArgumentException] {
+      Bench.guardOutFile(onlySet = true, "BENCH_FULL_r10.json")
+    }
+    intercept[IllegalArgumentException] {
+      Bench.guardOutFile(onlySet = true, "./BENCH_FULL_r10_runA.json")
+    }
   }
 
   test("clobber guard rejects symlinks and out-of-cwd name aliases") {
