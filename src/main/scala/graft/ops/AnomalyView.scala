@@ -180,6 +180,12 @@ object AnomalyView {
       valueCol)
 
     val st = state.drop(BaseVCol, AlphaCol, KCol, LogVCol)
+    // a NULL-keyed series never matches the plain-equality state joins
+    // below — its late data would slip the guard — so it takes the
+    // honest full-recompute path (the batch twin handles NULL keys as
+    // real groups through groupBy/Window)
+    if (!delta.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
+      return fullCompute("full")
     // LATE data: an observation at or before a key's recorded last one
     // would change already-emitted z-scores — honest recompute
     val lateJoin = delta.join(st, keys)

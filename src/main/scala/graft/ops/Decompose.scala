@@ -93,8 +93,14 @@ object Decompose {
           col("__gsum").cast("double") / col("__gcnt")) / lit(10000.0))
           .as("seasonal")): _*)
 
+    // null-safe key match: a NULL-keyed series is a real group for
+    // groupBy/Window, so the seasonal join-back must not drop it
+    val centKeyed = (keys :+ "slot").foldLeft(centered)((f, k) =>
+      f.withColumnRenamed(k, s"__c_$k"))
+    val cond = (keys :+ "slot")
+      .map(k => col(k) <=> col(s"__c_$k")).reduce(_ && _)
     staged
-      .join(centered, keys :+ "slot", "left")
+      .join(centKeyed, cond, "left")
       .select((kc :+ col(tsCol) :+ col("v") :+ col("slot") :+
         col("trend") :+ col("seasonal") :+
         (col("v") - col("trend") - col("seasonal")).as("resid")): _*)

@@ -176,6 +176,12 @@ object OhlcView {
     val delta = Resample.series(rd.parquet(newFiles: _*), keys, tsCol,
       valueCol)
 
+    // a NULL-keyed series never matches the plain-equality guard join
+    // below — its late data would slip through — so it takes the
+    // honest full-recompute path (the batch twin handles NULL keys as
+    // real groups; mergeBars itself is already null-safe)
+    if (!delta.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
+      return fullCompute("full")
     // LATE or duplicate-timestamp data: the max()-collapse cannot be
     // merged across the delta boundary — honest recompute. The gold
     // IS the state: a key's last absorbed observation is max(close_t)

@@ -47,13 +47,21 @@ object RobustStats {
       .groupBy((kc :+ col(tsCol)): _*)
       .agg(max(col(valCol)).cast("double").as("v"))
       .withColumn("__ve", round(col("v") * lit(scale), 0).cast("long"))
+    // null-safe key matches: a NULL-keyed series is a real group
+    def joinStats(facts: DataFrame, stats: DataFrame): DataFrame = {
+      val s = keys.foldLeft(stats)((f, k) =>
+        f.withColumnRenamed(k, s"__s_$k"))
+      facts.join(s,
+          keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _))
+        .drop(keys.map(k => s"__s_$k"): _*)
+    }
     val med = base.groupBy(kc: _*)
       .agg(expr("percentile(__ve, 0.5)").as("__med"))
-    val dev = base.join(med, keys)
+    val dev = joinStats(base, med)
       .withColumn("__ad", abs(col("__ve") - col("__med")))
     val mad = dev.groupBy(kc: _*)
       .agg(expr("percentile(__ad, 0.5)").as("__mad"))
-    dev.join(mad, keys)
+    joinStats(dev, mad)
       .select((kc :+ col(tsCol) :+ col("v") :+
         (col("__med") / lit(scale.toDouble)).as("med") :+
         (col("__mad") / lit(scale.toDouble)).as("mad") :+

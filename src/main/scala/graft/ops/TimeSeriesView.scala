@@ -188,6 +188,12 @@ object TimeSeriesView {
       valueCol)
 
     val st = state.drop(BaseVCol, AlphaCol, StepCol, GoldVCol)
+    // a NULL-keyed series never matches the plain-equality state joins
+    // below — its late data would slip the guard and its state row
+    // would never be found — so it takes the honest full-recompute
+    // path (the batch twin handles NULL keys as real groups)
+    if (!delta.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
+      return fullCompute("full")
     // LATE data: any delta observation at or before a key's recorded
     // last observation rewrites emitted history — honest recompute
     val lateJoin = delta.join(st, keys)

@@ -129,6 +129,22 @@ class DecomposeSpec extends SparkTestBase {
     assert(out(("d", 1L))._1 == 9.0)
   }
 
+  test("a NULL-keyed series is a real group (null-safe join-back)") {
+    val rows: Seq[(String, Long, java.lang.Double)] =
+      (0 until 10).map(i =>
+        (null.asInstanceOf[String], i.toLong,
+          Double.box(10.0 + (i % 2))))
+    val out = Decompose.additive(
+        rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v", 2)
+      .collect()
+    assert(out.length == 10)
+    // interior rows must carry a seasonal — a plain-equality join
+    // would have dropped the NULL key's slot rows and nulled them all
+    val withSeasonal = out.count(!_.isNullAt(5))
+    assert(withSeasonal == 10, s"seasonal survived on $withSeasonal")
+    assert(out.count(!_.isNullAt(4)) == 8, "trend on interior rows")
+  }
+
   test("period bound is validated") {
     intercept[IllegalArgumentException] {
       Decompose.additive(Seq(("a", 1L, 1.0)).toDF("k", "ts", "v"),

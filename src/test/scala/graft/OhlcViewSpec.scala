@@ -130,6 +130,25 @@ class OhlcViewSpec extends SparkTestBase {
     assert(r.mode === "full")
   }
 
+  test("a NULL-keyed series recomputes honestly on the delta path") {
+    val root = tmp()
+    val (base, gold) = (s"$root/base", s"$root/gold")
+    def nrows(xs: (Option[String], Long, Double)*): DataFrame =
+      xs.map { case (k, t, v) => (k.orNull, ts(t), v) }
+        .toDF("k", "t", "v")
+    VersionedTable.commitAppend(
+      nrows((Some("a"), 1L, 5.0), (None, 2L, 3.0)), base)
+    maintain(base, gold)
+    assert(goldSet(gold) === twinSet(base))
+    // a strictly-later delta for the NULL key: the plain-equality
+    // guard join can't see it — the view must recompute, not merge
+    VersionedTable.commitAppend(nrows((None, 12L, 7.0)), base)
+    val r = maintain(base, gold)
+    assert(r.mode === "full",
+      "NULL-keyed delta must take the honest recompute path")
+    assert(goldSet(gold) === twinSet(base))
+  }
+
   test("streaming sink: micro-batches, open-bar rewrites, replay noop") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

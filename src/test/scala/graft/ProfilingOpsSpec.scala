@@ -225,6 +225,19 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(out(5L) && !out(1L) && !out(3L))
   }
 
+  test("madOutliers: a NULL-keyed series is a real group") {
+    val rows: Seq[(String, Long, java.lang.Double)] = Seq(
+      (null, 1L, Double.box(5.0)), (null, 2L, Double.box(5.0)),
+      (null, 3L, Double.box(500.0)), ("x", 1L, Double.box(1.0)))
+    val out = graft.ops.RobustStats.madOutliers(
+        rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v", k = 3.0)
+      .collect()
+    // plain-equality joins would have dropped the NULL key entirely
+    assert(out.count(_.isNullAt(0)) == 3)
+    assert(out.filter(_.isNullAt(0)).count(_.getBoolean(5)) == 1,
+      "the NULL key's spike must flag")
+  }
+
   test("psi drift: zero for identical slices, large for a shift, empty buckets finite") {
     import org.apache.spark.sql.functions._
     val base = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
