@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, Strin
   * `mergeExpressions` (only ever exercised by partial aggregation in a
   * groupBy, where row order does not exist and the statistic is
   * therefore meaningless) RAISES instead of silently folding
-  * shuffle-arrival order into the result.
+  * shuffle-arrival order into the result. That guard assumes the
+  * planner picks Partial+Final for groupBy use — a Complete-mode plan
+  * would skip merge entirely — so `OrderedFoldPlanSpec` pins the
+  * planned mode set for the whole ordered-fold family.
   *
   * Scale shape: the window is one hash shuffle on the partition key +
   * an in-partition sort; state is a single double per key regardless of
