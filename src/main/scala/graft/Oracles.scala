@@ -4775,7 +4775,241 @@ object Oracles {
         |LEFT JOIN (SELECT a.query_id, count(*) AS n FROM appr a
         |  JOIN ex USING (query_id, neighbor_id)
         |  GROUP BY a.query_id) o USING (query_id)
-        |ORDER BY query_id""".stripMargin))
+        |ORDER BY query_id""".stripMargin),
+
+    // bucketed Mann-Whitney AUC: identical 2U formula, identical final
+    // division order (u2 -> double, 2.0 * P * N)
+    "q208_roc_auc" ->
+      """WITH e AS (
+        |  SELECT label, CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6, 0)
+        |    AS BIGINT) AS s
+        |  FROM embeddings),
+        |cls AS (SELECT DISTINCT label AS cls FROM e),
+        |r AS (SELECT cls, s, CASE WHEN label = cls THEN 1 ELSE 0 END AS y
+        |  FROM e CROSS JOIN cls),
+        |b AS (SELECT cls, s, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS neg FROM r GROUP BY 1, 2),
+        |wdw AS (SELECT cls, pos, neg,
+        |    sum(neg) OVER (PARTITION BY cls ORDER BY s) - neg AS negbelow
+        |  FROM b),
+        |u AS (SELECT cls,
+        |    CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT) AS u2,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg
+        |  FROM wdw GROUP BY cls)
+        |SELECT cls, round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+        |    AS auc,
+        |  n_pos, n_neg
+        |FROM u ORDER BY cls""".stripMargin,
+
+    // out-of-fold target encoding: per-(cat, fold) sums once, every
+    // total derived from that bounded table, same IEEE op order
+    "q209_target_encode" ->
+      """WITH pf AS (
+        |  SELECT o_orderpriority AS cat,
+        |    CAST(o_orderkey % 5 AS INTEGER) AS fold,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s,
+        |    count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |cw AS (SELECT cat, fold, s, c,
+        |    CAST(sum(s) OVER (PARTITION BY cat) AS BIGINT) AS cs,
+        |    CAST(sum(c) OVER (PARTITION BY cat) AS BIGINT) AS cc FROM pf),
+        |fw AS (SELECT fold, CAST(sum(s) AS BIGINT) AS fs,
+        |    CAST(sum(c) AS BIGINT) AS fc FROM pf GROUP BY 1),
+        |g AS (SELECT CAST(sum(s) AS BIGINT) AS gs,
+        |    CAST(sum(c) AS BIGINT) AS gc FROM pf)
+        |SELECT cat, fold, cc - c AS n_oof,
+        |  round(CASE WHEN (cc - c) + 20.0 > 0 AND (gc - fc) > 0 THEN
+        |    (CAST(cs - s AS DOUBLE)
+        |      + 20.0 * (CAST(gs - fs AS DOUBLE) / CAST(gc - fc AS DOUBLE)))
+        |    / (CAST(cc - c AS DOUBLE) + 20.0) END, 6) AS enc
+        |FROM cw JOIN fw USING (fold) CROSS JOIN g
+        |ORDER BY cat, fold""".stripMargin,
+
+    // 2x2 chi-square per term on doc-level presence; counts are exact,
+    // the statistic's numerator/denominator replicate the Spark op order
+    "q210_chi2_terms" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, token AS term
+        |  FROM (SELECT doc_id, lang,
+        |      unnest(CASE WHEN trim(text) = '' THEN []
+        |        ELSE string_split_regex(trim(lower(text)), '\s+') END)
+        |      AS token
+        |    FROM documents)
+        |  WHERE length(token) >= 3),
+        |tot AS (SELECT count(*) AS nn,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS aa
+        |  FROM documents),
+        |pt AS (SELECT term, CAST(sum(y) AS BIGINT) AS a,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS b
+        |  FROM pres GROUP BY 1 HAVING count(*) >= 5),
+        |x AS (SELECT term, a, b, aa - a AS c, (nn - aa) - b AS dd, nn
+        |  FROM pt CROSS JOIN tot)
+        |SELECT term, a, b,
+        |  round(CAST(nn AS DOUBLE)
+        |      * pow(CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c, 2)
+        |    / (CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)
+        |      * CAST(a + c AS DOUBLE) * CAST(b + dd AS DOUBLE)), 4) AS chi2
+        |FROM x ORDER BY chi2 DESC, term LIMIT 30""".stripMargin,
+
+    // naive u<v<w triangle enumeration — same triangles as the
+    // degree-oriented Spark plan, deliberately different algorithm
+    "q211_triangles" ->
+      """WITH pairs AS (
+        |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT x.pk AS u, y.pk AS v FROM pairs x
+        |  JOIN pairs y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS n_tri FROM nodes GROUP BY 1
+        |ORDER BY n_tri DESC, node""".stripMargin,
+
+    // seeded-LCG Laplace inverse CDF replayed exactly: the rank window,
+    // the modular arithmetic, and the ln argument clamp all match
+    "q212_dp_counts" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, lang, n,
+        |    row_number() OVER (ORDER BY source, lang) AS gid FROM c),
+        |nz AS (SELECT source, lang, n,
+        |    (CAST((gid * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+        |      / 2147483648.0) - 0.5 AS u FROM r),
+        |o AS (SELECT source, lang,
+        |    round((CAST(n AS DOUBLE) + (-2.0) * sign(u)
+        |        * ln(greatest(1.0 - 2.0 * abs(u), 1e-12))) * 1e4) / 1e4
+        |      AS n_noisy
+        |  FROM nz)
+        |SELECT source, lang, n_noisy, n_noisy >= 10.0 AS released
+        |FROM o ORDER BY source, lang""".stripMargin,
+
+    // lag-explode ACF argmax: long Pearson components per (user, lag),
+    // rounded acf BEFORE the argmax ordering so ulp noise can't flip it
+    "q213_period_detect" ->
+      """WITH base AS (
+        |  SELECT user_id, t_us, CAST(round(v * 100) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) AS idx
+        |  FROM (SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |    FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        |    GROUP BY 1, 2)),
+        |lags AS (SELECT unnest(range(1, 7)) AS lag),
+        |p AS (SELECT c.user_id, l.lag, c.x, p2.x AS y
+        |  FROM base c CROSS JOIN lags l
+        |  JOIN base p2 ON p2.user_id = c.user_id
+        |    AND p2.idx = c.idx - l.lag),
+        |st AS (SELECT user_id, lag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2 HAVING count(*) >= 8),
+        |ac AS (SELECT user_id, lag,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS dy FROM st),
+        |f AS (SELECT user_id, lag,
+        |    round(num / (sqrt(dx) * sqrt(dy)), 4) AS acf
+        |  FROM ac WHERE dx > 0 AND dy > 0),
+        |best AS (SELECT user_id, lag, acf, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY acf DESC, lag) AS rn FROM f)
+        |SELECT user_id, CAST(lag AS INTEGER) AS best_lag, acf + 0 AS acf
+        |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // exact KS: cross-multiplied BIGINT CDF gaps, one division after
+    // the max, smallest-value tie-break on the argmax
+    "q214_ks_drift" ->
+      """WITH vals AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |rc AS (SELECT v, count(*) AS n_ref FROM vals
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |cc AS (SELECT v, count(*) AS n_cur FROM vals
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |j AS (SELECT coalesce(rc.v, cc.v) AS v,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM rc FULL OUTER JOIN cc ON rc.v = cc.v),
+        |g AS (SELECT v, n_ref, n_cur,
+        |    CAST(sum(n_ref) OVER () AS BIGINT) AS tr,
+        |    CAST(sum(n_cur) OVER () AS BIGINT) AS tc,
+        |    CAST(sum(n_ref) OVER (ORDER BY v) AS BIGINT) AS cr,
+        |    CAST(sum(n_cur) OVER (ORDER BY v) AS BIGINT) AS cu
+        |  FROM j),
+        |gap AS (SELECT v, tr, tc, abs(cr * tc - cu * tr) AS gp FROM g),
+        |best AS (SELECT v, tr, tc, gp, row_number() OVER (
+        |    ORDER BY gp DESC, v) AS rn FROM gap)
+        |SELECT tr AS n_ref, tc AS n_cur, v AS ks_at,
+        |  round(CAST(gp AS DOUBLE) / CAST(tr * tc AS DOUBLE), 6) AS ks
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    // split conformal replayed exactly: same halves, same
+    // ceil(0.8*(n+1)) rank, same exact order statistic on long errors
+    "q215_conformal" ->
+      """WITH base AS (
+        |  SELECT user_id, t_us, CAST(round(v * 100) AS BIGINT) AS x
+        |  FROM (SELECT user_id, epoch_us(ts) AS t_us, max(value) AS v
+        |    FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        |    GROUP BY 1, 2)),
+        |e0 AS (SELECT user_id,
+        |    abs(x - lag(x) OVER (PARTITION BY user_id ORDER BY t_us))
+        |      AS err,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_us) - 1
+        |      AS eidx
+        |  FROM base),
+        |e AS (SELECT user_id, err, eidx,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e0 WHERE err IS NOT NULL),
+        |f AS (SELECT user_id, err, eidx <= floor(n / 2.0) AS cal
+        |  FROM e WHERE n >= 11),
+        |q AS (SELECT user_id, n_cal, qhat FROM (
+        |    SELECT user_id, err AS qhat,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY err)
+        |        AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS n_cal
+        |    FROM f WHERE cal)
+        |  WHERE rn = ceil(0.8 * (n_cal + 1))),
+        |t AS (SELECT f.user_id, count(*) AS n_test,
+        |    CAST(sum(CASE WHEN f.err <= q.qhat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_covered,
+        |    max(q.n_cal) AS n_cal, max(q.qhat) AS qhat
+        |  FROM f LEFT JOIN q ON f.user_id = q.user_id WHERE NOT cal
+        |  GROUP BY 1)
+        |SELECT user_id, CAST(n_cal AS BIGINT) AS n_cal, qhat, n_test,
+        |  CASE WHEN qhat IS NOT NULL THEN n_covered END AS n_covered,
+        |  CASE WHEN qhat IS NOT NULL AND n_test > 0 THEN
+        |    round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)
+        |      * 1e4) / 1e4 END AS coverage
+        |FROM t ORDER BY user_id""".stripMargin,
+
+    // the maintained bucket view must be indistinguishable from the
+    // one-shot AUC over the full log: q208's math for class 0
+    "q216_incremental_auc" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6, 0) AS BIGINT)
+        |      AS s
+        |  FROM embeddings),
+        |b AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS neg FROM e GROUP BY 1),
+        |w AS (SELECT pos, neg, sum(neg) OVER (ORDER BY s) - neg
+        |    AS negbelow
+        |  FROM b),
+        |u AS (SELECT CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT)
+        |      AS u2,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg
+        |  FROM w)
+        |SELECT round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+        |    AS auc,
+        |  n_pos, n_neg FROM u""".stripMargin)
 
   /** Unrolled full-batch logistic-GD oracle replicating
     * [[graft.operators.QualityClassifier.scoreDF]] (lr = 0.5, zero

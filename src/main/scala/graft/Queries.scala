@@ -3495,5 +3495,240 @@ object Queries {
           col("pred_label"), col("vote_weight"),
           (col("pred_label") === col("true_label")).as("correct"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- model evaluation: distributed ROC AUC ------------------------
+    "q208_roc_auc" -> ((s, d) => {
+      // one-vs-rest AUC of the first embedding dimension as a class
+      // score: does dim 0 rank class-c vectors above the rest? The
+      // bucketed Mann-Whitney statistic never ranks rows globally —
+      // scores quantize to integer buckets (exact longs), and the only
+      // float op is the final fixed-order division. |classes| is
+      // bounded, so the one-vs-rest explode is a broadcast cross join,
+      // not a shuffle
+      val emb = t(s, d, "embeddings")
+      val classes = emb.select(col("label").as("cls")).distinct()
+      val rows = emb.crossJoin(broadcast(classes))
+        .withColumn("__y", (col("label") === col("cls")).cast("int"))
+      graft.ops.MlEval.rocAuc(rows,
+          round(element_at(col("embedding"), 1).cast("double") * lit(1e6), 0)
+            .cast("long"),
+          col("__y"), Seq("cls"))
+        .select(col("cls"), dround(col("auc"), 6).as("auc"),
+          col("n_pos"), col("n_neg"))
+        .orderBy(col("cls"))
+    }),
+
+    // ---- leakage-safe categorical feature encoding ---------------------
+    "q209_target_encode" -> ((s, d) => {
+      // out-of-fold mean target encoding of order priority against the
+      // 'order fulfilled' flag, 5 deterministic folds by key modulus,
+      // prior-smoothed with m=20 pseudo-rows. A row's own fold (and the
+      // prior's share of it) never contributes to its encoding, so the
+      // feature is leakage-safe by construction; the encode is one
+      // map-side-combined aggregation plus window math on the bounded
+      // (cat, fold) table
+      graft.ops.MlEval.targetEncode(t(s, d, "orders"),
+          col("o_orderpriority"),
+          pmod(col("o_orderkey"), lit(5)).cast("int"),
+          (col("o_orderstatus") === "F").cast("long"), smoothing = 20.0)
+        .select(col("cat"), col("fold"), col("n_oof"),
+          dround(col("enc"), 6).as("enc"))
+        .orderBy(col("cat"), col("fold"))
+    }),
+
+    // ---- chi-square term selection --------------------------------------
+    "q210_chi2_terms" -> ((s, d) => {
+      // supervised feature selection: which terms' document frequency
+      // is most dependent on the lang='en' label (2x2 chi-square per
+      // term, doc-level presence, min df 5)? Counts are exact longs off
+      // one distinct + one aggregation; the statistic is computed in
+      // double with a fixed op order so the oracle replays it bit-wise
+      val docs = t(s, d, "documents")
+      val pres = docs
+        .select(col("doc_id"), (col("lang") === "en").cast("long").as("__y"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) >= 3)
+        .distinct()
+      val tot = docs.agg(count(lit(1)).as("__nn"),
+        sum((col("lang") === "en").cast("long")).as("__aa"))
+      pres.groupBy(col("term"))
+        .agg(sum(col("__y")).as("a"),
+          (count(lit(1)) - sum(col("__y"))).as("b"))
+        .filter(col("a") + col("b") >= 5)
+        .crossJoin(broadcast(tot))
+        .withColumn("c", col("__aa") - col("a"))
+        .withColumn("dd", (col("__nn") - col("__aa")) - col("b"))
+        .withColumn("chi2", dround(
+          col("__nn").cast("double")
+            * pow(col("a").cast("double") * col("dd")
+                - col("b").cast("double") * col("c"), 2)
+            / ((col("a") + col("b")).cast("double")
+              * (col("c") + col("dd")).cast("double")
+              * (col("a") + col("c")).cast("double")
+              * (col("b") + col("dd")).cast("double")), 4))
+        .select(col("term"), col("a"), col("b"), col("chi2"))
+        .orderBy(col("chi2").desc, col("term"))
+        .limit(30)
+    }),
+
+    // ---- graph analytics: degree-oriented triangle counting ------------
+    "q211_triangles" -> ((s, d) => {
+      // parts bought together in >= 2 distinct order events form the
+      // co-purchase graph; triangle participation per part is the
+      // community-density signal. Degree orientation bounds every
+      // node's wedge fan-out by O(sqrt(m)) so hub skew never lands on
+      // one reducer (the oracle counts the same triangles the naive
+      // u<v<w way — results match, plans don't have to)
+      val pairs = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = pairs.as("x").join(pairs.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("u"), col("v"))
+      graft.ops.Triangles.perNode(edges)
+        .orderBy(col("n_tri").desc, col("node"))
+    }),
+
+    // ---- privacy: noisy-histogram release mechanism ---------------------
+    "q212_dp_counts" -> ((s, d) => {
+      // Laplace(1/eps) noisy per-(source, lang) counts with stability
+      // thresholding — the (eps, delta)-DP histogram release MECHANISM
+      // with a seeded inverse-CDF uniform so the run is reproducible
+      // (production swaps in a CSPRNG; see Anonymity.dpCounts's honesty
+      // note). eps=0.5, release threshold 10
+      graft.ops.Anonymity.dpCounts(t(s, d, "documents"),
+          Seq("source", "lang"), epsilon = 0.5, threshold = 10.0)
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    // ---- time series: dominant-period detection -------------------------
+    "q213_period_detect" -> ((s, d) => {
+      // which lag maximizes each user's click-series autocorrelation
+      // (lags 1..6, >= 8 aligned pairs)? This is the data-driven 'm'
+      // that q195's Holt-Winters seasonality needs. One lag-explode
+      // join aligns all six lags in a single shuffle; Pearson
+      // components are exact long sums of e2-quantized values (the
+      // q206 discipline), so only the final sqrt/divide is float
+      val base = t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .withColumn("x", round(col("v") * lit(100), 0).cast("long"))
+        .withColumn("idx", row_number().over(Window
+          .partitionBy(col("user_id")).orderBy(col("t_us"))))
+        .select(col("user_id"), col("idx"), col("x"))
+      val lags = s.range(1, 7).select(col("id").cast("int").as("lag"))
+      val pairsAc = base.crossJoin(broadcast(lags)).as("cur")
+        .join(base.select(col("user_id"), col("idx").as("pidx"),
+          col("x").as("y")).as("prev"),
+          col("cur.user_id") === col("prev.user_id")
+            && col("prev.pidx") === col("cur.idx") - col("cur.lag"))
+        .select(col("cur.user_id").as("user_id"), col("cur.lag").as("lag"),
+          col("cur.x").as("x"), col("prev.y").as("y"))
+      val st = pairsAc.groupBy(col("user_id"), col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .filter(col("n") >= 8)
+        .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double"))
+        .withColumn("dx", (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double"))
+        .withColumn("dy", (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double"))
+        .filter(col("dx") > 0 && col("dy") > 0)
+        .withColumn("acf", dround(col("num") / (sqrt(col("dx")) * sqrt(col("dy"))), 4))
+      st.withColumn("rn", row_number().over(Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("acf").desc, col("lag"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("lag").as("best_lag"),
+          (col("acf") + lit(0)).as("acf"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- drift: exact two-sample Kolmogorov-Smirnov -------------------
+    "q214_ks_drift" -> ((s, d) => {
+      // PSI's binless complement: the max CDF gap between the view and
+      // click value distributions. The gap numerator is a cross-
+      // multiplied BIGINT (exact while n_ref*n_cur < 2^63), the single
+      // float division happens once after the max, and the window runs
+      // over the quantization-bounded value spine, never the corpus
+      val ev = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("v", round(col("value") * lit(100), 0).cast("long"))
+      graft.ops.DriftMonitor.ks(
+        ev.filter(col("event_type") === "view").select(col("v")),
+        ev.filter(col("event_type") === "click").select(col("v")), "v")
+    }),
+
+    // ---- forecasting: split conformal prediction intervals -------------
+    "q215_conformal" -> ((s, d) => {
+      // distribution-free 80% intervals for the naive (carry-forward)
+      // one-step forecaster on each user's click series: first half of
+      // the absolute one-step errors calibrates qhat = the
+      // ceil(0.8*(n+1))-th smallest, second half measures coverage.
+      // Errors are e2-quantized longs so the order statistic is exact;
+      // users need >= 11 errors so the 80% level has a finite qhat
+      val W = org.apache.spark.sql.expressions.Window
+      val wu = W.partitionBy(col("user_id")).orderBy(col("t_us"))
+      val base = t(s, d, "events")
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("value"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(col("value")).as("v"))
+        .withColumn("x", round(col("v") * lit(100), 0).cast("long"))
+      val errs = base
+        .withColumn("err", abs(col("x") - lag(col("x"), 1).over(wu)))
+        .withColumn("eidx", row_number().over(wu) - lit(1))
+        .filter(col("err").isNotNull)
+        .withColumn("n",
+          count(lit(1)).over(W.partitionBy(col("user_id"))))
+        .filter(col("n") >= 11)
+        .withColumn("cal",
+          col("eidx") <= floor(col("n") / lit(2.0)))
+      graft.ops.MlEval.conformalSplit(errs, Seq("user_id"),
+          "err", "cal", alpha = 0.2)
+        .select(col("user_id"), col("n_cal"), col("qhat"),
+          col("n_test"), col("n_covered"), col("coverage"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- monitoring: incrementally maintained AUC ----------------------
+    "q216_incremental_auc" -> ((s, d) => {
+      // the model-monitoring view: AUC of the dim-0 score for class 0
+      // over an eval log that lands in three appends. The maintained
+      // view is the (score-bucket -> positives, total) count table —
+      // additive under appends, so refreshes 2 and 3 scan ONLY the new
+      // files (mode asserted) — and the AUC post-math runs on the
+      // bounded bucket table. Bit-identical to the one-shot q208 math
+      val emb = t(s, d, "embeddings")
+      val rows = emb.select(col("vec_id"),
+        round(element_at(col("embedding"), 1).cast("double") * lit(1e6), 0)
+          .cast("long").as("s"),
+        (col("label") === 0).cast("int").as("y"))
+      val root = s"${graft.core.Scratch.root(emb)}/incauc_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val (base, agg) = (s"$root/base", s"$root/agg")
+      for (i <- 0 to 2) {
+        graft.core.VersionedTable.commitAppend(
+          rows.filter(pmod(col("vec_id"), lit(3)) === i), base)
+        val r = graft.ops.IncrementalAgg.maintain(
+          s, base, agg, Seq("s"), "y")
+        require(i == 0 || r.mode == "incremental",
+          s"append $i refreshed via ${r.mode}, not the delta path")
+      }
+      graft.ops.MlEval.aucFromCounts(
+          graft.ops.IncrementalAgg.read(s, agg), "s", "sum_val", "n_rows")
+        .select(dround(col("auc"), 6).as("auc"),
+          col("n_pos"), col("n_neg"))
     }))
 }

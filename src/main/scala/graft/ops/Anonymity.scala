@@ -64,4 +64,45 @@ object Anonymity {
         .select(qiCols.map(col(_)) :+ col("class_size"): _*),
       qiCols)
       .withColumn("suppress", col("class_size") < k)
+
+  /** Noisy-histogram release: per-class counts + Laplace(1/ε) noise via
+    * the inverse CDF, then stability thresholding (only classes whose
+    * NOISY count clears `threshold` are released) — the mechanism of an
+    * (ε, δ)-DP histogram over an unbounded key domain.
+    *
+    * HONESTY NOTE — this is the release MECHANISM, not a DP guarantee:
+    * the uniform driving the inverse CDF is a seeded LCG over the
+    * class's rank in key order, so runs are reproducible and
+    * oracle-testable. Real differential privacy requires fresh
+    * cryptographic randomness per release; swap `u` for a CSPRNG draw
+    * in production and the privacy proof applies unchanged (sensitivity
+    * 1 per class for unit-count contribution).
+    *
+    * Shape at scale: one map-side-combined aggregation to classes; the
+    * rank window runs over the vocabulary-sized class table (bounded,
+    * never corpus-sized — same post-agg discipline as [[DriftMonitor]]).
+    * The LCG stays in exact BIGINT range for any class count below
+    * 2^32. */
+  def dpCounts(df: DataFrame, qiCols: Seq[String], epsilon: Double,
+      threshold: Double): DataFrame = {
+    require(qiCols.nonEmpty, "dpCounts needs >= 1 class column")
+    require(epsilon > 0, "epsilon must be > 0")
+    val b = 1.0 / epsilon
+    val classes = df.groupBy(qiCols.map(col(_)): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(qiCols.map(col(_)): _*)
+    val uC = ((row_number().over(w).cast("long") * lit(1103515245L)
+      + lit(12345L)) % lit(2147483648L)).cast("double") / lit(2.147483648e9)
+    classes
+      .withColumn("__u", uC - lit(0.5))
+      .withColumn("__noise",
+        lit(-b) * signum(col("__u"))
+          * log(greatest(lit(1.0) - lit(2.0) * abs(col("__u")), lit(1e-12))))
+      .withColumn("n_noisy",
+        graft.functions.Rounding.dround(
+          col("__n").cast("double") + col("__noise"), 4))
+      .withColumn("released", col("n_noisy") >= threshold)
+      .select(qiCols.map(col(_)) :+ col("n_noisy") :+ col("released"): _*)
+  }
 }

@@ -124,4 +124,70 @@ object DriftMonitor {
         col("psi_term"), col("psi"))
       .orderBy(col("bucket"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance — PSI's
+    * complement for CONTINUOUS drift: no binning decision, the
+    * statistic is the max CDF gap over the observed support.
+    *
+    * `valueCol` must be integral (caller quantizes, the repo's
+    * fixed-point contract), so the two empirical CDFs step on a
+    * shared integer support and the gap at each step is EXACT:
+    *
+    * {{{ D = max_v |cumRef(v)·nCur − cumCur(v)·nRef| / (nRef·nCur) }}}
+    *
+    * — the numerator stays in BIGINTs (cross-multiplied counts; exact
+    * while nRef·nCur < 2^63, i.e. both sides below ~3·10^9 rows —
+    * beyond that, pre-bucket), and the single float division happens
+    * once, after the max. `ks_at` is the smallest value attaining the
+    * max, deterministic under ties.
+    *
+    * Shape at scale: one map-side-combined aggregation per side to
+    * (value, n), a full-outer join on the quantization-bounded value
+    * spine, and a window over that bounded table (the psiFromCounts
+    * discipline — never corpus-sized). Returns one row:
+    * (n_ref, n_cur, ks_at, ks) — ks null when a side is empty. */
+  def ks(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame = {
+      val dt = df.schema(valueCol).dataType.simpleString
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(dt),
+        s"ks needs an integral (quantized) value column; $valueCol is " +
+          s"$dt — scale doubles to a fixed-point long first")
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("long").as("v"))
+        .agg(count(lit(1)).as("n"))
+    }
+    ksFromCounts(counts(ref), counts(cur))
+  }
+
+  /** KS from PRE-AGGREGATED (v, n) count tables — for monitors whose
+    * reference distribution is a persisted histogram (the
+    * psiFromCounts rationale). */
+  def ksFromCounts(refCounts: DataFrame, curCounts: DataFrame)
+      : DataFrame = {
+    val joined = refCounts
+      .select(col("v"), col("n").as("n_ref"))
+      .join(curCounts.select(col("v"), col("n").as("n_cur")),
+        Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = wAll.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = joined
+      .withColumn("__tr", sum(col("n_ref")).over(wAll))
+      .withColumn("__tc", sum(col("n_cur")).over(wAll))
+      .withColumn("__gap", abs(
+        sum(col("n_ref")).over(wCum) * col("__tc")
+          - sum(col("n_cur")).over(wCum) * col("__tr")))
+    gaps
+      .withColumn("__rn", row_number().over(
+        wAll.orderBy(col("__gap").desc, col("v"))))
+      .filter(col("__rn") === 1)
+      .select(col("__tr").as("n_ref"), col("__tc").as("n_cur"),
+        col("v").as("ks_at"),
+        when(col("__tr") > 0 && col("__tc") > 0, dround(
+          col("__gap").cast("double")
+            / (col("__tr") * col("__tc")).cast("double"), 6))
+          .as("ks"))
+  }
 }

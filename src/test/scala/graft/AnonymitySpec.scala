@@ -71,4 +71,32 @@ class AnonymitySpec extends SparkTestBase {
       graft.core.Tables.load(spark, "/root/testdata/sf0.001",
         "customer").count())
   }
+
+  test("dpCounts: reproducible, finite, and thresholded") {
+    val df = (1 to 200).map(i => (s"g${i % 7}", i)).toDF("g", "x")
+    val a = Anonymity.dpCounts(df, Seq("g"), epsilon = 0.5,
+      threshold = 25.0).collect().sortBy(_.getString(0))
+    val b = Anonymity.dpCounts(df.repartition(5), Seq("g"), epsilon = 0.5,
+      threshold = 25.0).collect().sortBy(_.getString(0))
+    // seeded LCG: identical across runs and partitionings
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      val noisy = r.getAs[Double]("n_noisy")
+      assert(!noisy.isNaN && !noisy.isInfinite)
+      // Laplace(2) noise via a clamped inverse CDF is bounded by
+      // -b*ln(1e-12) ~ 55.3; counts here are ~28 or ~29
+      assert(math.abs(noisy - 200.0 / 7) < 60.0)
+      assert(r.getAs[Boolean]("released") == (noisy >= 25.0))
+    }
+  }
+
+  test("dpCounts validates epsilon and class columns") {
+    val df = Seq(("a", 1)).toDF("g", "x")
+    intercept[IllegalArgumentException] {
+      Anonymity.dpCounts(df, Nil, epsilon = 0.5, threshold = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Anonymity.dpCounts(df, Seq("g"), epsilon = 0.0, threshold = 1.0)
+    }
+  }
 }

@@ -258,6 +258,39 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(oneBucket.forall(r => !r.getAs[Double]("psi_term").isNaN))
   }
 
+  test("ks: identical samples zero, disjoint supports one, known gap") {
+    val a = (1 to 100).map(i => Tuple1((i % 10).toLong)).toDF("v")
+    val same = graft.ops.DriftMonitor.ks(a, a, "v").collect().head
+    assert(same.getAs[Double]("ks") == 0.0)
+    assert(same.getAs[Long]("n_ref") == 100L)
+    val b = (1 to 50).map(i => Tuple1((i % 10 + 100).toLong)).toDF("v")
+    assert(graft.ops.DriftMonitor.ks(a, b, "v")
+      .collect().head.getAs[Double]("ks") == 1.0)
+    // ref {1,2,3} vs cur {2,3,4}: gap 1/3 at every step, first at v=1
+    val r = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("v")
+    val c = Seq(2L, 3L, 4L).map(Tuple1(_)).toDF("v")
+    val got = graft.ops.DriftMonitor.ks(r, c, "v").collect().head
+    assert(got.getAs[Double]("ks") == 0.333333)
+    assert(got.getAs[Long]("ks_at") == 1L)
+  }
+
+  test("ks: empty side is null, doubles rejected, partitioning-proof") {
+    import org.apache.spark.sql.functions._
+    val a = (1 to 100).map(i => Tuple1((i % 7).toLong)).toDF("v")
+    val empty = a.filter(col("v") < 0)
+    val r = graft.ops.DriftMonitor.ks(a, empty, "v").collect().head
+    assert(r.isNullAt(r.fieldIndex("ks")))
+    intercept[IllegalArgumentException] {
+      graft.ops.DriftMonitor.ks(
+        a.withColumn("v", col("v").cast("double")), a, "v")
+    }
+    val b = (1 to 60).map(i => Tuple1((i % 5).toLong)).toDF("v")
+    val once = graft.ops.DriftMonitor.ks(a, b, "v").collect().head
+    val again = graft.ops.DriftMonitor
+      .ks(a.repartition(7), b.repartition(3), "v").collect().head
+    assert(once.toSeq == again.toSeq)
+  }
+
   test("streaming psi sink: per-batch drift log, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

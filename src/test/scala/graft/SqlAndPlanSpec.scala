@@ -102,7 +102,11 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q159_hybrid_ivf", // bm25 scalar-attach + 1-row corpus N on the query vectors
       "q173_bm25_forget", // q135's scalar-attach; the tombstone anti-join is a broadcast hash join
       "q176_unigram_vocab", // scalar-attach: 1-row kept-set total onto the vocab for the ln scores
-      "q182_unigram_em") // same scalar-attach over the EM-refined kept set
+      "q182_unigram_em", // same scalar-attach over the EM-refined kept set
+      "q208_roc_auc", // one-vs-rest explode: |classes|-row broadcast (q140's shape)
+      "q209_target_encode", // scalar-attach: 1-row global prior onto the (cat, fold) table
+      "q210_chi2_terms", // scalar-attach: 1-row corpus totals onto the term counts
+      "q213_period_detect") // 6-row lag-spine broadcast onto the series
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true
