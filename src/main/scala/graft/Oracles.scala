@@ -5009,7 +5009,67 @@ object Oracles {
         |  FROM w)
         |SELECT round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
         |    AS auc,
-        |  n_pos, n_neg FROM u""".stripMargin)
+        |  n_pos, n_neg FROM u""".stripMargin,
+
+    // first-order Markov: identical lag window, tie order, and the
+    // PSI-style integer-scaled entropy terms
+    "q217_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT prev, event_type AS next, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, n, next,
+        |    CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS t FROM tr),
+        |terms AS (SELECT prev, next, n, t,
+        |    round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE) * 1e4) / 1e4 AS p,
+        |    CAST(round(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS term_s FROM tot),
+        |h AS (SELECT prev, next, n, p,
+        |    round(CAST(sum(term_s) OVER (PARTITION BY prev) AS DOUBLE)
+        |      / 1e9 * 1e6) / 1e6 AS h_prev,
+        |    row_number() OVER (PARTITION BY prev ORDER BY n DESC, next)
+        |      AS rn FROM terms)
+        |SELECT prev, next, n, p, rn = 1 AS is_modal, h_prev
+        |FROM h ORDER BY prev, next""".stripMargin,
+
+    // hourly-bucket alignment and long Pearson components replayed
+    // verbatim; xcorr null below the support floor
+    "q218_lead_lag" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hb,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |v AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hb,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+        |p AS (SELECT l.lag, c.x, v.y
+        |  FROM c CROSS JOIN lags l
+        |  JOIN v ON v.user_id = c.user_id AND v.hb = c.hb + l.lag),
+        |st AS (SELECT lag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1),
+        |f AS (SELECT lag, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS dy FROM st)
+        |SELECT CAST(lag AS INTEGER) AS lag, n,
+        |  CASE WHEN n >= 30 AND dx > 0 AND dy > 0 THEN
+        |    round(num / (sqrt(dx) * sqrt(dy)) * 1e4) / 1e4 + 0 END
+        |    AS xcorr
+        |FROM f ORDER BY lag""".stripMargin)
 
   /** Unrolled full-batch logistic-GD oracle replicating
     * [[graft.operators.QualityClassifier.scoreDF]] (lr = 0.5, zero

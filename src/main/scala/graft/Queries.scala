@@ -3730,5 +3730,78 @@ object Queries {
           graft.ops.IncrementalAgg.read(s, agg), "s", "sum_val", "n_rows")
         .select(dround(col("auc"), 6).as("auc"),
           col("n_pos"), col("n_neg"))
+    }),
+
+    // ---- behavioral modeling: first-order Markov transitions ------------
+    "q217_markov_transitions" -> ((s, d) => {
+      // the next-event transition matrix per source state, with the
+      // per-state transition entropy (how predictable is what follows
+      // an 'error'?) and the modal next event. Counts are exact longs
+      // off ONE lag window + one aggregation; each entropy term is
+      // integer-scaled at 1e-9 BEFORE the per-state sum (the PSI
+      // discipline) so no float addition crosses an exchange
+      val W = org.apache.spark.sql.expressions.Window
+      val seq = t(s, d, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(W
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+        .filter(col("prev").isNotNull)
+      val tr = seq.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val wp = W.partitionBy(col("prev"))
+      val pExact = col("n").cast("double") / col("t").cast("double")
+      tr.withColumn("t", sum(col("n")).over(wp))
+        .withColumn("p", dround(pExact, 4))
+        .withColumn("__term_s",
+          round(-pExact * log(pExact) * lit(1e9)).cast("long"))
+        .withColumn("h_prev", dround(
+          sum(col("__term_s")).over(wp).cast("double") / lit(1e9), 6))
+        .withColumn("rn", row_number().over(
+          wp.orderBy(col("n").desc, col("next"))))
+        .select(col("prev"), col("next"), col("n"), col("p"),
+          (col("rn") === 1).as("is_modal"), col("h_prev"))
+        .orderBy(col("prev"), col("next"))
+    }),
+
+    // ---- time series: lead-lag cross-correlation -------------------------
+    "q218_lead_lag" -> ((s, d) => {
+      // does view activity LEAD clicks? Hourly per-user buckets of both
+      // series (sums of e2-quantized longs — exact), one broadcast
+      // lag-spine join aligns all 7 offsets of views against clicks,
+      // and the per-lag Pearson runs on long components (the q206/q213
+      // discipline). The peak lag is the pipeline's attribution window
+      def bucketed(eventType: String, out: String) =
+        t(s, d, "events")
+          .filter(col("event_type") === eventType
+            && col("value").isNotNull)
+          .groupBy(col("user_id"),
+            floor(unix_micros(col("ts")) / lit(3.6e9)).cast("long")
+              .as("hb"))
+          .agg(sum(round(col("value") * lit(100), 0).cast("long"))
+            .as(out))
+      val c = bucketed("click", "x")
+      val v = bucketed("view", "y")
+      val lags = s.range(-3, 4).select(col("id").cast("int").as("lag"))
+      val pairs = c.crossJoin(broadcast(lags)).as("c")
+        .join(v.as("v"), col("v.user_id") === col("c.user_id")
+          && col("v.hb") === col("c.hb") + col("c.lag"))
+        .select(col("c.lag").as("lag"), col("c.x").as("x"),
+          col("v.y").as("y"))
+      pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double"))
+        .withColumn("dx", (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double"))
+        .withColumn("dy", (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double"))
+        .select(col("lag"), col("n"),
+          when(col("n") >= 30 && col("dx") > 0 && col("dy") > 0,
+            dround(col("num") / (sqrt(col("dx")) * sqrt(col("dy"))), 4)
+              + lit(0)).as("xcorr"))
+        .orderBy(col("lag"))
     }))
 }

@@ -159,6 +159,38 @@ object DriftMonitor {
     ksFromCounts(counts(ref), counts(cur))
   }
 
+  /** Streaming KS monitoring: a `foreachBatch` sink that scores each
+    * micro-batch's quantized `valueCol` against a PRE-AGGREGATED
+    * reference count table (the caller materializes `(v, n)` once —
+    * re-scanning a raw reference slice per batch is the scale tax
+    * [[psiFromCounts]]'s doc warns about) and appends the one-row KS
+    * verdict, tagged with the batch id, to a [[graft.core
+    * .VersionedTable]] monitor log. Exactly-once per batch via the
+    * same marker protocol as [[foreachBatchPsi]]. */
+  def foreachBatchKs(refCounts: DataFrame, valueCol: String,
+      logPath: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$logPath/_ks_commits/b$batchId")
+    val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker)) {
+      val dt = batch.schema(valueCol).dataType.simpleString
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(dt),
+        s"foreachBatchKs needs an integral (quantized) value column; " +
+          s"$valueCol is $dt — quantize in the stream transform")
+      val curCounts = batch.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("long").as("v"))
+        .agg(count(lit(1)).as("n"))
+      graft.core.VersionedTable.commitAppend(
+        ksFromCounts(refCounts, curCounts)
+          .withColumn("batch_id", lit(batchId)),
+        logPath)
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$logPath/_ks_commits"))
+      try f.create(marker, false).close()
+      catch { case _: java.io.IOException => () } // lost claim: done
+    }
+  }
+
   /** KS from PRE-AGGREGATED (v, n) count tables — for monitors whose
     * reference distribution is a persisted histogram (the
     * psiFromCounts rationale). */

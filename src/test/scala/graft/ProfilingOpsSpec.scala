@@ -313,6 +313,30 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(byBatch(1L).forall(_.getAs[Double]("psi") > 0.25))
   }
 
+  test("streaming ks sink: per-batch verdict log, replay-safe, " +
+    "rejects unquantized batches") {
+    import org.apache.spark.sql.functions._
+    val refCounts = (0L to 9L).map(v => (v, 100L)).toDF("v", "n")
+    val logPath = graft.core.Scratch.root(refCounts) +
+      s"/kslog_${java.util.UUID.randomUUID()}"
+    graft.core.Scratch.registerForCleanup(logPath)
+    val sink = graft.ops.DriftMonitor.foreachBatchKs(refCounts, "v",
+      logPath)
+    // batch 0 mirrors the reference shape (uniform 0..9); batch 1 is
+    // mass on one value — KS large
+    sink((1 to 500).map(i => Tuple1((i % 10).toLong)).toDF("v"), 0L)
+    sink((1 to 500).map(_ => Tuple1(9L)).toDF("v"), 1L)
+    sink((1 to 500).map(_ => Tuple1(9L)).toDF("v"), 1L) // replay
+    val rows = graft.core.VersionedTable.read(spark, logPath).collect()
+    assert(rows.length == 2, "replay duplicated rows")
+    val byBatch = rows.map(r => r.getAs[Long]("batch_id") -> r).toMap
+    assert(byBatch(0L).getAs[Double]("ks") == 0.0)
+    assert(byBatch(1L).getAs[Double]("ks") == 0.9)
+    intercept[IllegalArgumentException] {
+      sink(Seq(Tuple1(1.5)).toDF("v"), 2L)
+    }
+  }
+
   test("psi: an empty slice floors at eps instead of NaN-crashing") {
     val base = (1 to 100).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
     val empty = base.filter(org.apache.spark.sql.functions.col("id") < 0)
