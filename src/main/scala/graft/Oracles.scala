@@ -5069,7 +5069,55 @@ object Oracles {
         |  CASE WHEN n >= 30 AND dx > 0 AND dy > 0 THEN
         |    round(num / (sqrt(dx) * sqrt(dy)) * 1e4) / 1e4 + 0 END
         |    AS xcorr
-        |FROM f ORDER BY lag""".stripMargin)
+        |FROM f ORDER BY lag""".stripMargin,
+
+    // average precision from the q208 buckets: descending cumulative
+    // counts, 1e-9-scaled block terms, one final division chain
+    "q219_pr_auc" ->
+      """WITH e AS (
+        |  SELECT label, CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6, 0)
+        |    AS BIGINT) AS s
+        |  FROM embeddings),
+        |cls AS (SELECT DISTINCT label AS cls FROM e),
+        |r AS (SELECT cls, s, CASE WHEN label = cls THEN 1 ELSE 0 END AS y
+        |  FROM e CROSS JOIN cls),
+        |b AS (SELECT cls, s, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS neg FROM r GROUP BY 1, 2),
+        |cum AS (SELECT cls, pos, neg,
+        |    CAST(sum(pos) OVER (PARTITION BY cls ORDER BY s DESC)
+        |      AS BIGINT) AS cp,
+        |    CAST(sum(neg) OVER (PARTITION BY cls ORDER BY s DESC)
+        |      AS BIGINT) AS cn
+        |  FROM b),
+        |terms AS (SELECT cls, pos, neg,
+        |    CASE WHEN pos > 0 THEN CAST(round(CAST(pos AS DOUBLE)
+        |      * (CAST(cp AS DOUBLE) / CAST(cp + cn AS DOUBLE)) * 1e9)
+        |      AS BIGINT)
+        |    ELSE 0 END AS term_s FROM cum),
+        |u AS (SELECT cls, CAST(sum(term_s) AS BIGINT) AS ts,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg
+        |  FROM terms GROUP BY cls)
+        |SELECT cls, round(CAST(ts AS DOUBLE) / 1e9 / CAST(n_pos AS DOUBLE)
+        |    * 1e6) / 1e6 AS pr_auc,
+        |  n_pos, n_neg FROM u ORDER BY cls""".stripMargin,
+
+    // exact rank-formulation Gini over the (lang, source) mass table;
+    // tie order cannot change the rank sum
+    "q220_source_gini" ->
+      """WITH m AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, x,
+        |    row_number() OVER (PARTITION BY lang ORDER BY x) AS i FROM m),
+        |a AS (SELECT lang, count(*) AS n_entities,
+        |    CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum(i * x) AS BIGINT) AS ix FROM r GROUP BY 1)
+        |SELECT lang, n_entities, total,
+        |  round((2.0 * CAST(ix AS DOUBLE)
+        |      / CAST(n_entities * total AS DOUBLE)
+        |    - CAST(n_entities + 1 AS DOUBLE) / CAST(n_entities AS DOUBLE))
+        |    * 1e6) / 1e6 AS gini
+        |FROM a ORDER BY lang""".stripMargin)
 
   /** Unrolled full-batch logistic-GD oracle replicating
     * [[graft.operators.QualityClassifier.scoreDF]] (lr = 0.5, zero

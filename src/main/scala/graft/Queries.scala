@@ -3803,5 +3803,38 @@ object Queries {
             dround(col("num") / (sqrt(col("dx")) * sqrt(col("dy"))), 4)
               + lit(0)).as("xcorr"))
         .orderBy(col("lag"))
+    }),
+
+    // ---- model evaluation: PR AUC (average precision) ------------------
+    "q219_pr_auc" -> ((s, d) => {
+      // q208's companion for class imbalance: step-wise average
+      // precision from the same integer score buckets — ROC AUC
+      // barely moves at a 1:9 positive rate, precision collapses.
+      // Each threshold-block term is scaled to BIGINT at 1e-9 before
+      // the cross-exchange sum (the PSI discipline)
+      val emb = t(s, d, "embeddings")
+      val classes = emb.select(col("label").as("cls")).distinct()
+      val rows = emb.crossJoin(broadcast(classes))
+        .withColumn("__y", (col("label") === col("cls")).cast("int"))
+      graft.ops.MlEval.prAuc(rows,
+          round(element_at(col("embedding"), 1).cast("double") * lit(1e6), 0)
+            .cast("long"),
+          col("__y"), Seq("cls"))
+        .select(col("cls"), dround(col("pr_auc"), 6).as("pr_auc"),
+          col("n_pos"), col("n_neg"))
+        .orderBy(col("cls"))
+    }),
+
+    // ---- curation: corpus concentration audit ---------------------------
+    "q220_source_gini" -> ((s, d) => {
+      // is one source dominating a language's text mass? Per-lang Gini
+      // of char mass across sources: the rank sum stays in exact
+      // BIGINTs over the vocabulary-sized (lang, source) table, two
+      // fixed-order divisions per lang at the end
+      val masses = t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).as("x"))
+      graft.ops.RobustStats.gini(masses, "x", Seq("lang"))
+        .orderBy(col("lang"))
     }))
 }

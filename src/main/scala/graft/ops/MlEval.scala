@@ -81,6 +81,48 @@ object MlEval {
       .drop("__u2")
   }
 
+  /** Average precision (PR AUC) from the same integer score buckets as
+    * [[rocAuc]] — the class-imbalance metric ROC flatters (a 1:1000
+    * positive rate barely moves ROC AUC but collapses precision).
+    *
+    * Ties form threshold BLOCKS (each distinct score is one threshold,
+    * the sklearn step-wise definition):
+    *
+    * {{{ AP = Σ_blocks (posᵦ / P) · precision_at_block
+    *        = Σ_blocks posᵦ · cumPosᵦ / (cumPosᵦ + cumNegᵦ) / P }}}
+    *
+    * cumulative counts run from the HIGHEST score down. Counts are
+    * exact longs; each block term is scaled to BIGINT at 1e-9 before
+    * the cross-exchange sum (the PSI discipline), so the result is
+    * partition-independent and oracle-replayable. Same two-shuffle
+    * bucket shape as [[rocAuc]]. */
+  def prAuc(df: DataFrame, score: Column, label: Column,
+      byCols: Seq[String] = Nil): DataFrame = {
+    val g = byCols.map(col)
+    val buckets = df
+      .groupBy((g :+ score.as("__s")): _*)
+      .agg(sum(label.cast("long")).as("__pos"),
+        (count(lit(1)) - sum(label.cast("long"))).as("__neg"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = buckets
+      .withColumn("__cp", sum(col("__pos")).over(w))
+      .withColumn("__cn", sum(col("__neg")).over(w))
+      .withColumn("__term_s", when(col("__pos") > 0, round(
+        col("__pos").cast("double") * (col("__cp").cast("double")
+          / (col("__cp") + col("__cn")).cast("double")) * lit(1e9))
+        .cast("long")).otherwise(lit(0L)))
+    scored
+      .groupBy(g: _*)
+      .agg(sum(col("__term_s")).as("__ts"), sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg"))
+      .withColumn("pr_auc",
+        when(col("n_pos") > 0,
+          col("__ts").cast("double") / lit(1e9)
+            / col("n_pos").cast("double")))
+      .drop("__ts")
+  }
+
   /** Split conformal prediction intervals — the distribution-free
     * coverage guarantee for ANY point forecaster: with calibration
     * nonconformity scores `e₁..eₙ` (held out from the forecaster's

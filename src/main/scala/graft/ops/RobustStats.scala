@@ -83,4 +83,46 @@ object RobustStats {
         dround(avg(clipped), 4).as("mean_w"),
         dround(stddev_samp(clipped), 4).as("sd_w"))
   }
+
+  /** Gini coefficient of non-negative integral masses — the
+    * concentration audit a corpus-mix pipeline runs per stratum (is
+    * 90% of the German text coming from one domain?). 0 = perfectly
+    * even shares, → 1 = one entity holds everything.
+    *
+    * Exact rank formulation over masses sorted ascending (ties
+    * contribute identically under any tie order, so row_number's
+    * arbitrariness cannot change the sum):
+    *
+    * {{{ G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n }}}
+    *
+    * `Σ i·xᵢ` stays in BIGINTs (exact while rank·mass sums fit 2^63);
+    * the two divisions run once per group in fixed order. Input rows
+    * are one-per-entity (the caller's aggregation output), so the
+    * rank window runs over a vocabulary-sized table, never the corpus.
+    * Returns per group: n_entities, total, gini (null for empty or
+    * zero-mass groups). */
+  def gini(masses: DataFrame, valueCol: String,
+      byCols: Seq[String] = Nil): DataFrame = {
+    val dt = masses.schema(valueCol).dataType.simpleString
+    require(Seq("bigint", "int", "smallint", "tinyint").contains(dt),
+      s"gini needs an integral mass column; $valueCol is $dt")
+    val g = byCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val ranked = masses
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .withColumn("__x", col(valueCol).cast("long"))
+      .withColumn("__i", row_number().over(w.orderBy(col("__x"))))
+    ranked
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("__x")).as("total"),
+        sum(col("__i") * col("__x")).as("__ix"))
+      .withColumn("gini",
+        when(col("n_entities") > 0 && col("total") > 0, dround(
+          lit(2.0) * col("__ix").cast("double")
+            / (col("n_entities") * col("total")).cast("double")
+            - (col("n_entities") + lit(1)).cast("double")
+              / col("n_entities").cast("double"), 6)))
+      .drop("__ix")
+  }
 }

@@ -101,6 +101,74 @@ class MlEvalSpec extends SparkTestBase {
     assert(got.getAs[Long]("n_oof") == 0L)
   }
 
+  /** Reference step-wise AP with tie blocks (sklearn definition). */
+  private def stepwiseAp(rows: Seq[(Long, Int)]): Option[Double] = {
+    val p = rows.count(_._2 == 1)
+    if (p == 0) None
+    else {
+      var cp = 0L; var cn = 0L; var ap = 0.0
+      for ((_, block) <- rows.groupBy(_._1).toSeq.sortBy(-_._1)) {
+        val bp = block.count(_._2 == 1); val bn = block.size - bp
+        cp += bp; cn += bn
+        if (bp > 0)
+          ap += math.round(bp.toDouble * (cp.toDouble / (cp + cn)) * 1e9)
+      }
+      Some(ap / 1e9 / p)
+    }
+  }
+
+  test("prAuc matches the step-wise definition, ties in blocks") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(300)((rnd.nextInt(15).toLong,
+      if (rnd.nextInt(10) == 0) 1 else 0)) // 1:9 imbalance
+    val got = MlEval.prAuc(rows.toDF("s", "y").repartition(5),
+        col("s"), col("y"))
+      .collect().head
+    assert(math.abs(got.getAs[Double]("pr_auc")
+      - stepwiseAp(rows).get) < 1e-12)
+  }
+
+  test("prAuc: perfect separator is 1.0, no positives is null") {
+    val perfect = MlEval.prAuc(
+      Seq((9L, 1), (8L, 1), (2L, 0), (1L, 0)).toDF("s", "y"),
+      col("s"), col("y")).collect().head
+    assert(perfect.getAs[Double]("pr_auc") == 1.0)
+    val none = MlEval.prAuc(
+      Seq((9L, 0), (1L, 0)).toDF("s", "y"),
+      col("s"), col("y")).collect().head
+    assert(none.isNullAt(none.fieldIndex("pr_auc")))
+  }
+
+  test("gini: even shares zero, full concentration (n-1)/n, hand case") {
+    import graft.ops.RobustStats
+    def g(xs: Seq[Long]): Double =
+      RobustStats.gini(xs.map(Tuple1(_)).toDF("x"), "x")
+        .collect().head.getAs[Double]("gini")
+    assert(g(Seq(5L, 5L, 5L, 5L)) == 0.0)
+    assert(g(Seq(0L, 0L, 0L, 10L)) == 0.75) // (n-1)/n for n=4
+    // masses 1,2,3,4: sum(i*x) = 1+4+9+16 = 30; 60/40 - 5/4 = 0.25
+    assert(g(Seq(1L, 2L, 3L, 4L)) == 0.25)
+    intercept[IllegalArgumentException] {
+      RobustStats.gini(Seq(Tuple1(1.5)).toDF("x"), "x")
+    }
+  }
+
+  test("gini: per-group, tie-order-proof under repartitioning") {
+    import graft.ops.RobustStats
+    val rows = Seq(("a", 7L), ("a", 7L), ("a", 7L),
+      ("b", 1L), ("b", 1L), ("b", 8L))
+    val run1 = RobustStats.gini(rows.toDF("g", "x"), "x", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    val run2 = RobustStats.gini(rows.toDF("g", "x").repartition(5),
+        "x", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(run1 == run2)
+    assert(run1("a") == 0.0)
+    // b: ranks over (1,1,8): sum(i*x) = 1 + 2 + 24 = 27;
+    // 54/30 - 4/3 = 0.466667
+    assert(run1("b") == 0.466667)
+  }
+
   test("conformalSplit: exact order-statistic qhat and coverage") {
     // cal errors 1..10, alpha=0.2: k = ceil(0.8*11) = 9 -> qhat = 9;
     // test errors {5, 9, 10}: 5 and 9 covered, 10 not
