@@ -4880,7 +4880,8 @@ object Oracles {
       """WITH c AS (
         |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
         |r AS (SELECT source, lang, n,
-        |    row_number() OVER (ORDER BY source, lang) AS gid FROM c),
+        |    row_number() OVER (ORDER BY source NULLS FIRST,
+        |      lang NULLS FIRST) AS gid FROM c),
         |nz AS (SELECT source, lang, n,
         |    (CAST((gid * 1103515245 + 12345) % 2147483648 AS DOUBLE)
         |      / 2147483648.0) - 0.5 AS u FROM r),

@@ -82,7 +82,9 @@ object Anonymity {
     * rank window runs over the vocabulary-sized class table (bounded,
     * never corpus-sized — same post-agg discipline as [[DriftMonitor]]).
     * The LCG stays in exact BIGINT range for any class count below
-    * 2^32. */
+    * 2^32. NULL class keys are real classes; the rank orders them
+    * FIRST (Spark's ascending default, pinned as NULLS FIRST in the
+    * q212 oracle) so both engines derive the same gid → same noise. */
   def dpCounts(df: DataFrame, qiCols: Seq[String], epsilon: Double,
       threshold: Double): DataFrame = {
     require(qiCols.nonEmpty, "dpCounts needs >= 1 class column")

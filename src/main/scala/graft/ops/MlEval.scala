@@ -158,7 +158,12 @@ object MlEval {
       s"conformal scores must be integral (exact order statistic); " +
         s"$errCol is $dt — scale doubles to a fixed-point long first")
     val g = keys.map(col)
-    val cal = errors.filter(col(calCol))
+    // a NULL score would sort FIRST under Spark's ascending order and
+    // silently shift the k-th order statistic; a null split flag has no
+    // defined side. Neither is a score — drop both up front.
+    val scored = errors.filter(
+      col(errCol).isNotNull && col(calCol).isNotNull)
+    val cal = scored.filter(col(calCol))
     val wk = Window.partitionBy(g: _*)
     val qhat = cal
       .withColumn("__rn", row_number().over(wk.orderBy(col(errCol))))
@@ -168,7 +173,7 @@ object MlEval {
       .select((g :+ col("__n").as("n_cal")
         :+ col(errCol).cast("long").as("qhat")): _*)
     val nCalAll = cal.groupBy(g: _*).agg(count(lit(1)).as("__ncal"))
-    errors.filter(!col(calCol))
+    scored.filter(!col(calCol))
       .join(qhat, keys, "left")
       .groupBy(g: _*)
       .agg(max(col("n_cal")).as("n_cal"), max(col("qhat")).as("qhat"),

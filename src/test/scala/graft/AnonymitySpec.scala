@@ -90,6 +90,23 @@ class AnonymitySpec extends SparkTestBase {
     }
   }
 
+  test("dpCounts: a NULL class key is a real class, ranked first") {
+    val df = Seq(Some("a"), Some("a"), None, None, None)
+      .map(Tuple1(_)).toDF("g")
+    val out = Anonymity.dpCounts(df, Seq("g"), epsilon = 0.5,
+        threshold = 1.0)
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Double]("n_noisy"))
+      .toMap
+    assert(out.size == 2 && out.contains(None))
+    // the null class got gid=1 (nulls first): its noise is the gid=1
+    // LCG draw, same as a lone non-null first class would get
+    val lone = Anonymity.dpCounts(
+        Seq("z", "z", "z").map(Tuple1(_)).toDF("g"),
+        Seq("g"), epsilon = 0.5, threshold = 1.0)
+      .collect().head.getAs[Double]("n_noisy")
+    assert(out(None) == lone) // both count 3 at gid=1
+  }
+
   test("dpCounts validates epsilon and class columns") {
     val df = Seq(("a", 1)).toDF("g", "x")
     intercept[IllegalArgumentException] {

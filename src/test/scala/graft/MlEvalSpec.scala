@@ -207,6 +207,22 @@ class MlEvalSpec extends SparkTestBase {
     assert(cov > 0.72 && cov <= 1.0, s"mean coverage $cov")
   }
 
+  test("conformalSplit: NULL scores and NULL split flags are dropped, " +
+    "never ranked") {
+    // without the guard a NULL err would sort FIRST (Spark ascending)
+    // and shift the order statistic from 9 to 8
+    val rows: Seq[(String, Option[Long], Option[Boolean])] =
+      (1L to 10L).map(e => ("k", Some(e), Some(true))) ++
+        Seq(("k", None, Some(true)), ("k", Some(4L), None),
+          ("k", Some(9L), Some(false)), ("k", Some(10L), Some(false)))
+    val got = MlEval.conformalSplit(rows.toDF("g", "err", "cal"),
+      Seq("g"), "err", "cal", alpha = 0.2).collect().head
+    assert(got.getAs[Long]("n_cal") == 10L)
+    assert(got.getAs[Long]("qhat") == 9L)
+    assert(got.getAs[Long]("n_test") == 2L)
+    assert(got.getAs[Long]("n_covered") == 1L)
+  }
+
   test("conformalSplit validates alpha and integral errors") {
     val df = Seq(("k", 1.5, true)).toDF("g", "err", "cal")
     intercept[IllegalArgumentException] {
