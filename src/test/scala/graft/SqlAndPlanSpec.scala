@@ -285,6 +285,26 @@ class SqlAndPlanSpec extends SparkTestBase {
     assert(PlanAsserts.countShuffles(dec) <= 7, "q199 over-shuffled")
   }
 
+  test("eval/graph/drift family shuffle budgets hold") {
+    // scale contract for the round-10 additions: every budget counts
+    // the map-combined aggregations, the bounded-table windows, and
+    // the presentation sort — nothing corpus-shaped may add exchanges
+    for ((q, budget) <- Seq(
+        "q208_roc_auc" -> 5, // class spine agg, buckets, window, sort
+        "q219_pr_auc" -> 5, // same bucket shape, desc window
+        "q209_target_encode" -> 6, // (cat,fold) agg, cat window, fold/global aggs, sort
+        "q210_chi2_terms" -> 6, // presence distinct, term agg, totals, top-k sort
+        "q212_dp_counts" -> 4, // class agg, rank window, sort
+        "q214_ks_drift" -> 6, // two side counts, spine join, bounded window
+        "q217_markov_transitions" -> 5, // lag window, transition agg, sort
+        "q218_lead_lag" -> 7, // two bucket aggs, aligned join, lag agg, sort
+        "q220_source_gini" -> 5)) { // mass agg, rank window, group agg, sort
+      val df = Queries.all(q)(spark, sfDir)
+      val n = PlanAsserts.countShuffles(df)
+      assert(n <= budget, s"$q over-shuffled: $n > $budget")
+    }
+  }
+
   test("dup-span shuffles digests only, never text or raw windows") {
     val exchanges = executedNodes("q119_dup_spans").collect {
       case e: Exchange => e
