@@ -37,6 +37,7 @@ import graft.core.VersionedTable
   *   KEY c1, c2, ... TIME <col> VALUE <col> ALPHA <a> THRESHOLD <k>
   * REFRESH OHLC VIEW '<gold>' FROM '<base>'
   *   KEY c1, c2, ... TIME <col> VALUE <col> BUCKET <µs>
+  * REFRESH AUC VIEW '<agg>' FROM '<base>' SCORE <col> LABEL <col>
   * }}}
   *
   * Tables are [[VersionedTable]] paths as single-quoted string
@@ -126,6 +127,11 @@ object GraftSqlParser {
     """REFRESH\s+OHLC\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
       """\s+KEY\s+([\w\s,]+?)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+BUCKET\s+(\d+)""")
+  // the model-monitoring view: score-bucket counts maintained from
+  // deltas, AUC verdict computed on the bounded bucket table
+  private val RefreshAucRe = pat(
+    """REFRESH\s+AUC\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """\s+SCORE\s+(\w+)\s+LABEL\s+(\w+)""")
 
   private def opt(s: String): Option[String] = Option(s)
 
@@ -189,6 +195,10 @@ object GraftSqlParser {
       return Some(RefreshOhlcViewCommand(ro.group(1), ro.group(2),
         ro.group(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         ro.group(4), ro.group(5), ro.group(6).toLong))
+    val rau = RefreshAucRe.matcher(sql)
+    if (rau.matches())
+      return Some(RefreshAucViewCommand(rau.group(1), rau.group(2),
+        rau.group(3), rau.group(4)))
     None
   }
 
@@ -399,6 +409,37 @@ case class RefreshOhlcViewCommand(goldPath: String, basePath: String,
     val r = graft.ops.OhlcView.maintainOhlc(spark, basePath, goldPath,
       keys, tsCol, valueCol, bucketUs)
     Seq(Row(goldPath, r.mode, r.goldVersion, r.filesScanned))
+  }
+}
+
+/** Model-monitoring maintenance from SQL: `REFRESH AUC VIEW '<agg>'
+  * FROM '<base>' SCORE <col> LABEL <col>` maintains the score-bucket
+  * count view from deltas ([[graft.ops.IncrementalAgg.maintain]] with
+  * the score as the key and the 0/1 label as the additive value) and
+  * returns the refreshed AUC verdict in the same statement — the
+  * bucket table is bounded by score quantization, so the post-math is
+  * vocabulary-sized ([[graft.ops.MlEval.aucFromCounts]], bit-identical
+  * to the one-shot rocAuc). `auc` is null while a class is absent. */
+case class RefreshAucViewCommand(aggPath: String, basePath: String,
+    scoreCol: String, labelCol: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("agg_path", StringType),
+    GraftSqlParser.attr("mode", StringType),
+    GraftSqlParser.attr("version", IntegerType),
+    GraftSqlParser.attr("files_scanned", IntegerType),
+    GraftSqlParser.attr("auc", DoubleType),
+    GraftSqlParser.attr("n_pos", LongType),
+    GraftSqlParser.attr("n_neg", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = graft.ops.IncrementalAgg.maintain(spark, basePath, aggPath,
+      Seq(scoreCol), labelCol)
+    val v = graft.ops.MlEval.aucFromCounts(
+        graft.ops.IncrementalAgg.read(spark, aggPath),
+        scoreCol, "sum_val", "n_rows")
+      .collect().head
+    Seq(Row(aggPath, r.mode, r.aggVersion, r.filesScanned,
+      v.getAs[Any]("auc"), v.getAs[Long]("n_pos"),
+      v.getAs[Long]("n_neg")))
   }
 }
 

@@ -462,6 +462,39 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark2.stop()
   }
 
+  test("REFRESH AUC VIEW maintains the monitoring view and returns " +
+    "the verdict") {
+    val spark2 = sessionWithExtensions
+    try {
+      import graft.core.VersionedTable
+      import spark2.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("sqlauc").toString
+      val (base, agg) = (s"$root/base", s"$root/agg")
+      // a perfect separator: positives score 8-9, negatives 1-2
+      VersionedTable.commitAppend(
+        Seq((9L, 1), (8L, 1), (2L, 0)).toDF("s", "y"), base)
+      val verb = s"REFRESH AUC VIEW '$agg' FROM '$base' SCORE s LABEL y"
+      val r1 = spark2.sql(verb).collect().head
+      assert(r1.getString(1) === "init")
+      assert(r1.getDouble(4) == 1.0 && r1.getLong(5) == 2L)
+      // an append refreshes from the delta and updates the verdict:
+      // a negative at score 8 ties one positive -> 3.5 of 4 pairs won
+      VersionedTable.commitAppend(Seq((8L, 0)).toDF("s", "y"), base)
+      val r2 = spark2.sql(verb).collect().head
+      assert(r2.getString(1) === "incremental")
+      assert(r2.getDouble(4) == 0.875)
+      assert(r2.getLong(5) == 2L && r2.getLong(6) == 2L)
+      // the SQL verdict is the one-shot math, bit for bit
+      val oneShot = graft.ops.MlEval.rocAuc(
+        VersionedTable.read(spark2, base),
+        org.apache.spark.sql.functions.col("s"),
+        org.apache.spark.sql.functions.col("y"))
+        .collect().head.getAs[Double]("auc")
+      assert(r2.getDouble(4) == oneShot)
+    } finally spark2.stop()
+  }
+
   test("REFRESH VIEW maintains (join-)aggregate views from SQL") {
     val spark2 = sessionWithExtensions
     try {
