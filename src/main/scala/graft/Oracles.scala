@@ -5118,7 +5118,177 @@ object Oracles {
         |      / CAST(n_entities * total AS DOUBLE)
         |    - CAST(n_entities + 1 AS DOUBLE) / CAST(n_entities AS DOUBLE))
         |    * 1e6) / 1e6 AS gini
-        |FROM a ORDER BY lang""".stripMargin)
+        |FROM a ORDER BY lang""".stripMargin,
+
+    // GK envelope oracle (the q75 discipline for order statistics):
+    // the exact n per user is replayed; the rank-envelope booleans the
+    // Spark side derives from its own sketch output are pinned TRUE
+    "q221_mad_approx" ->
+      """WITH base AS (
+        |  SELECT user_id, ts FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL
+        |  GROUP BY user_id, ts)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS med_ok, TRUE AS mad_ok
+        |FROM base GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q214's KS replay with the guard's coarsening arithmetic replayed
+    // exactly: lo over the joint spine, ceil-step to <= 256 buckets,
+    // integer floor-div re-bucketing keyed by lower edge
+    "q222_ks_coarse" ->
+      """WITH vals AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |rc0 AS (SELECT v, count(*) AS n FROM vals
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |cc0 AS (SELECT v, count(*) AS n FROM vals
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |st AS (SELECT min(v) AS lo,
+        |    (max(v) - min(v) + 1 + 255) // 256 AS step
+        |  FROM (SELECT v FROM rc0 UNION ALL SELECT v FROM cc0)),
+        |rc AS (SELECT (r.v - st.lo) // st.step * st.step + st.lo AS v,
+        |    CAST(sum(r.n) AS BIGINT) AS n_ref
+        |  FROM rc0 r, st GROUP BY 1),
+        |cc AS (SELECT (c.v - st.lo) // st.step * st.step + st.lo AS v,
+        |    CAST(sum(c.n) AS BIGINT) AS n_cur
+        |  FROM cc0 c, st GROUP BY 1),
+        |j AS (SELECT coalesce(rc.v, cc.v) AS v,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM rc FULL OUTER JOIN cc ON rc.v = cc.v),
+        |g AS (SELECT v, n_ref, n_cur,
+        |    CAST(sum(n_ref) OVER () AS BIGINT) AS tr,
+        |    CAST(sum(n_cur) OVER () AS BIGINT) AS tc,
+        |    CAST(sum(n_ref) OVER (ORDER BY v) AS BIGINT) AS cr,
+        |    CAST(sum(n_cur) OVER (ORDER BY v) AS BIGINT) AS cu
+        |  FROM j),
+        |gap AS (SELECT v, tr, tc, abs(cr * tc - cu * tr) AS gp FROM g),
+        |best AS (SELECT v, tr, tc, gp, row_number() OVER (
+        |    ORDER BY gp DESC, v) AS rn FROM gap)
+        |SELECT tr AS n_ref, tc AS n_cur, v AS ks_at,
+        |  round(CAST(gp AS DOUBLE) / CAST(tr * tc AS DOUBLE), 6) AS ks
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    // q217's entropy discipline keyed by the bigram state; the >= 5
+    // floor applies to the state total computed over the UNfiltered
+    // matrix, exactly as the Spark window does
+    "q223_markov2" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p1,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p2
+        |  FROM events),
+        |tr AS (SELECT p2, p1, event_type AS next, count(*) AS n
+        |  FROM seq WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT p2, p1, next, n,
+        |    CAST(sum(n) OVER (PARTITION BY p2, p1) AS BIGINT) AS t
+        |  FROM tr),
+        |f AS (SELECT * FROM tot WHERE t >= 5),
+        |terms AS (SELECT p2, p1, next, n, t,
+        |    round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE) * 1e4) / 1e4 AS p,
+        |    CAST(round(-(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS term_s FROM f),
+        |h AS (SELECT p2, p1, next, n, p,
+        |    round(CAST(sum(term_s) OVER (PARTITION BY p2, p1) AS DOUBLE)
+        |      / 1e9 * 1e6) / 1e6 AS h_state,
+        |    row_number() OVER (PARTITION BY p2, p1
+        |      ORDER BY n DESC, next) AS rn FROM terms)
+        |SELECT p2, p1, next, n, p, rn = 1 AS is_modal, h_state
+        |FROM h ORDER BY p2, p1, next""".stripMargin,
+
+    // soft-EM replay: the α/β lattice recursions run as recursive CTEs
+    // carrying the three lagged values, with the IDENTICAL op order the
+    // Scala expression pins (ascending piece length, left-assoc adds,
+    // ((α·p)·β/Z)·1e6 per occurrence, per-word integer quantization) —
+    // probabilities are exact rationals, so every float op is IEEE-
+    // reproducible across engines
+    "q224_unigram_soft_em" ->
+      ("WITH RECURSIVE " + unigramVocabBody + """,
+        |prob AS (SELECT piece, CAST(cnt AS DOUBLE) / t AS p
+        |  FROM vocab0 CROSS JOIN tot),
+        |ws AS (SELECT DISTINCT word FROM w),
+        |alpha AS (
+        |  SELECT word, CAST(0 AS BIGINT) AS j,
+        |    CAST(1.0 AS DOUBLE) AS a0, CAST(0.0 AS DOUBLE) AS a1,
+        |    CAST(0.0 AS DOUBLE) AS a2, CAST(0.0 AS DOUBLE) AS a3
+        |  FROM ws
+        |  UNION ALL
+        |  SELECT r.word, r.j + 1,
+        |    r.a0 * coalesce(p1.p, 0.0) + r.a1 * coalesce(p2.p, 0.0)
+        |      + r.a2 * coalesce(p3.p, 0.0) + r.a3 * coalesce(p4.p, 0.0),
+        |    r.a0, r.a1, r.a2
+        |  FROM alpha r
+        |  LEFT JOIN prob p1
+        |    ON p1.piece = substr(r.word, CAST(r.j + 1 AS INT), 1)
+        |  LEFT JOIN prob p2 ON r.j >= 1
+        |    AND p2.piece = substr(r.word, CAST(r.j AS INT), 2)
+        |  LEFT JOIN prob p3 ON r.j >= 2
+        |    AND p3.piece = substr(r.word, CAST(r.j - 1 AS INT), 3)
+        |  LEFT JOIN prob p4 ON r.j >= 3
+        |    AND p4.piece = substr(r.word, CAST(r.j - 2 AS INT), 4)
+        |  WHERE r.j < len(r.word)),
+        |beta AS (
+        |  SELECT word, CAST(len(word) AS BIGINT) AS i,
+        |    CAST(1.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+        |    CAST(0.0 AS DOUBLE) AS b2, CAST(0.0 AS DOUBLE) AS b3
+        |  FROM ws
+        |  UNION ALL
+        |  SELECT r.word, r.i - 1,
+        |    coalesce(p1.p, 0.0) * r.b0 + coalesce(p2.p, 0.0) * r.b1
+        |      + coalesce(p3.p, 0.0) * r.b2 + coalesce(p4.p, 0.0) * r.b3,
+        |    r.b0, r.b1, r.b2
+        |  FROM beta r
+        |  LEFT JOIN prob p1
+        |    ON p1.piece = substr(r.word, CAST(r.i AS INT), 1)
+        |  LEFT JOIN prob p2 ON r.i + 1 <= len(r.word)
+        |    AND p2.piece = substr(r.word, CAST(r.i AS INT), 2)
+        |  LEFT JOIN prob p3 ON r.i + 2 <= len(r.word)
+        |    AND p3.piece = substr(r.word, CAST(r.i AS INT), 3)
+        |  LEFT JOIN prob p4 ON r.i + 3 <= len(r.word)
+        |    AND p4.piece = substr(r.word, CAST(r.i AS INT), 4)
+        |  WHERE r.i > 0),
+        |af AS (SELECT word, j, a0 FROM alpha),
+        |bf AS (SELECT word, i, b0 FROM beta),
+        |zt AS (SELECT word, a0 AS z FROM alpha WHERE j = len(word)),
+        |occ AS (
+        |  SELECT ws.word, t.s AS s0, u.l AS l,
+        |    substr(ws.word, CAST(t.s + 1 AS INT), CAST(u.l AS INT))
+        |      AS piece
+        |  FROM ws,
+        |    LATERAL unnest(range(0, len(ws.word))) AS t(s),
+        |    LATERAL unnest(range(1, 5)) AS u(l)
+        |  WHERE t.s + u.l <= len(ws.word)),
+        |post AS (
+        |  SELECT o.word, o.piece,
+        |    CAST(round(af.a0 * pr.p * bf.b0 / zt.z * 1000000.0)
+        |      AS BIGINT) AS u
+        |  FROM occ o
+        |  JOIN prob pr ON pr.piece = o.piece
+        |  JOIN af ON af.word = o.word AND af.j = o.s0
+        |  JOIN bf ON bf.word = o.word AND bf.i = o.s0 + o.l
+        |  JOIN zt ON zt.word = o.word
+        |  WHERE zt.z > 0),
+        |pw AS (SELECT word, piece, CAST(sum(u) AS BIGINT) AS u
+        |  FROM post GROUP BY 1, 2),
+        |usage AS (SELECT piece, CAST(sum(w.n * pw.u) AS BIGINT)
+        |    AS usage_s
+        |  FROM pw JOIN w USING (word) GROUP BY piece),
+        |kept AS (
+        |  SELECT piece, cnt FROM (
+        |    SELECT v.piece,
+        |      CASE WHEN len(v.piece) = 1
+        |        THEN greatest(coalesce(u.usage_s, 0), 1000000)
+        |        ELSE u.usage_s END AS cnt
+        |    FROM vocab0 v LEFT JOIN usage u USING (piece))
+        |  WHERE cnt IS NOT NULL AND cnt > 0),
+        |tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t2 FROM kept)
+        |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(round(ln(CAST(cnt AS DOUBLE) / t2) * 1000000.0)
+        |    AS BIGINT) AS score
+        |FROM kept CROSS JOIN tot2
+        |ORDER BY piece""".stripMargin))
 
   /** Unrolled full-batch logistic-GD oracle replicating
     * [[graft.operators.QualityClassifier.scoreDF]] (lr = 0.5, zero

@@ -3544,14 +3544,19 @@ object Queries {
       // term, doc-level presence, min df 5)? Counts are exact longs off
       // one distinct + one aggregation; the statistic is computed in
       // double with a fixed op order so the oracle replays it bit-wise
+      // null-safe label: a NULL lang is a non-'en' doc (0), matching
+      // the oracle's CASE WHEN ... ELSE 0. A bare boolean cast yields
+      // NULL for NULL lang, which would null out `a` and silently drop
+      // terms whose qualifying docs are all NULL-lang at the df filter
       val docs = t(s, d, "documents")
+      val isEn = when(col("lang") === "en", 1L).otherwise(0L)
       val pres = docs
-        .select(col("doc_id"), (col("lang") === "en").cast("long").as("__y"),
+        .select(col("doc_id"), isEn.as("__y"),
           explode(TextFunctions.tokens(lower(col("text")))).as("term"))
         .filter(length(col("term")) >= 3)
         .distinct()
       val tot = docs.agg(count(lit(1)).as("__nn"),
-        sum((col("lang") === "en").cast("long")).as("__aa"))
+        sum(isEn).as("__aa"))
       pres.groupBy(col("term"))
         .agg(sum(col("__y")).as("a"),
           (count(lit(1)) - sum(col("__y"))).as("b"))
@@ -3836,5 +3841,119 @@ object Queries {
         .agg(sum(col("n_chars")).as("x"))
       graft.ops.RobustStats.gini(masses, "x", Seq("lang"))
         .orderBy(col("lang"))
+    }),
+
+    // ---- 100 TB swap: sketch-median MAD with a rank envelope ----------
+    "q221_mad_approx" -> ((s, d) => {
+      // the single-pass approx_percentile path of q202's MAD chain
+      // (RobustStats.madOutliers(approx = true)) held to the GK
+      // guarantee, not to bit-identity: per user, the sketch median
+      // and the sketch MAD must each be an ELEMENT of their multiset
+      // whose rank interval intersects the middle ranks within
+      // n/accuracy (+1 slack) — the q75 envelope discipline applied to
+      // order statistics. The oracle replays n exactly and pins both
+      // envelope booleans TRUE
+      val clicks = t(s, d, "events").filter(col("event_type") === "click")
+      val app = graft.ops.RobustStats.madOutliers(
+          clicks, Seq("user_id"), "ts", "value", k = 3.0,
+          approx = true, accuracy = 1000)
+        .groupBy(col("user_id"))
+        // med/mad are per-user constants; recover the exact scaled
+        // longs (x/100*100 round-trips under round)
+        .agg(round(max(col("med")) * lit(100), 0).cast("long").as("__m"),
+          round(max(col("mad")) * lit(100), 0).cast("long").as("__d"))
+      val base = clicks.filter(col("value").isNotNull)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).cast("double").as("v"))
+        .withColumn("__ve", round(col("v") * lit(100), 0).cast("long"))
+      val j = base.join(app, Seq("user_id"))
+        .withColumn("__ad", abs(col("__ve") - col("__m")))
+      val env = j.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__ve") < col("__m"), 1L).otherwise(0L)).as("__ml"),
+        sum(when(col("__ve") <= col("__m"), 1L).otherwise(0L)).as("__mle"),
+        sum(when(col("__ad") < col("__d"), 1L).otherwise(0L)).as("__dl"),
+        sum(when(col("__ad") <= col("__d"), 1L).otherwise(0L)).as("__dle"))
+      def rankOk(l: org.apache.spark.sql.Column,
+          le: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val n = col("n").cast("double")
+        val slack = ceil(n / lit(1000.0)) + lit(1.0)
+        val loRank = floor((n + lit(1.0)) / lit(2.0))
+        val hiRank = floor(n / lit(2.0)) + lit(1.0)
+        (le > l) && (le.cast("double") >= loRank - slack) &&
+          ((l + lit(1)).cast("double") <= hiRank + slack)
+      }
+      env.select(col("user_id"), col("n"),
+        rankOk(col("__ml"), col("__mle")).as("med_ok"),
+        rankOk(col("__dl"), col("__dle")).as("mad_ok"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- 100 TB swap: KS spine guard + auto-coarsening -----------------
+    "q222_ks_coarse" -> ((s, d) => {
+      // q214's KS with the spine deliberately over the guard (joint
+      // view/click support is > 256 at every sf): ks() refuses the
+      // single-task window and re-buckets both sides onto a ≤256-point
+      // equal-width spine keyed by lower edge. The oracle replays the
+      // bucketing arithmetic (lo, ceil-step, div) and the KS math
+      // exactly, so a drifted guard breaks the hash
+      val ev = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("v", round(col("value") * lit(100), 0).cast("long"))
+      graft.ops.DriftMonitor.ks(
+        ev.filter(col("event_type") === "view").select(col("v")),
+        ev.filter(col("event_type") === "click").select(col("v")), "v",
+        maxSupport = 256, coarsenTo = 256)
+    }),
+
+    // ---- behavioral: second-order Markov transitions --------------------
+    "q223_markov2" -> ((s, d) => {
+      // does one more token of history buy predictability? The
+      // transition matrix keyed by the BIGRAM state (prev2, prev1) →
+      // next, with per-state entropy — q217's vocabulary-sized
+      // aggregation and 1e-9-scaled integer entropy discipline
+      // verbatim; comparing h_state against q217's h_prev for the same
+      // prev1 is the order-selection signal. States need >= 5
+      // observations so the matrix rows are estimable
+      val W = org.apache.spark.sql.expressions.Window
+      val wo = W.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = t(s, d, "events")
+        .withColumn("p1", lag(col("event_type"), 1).over(wo))
+        .withColumn("p2", lag(col("event_type"), 2).over(wo))
+        .filter(col("p2").isNotNull)
+      val tr = seq.groupBy(col("p2"), col("p1"),
+          col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val wp = W.partitionBy(col("p2"), col("p1"))
+      val pExact = col("n").cast("double") / col("t").cast("double")
+      tr.withColumn("t", sum(col("n")).over(wp))
+        .filter(col("t") >= 5)
+        .withColumn("p", dround(pExact, 4))
+        .withColumn("__term_s",
+          round(-pExact * log(pExact) * lit(1e9)).cast("long"))
+        .withColumn("h_state", dround(
+          sum(col("__term_s")).over(wp).cast("double") / lit(1e9), 6))
+        .withColumn("rn", row_number().over(
+          wp.orderBy(col("n").desc, col("next"))))
+        .select(col("p2"), col("p1"), col("next"), col("n"), col("p"),
+          (col("rn") === 1).as("is_modal"), col("h_state"))
+        .orderBy(col("p2"), col("p1"), col("next"))
+    }),
+
+    // ---- tokenizer: soft-EM unigram refinement --------------------------
+    "q224_unigram_soft_em" -> ((s, d) => {
+      // one SOFT-EM refinement of the unigram vocab — forward-backward
+      // expected counts over every word's full segmentation lattice
+      // (Kudo 2018's real E-step; q182's hard-Viterbi assignment was
+      // the documented deviation, now closed). Probabilities are exact
+      // rationals, the α/β op order is pinned, and posteriors quantize
+      // per word, so the DuckDB oracle replays the whole lattice with
+      // recursive CTEs and the hash is exact — see
+      // functions.UnigramExpectedUsage
+      graft.operators.Unigram.pieceVocabEmSoft(
+          t(s, d, "documents"), "text", vocabSize = 40,
+          maxPieceLen = 4)
+        .orderBy(col("piece"))
     }))
 }

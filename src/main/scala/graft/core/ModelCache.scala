@@ -102,7 +102,12 @@ object ModelCache {
       touch(k) match {
         case Some(v) => v.asInstanceOf[T]
         case None =>
-          val v = train // Spark jobs run here, no global lock held
+          // Spark jobs run here, no global lock held. pinningScope:
+          // several cached artifacts ARE scratch paths (BPE vocab,
+          // clustermap, hashed-vector tables) — anything materialized
+          // while training must survive Scratch.reclaimEphemeral for
+          // as long as this cache can serve the value
+          val v = Scratch.pinningScope(train)
           cache.synchronized {
             if (cache.size >= MaxEntries) cache.remove(cache.head._1)
             cache.put(k, v)

@@ -21,10 +21,52 @@ object Scratch {
 
   private val created =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // paths referenced by SESSION-LIVED artifacts (ModelCache values that
+  // carry a scratch path): excluded from reclaimEphemeral, deleted only
+  // at JVM exit
+  private val pinned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val hookInstalled: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       created.forEach(p => deleteQuietly(p))))
   }
+
+  // > 0 while the current thread is building a session-cached artifact
+  // (ModelCache.cached wraps training in pinningScope): any path
+  // materialized then may be embedded in the cached value and must
+  // outlive per-pass reclamation
+  private val pinDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  /** Run `body` with every scratch path it creates marked session-lived
+    * (survives [[reclaimEphemeral]], still deleted at JVM exit).
+    * [[ModelCache.cached]] wraps training in this so cached artifacts
+    * that embed a scratch path (BPE vocab tables, IVF assignments,
+    * clustermaps) stay readable for the whole session. */
+  def pinningScope[T](body: => T): T = {
+    pinDepth.set(pinDepth.get + 1)
+    try body finally pinDepth.set(pinDepth.get - 1)
+  }
+
+  private def record(path: String): Unit = {
+    created.add(path)
+    if (pinDepth.get > 0) pinned.add(path)
+    ()
+  }
+
+  /** Delete every scratch path NOT pinned by a session-cached artifact
+    * — the between-passes reclamation a long benchmark/export run needs
+    * ([[graft.Bench]] calls this after each pass): per-execution
+    * VersionedTable roots and materialized intermediates otherwise
+    * accumulate until JVM exit, and the growing disk/page-cache
+    * footprint taxes every later query in the run. Only call at a
+    * quiescent point — no in-flight query may hold DataFrames over
+    * unpinned scratch. */
+  def reclaimEphemeral(): Unit =
+    created.forEach { p =>
+      if (!pinned.contains(p)) { deleteQuietly(p); created.remove(p) }
+    }
 
   private def deleteQuietly(path: String): Unit =
     try {
@@ -55,7 +97,7 @@ object Scratch {
     hookInstalled
     val path = s"${root(df)}/${tag}_${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(path)
-    created.add(path)
+    record(path)
     (df.sparkSession.read.parquet(path), path)
   }
 
@@ -67,8 +109,7 @@ object Scratch {
     * materialized tables. */
   def registerForCleanup(path: String): Unit = {
     hookInstalled
-    created.add(path)
-    ()
+    record(path)
   }
 
   /** Delete a scratch table that is no longer referenced. The caller
@@ -80,6 +121,7 @@ object Scratch {
     try { fs.delete(p, true); () }
     catch { case _: java.io.IOException => () }
     created.remove(path)
+    pinned.remove(path)
     ()
   }
 }

@@ -52,10 +52,14 @@ object Tables {
               // NANOS layout: normalize to a µs scratch copy — the
               // one job that needs the conf executes entirely under
               // the probe session
-              val (_, path) = Scratch.materializeWithPath(
-                raw.withColumn("ts",
-                  expr("timestamp_micros(ts div 1000)")),
-                "events_us")
+              // pinningScope: the path lives in the session-level
+              // normalizedEvents map, so it must survive per-pass
+              // scratch reclamation exactly like ModelCache artifacts
+              val (_, path) = Scratch.pinningScope(
+                Scratch.materializeWithPath(
+                  raw.withColumn("ts",
+                    expr("timestamp_micros(ts div 1000)")),
+                  "events_us"))
               normalizedEvents(key) = path
               spark.read.parquet(path)
             case _ =>

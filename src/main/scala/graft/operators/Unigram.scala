@@ -141,6 +141,69 @@ object Unigram {
           col("__t").cast("double")) * 1e6, 0).cast("long").as("score"))
   }
 
+  /** Collected (piece, cnt, total) behind the session model cache —
+    * the soft E-step needs raw counts (exact rational probabilities),
+    * not log-scores. */
+  def vocabCountsCached(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int): (Array[String], Array[Long], Long) =
+    graft.core.ModelCache.cached(df,
+      s"unigram-cnts:$textCol:$vocabSize:$maxPieceLen") {
+      val rows = pieceVocab(df, textCol, vocabSize, maxPieceLen)
+        .orderBy(col("piece")).collect()
+      (rows.map(_.getString(0)), rows.map(_.getLong(1)),
+        rows.map(_.getLong(1)).sum)
+    }
+
+  /** One SOFT-EM refinement iteration — Kudo 2018's actual E-step
+    * (forward-backward expected counts over every word's segmentation
+    * lattice) in place of [[pieceVocabEm]]'s hard Viterbi assignment,
+    * WITHOUT giving up oracle replay. The trick is in
+    * [[graft.functions.UnigramExpectedUsage]]: piece probabilities are
+    * exact rationals (`cnt / total` — no transcendental enters the
+    * lattice), the α/β recursions pin their op order, and each
+    * occurrence posterior quantizes to a 1e6-scaled long per word, so
+    * the only cross-row arithmetic is exact integer sums
+    * (`Σ_w n_w · u_w,piece`) — partition-order-free, replayable by a
+    * recursive-CTE oracle running the identical recursions (q224).
+    *
+    *  - E-step: expected usage per piece =
+    *    `Σ_words n · round(Σ_occurrences α·p·β/Z · 10⁶)` — soft credit
+    *    to EVERY segmentation, weighted by its probability;
+    *  - M-step: multi-char pieces with zero expected usage prune;
+    *    single characters always survive with the scaled-unit floor
+    *    `max(usage, 10⁶)` (segmentation closure, the hard-EM floor
+    *    carried to the scaled domain); survivors re-score as
+    *    `round(ln(cnt_s/total_s)·10⁶)` in Spark SQL (HALF_UP parity).
+    *
+    * Scale shape identical to [[pieceVocabEm]]: one pass over DISTINCT
+    * words, vocabulary-sized shuffles only. Output: (piece, cnt,
+    * score) with `cnt` the 1e6-SCALED expected usage. */
+  def pieceVocabEmSoft(df: DataFrame, textCol: String,
+      vocabSize: Int = 40, maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (pieces, cnts, total) = vocabCountsCached(df, textCol,
+      vocabSize, maxPieceLen)
+    val init = pieces.toSeq.toDF("piece")
+    val usage = words(df, textCol)
+      .select(col("n"), explode(graft.functions.UnigramExpectedUsage
+        .column(col("word"), pieces, cnts, total, maxPieceLen))
+        .as("pu"))
+      .groupBy(col("pu.piece").as("piece"))
+      .agg(sum(col("n") * col("pu.u")).as("usage_s"))
+    val kept = init.join(usage, Seq("piece"), "left")
+      .select(col("piece"),
+        when(length(col("piece")) === 1,
+          greatest(coalesce(col("usage_s"), lit(0L)), lit(1000000L)))
+          .otherwise(col("usage_s")).as("cnt"))
+      .filter(col("cnt").isNotNull && col("cnt") > 0)
+    val totalS = kept.agg(sum(col("cnt")).as("__t"))
+    kept.crossJoin(totalS)
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") /
+          col("__t").cast("double")) * 1e6, 0).cast("long").as("score"))
+  }
+
   /** Per-document encoding summary under a freshly trained vocab:
     * (idCol, n_words, n_pieces, score_s) where `n_pieces` sums each
     * word's optimal piece count and `score_s` the scaled-integer

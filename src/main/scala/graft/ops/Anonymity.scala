@@ -66,17 +66,30 @@ object Anonymity {
       .withColumn("suppress", col("class_size") < k)
 
   /** Noisy-histogram release: per-class counts + Laplace(1/ε) noise via
-    * the inverse CDF, then stability thresholding (only classes whose
-    * NOISY count clears `threshold` are released) — the mechanism of an
+    * the inverse CDF, then stability thresholding — the mechanism of an
     * (ε, δ)-DP histogram over an unbounded key domain.
     *
-    * HONESTY NOTE — this is the release MECHANISM, not a DP guarantee:
-    * the uniform driving the inverse CDF is a seeded LCG over the
-    * class's rank in key order, so runs are reproducible and
-    * oracle-testable. Real differential privacy requires fresh
-    * cryptographic randomness per release; swap `u` for a CSPRNG draw
-    * in production and the privacy proof applies unchanged (sensitivity
-    * 1 per class for unit-count contribution).
+    * RELEASE CONTRACT: the frame returned here is the AUDIT view — it
+    * carries every class with a `released` flag so a pipeline can see
+    * what thresholding suppressed. The (ε, δ)-DP stability-thresholding
+    * argument requires that below-threshold classes be WITHHELD from
+    * any external release (key-domain membership is itself sensitive):
+    * publish [[dpRelease]] (which drops `released = false` rows and the
+    * flag), never this frame.
+    *
+    * Randomness, two modes:
+    *  - `seeded = true` (default): the uniform driving the inverse CDF
+    *    is a seeded LCG over the class's rank in key order — runs are
+    *    reproducible and oracle-testable (q212), but an LCG is
+    *    invertible, so this mode is for testing/audit replay only.
+    *  - `seeded = false` (production): a per-release 128-bit salt drawn
+    *    from `java.security.SecureRandom` keys a SHA-256 PRF over the
+    *    class rank; the top 52 bits of the digest drive the inverse
+    *    CDF. A PRF under a fresh cryptographic key is computationally
+    *    indistinguishable from fresh randomness, giving the standard
+    *    computational-DP instantiation of the mechanism (sensitivity 1
+    *    per class for unit-count contribution) — and it stays a
+    *    codegen'd column expression, distributed like everything else.
     *
     * Shape at scale: one map-side-combined aggregation to classes; the
     * rank window runs over the vocabulary-sized class table (bounded,
@@ -86,7 +99,7 @@ object Anonymity {
     * FIRST (Spark's ascending default, pinned as NULLS FIRST in the
     * q212 oracle) so both engines derive the same gid → same noise. */
   def dpCounts(df: DataFrame, qiCols: Seq[String], epsilon: Double,
-      threshold: Double): DataFrame = {
+      threshold: Double, seeded: Boolean = true): DataFrame = {
     require(qiCols.nonEmpty, "dpCounts needs >= 1 class column")
     require(epsilon > 0, "epsilon must be > 0")
     val b = 1.0 / epsilon
@@ -94,8 +107,24 @@ object Anonymity {
       .agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(qiCols.map(col(_)): _*)
-    val uC = ((row_number().over(w).cast("long") * lit(1103515245L)
-      + lit(12345L)) % lit(2147483648L)).cast("double") / lit(2.147483648e9)
+    val rank = row_number().over(w).cast("long")
+    val uC =
+      if (seeded)
+        ((rank * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+          .cast("double") / lit(2.147483648e9)
+      else {
+        // fresh 128-bit key per call, SHA-256(key || rank) as the PRF;
+        // conv() parses 13 hex chars = 52 bits — exact in a double, so
+        // u is uniform on a 2^-52 grid in [0, 1)
+        val salt = {
+          val bytes = new Array[Byte](16)
+          new java.security.SecureRandom().nextBytes(bytes)
+          bytes.map("%02x".format(_)).mkString
+        }
+        conv(substring(sha2(concat_ws("|", lit(salt),
+          rank.cast("string")), 256), 1, 13), 16, 10)
+          .cast("double") / lit(4.503599627370496e15)
+      }
     classes
       .withColumn("__u", uC - lit(0.5))
       .withColumn("__noise",
@@ -107,4 +136,15 @@ object Anonymity {
       .withColumn("released", col("n_noisy") >= threshold)
       .select(qiCols.map(col(_)) :+ col("n_noisy") :+ col("released"): _*)
   }
+
+  /** The externally-publishable DP histogram: [[dpCounts]] restricted
+    * to classes whose noisy count cleared the stability threshold, with
+    * the audit flag dropped. This is the frame the (ε, δ)-DP proof
+    * covers — releasing the full audit view (which names every class)
+    * leaks key-domain membership regardless of the noise. */
+  def dpRelease(df: DataFrame, qiCols: Seq[String], epsilon: Double,
+      threshold: Double, seeded: Boolean = true): DataFrame =
+    dpCounts(df, qiCols, epsilon, threshold, seeded)
+      .filter(col("released"))
+      .drop("released")
 }

@@ -145,8 +145,25 @@ object DriftMonitor {
     * (value, n), a full-outer join on the quantization-bounded value
     * spine, and a window over that bounded table (the psiFromCounts
     * discipline — never corpus-sized). Returns one row:
-    * (n_ref, n_cur, ks_at, ks) — ks null when a side is empty. */
-  def ks(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    * (n_ref, n_cur, ks_at, ks) — ks null when a side is empty.
+    *
+    * SPINE GUARD: the cumulative window runs in ONE task by
+    * construction, so the spine must actually be bounded — a caller
+    * who quantizes at 1e-6 over a wide domain would push millions of
+    * rows through one partition and discover it as an executor OOM.
+    * The guard counts the joint distinct support (one distributed
+    * aggregation over the already-bounded count tables): above
+    * `maxSupport` it REFUSES with an actionable message unless
+    * `coarsenTo > 0`, in which case both sides re-bucket onto a
+    * ≤ `coarsenTo`-point spine of equal-width buckets (keyed by the
+    * bucket's LOWER EDGE in original units, so `ks_at` stays
+    * interpretable). The coarsened statistic is the exact KS of the
+    * bucket-quantized distributions — evaluating the CDF gap at bucket
+    * edges only, hence a certified LOWER bound on the fine-grained D
+    * (it can under-alarm by at most the largest within-bucket mass,
+    * never false-alarm). */
+  def ks(ref: DataFrame, cur: DataFrame, valueCol: String,
+      maxSupport: Int = 1 << 20, coarsenTo: Int = 0): DataFrame = {
     def counts(df: DataFrame): DataFrame = {
       val dt = df.schema(valueCol).dataType.simpleString
       require(Seq("bigint", "int", "smallint", "tinyint").contains(dt),
@@ -156,7 +173,43 @@ object DriftMonitor {
         .groupBy(col(valueCol).cast("long").as("v"))
         .agg(count(lit(1)).as("n"))
     }
-    ksFromCounts(counts(ref), counts(cur))
+    ksGuarded(counts(ref), counts(cur), maxSupport, coarsenTo)
+  }
+
+  /** [[ksFromCounts]] behind the spine guard — see [[ks]]. */
+  def ksGuarded(refCounts: DataFrame, curCounts: DataFrame,
+      maxSupport: Int, coarsenTo: Int): DataFrame = {
+    require(maxSupport > 0, s"maxSupport must be > 0, got $maxSupport")
+    require(coarsenTo <= maxSupport,
+      s"coarsenTo ($coarsenTo) must not exceed maxSupport ($maxSupport)")
+    val spine = refCounts.select(col("v"))
+      .union(curCounts.select(col("v")))
+    val st = spine
+      .agg(countDistinct(col("v")).as("d"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .collect().head
+    val support = st.getLong(0)
+    if (support <= maxSupport) return ksFromCounts(refCounts, curCounts)
+    require(coarsenTo > 0,
+      s"KS value spine has $support distinct points (> maxSupport " +
+        s"$maxSupport): the cumulative window would funnel them " +
+        "through one task. Quantize coarser upstream, or pass " +
+        "coarsenTo to let ks() re-bucket (lower-bound statistic)")
+    // equal-width buckets keyed by lower edge; BigInt sidesteps the
+    // (hi - lo) overflow on adversarial extremes
+    val lo = st.getLong(1)
+    val range = BigInt(st.getLong(2)) - BigInt(lo) + 1
+    require(range <= Long.MaxValue,
+      s"KS spine range $range exceeds 2^63 — shift/rescale the " +
+        "quantization upstream")
+    val step = ((range + coarsenTo - 1) / coarsenTo).toLong
+    // `div` (integer division), not `/` (double): the bucket id must
+    // stay an exact BIGINT — doubles lose unit precision past 2^53
+    def coarse(c: DataFrame): DataFrame = c
+      .groupBy((expr(s"(v - ${lo}L) div ${step}L") * lit(step)
+        + lit(lo)).as("v"))
+      .agg(sum(col("n")).as("n"))
+    ksFromCounts(coarse(refCounts), coarse(curCounts))
   }
 
   /** Streaming KS monitoring: a `foreachBatch` sink that scores each
@@ -168,7 +221,8 @@ object DriftMonitor {
     * .VersionedTable]] monitor log. Exactly-once per batch via the
     * same marker protocol as [[foreachBatchPsi]]. */
   def foreachBatchKs(refCounts: DataFrame, valueCol: String,
-      logPath: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      logPath: String, maxSupport: Int = 1 << 20, coarsenTo: Int = 0)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(
       s"$logPath/_ks_commits/b$batchId")
@@ -181,8 +235,11 @@ object DriftMonitor {
       val curCounts = batch.filter(col(valueCol).isNotNull)
         .groupBy(col(valueCol).cast("long").as("v"))
         .agg(count(lit(1)).as("n"))
+      // the same spine guard as the batch ks(): an unbounded-support
+      // reference histogram must fail loudly (or coarsen) instead of
+      // OOMing the monitor's single-task window mid-stream
       graft.core.VersionedTable.commitAppend(
-        ksFromCounts(refCounts, curCounts)
+        ksGuarded(refCounts, curCounts, maxSupport, coarsenTo)
           .withColumn("batch_id", lit(batchId)),
         logPath)
       f.mkdirs(new org.apache.hadoop.fs.Path(s"$logPath/_ks_commits"))

@@ -250,6 +250,65 @@ object IncrementalAgg {
     dimPinCache.put((aggPath, v), vDim)
     ()
   }
+  /** Test hook: a fresh JVM has an empty in-memory pin cache — specs
+    * simulate that to prove the PERSISTED pin alone keeps the
+    * static-dim probe scan-free. */
+  private[graft] def clearDimPinCacheForTest(): Unit = dimPinCache.clear()
+
+  // The pin PERSISTED: a ~10-byte sidecar `_pins/dim-vNNNNN` next to
+  // the view holding the dim version that agg version reflects. The
+  // in-memory cache dies with the JVM, so without this every fresh
+  // session's first maintainJoined per view paid a read of the CURRENT
+  // view + a 1-row collect + two file listings just to discover the
+  // dim didn't move — per view, per restart, forever, on the streaming
+  // path that restarts most. Reading the sidecar is one driver-side
+  // open of a version-immutable file: a metadata stat, no Spark job.
+  // Best-effort on both sides — a missing/corrupt pin falls back to
+  // the view-read probe (and re-persists what it finds), so the
+  // sidecar is a pure accelerator, never a correctness input.
+  private def pinPath(aggPath: String, v: Int) =
+    new org.apache.hadoop.fs.Path(f"$aggPath%s/_pins/dim-v$v%05d")
+
+  private def persistDimPin(spark: SparkSession, aggPath: String,
+      v: Int, vDim: Int): Unit =
+    try {
+      val p = pinPath(aggPath, v)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) {
+        // overwrite=false: the pin for a committed version is
+        // deterministic, so losing a creation race is always safe
+        val out = f.create(p, false)
+        try out.write(vDim.toString.getBytes("UTF-8"))
+        finally out.close()
+        // only the LATEST version's pin is ever read — retire one old
+        // pin per write (no listing) so the dir stays ~16 files deep
+        // instead of growing one file per commit forever
+        if (v > 16) f.delete(pinPath(aggPath, v - 16), false)
+        ()
+      }
+    } catch { case _: java.io.IOException => () }
+
+  private def readDimPin(spark: SparkSession, aggPath: String,
+      v: Int): Option[Int] =
+    try {
+      val p = pinPath(aggPath, v)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        s.trim.toIntOption
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Record a committed agg version's dim pin in both tiers (session
+    * cache + durable sidecar). */
+  private def recordDimPin(spark: SparkSession, aggPath: String,
+      v: Int, vDim: Int): Unit = {
+    cacheDimPin(aggPath, v, vDim)
+    persistDimPin(spark, aggPath, v, vDim)
+  }
 
   /** Incrementally maintained JOIN-aggregate view — the enrichment
     * rollup: `SELECT keys…, count(*), sum(valueCol) FROM base INNER
@@ -302,16 +361,38 @@ object IncrementalAgg {
     // whatever drive committed (or verified, for noop) pins vDim: every
     // write path stamps lit(vDim), and noop means stateOk matched it —
     // recording it here is what makes the next static-dim repair free
-    cacheDimPin(aggPath, r.aggVersion, vDim)
+    recordDimPin(spark, aggPath, r.aggVersion, vDim)
     repaired match {
-      case Some(n) if r.mode == "noop" =>
+      case Repaired(n) if r.mode == "noop" =>
         MaintainResult(r.aggVersion, "dim_delta", n)
-      case Some(n) =>
+      case Repaired(n) =>
         MaintainResult(r.aggVersion, s"dim_delta+${r.mode}",
           r.filesScanned + n)
-      case None => r
+      // a decline that forced the recompute is OBSERVABLE in the mode:
+      // a permanently-declining repair (vacuumed dim history, schema
+      // churn) shows up in monitoring instead of masquerading as a
+      // routine full refresh. A decline drive absorbed some other way
+      // (noop/init/incremental) cost nothing — leave those unannotated.
+      case Declined(reason) if r.mode == "full" =>
+        MaintainResult(r.aggVersion, s"full:$reason", r.filesScanned)
+      case _ => r
     }
   }
+
+  /** What [[dimDeltaRepair]] decided. `Declined` carries the reason the
+    * cheap path was refused (surfaced through `MaintainResult.mode` as
+    * `full:<reason>` when the caller's drive recomputes). */
+  private sealed trait RepairOutcome
+  private final case class Repaired(baseFilesScanned: Int)
+      extends RepairOutcome
+  /** The dim at/behind the pinned version — nothing to repair. */
+  private case object StaticDim extends RepairOutcome
+  private final case class Declined(reason: String) extends RepairOutcome
+
+  /** Test hook, called between the decision probes and the repair
+    * algebra: specs inject a fault here to prove a genuine repair BUG
+    * propagates instead of silently demoting to recompute forever. */
+  private[graft] var repairFaultHookForTest: () => Unit = () => ()
 
   /** Repair the joined view for a dim advance WITHOUT the full
     * recompute: under the inner equi-join, a dim commit can only
@@ -328,44 +409,78 @@ object IncrementalAgg {
     * (at 100 TB pair it with partitioning/bloom skipping on `joinKey`
     * to prune the scan too).
     *
-    * Declines (returns None → the caller's drive recomputes honestly):
-    * a dim SCHEMA change (retypes the view's inputs), unreadable old
-    * dim version (vacuumed/erased history), a dim RESTORE moving
-    * backward, a rewritten (non-append) base lineage, or any missing
+    * Declines (the caller's drive recomputes honestly, and the reason
+    * rides out in `MaintainResult.mode` as `full:<reason>`): a dim
+    * SCHEMA change (retypes the view's inputs), unreadable old dim
+    * version (vacuumed/erased history), a dim RESTORE moving backward,
+    * a rewritten (non-append) base lineage, or any missing
     * bookkeeping. A content-identical dim rewrite (same rows, new
     * version) re-pins the version without touching values. Commits the
     * repaired view at (unchanged base pin, latest dim pin); returns
-    * the number of base files the repair scanned. */
+    * the number of base files the repair scanned.
+    *
+    * Exception discipline: only the ENUMERATED structural surprises
+    * demote to recompute — an unreadable/vacuumed version or racing
+    * filesystem (IllegalArgument/IllegalState/IO), an un-diffable or
+    * un-resolvable schema (AnalysisException). Anything else (an
+    * arithmetic bug in the repair algebra, an NPE) PROPAGATES: a
+    * blanket catch would hide a real repair bug as a permanent silent
+    * recompute. */
   private def dimDeltaRepair(spark: SparkSession, basePath: String,
       dimPath: String, aggPath: String, joinKey: String,
-      keys: Seq[String], valueCol: String, vDim: Int): Option[Int] =
+      keys: Seq[String], valueCol: String, vDim: Int): RepairOutcome =
     try {
       val vAgg = VersionedTable.latestVersion(spark, aggPath)
-      if (vAgg == 0) return None
-      // the cached pin makes the static-dim skip FREE (no Spark job):
-      // this version's pin was recorded when it was committed
-      if (dimPinCache.get((aggPath, vAgg)).contains(vDim)) return None
+      if (vAgg == 0) return StaticDim // no view yet — drive inits
+      // the pin makes the static-dim skip cheap: in-memory (free, no
+      // IO) when this JVM committed the version; the persisted sidecar
+      // (one driver-side stat+open, no Spark job, no view scan) after
+      // a restart — the streaming case that used to pay a view read
+      // per fresh session
+      val pinned = dimPinCache.get((aggPath, vAgg))
+        .orElse(readDimPin(spark, aggPath, vAgg).map { p =>
+          cacheDimPin(aggPath, vAgg, p); p
+        })
+      if (pinned.exists(_ == vDim)) return StaticDim
+      if (pinned.exists(_ > vDim)) return Declined("dim_restore")
+      if (pinned.isEmpty) {
+        // legacy view (pre-sidecar) or lost pin: one view-read probe,
+        // then persist what it finds so the next restart skips it
+        val current = VersionedTable.read(spark, aggPath, Some(vAgg))
+        if (!current.columns.contains(DimVCol) ||
+            !current.columns.contains(BaseVCol))
+          return Declined("no_bookkeeping")
+        val head = current.select(max(col(BaseVCol)), max(col(DimVCol)))
+          .collect().head
+        if (head.isNullAt(0) || head.isNullAt(1))
+          return Declined("no_bookkeeping")
+        val vD0 = head.get(1).toString.toInt
+        recordDimPin(spark, aggPath, vAgg, vD0)
+        if (vD0 == vDim) return StaticDim
+        if (vD0 > vDim) return Declined("dim_restore")
+      }
+      val vD0 = dimPinCache((aggPath, vAgg))
+      // the repair path reads the view anyway (it merges into it), so
+      // from here the view read is the work, not a probe tax
       val current = VersionedTable.read(spark, aggPath, Some(vAgg))
-      if (!current.columns.contains(DimVCol) ||
-          !current.columns.contains(BaseVCol)) return None
-      val head = current.select(max(col(BaseVCol)), max(col(DimVCol)))
-        .collect().head
-      if (head.isNullAt(0) || head.isNullAt(1)) return None
-      val vB0 = head.get(0).toString.toInt
-      val vD0 = head.get(1).toString.toInt
-      cacheDimPin(aggPath, vAgg, vD0)
-      if (vD0 >= vDim) return None
+      if (!current.columns.contains(BaseVCol))
+        return Declined("no_bookkeeping")
+      val headB = current.select(max(col(BaseVCol))).collect().head
+      if (headB.isNullAt(0)) return Declined("no_bookkeeping")
+      val vB0 = headB.get(0).toString.toInt
       // if the base lineage is not append-only from the pinned
       // version, drive() recomputes anyway — don't pay the repair
       val bf0 = VersionedTable.files(spark, basePath, Some(vB0)).toSet
       val bfN = VersionedTable.files(spark, basePath,
         Some(VersionedTable.latestVersion(spark, basePath))).toSet
-      if (bf0.isEmpty || !bf0.subsetOf(bfN)) return None
+      if (bf0.isEmpty || !bf0.subsetOf(bfN))
+        return Declined("base_rewritten")
       val dimOld = VersionedTable.read(spark, dimPath, Some(vD0))
       val dimNewRaw = VersionedTable.read(spark, dimPath, Some(vDim))
       if (dimOld.schema.map(f => (f.name, f.dataType.sql)).toSet !=
           dimNewRaw.schema.map(f => (f.name, f.dataType.sql)).toSet)
-        return None
+        return Declined("dim_schema_change")
+      repairFaultHookForTest()
       // exceptAll compares POSITIONALLY while joins resolve by name: a
       // commit that merely reordered same-typed columns must diff as
       // content, not as every-row-changed (or worse, silently equal
@@ -378,8 +493,8 @@ object IncrementalAgg {
         // content-identical rewrite: values can't have moved — re-pin
         val v = VersionedTable.commitOverwrite(
           current.withColumn(DimVCol, lit(vDim)), aggPath)
-        cacheDimPin(aggPath, v, vDim)
-        return Some(0)
+        recordDimPin(spark, aggPath, v, vDim)
+        return Repaired(0)
       }
       val facts = VersionedTable.read(spark, basePath, Some(vB0))
       val factsK = facts.join(broadcast(changed), Seq(joinKey))
@@ -400,12 +515,17 @@ object IncrementalAgg {
         .withColumn(DimVCol, lit(vDim))
         .withColumn(BaseVCol, lit(vB0))
       val v = VersionedTable.commitOverwrite(merged, aggPath)
-      cacheDimPin(aggPath, v, vDim)
-      Some(bf0.size)
+      recordDimPin(spark, aggPath, v, vDim)
+      Repaired(bf0.size)
     } catch {
-      // any structural surprise (un-diffable column types, vacuumed
-      // history racing the reads) falls back to the honest recompute
-      case _: Exception => None
+      // ONLY the expected structural failure classes demote to the
+      // honest recompute; see the scaladoc — everything else is a
+      // repair bug and must propagate
+      case e: org.apache.spark.sql.AnalysisException =>
+        Declined(s"undiffable(${e.getCondition})")
+      case _: IllegalArgumentException => Declined("missing_version")
+      case _: IllegalStateException => Declined("missing_version")
+      case _: java.io.IOException => Declined("io_error")
     }
 
   /** Sketch-backed maintained view — distinct counts and percentiles

@@ -36,12 +36,22 @@ object RobustStats {
     *
     * Scale shape: two keyed exact-percentile aggregates (sort-based,
     * only (key, value) pairs reach them, Spark spills) and two
-    * keys-sized joins back onto the facts; swap for approx_percentile
-    * when a 1e-3-relative bound is enough at 100 TB.
-    */
+    * keys-sized joins back onto the facts.
+    *
+    * `approx = true` is the 100 TB code path: both medians come from
+    * `approx_percentile` (Greenwald-Khanna, single-pass, mergeable
+    * partials — map-side combinable, nothing sorts) with rank error ≤
+    * 1/`accuracy`. The flags it emits are exact COMPARISONS against
+    * slightly-off medians: a point flips only when its robust z-score
+    * sits within the sketch error of the k·MAD boundary, so the
+    * envelope to assert (q221's oracle) is agreement with the exact
+    * flags away from the boundary — not bit-identity. */
   def madOutliers(df: DataFrame, keys: Seq[String], tsCol: String,
-      valCol: String, k: Double, scale: Int = 100): DataFrame = {
+      valCol: String, k: Double, scale: Int = 100,
+      approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(k > 0.0, s"k must be positive, got $k")
+    require(accuracy >= 100,
+      s"approx_percentile accuracy must be >= 100, got $accuracy")
     val kc = keys.map(col)
     val base = df.filter(col(valCol).isNotNull)
       .groupBy((kc :+ col(tsCol)): _*)
@@ -55,12 +65,16 @@ object RobustStats {
           keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _))
         .drop(keys.map(k => s"__s_$k"): _*)
     }
+    def median(c: String): Column =
+      if (approx)
+        expr(s"approx_percentile($c, 0.5, $accuracy)").cast("double")
+      else expr(s"percentile($c, 0.5)")
     val med = base.groupBy(kc: _*)
-      .agg(expr("percentile(__ve, 0.5)").as("__med"))
+      .agg(median("__ve").as("__med"))
     val dev = joinStats(base, med)
       .withColumn("__ad", abs(col("__ve") - col("__med")))
     val mad = dev.groupBy(kc: _*)
-      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+      .agg(median("__ad").as("__mad"))
     joinStats(dev, mad)
       .select((kc :+ col(tsCol) :+ col("v") :+
         (col("__med") / lit(scale.toDouble)).as("med") :+

@@ -437,9 +437,14 @@ case class RefreshAucViewCommand(aggPath: String, basePath: String,
         graft.ops.IncrementalAgg.read(spark, aggPath),
         scoreCol, "sum_val", "n_rows")
       .collect().head
+    // getAs[Any], not getAs[Long]: on an EMPTY base table the global
+    // aggregate yields one row of NULL sums, and unboxing null to Long
+    // would surface as an opaque NPE from the SQL statement — return
+    // the honest null-auc/0-count row instead
+    def cnt(c: String): Long =
+      Option(v.getAs[Any](c)).fold(0L)(_.asInstanceOf[Long])
     Seq(Row(aggPath, r.mode, r.aggVersion, r.filesScanned,
-      v.getAs[Any]("auc"), v.getAs[Long]("n_pos"),
-      v.getAs[Long]("n_neg")))
+      v.getAs[Any]("auc"), cnt("n_pos"), cnt("n_neg")))
   }
 }
 

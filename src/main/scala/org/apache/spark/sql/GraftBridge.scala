@@ -18,6 +18,14 @@ object GraftBridge {
   def sameTypeIgnoreNullability(a: types.DataType,
       b: types.DataType): Boolean = a.asNullable == b.asNullable
 
+  /** Drain the listener bus (`listenerBus` is `private[spark]`) — lets
+    * specs count Spark jobs deterministically after a driver call. */
+  def waitListenerEmpty(spark: SparkSession): Unit = spark match {
+    case c: classic.SparkSession =>
+      c.sparkContext.listenerBus.waitUntilEmpty()
+    case _ => ()
+  }
+
   /** Stable per-session identity (`sessionUUID` is `private[sql]`).
     * Exotic non-classic sessions fall back to JVM object identity —
     * still never shared across distinct session objects. */

@@ -107,6 +107,59 @@ class AnonymitySpec extends SparkTestBase {
     assert(out(None) == lone) // both count 3 at gid=1
   }
 
+  test("dpCounts unseeded (CSPRNG) mode: fresh noise per release, " +
+    "same mechanism envelope") {
+    val df = (1 to 200).map(i => (s"g${i % 7}", i)).toDF("g", "x")
+    def draw() = Anonymity.dpCounts(df, Seq("g"), epsilon = 0.5,
+        threshold = 25.0, seeded = false)
+      .collect().sortBy(_.getString(0))
+    val a = draw()
+    val b = draw()
+    // fresh SecureRandom salt per call: the two releases must differ
+    // (7 classes x 52-bit uniforms — a collision is astronomically
+    // unlikely, so equality means the salt was reused)
+    assert(a.map(_.toSeq).toSeq != b.map(_.toSeq).toSeq,
+      "unseeded releases must not repeat noise")
+    // distribution sanity: same clamped-Laplace envelope as seeded
+    // mode, centered on the true count 200/7
+    (a ++ b).foreach { r =>
+      val noisy = r.getAs[Double]("n_noisy")
+      assert(!noisy.isNaN && !noisy.isInfinite)
+      assert(math.abs(noisy - 200.0 / 7) < 60.0)
+      assert(r.getAs[Boolean]("released") == (noisy >= 25.0))
+    }
+    // ... and within one release the PRF is a function of the class
+    // rank: re-collecting the SAME frame is stable
+    val frame = Anonymity.dpCounts(df, Seq("g"), epsilon = 0.5,
+      threshold = 25.0, seeded = false)
+    assert(frame.collect().map(_.toSeq).toSeq ==
+      frame.collect().map(_.toSeq).toSeq)
+  }
+
+  test("dpRelease withholds below-threshold classes and the flag") {
+    // classes: 4 big (>= 40 rows), 3 tiny (1 row) — threshold 25 with
+    // |noise| < 20 at eps=0.5 in this seeded draw releases exactly the
+    // big ones
+    val df = ((1 to 160).map(i => s"big${i % 4}") ++
+      Seq("tinyA", "tinyB", "tinyC")).map(Tuple1(_)).toDF("g")
+    val audit = Anonymity.dpCounts(df, Seq("g"), epsilon = 0.5,
+      threshold = 25.0).collect()
+    val released = Anonymity.dpRelease(df, Seq("g"), epsilon = 0.5,
+      threshold = 25.0)
+    // the release frame is exactly the audit's released=true rows,
+    // minus the flag column (key-domain membership of suppressed
+    // classes must not leak)
+    assert(!released.columns.contains("released"))
+    val expect = audit.filter(_.getAs[Boolean]("released"))
+      .map(r => (r.getString(0), r.getAs[Double]("n_noisy"))).toSet
+    assert(released.collect()
+      .map(r => (r.getString(0), r.getAs[Double]("n_noisy"))).toSet
+      === expect)
+    // and the tiny classes really were withheld in this draw
+    assert(!expect.exists(_._1.startsWith("tiny")))
+    assert(expect.size == 4)
+  }
+
   test("dpCounts validates epsilon and class columns") {
     val df = Seq(("a", 1)).toDF("g", "x")
     intercept[IllegalArgumentException] {

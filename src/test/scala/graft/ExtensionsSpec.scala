@@ -495,6 +495,28 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark2.stop()
   }
 
+  test("REFRESH AUC VIEW on an empty base returns a null-auc row, " +
+    "not an NPE") {
+    val spark2 = sessionWithExtensions
+    try {
+      import graft.core.VersionedTable
+      import spark2.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("sqlaucempty").toString
+      val (base, agg) = (s"$root/base", s"$root/agg")
+      // a committed-but-empty base: the view's global aggregate yields
+      // one row of NULL sums, which must surface as (auc=null, 0, 0)
+      // — not an opaque NullPointerException from the SQL statement
+      VersionedTable.commitAppend(
+        Seq.empty[(Long, Int)].toDF("s", "y"), base)
+      val r = spark2.sql(
+        s"REFRESH AUC VIEW '$agg' FROM '$base' SCORE s LABEL y")
+        .collect().head
+      assert(r.isNullAt(4), "auc must be null while classes are absent")
+      assert(r.getLong(5) == 0L && r.getLong(6) == 0L)
+    } finally spark2.stop()
+  }
+
   test("REFRESH VIEW maintains (join-)aggregate views from SQL") {
     val spark2 = sessionWithExtensions
     try {

@@ -457,7 +457,9 @@ class IncrementalAggSpec extends SparkTestBase {
         .toDF("k", "region", "code"), dim)
     val r2 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
       "k", Seq("region"), "v")
-    assert(r2.mode == "full")
+    // the decline REASON rides out in the mode so a permanently
+    // declining repair is observable, not a routine-looking "full"
+    assert(r2.mode == "full:dim_schema_change", r2.mode)
     assert(view() === Set(("east", 1L, 10L), ("west", 1L, 5L)))
     // dim change arriving TOGETHER with a fact append: repair then
     // delta-merge in one maintain
@@ -572,5 +574,130 @@ class IncrementalAggSpec extends SparkTestBase {
         if (r2.isNullAt(3)) None else Some(r2.getLong(3)))).toMap
     assert(rows("a") === ((1L, Some(3L))))
     assert(rows("z") === ((2L, None))) // sum is 0, extrema stay null
+  }
+
+  /** Spark jobs started by `body`, counted via listener (drained
+    * through the bridge so the async bus can't undercount). */
+  private def jobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      org.apache.spark.sql.GraftBridge.waitListenerEmpty(spark)
+    } finally spark.sparkContext.removeSparkListener(l)
+    n.get
+  }
+
+  test("persisted dim pin: after a restart the static-dim probe is " +
+    "scan-free (and the sidecar's absence is what costs)") {
+    val root = tmp()
+    val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq((1L, "east"), (2L, "west")).toDF("k", "region"), dim)
+    VersionedTable.commitAppend(
+      Seq((1L, 10L), (2L, 5L)).toDF("k", "v"), fact)
+    IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    // the commit persisted the pin sidecar next to the view
+    val pinDir = new org.apache.hadoop.fs.Path(s"$agg/_pins")
+    val fsys = pinDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fsys.exists(pinDir), "_pins sidecar must exist after commit")
+    // BASELINE: warm in-memory cache, static dim, one fact append —
+    // the repair probe is free, drive runs its delta path
+    VersionedTable.commitAppend(Seq((1L, 1L)).toDF("k", "v"), fact)
+    val warm = jobs {
+      assert(IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+        "k", Seq("region"), "v").mode == "incremental")
+    }
+    // RESTART SIM: cleared cache, sidecar present — identical job
+    // count proves the persisted pin replaced the view-read probe
+    // (reading the ~10-byte pin file is driver IO, not a Spark job)
+    VersionedTable.commitAppend(Seq((1L, 2L)).toDF("k", "v"), fact)
+    IncrementalAgg.clearDimPinCacheForTest()
+    val restart = jobs {
+      assert(IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+        "k", Seq("region"), "v").mode == "incremental")
+    }
+    assert(restart == warm,
+      s"restart with sidecar must match warm-cache jobs: $restart vs " +
+        s"$warm")
+    // NEGATIVE CONTROL: no cache AND no sidecar forces the legacy
+    // view-read probe — strictly more jobs, proving this test's
+    // counter can see the probe it claims the pin eliminates
+    VersionedTable.commitAppend(Seq((1L, 3L)).toDF("k", "v"), fact)
+    IncrementalAgg.clearDimPinCacheForTest()
+    fsys.delete(pinDir, true)
+    val legacy = jobs {
+      assert(IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+        "k", Seq("region"), "v").mode == "incremental")
+    }
+    assert(legacy > warm,
+      s"legacy probe must cost extra jobs: $legacy vs $warm")
+    // ... and the legacy probe re-persisted what it discovered, so
+    // the NEXT restart is scan-free again
+    IncrementalAgg.clearDimPinCacheForTest()
+    assert(IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v").mode == "noop")
+    assert(fsys.exists(pinDir), "probe must heal the sidecar")
+  }
+
+  test("an injected repair bug PROPAGATES — never a silent recompute") {
+    val root = tmp()
+    val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq((1L, "east"), (2L, "west")).toDF("k", "region"), dim)
+    VersionedTable.commitAppend(
+      Seq((1L, 10L), (2L, 5L)).toDF("k", "v"), fact)
+    IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    // a real dim change engages the repair algebra, where the
+    // injected fault lives
+    VersionedTable.commitOverwrite(
+      Seq((1L, "north"), (2L, "west")).toDF("k", "region"), dim)
+    IncrementalAgg.repairFaultHookForTest =
+      () => throw new RuntimeException("injected repair bug")
+    try {
+      val e = intercept[RuntimeException] {
+        IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+          "k", Seq("region"), "v")
+      }
+      assert(e.getMessage == "injected repair bug",
+        "the blanket-catch era would have demoted this to recompute")
+    } finally IncrementalAgg.repairFaultHookForTest = () => ()
+    // with the fault cleared the same maintain repairs normally
+    val r = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r.mode == "dim_delta", r.mode)
+  }
+
+  test("vacuumed dim history declines with an observable reason") {
+    val root = tmp()
+    val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq((1L, "east"), (2L, "west")).toDF("k", "region"), dim)
+    VersionedTable.commitAppend(
+      Seq((1L, 10L), (2L, 5L)).toDF("k", "v"), fact)
+    IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    // the dim advances AND its pinned old version is vacuumed away:
+    // the repair can't diff, and the decline must say why
+    VersionedTable.commitOverwrite(
+      Seq((1L, "north"), (2L, "west")).toDF("k", "region"), dim)
+    VersionedTable.vacuum(spark, dim, retainLast = 1, graceMs = 0L)
+    val r = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r.mode == "full:missing_version", r.mode)
+    val v = IncrementalAgg.read(spark, agg)
+      .select("region", "n_rows", "sum_val")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    assert(v === Set(("north", 1L, 10L), ("west", 1L, 5L)))
   }
 }

@@ -291,6 +291,63 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(once.toSeq == again.toSeq)
   }
 
+  test("ks spine guard: refuses a too-fine spine, coarsens when asked") {
+    // 2000 distinct points — far past maxSupport = 100
+    val a = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("v")
+    val b = (1 to 2000).map(i => Tuple1(i.toLong + 500)).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.DriftMonitor.ks(a, b, "v", maxSupport = 100)
+    }
+    assert(e.getMessage.contains("distinct points"),
+      "the guard must explain itself, not OOM one task")
+    // with coarsenTo the guard re-buckets: the statistic is the exact
+    // KS of the bucket-quantized distributions — a LOWER bound on the
+    // fine-grained D, never an over-alarm
+    val exact = graft.ops.DriftMonitor.ks(a, b, "v")
+      .collect().head.getAs[Double]("ks")
+    val coarse = graft.ops.DriftMonitor.ks(a, b, "v",
+        maxSupport = 100, coarsenTo = 64)
+      .collect().head
+    val kc = coarse.getAs[Double]("ks")
+    assert(kc > 0.0 && kc <= exact + 1e-9,
+      s"coarse $kc must lower-bound exact $exact")
+    // counts survive re-bucketing intact
+    assert(coarse.getAs[Long]("n_ref") == 2000L &&
+      coarse.getAs[Long]("n_cur") == 2000L)
+    // identical sides stay at zero through coarsening
+    val same = graft.ops.DriftMonitor.ks(a, a, "v",
+      maxSupport = 100, coarsenTo = 64).collect().head
+    assert(same.getAs[Double]("ks") == 0.0)
+    // ... and a shift of exactly one bucket width is still seen
+    assert(kc >= 500.0 / 2500.0 - 0.1, s"gap visible after coarsening: $kc")
+    // bad parameters fail loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.DriftMonitor.ks(a, b, "v", maxSupport = 100,
+        coarsenTo = 200)
+    }
+  }
+
+  test("madOutliers approx mode: GK at small n reproduces the exact " +
+    "flags; envelope holds") {
+    // n = 21 << accuracy: the sketch returns an exact middle element,
+    // so the planted-spike flags must match the exact path verbatim
+    val rows = ((1 to 20).map(i =>
+        ("u", i.toLong, 50.0 + (i % 5) - 2)) :+ ("u", 21L, 500.0))
+    val exact = graft.ops.RobustStats.madOutliers(
+        rows.toDF("k", "ts", "v"), Seq("k"), "ts", "v", k = 3.0)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    val approx = graft.ops.RobustStats.madOutliers(
+        rows.toDF("k", "ts", "v").repartition(4), Seq("k"), "ts", "v",
+        k = 3.0, approx = true, accuracy = 1000)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    assert(approx == exact)
+    assert(approx(21L) && approx.filter(_._2).keySet == Set(21L))
+    intercept[IllegalArgumentException] {
+      graft.ops.RobustStats.madOutliers(rows.toDF("k", "ts", "v"),
+        Seq("k"), "ts", "v", k = 3.0, approx = true, accuracy = 10)
+    }
+  }
+
   test("streaming psi sink: per-batch drift log, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

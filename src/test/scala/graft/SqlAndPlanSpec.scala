@@ -108,7 +108,8 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q210_chi2_terms", // scalar-attach: 1-row corpus totals onto the term counts
       "q213_period_detect", // 6-row lag-spine broadcast onto the series
       "q218_lead_lag", // 7-row lag-spine broadcast onto the hourly buckets
-      "q219_pr_auc") // one-vs-rest explode: |classes|-row broadcast (q208's shape)
+      "q219_pr_auc", // one-vs-rest explode: |classes|-row broadcast (q208's shape)
+      "q224_unigram_soft_em") // q182's scalar-attach over the soft-EM kept set
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true

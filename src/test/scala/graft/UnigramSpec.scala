@@ -220,6 +220,100 @@ class UnigramSpec extends SparkTestBase {
     assert(after("a") === 1L && after("b") === 1L)
   }
 
+  // brute-force forward-backward posterior for one word: enumerate
+  // every segmentation path, weight by its probability product — an
+  // INDEPENDENT derivation (path-sum, not the α/β DP), so agreement is
+  // evidence the lattice recursions are right, up to the documented
+  // per-occurrence 1e-6 quantization
+  private def brutePosterior(word: String, p: Map[String, Double],
+      maxLen: Int): Map[String, Double] = {
+    def paths(s: String): Seq[(List[String], Double)] =
+      if (s.isEmpty) Seq((Nil, 1.0))
+      else (1 to math.min(maxLen, s.length)).flatMap { l =>
+        val piece = s.take(l)
+        p.get(piece).toSeq.flatMap(pp =>
+          paths(s.drop(l)).map { case (rest, w) => (piece :: rest, pp * w) })
+      }
+    val all = paths(word)
+    val z = all.map(_._2).sum
+    all.flatMap { case (ps, w) => ps.map(_ -> w / z) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+  }
+
+  test("expected usage: unique-segmentation corpus reproduces hard " +
+    "counts exactly") {
+    // vocab of single chars only: every word has exactly one path, so
+    // every occurrence's posterior is 1.0 and usage is the plain char
+    // count at the 1e6 scale
+    val pieces = Seq("a", "b", "c")
+    val cnts = Seq(5L, 3L, 2L)
+    val rows = Seq(Tuple1("abca"), Tuple1("cb")).toDF("w")
+      .select(col("w"), graft.functions.UnigramExpectedUsage
+        .column(col("w"), pieces, cnts, 10L, 4).as("u"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => x.getString(0) -> x.getLong(1)).toMap).toMap
+    assert(rows("abca") === Map("a" -> 2000000L, "b" -> 1000000L,
+      "c" -> 1000000L))
+    assert(rows("cb") === Map("c" -> 1000000L, "b" -> 1000000L))
+  }
+
+  test("expected usage agrees with independent path enumeration") {
+    val pieces = Seq("a", "b", "ab", "ba", "aba")
+    val cnts = Seq(10L, 6L, 8L, 2L, 1L)
+    val total = 27L
+    val p = pieces.zip(cnts).map { case (s, c) =>
+      s -> (c.toDouble / total.toDouble) }.toMap
+    val words = Seq("ab", "aba", "abab", "baab", "aabbaa")
+    val got = words.map(Tuple1(_)).toDF("w")
+      .select(col("w"), graft.functions.UnigramExpectedUsage
+        .column(col("w"), pieces, cnts, total, 4).as("u"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => x.getString(0) -> x.getLong(1)).toMap).toMap
+    words.foreach { w =>
+      val expect = brutePosterior(w, p, 4)
+      val have = got(w)
+      assert(have.keySet === expect.keySet, w)
+      expect.foreach { case (piece, e) =>
+        // per-occurrence rounding: each occurrence contributes ±0.5
+        // at the 1e-6 grid; a piece occurs at most |w| times
+        assert(math.abs(have(piece) - e * 1e6) <= w.length + 1,
+          s"$w/$piece: ${have(piece)} vs ${e * 1e6}")
+      }
+      // total expected pieces per word lies in [1, |w|] (in units)
+      val tot = have.values.sum
+      assert(tot >= 999990L && tot <= w.length * 1000000L + 10L, s"$w: $tot")
+    }
+  }
+
+  test("pieceVocabEmSoft: soft credit keeps what hard EM prunes, " +
+    "stays deterministic under partitioning") {
+    // hard EM pruned "ba" (its only word segments cheaper as b+a);
+    // soft EM gives every consistent path probability mass, so "ba"
+    // survives with sub-unit expected usage — the Kudo-true behavior
+    val docs = Seq((1L, "ab ba ab ab")).toDF("id", "text")
+    val soft = Unigram.pieceVocabEmSoft(docs, "text", vocabSize = 10,
+        maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(soft.keySet === Set("a", "b", "ab", "ba"))
+    val ba = soft("ba")._1
+    assert(ba > 0L && ba < 1000000L,
+      s"'ba' draws partial posterior mass, got $ba")
+    // "ab" is 3 words' dominant path: close to (but below) 3 units
+    assert(soft("ab")._1 > 2000000L && soft("ab")._1 < 3000000L)
+    // single chars floor at one scaled unit
+    assert(soft("a")._1 >= 1000000L && soft("b")._1 >= 1000000L)
+    // partition-proof: the per-word quantization makes the corpus
+    // aggregation exact integer arithmetic
+    val again = Unigram.pieceVocabEmSoft(docs.repartition(7), "text",
+        vocabSize = 10, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(again === soft)
+  }
+
   test("encode: word counts and segment sums line up") {
     val docs = Seq((1L, "abab ab"), (2L, "abab cd")).toDF("id", "text")
     val rows = Unigram.encode(docs, "id", "text", vocabSize = 3,
