@@ -5198,6 +5198,37 @@ object Oracles {
         |SELECT p2, p1, next, n, p, rn = 1 AS is_modal, h_state
         |FROM h ORDER BY p2, p1, next""".stripMargin,
 
+    // exact power-of-two decay replayed with the same bit shift; the
+    // recency rank counts TRANSITIONS per user (newest = 0)
+    "q225_markov_decay" ->
+      """WITH seq0 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |seq AS (SELECT user_id, event_type, prev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) - 1 AS k
+        |  FROM seq0 WHERE prev IS NOT NULL),
+        |wt AS (SELECT prev, event_type AS next,
+        |    CASE WHEN k <= 40
+        |      THEN CAST(1 AS BIGINT) << CAST(40 - k AS INT)
+        |      ELSE CAST(0 AS BIGINT) END AS w
+        |  FROM seq),
+        |tr AS (SELECT prev, next, CAST(sum(w) AS BIGINT) AS mass,
+        |    count(*) AS n FROM wt GROUP BY 1, 2),
+        |tt AS (SELECT prev, next, n, mass,
+        |    CAST(sum(mass) OVER (PARTITION BY prev) AS BIGINT) AS t
+        |  FROM tr),
+        |f AS (SELECT * FROM tt WHERE t > 0),
+        |r AS (SELECT prev, next, n, mass,
+        |    round(CAST(mass AS DOUBLE) / CAST(t AS DOUBLE) * 1e6) / 1e6
+        |      AS p_decay,
+        |    row_number() OVER (PARTITION BY prev
+        |      ORDER BY mass DESC, next) AS rn FROM f)
+        |SELECT prev, next, n, mass, p_decay, rn = 1 AS is_modal
+        |FROM r ORDER BY prev, next""".stripMargin,
+
     // soft-EM replay: the α/β lattice recursions run as recursive CTEs
     // carrying the three lagged values, with the IDENTICAL op order the
     // Scala expression pins (ascending piece length, left-assoc adds,

@@ -3941,6 +3941,41 @@ object Queries {
         .orderBy(col("p2"), col("p1"), col("next"))
     }),
 
+    // ---- behavioral: time-decayed Markov transitions --------------------
+    "q225_markov_decay" -> ((s, d) => {
+      // recency-weighted transition matrix: each user's k-th most
+      // recent transition carries weight (1/2)^k — recent behavior
+      // dominates, ancient history fades. The decay stays EXACT
+      // integer arithmetic end-to-end: 2^(40−k) by bit shift (zero
+      // past k = 40, where the weight is < 1e-12 of the newest), so
+      // the cross-user mass sums are plain BIGINTs and the only float
+      // is the final probability division — no pow(), nothing an
+      // engine could round differently
+      val W = org.apache.spark.sql.expressions.Window
+      val wo = W.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = t(s, d, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(wo))
+        .filter(col("prev").isNotNull)
+        .withColumn("k", row_number().over(W.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)) - 1)
+        .withColumn("w", when(col("k") <= 40,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - k AS INT))"))
+          .otherwise(lit(0L)))
+      val tr = seq.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(sum(col("w")).as("mass"), count(lit(1)).as("n"))
+      val wp = W.partitionBy(col("prev"))
+      tr.withColumn("t", sum(col("mass")).over(wp))
+        .filter(col("t") > 0)
+        .withColumn("p_decay", dround(
+          col("mass").cast("double") / col("t").cast("double"), 6))
+        .withColumn("rn", row_number().over(
+          wp.orderBy(col("mass").desc, col("next"))))
+        .select(col("prev"), col("next"), col("n"), col("mass"),
+          col("p_decay"), (col("rn") === 1).as("is_modal"))
+        .orderBy(col("prev"), col("next"))
+    }),
+
     // ---- tokenizer: soft-EM unigram refinement --------------------------
     "q224_unigram_soft_em" -> ((s, d) => {
       // one SOFT-EM refinement of the unigram vocab — forward-backward

@@ -1099,6 +1099,32 @@ object VersionedTable {
         colName, numBits, numHashes))
   }
 
+  /** Whether a [[publishBloom]] sidecar exists for (`version`,
+    * `colName`) — lets callers choose the Bloom-pruned read path only
+    * when it is actually cheaper (building the sidecar on the fly
+    * costs a full scan, the thing a pruned read exists to avoid). */
+  def hasBloom(spark: SparkSession, path: String, colName: String,
+      version: Option[Int] = None): Boolean = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    v > 0 && fs(spark, path).exists(new Path(bloomDir(path, v, colName)))
+  }
+
+  /** The Bloom-pruned candidate FILE LIST for a point lookup — `Some`
+    * only when a published sidecar exists for the version (this never
+    * builds one on the fly: that costs the full scan the pruned read
+    * exists to avoid). No false negatives; callers read the subset
+    * themselves and re-apply the row-level predicate (and must honour
+    * the evolved-schema discipline when reading raw file subsets). */
+  def bloomCandidateFiles(spark: SparkSession, path: String,
+      colName: String, keys: Seq[Long], version: Option[Int] = None)
+      : Option[Seq[String]] = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    val bp = bloomDir(path, v, colName)
+    if (v == 0 || !fs(spark, path).exists(new Path(bp))) None
+    else Some(ManifestStats.pruneFilesPoint(
+      spark.read.parquet(s"$bp/*.parquet"), colName, keys))
+  }
+
   /** Point-lookup read with Bloom file skipping: scan only the files
     * of `version` whose bitset (probably) contains one of `keys`,
     * using the [[publishBloom]] sidecar (built on the fly if the

@@ -405,9 +405,11 @@ object IncrementalAgg {
     * monoid (the same algebra the append delta rides), and groups
     * whose count reaches zero drop out of the merge. Shuffle volume is
     * proportional to the affected facts, not the table; the fact scan
-    * itself is restricted by a broadcast semi-join on the changed keys
-    * (at 100 TB pair it with partitioning/bloom skipping on `joinKey`
-    * to prune the scan too).
+    * itself is restricted by a broadcast semi-join on the changed keys,
+    * AND — when the base carries a [[VersionedTable.publishBloom]]
+    * sidecar on `joinKey` — file-granular Bloom skipping shrinks the
+    * scan to the candidate files before a row is read (the 100 TB
+    * path; `MaintainResult.filesScanned` reports the pruned count).
     *
     * Declines (the caller's drive recomputes honestly, and the reason
     * rides out in `MaintainResult.mode` as `full:<reason>`): a dim
@@ -497,7 +499,39 @@ object IncrementalAgg {
         return Repaired(0)
       }
       val facts = VersionedTable.read(spark, basePath, Some(vB0))
-      val factsK = facts.join(broadcast(changed), Seq(joinKey))
+      // Bloom file skipping on the fact scan: the repair only needs
+      // fact rows whose joinKey is in the (usually tiny) changed set,
+      // so when a publishBloom sidecar exists for (vB0, joinKey) the
+      // scan shrinks to the candidate files — at 100 TB this is the
+      // difference between "repair ∝ affected files" and "repair reads
+      // the table once". Taken only when it is certainly cheaper AND
+      // certainly exact: a published sidecar (never built on the fly),
+      // an integral key, a bounded changed-key set (collected keys are
+      // the probe), and an unevolved schema (raw file subsets of
+      // evolved tables need footer merging — not worth forking here).
+      // The broadcast join below re-applies the exact predicate, so
+      // Bloom false positives only cost a wasted file read.
+      val integralKey = Seq("bigint", "int", "smallint", "tinyint")
+        .contains(facts.schema(joinKey).dataType.simpleString)
+      val pruned: Option[(DataFrame, Int)] =
+        if (!integralKey || VersionedTable.isEvolved(spark, basePath))
+          None
+        else {
+          val ks = changed.limit(4097).collect()
+          if (ks.length > 4096) None
+          else {
+            val keys = ks.iterator.filterNot(_.isNullAt(0))
+              .map(_.get(0).asInstanceOf[Number].longValue).toSeq
+            VersionedTable.bloomCandidateFiles(spark, basePath,
+                joinKey, keys, Some(vB0))
+              .map { files =>
+                if (files.isEmpty) (facts.filter(lit(false)), 0)
+                else (spark.read.parquet(files: _*), files.size)
+              }
+          }
+        }
+      val (factsBase, scanned) = pruned.getOrElse((facts, bf0.size))
+      val factsK = factsBase.join(broadcast(changed), Seq(joinKey))
       val dimOldK = dimOld.join(broadcast(changed), Seq(joinKey))
       val dimNewK = dimNew.join(broadcast(changed), Seq(joinKey))
       val plus = aggregate(factsK.join(dimNewK, Seq(joinKey)), keys,
@@ -516,7 +550,7 @@ object IncrementalAgg {
         .withColumn(BaseVCol, lit(vB0))
       val v = VersionedTable.commitOverwrite(merged, aggPath)
       recordDimPin(spark, aggPath, v, vDim)
-      Repaired(bf0.size)
+      Repaired(scanned)
     } catch {
       // ONLY the expected structural failure classes demote to the
       // honest recompute; see the scaladoc — everything else is a

@@ -677,6 +677,59 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(r.mode == "dim_delta", r.mode)
   }
 
+  test("dim-delta repair Bloom-prunes the fact scan when a sidecar " +
+    "exists") {
+    val root = tmp()
+    val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+    VersionedTable.commitAppend(
+      (1L to 8L).map(k => (k, s"r$k")).toDF("k", "region"), dim)
+    // range-partitioned on k: each key lives in exactly one file, so
+    // the Bloom probe must prune the repair scan to ~1 file
+    VersionedTable.commitAppend(
+      (1L to 800L).map(i => (i % 8 + 1, i)).toDF("k", "v")
+        .repartitionByRange(8, col("k")), fact)
+    VersionedTable.publishBloom(spark, fact, "k")
+    val filesV1 = VersionedTable.files(spark, fact).size
+    assert(filesV1 >= 4, s"setup needs file spread, got $filesV1")
+    IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    def bump(tag: String) = VersionedTable.commitOverwrite(
+      (1L to 8L).map(k =>
+        (k, if (k == 3L) s"moved-$tag" else s"r$k")).toDF("k", "region"),
+      dim)
+    bump("a")
+    val r = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r.mode == "dim_delta", r.mode)
+    assert(r.filesScanned < filesV1,
+      s"Bloom sidecar must prune the $filesV1-file fact scan, " +
+        s"scanned ${r.filesScanned}")
+    // values exact after the pruned repair — the oracle property
+    val view = IncrementalAgg.read(spark, agg)
+      .select("region", "n_rows", "sum_val").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val expect = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), Seq("k"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(view === expect)
+    // without a sidecar for the CURRENT pinned version the repair
+    // falls back to the full file set — no silent on-the-fly build
+    VersionedTable.commitAppend(
+      Seq((3L, 9999L)).toDF("k", "v"), fact) // new base version, no bloom
+    IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v") // catch up the base pin
+    bump("b")
+    val filesV2 = VersionedTable.files(spark, fact).size
+    val r2 = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r2.mode == "dim_delta", r2.mode)
+    assert(r2.filesScanned == filesV2,
+      s"no sidecar for the new version: full $filesV2-file scan, got " +
+        s"${r2.filesScanned}")
+  }
+
   test("vacuumed dim history declines with an observable reason") {
     val root = tmp()
     val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
