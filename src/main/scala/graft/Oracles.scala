@@ -5198,6 +5198,34 @@ object Oracles {
         |SELECT p2, p1, next, n, p, rn = 1 AS is_modal, h_state
         |FROM h ORDER BY p2, p1, next""".stripMargin,
 
+    // the maintained histogram is additive under appends, so the
+    // oracle derives the SAME KS from the raw tables and pins that the
+    // delta path produced it
+    "q226_incremental_ks" ->
+      """WITH vals AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |rc AS (SELECT v, count(*) AS n_ref FROM vals
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |cc AS (SELECT v, count(*) AS n_cur FROM vals
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |j AS (SELECT coalesce(rc.v, cc.v) AS v,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM rc FULL OUTER JOIN cc ON rc.v = cc.v),
+        |g AS (SELECT v, n_ref, n_cur,
+        |    CAST(sum(n_ref) OVER () AS BIGINT) AS tr,
+        |    CAST(sum(n_cur) OVER () AS BIGINT) AS tc,
+        |    CAST(sum(n_ref) OVER (ORDER BY v) AS BIGINT) AS cr,
+        |    CAST(sum(n_cur) OVER (ORDER BY v) AS BIGINT) AS cu
+        |  FROM j),
+        |gap AS (SELECT v, tr, tc, abs(cr * tc - cu * tr) AS gp FROM g),
+        |best AS (SELECT v, tr, tc, gp, row_number() OVER (
+        |    ORDER BY gp DESC, v) AS rn FROM gap)
+        |SELECT 'incremental' AS mode, tr AS n_ref, tc AS n_cur,
+        |  v AS ks_at,
+        |  round(CAST(gp AS DOUBLE) / CAST(tr * tc AS DOUBLE), 6) AS ks
+        |FROM best WHERE rn = 1""".stripMargin,
+
     // exact power-of-two decay replayed with the same bit shift; the
     // recency rank counts TRANSITIONS per user (newest = 0)
     "q225_markov_decay" ->

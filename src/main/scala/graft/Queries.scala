@@ -3976,6 +3976,41 @@ object Queries {
         .orderBy(col("prev"), col("next"))
     }),
 
+    // ---- drift: incrementally maintained KS view ------------------------
+    "q226_incremental_ks" -> ((s, d) => {
+      // drift monitoring over a GROWING current window without
+      // rescans: the click-value histogram view maintains from deltas
+      // (half the clicks commit, the view initializes; the other half
+      // appends and delta-merges — the emitted mode pins the cheap
+      // path), then the maintained counts feed the same guarded KS
+      // math as q214 against the view-events reference. Histogram
+      // counts are additive under appends, so the maintained view is
+      // bit-identical to a one-shot aggregation — the oracle derives
+      // the statistic from the raw tables and pins mode='incremental'
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+        .withColumn("v", round(col("value") * lit(100), 0).cast("long"))
+      val ref = ev.filter(col("event_type") === "view")
+        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      val clicks = ev.filter(col("event_type") === "click").select("v")
+      val root = s"${graft.core.Scratch.root(ev)}/ksview_" +
+        java.util.UUID.randomUUID()
+      graft.core.Scratch.registerForCleanup(root)
+      val (base, agg) = (s"$root/base", s"$root/agg")
+      graft.core.VersionedTable.commitAppend(
+        clicks.filter(col("v") % 2 === 0), base)
+      graft.ops.IncrementalAgg.maintain(s, base, agg, Seq("v"), "v")
+      graft.core.VersionedTable.commitAppend(
+        clicks.filter(col("v") % 2 =!= 0), base)
+      val r = graft.ops.IncrementalAgg.maintain(s, base, agg,
+        Seq("v"), "v")
+      val cur = graft.ops.IncrementalAgg.read(s, agg)
+        .select(col("v"), col("n_rows").as("n"))
+      graft.ops.DriftMonitor.ksGuarded(ref, cur,
+          maxSupport = 1 << 20, coarsenTo = 0)
+        .select(lit(r.mode).as("mode"), col("n_ref"), col("n_cur"),
+          col("ks_at"), col("ks"))
+    }),
+
     // ---- tokenizer: soft-EM unigram refinement --------------------------
     "q224_unigram_soft_em" -> ((s, d) => {
       // one SOFT-EM refinement of the unigram vocab — forward-backward

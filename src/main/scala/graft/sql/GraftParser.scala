@@ -38,6 +38,7 @@ import graft.core.VersionedTable
   * REFRESH OHLC VIEW '<gold>' FROM '<base>'
   *   KEY c1, c2, ... TIME <col> VALUE <col> BUCKET <µs>
   * REFRESH AUC VIEW '<agg>' FROM '<base>' SCORE <col> LABEL <col>
+  * REFRESH KS VIEW '<agg>' FROM '<base>' VALUE <col> AGAINST '<ref>'
   * }}}
   *
   * Tables are [[VersionedTable]] paths as single-quoted string
@@ -132,6 +133,12 @@ object GraftSqlParser {
   private val RefreshAucRe = pat(
     """REFRESH\s+AUC\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
       """\s+SCORE\s+(\w+)\s+LABEL\s+(\w+)""")
+  // the drift-monitoring twin: the current window's value histogram
+  // maintained from deltas, KS verdict against a persisted reference
+  // count table computed on the bounded spine
+  private val RefreshKsRe = pat(
+    """REFRESH\s+KS\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """\s+VALUE\s+(\w+)\s+AGAINST\s+'([^']+)'""")
 
   private def opt(s: String): Option[String] = Option(s)
 
@@ -199,6 +206,10 @@ object GraftSqlParser {
     if (rau.matches())
       return Some(RefreshAucViewCommand(rau.group(1), rau.group(2),
         rau.group(3), rau.group(4)))
+    val rk = RefreshKsRe.matcher(sql)
+    if (rk.matches())
+      return Some(RefreshKsViewCommand(rk.group(1), rk.group(2),
+        rk.group(3), rk.group(4)))
     None
   }
 
@@ -445,6 +456,53 @@ case class RefreshAucViewCommand(aggPath: String, basePath: String,
       Option(v.getAs[Any](c)).fold(0L)(_.asInstanceOf[Long])
     Seq(Row(aggPath, r.mode, r.aggVersion, r.filesScanned,
       v.getAs[Any]("auc"), cnt("n_pos"), cnt("n_neg")))
+  }
+}
+
+/** Drift monitoring from SQL: `REFRESH KS VIEW '<agg>' FROM '<base>'
+  * VALUE <col> AGAINST '<ref>'` maintains the current window's value
+  * histogram from deltas ([[graft.ops.IncrementalAgg.maintain]] keyed
+  * on the quantized value — `n_rows` IS the histogram) and returns the
+  * exact two-sample KS verdict against a persisted `(v, n)` reference
+  * count table in the same statement. The histogram is additive under
+  * appends, so the refresh cost is ∝ the batch while the KS math runs
+  * on the quantization-bounded spine ([[graft.ops.DriftMonitor
+  * .ksGuarded]] — the spine guard applies). `ks` is null while either
+  * side is empty. */
+case class RefreshKsViewCommand(aggPath: String, basePath: String,
+    valueCol: String, refPath: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlParser.attr("agg_path", StringType),
+    GraftSqlParser.attr("mode", StringType),
+    GraftSqlParser.attr("version", IntegerType),
+    GraftSqlParser.attr("files_scanned", IntegerType),
+    GraftSqlParser.attr("n_ref", LongType),
+    GraftSqlParser.attr("n_cur", LongType),
+    GraftSqlParser.attr("ks_at", LongType),
+    GraftSqlParser.attr("ks", DoubleType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val r = graft.ops.IncrementalAgg.maintain(spark, basePath, aggPath,
+      Seq(valueCol), valueCol)
+    val cur = graft.ops.IncrementalAgg.read(spark, aggPath)
+      .select(col(valueCol).cast("long").as("v"),
+        col("n_rows").as("n"))
+    val ref = VersionedTable.read(spark, refPath)
+      .select(col("v").cast("long").as("v"), col("n").cast("long").as("n"))
+    // an empty spine yields ZERO rows from the KS math (nothing to
+    // rank) — surface the honest null verdict instead of crashing
+    graft.ops.DriftMonitor.ksGuarded(ref, cur, 1 << 20, 0)
+      .collect().headOption match {
+      case Some(v) =>
+        def cnt(c: String): Long =
+          Option(v.getAs[Any](c)).fold(0L)(_.asInstanceOf[Long])
+        Seq(Row(aggPath, r.mode, r.aggVersion, r.filesScanned,
+          cnt("n_ref"), cnt("n_cur"), v.getAs[Any]("ks_at"),
+          v.getAs[Any]("ks")))
+      case None =>
+        Seq(Row(aggPath, r.mode, r.aggVersion, r.filesScanned,
+          0L, 0L, null, null))
+    }
   }
 }
 

@@ -495,6 +495,46 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark2.stop()
   }
 
+  test("REFRESH KS VIEW maintains the histogram from deltas and " +
+    "returns the drift verdict") {
+    val spark2 = sessionWithExtensions
+    try {
+      import graft.core.VersionedTable
+      import spark2.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("sqlks").toString
+      val (base, agg, ref) = (s"$root/base", s"$root/agg", s"$root/ref")
+      // persisted reference histogram: values {1,2,3} once each
+      VersionedTable.commitAppend(
+        Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("v", "n"), ref)
+      VersionedTable.commitAppend(
+        Seq(2L, 3L).map(Tuple1(_)).toDF("x"), base)
+      val verb =
+        s"REFRESH KS VIEW '$agg' FROM '$base' VALUE x AGAINST '$ref'"
+      // ref {1,2,3} vs cur {2,3}: the max cross-multiplied gap is 2 of
+      // tr*tc = 6, first attained at v = 1
+      val r1 = spark2.sql(verb).collect().head
+      assert(r1.getString(1) === "init")
+      assert(r1.getLong(4) == 3L && r1.getLong(5) == 2L)
+      assert(r1.getLong(6) == 1L && r1.getDouble(7) == 0.333333)
+      // an append refreshes the histogram from the DELTA only and the
+      // verdict updates: cur {2,3,4} -> gap 3 of 9 at v = 1
+      VersionedTable.commitAppend(Seq(4L).map(Tuple1(_)).toDF("x"), base)
+      val r2 = spark2.sql(verb).collect().head
+      assert(r2.getString(1) === "incremental")
+      assert(r2.getLong(4) == 3L && r2.getLong(5) == 3L)
+      assert(r2.getDouble(7) == 0.333333)
+      // ... and the verdict equals the one-shot ks on the raw window
+      // the ref table's counts are all 1, so its raw v values ARE the
+      // reference sample
+      val oneShot = graft.ops.DriftMonitor.ks(
+        VersionedTable.read(spark2, ref).selectExpr("v AS x"),
+        VersionedTable.read(spark2, base), "x")
+        .collect().head.getAs[Double]("ks")
+      assert(r2.getDouble(7) == oneShot)
+    } finally spark2.stop()
+  }
+
   test("REFRESH AUC VIEW on an empty base returns a null-auc row, " +
     "not an NPE") {
     val spark2 = sessionWithExtensions
