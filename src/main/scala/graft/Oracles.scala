@@ -5239,8 +5239,8 @@ object Oracles {
         |      ORDER BY ts DESC, event_id DESC) - 1 AS k
         |  FROM seq0 WHERE prev IS NOT NULL),
         |wt AS (SELECT prev, event_type AS next,
-        |    CASE WHEN k <= 40
-        |      THEN CAST(1 AS BIGINT) << CAST(40 - k AS INT)
+        |    CASE WHEN k <= 30
+        |      THEN CAST(1 AS BIGINT) << CAST(30 - k AS INT)
         |      ELSE CAST(0 AS BIGINT) END AS w
         |  FROM seq),
         |tr AS (SELECT prev, next, CAST(sum(w) AS BIGINT) AS mass,

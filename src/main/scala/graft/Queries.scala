@@ -3946,11 +3946,16 @@ object Queries {
       // recency-weighted transition matrix: each user's k-th most
       // recent transition carries weight (1/2)^k — recent behavior
       // dominates, ancient history fades. The decay stays EXACT
-      // integer arithmetic end-to-end: 2^(40−k) by bit shift (zero
-      // past k = 40, where the weight is < 1e-12 of the newest), so
-      // the cross-user mass sums are plain BIGINTs and the only float
-      // is the final probability division — no pow(), nothing an
-      // engine could round differently
+      // integer arithmetic end-to-end: 2^(30−k) by bit shift (zero
+      // past k = 30, where the weight is < 1e-9 of the newest —
+      // already invisible at the 6-dp probability rounding), so the
+      // cross-user mass sums are plain BIGINTs and the only float is
+      // the final probability division — no pow(), nothing an engine
+      // could round differently. The 2^30 ceiling bounds each user's
+      // total mass below 2^31, so the per-prev BIGINT sum is exact up
+      // to ~4×10^9 users — past ANY real user cardinality (a 2^40
+      // ceiling would silently wrap Spark's non-ANSI sum near 4M
+      // users while DuckDB raised, the worst kind of divergence)
       val W = org.apache.spark.sql.expressions.Window
       val wo = W.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -3959,8 +3964,8 @@ object Queries {
         .filter(col("prev").isNotNull)
         .withColumn("k", row_number().over(W.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("event_id").desc)) - 1)
-        .withColumn("w", when(col("k") <= 40,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - k AS INT))"))
+        .withColumn("w", when(col("k") <= 30,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - k AS INT))"))
           .otherwise(lit(0L)))
       val tr = seq.groupBy(col("prev"), col("event_type").as("next"))
         .agg(sum(col("w")).as("mass"), count(lit(1)).as("n"))

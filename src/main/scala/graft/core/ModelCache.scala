@@ -45,13 +45,18 @@ object ModelCache {
     * row data, so an unbounded cache in a long-lived session (test
     * JVMs train over many in-memory corpora) would pin every such
     * corpus in driver memory. LRU eviction (a hit refreshes recency);
-    * an evicted model simply retrains on next use. */
-  private val MaxEntries = 64
+    * an evicted model simply retrains on next use. Mutable ONLY for
+    * specs that exercise eviction without 64 training runs. */
+  private[graft] var MaxEntries = 64
 
   private type Key = (String, LogicalPlan, String, String)
 
+  // value + the scratch paths its training pinned: eviction must
+  // release those pins ([[Scratch.releasePins]]) or a cache-churny
+  // session re-accumulates until JVM exit exactly the disk/page-cache
+  // footprint the pass-boundary sweep exists to eliminate
   private val cache =
-    scala.collection.mutable.LinkedHashMap[Key, Any]()
+    scala.collection.mutable.LinkedHashMap[Key, (Any, Set[String])]()
   private val inflight =
     new java.util.concurrent.ConcurrentHashMap[Key, Object]()
 
@@ -85,7 +90,7 @@ object ModelCache {
     * re-inserts the entry at the tail so hot artifacts survive a
     * session training many one-off models. */
   private def touch(k: Key): Option[Any] = cache.synchronized {
-    cache.remove(k).map { v => cache.put(k, v); v }
+    cache.remove(k).map { v => cache.put(k, v); v._1 }
   }
 
   def cached[T](df: DataFrame, key: String)(train: => T): T = {
@@ -102,15 +107,20 @@ object ModelCache {
       touch(k) match {
         case Some(v) => v.asInstanceOf[T]
         case None =>
-          // Spark jobs run here, no global lock held. pinningScope:
-          // several cached artifacts ARE scratch paths (BPE vocab,
-          // clustermap, hashed-vector tables) — anything materialized
-          // while training must survive Scratch.reclaimEphemeral for
-          // as long as this cache can serve the value
-          val v = Scratch.pinningScope(train)
+          // Spark jobs run here, no global lock held. pinningScope
+          // (tracked): several cached artifacts ARE scratch paths (BPE
+          // vocab, clustermap, hashed-vector tables) — anything
+          // materialized while training must survive
+          // Scratch.reclaimEphemeral for as long as this cache can
+          // serve the value, and no longer (eviction releases)
+          val (v, paths) = Scratch.pinningScopeTracked(train)
           cache.synchronized {
-            if (cache.size >= MaxEntries) cache.remove(cache.head._1)
-            cache.put(k, v)
+            if (cache.size >= MaxEntries) {
+              val (_, (_, evictedPaths)) = cache.head
+              cache.remove(cache.head._1)
+              Scratch.releasePins(evictedPaths)
+            }
+            cache.put(k, (v, paths))
           }
           inflight.remove(k)
           v
@@ -118,5 +128,8 @@ object ModelCache {
     }
   }
 
-  def clear(): Unit = cache.synchronized { cache.clear() }
+  def clear(): Unit = cache.synchronized {
+    cache.valuesIterator.foreach(v => Scratch.releasePins(v._2))
+    cache.clear()
+  }
 }

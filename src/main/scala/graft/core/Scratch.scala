@@ -23,35 +23,71 @@ object Scratch {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   // paths referenced by SESSION-LIVED artifacts (ModelCache values that
   // carry a scratch path): excluded from reclaimEphemeral, deleted only
-  // at JVM exit
+  // at JVM exit. REFCOUNTED, one count per holding scope: a cache-churny
+  // session evicts entries at MaxEntries, and an evicted artifact's
+  // scratch must become reclaimable again ([[releasePins]]) or the
+  // pass-boundary sweep re-accumulates exactly the footprint it exists
+  // to eliminate — while a path held by TWO live artifacts (a nested
+  // cached train) must survive either one's eviction.
   private val pinned =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private lazy val hookInstalled: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       created.forEach(p => deleteQuietly(p))))
   }
 
-  // > 0 while the current thread is building a session-cached artifact
-  // (ModelCache.cached wraps training in pinningScope): any path
-  // materialized then may be embedded in the cached value and must
-  // outlive per-pass reclamation
-  private val pinDepth = new ThreadLocal[Integer] {
-    override def initialValue(): Integer = 0
-  }
+  // the stack of active pinning scopes on this thread (non-empty while
+  // building a session-cached artifact — ModelCache.cached wraps
+  // training in pinningScopeTracked): any path materialized then may be
+  // embedded in the cached value and must outlive per-pass reclamation
+  private val scopeStack =
+    new ThreadLocal[List[scala.collection.mutable.Set[String]]] {
+      override def initialValue()
+          : List[scala.collection.mutable.Set[String]] = Nil
+    }
 
   /** Run `body` with every scratch path it creates marked session-lived
     * (survives [[reclaimEphemeral]], still deleted at JVM exit).
-    * [[ModelCache.cached]] wraps training in this so cached artifacts
-    * that embed a scratch path (BPE vocab tables, IVF assignments,
-    * clustermaps) stay readable for the whole session. */
-  def pinningScope[T](body: => T): T = {
-    pinDepth.set(pinDepth.get + 1)
-    try body finally pinDepth.set(pinDepth.get - 1)
+    * [[ModelCache.cached]] wraps training in the tracked variant so
+    * cached artifacts that embed a scratch path (BPE vocab tables, IVF
+    * assignments, clustermaps) stay readable for the whole session.
+    * This untracked form is a PERMANENT pin (never released) — for
+    * paths held by session-lifetime maps that never evict. */
+  def pinningScope[T](body: => T): T = pinningScopeTracked(body)._1
+
+  /** [[pinningScope]] that also returns the set of scratch paths the
+    * body created, so the caller can [[releasePins]] them when the
+    * artifact holding them is dropped (ModelCache eviction). Nested
+    * scopes each hold their own count on inner paths: releasing the
+    * inner artifact's pins never strands an outer artifact that still
+    * embeds the same path. */
+  def pinningScopeTracked[T](body: => T): (T, Set[String]) = {
+    val mine = scala.collection.mutable.Set.empty[String]
+    scopeStack.set(mine :: scopeStack.get)
+    try { val v = body; (v, mine.toSet) }
+    finally scopeStack.set(scopeStack.get.tail)
   }
+
+  /** Drop one pin count per path (an artifact holding them was evicted
+    * or superseded). A path whose count reaches zero becomes ordinary
+    * ephemeral scratch again — deleted by the next [[reclaimEphemeral]]
+    * (not immediately: a concurrent reader may still be draining it,
+    * and the sweep's quiescent-point contract is the safe boundary). */
+  def releasePins(paths: Iterable[String]): Unit =
+    paths.foreach { p =>
+      pinned.computeIfPresent(p,
+        (_, n) => if (n <= 1) null else Integer.valueOf(n - 1))
+      ()
+    }
 
   private def record(path: String): Unit = {
     created.add(path)
-    if (pinDepth.get > 0) pinned.add(path)
+    // one pin count per ACTIVE scope: each enclosing artifact holds
+    // its own claim on the path (released independently on eviction)
+    scopeStack.get.foreach { s =>
+      if (s.add(path)) pinned.merge(path, 1, (a, b) => a + b)
+      ()
+    }
     ()
   }
 
@@ -65,7 +101,7 @@ object Scratch {
     * unpinned scratch. */
   def reclaimEphemeral(): Unit =
     created.forEach { p =>
-      if (!pinned.contains(p)) { deleteQuietly(p); created.remove(p) }
+      if (!pinned.containsKey(p)) { deleteQuietly(p); created.remove(p) }
     }
 
   private def deleteQuietly(path: String): Unit =
@@ -113,7 +149,8 @@ object Scratch {
   }
 
   /** Delete a scratch table that is no longer referenced. The caller
-    * must not hold live DataFrames over it. */
+    * must not hold live DataFrames over it. Clears every pin count —
+    * drop is the "I know it's dead" verb (iterative supersession). */
   def drop(spark: org.apache.spark.sql.SparkSession, path: String)
       : Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -269,21 +269,36 @@ object IncrementalAgg {
   private def pinPath(aggPath: String, v: Int) =
     new org.apache.hadoop.fs.Path(f"$aggPath%s/_pins/dim-v$v%05d")
 
-  private def persistDimPin(spark: SparkSession, aggPath: String,
+  private[graft] def persistDimPin(spark: SparkSession, aggPath: String,
       v: Int, vDim: Int): Unit =
     try {
       val p = pinPath(aggPath, v)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!f.exists(p)) {
-        // overwrite=false: the pin for a committed version is
-        // deterministic, so losing a creation race is always safe
-        val out = f.create(p, false)
+        // temp + atomic rename, NEVER create-in-place: a concurrent
+        // reader on a shared FS must see the whole pin or no pin — a
+        // truncated '1' of '12' parses as a VALID (wrong) version.
+        // The pin is defense-in-depth only (the repair path re-derives
+        // from the view), but the sidecar should still never lie.
+        // rename-to-existing fails on HDFS semantics: losing a
+        // creation race is safe (the pin for a committed version is
+        // deterministic), just drop the temp
+        val tmp = new org.apache.hadoop.fs.Path(
+          f"$aggPath%s/_pins/.tmp-v$v%05d-${
+            java.util.UUID.randomUUID()}%s")
+        val out = f.create(tmp, false)
         try out.write(vDim.toString.getBytes("UTF-8"))
         finally out.close()
-        // only the LATEST version's pin is ever read — retire one old
-        // pin per write (no listing) so the dir stays ~16 files deep
-        // instead of growing one file per commit forever
-        if (v > 16) f.delete(pinPath(aggPath, v - 16), false)
+        if (!f.rename(tmp, p)) f.delete(tmp, false)
+        // only the LATEST version's pin is ever read — retire a SMALL
+        // RANGE of old pins per write (still no listing) so the dir
+        // stays ~16 files deep instead of growing one file per commit.
+        // The range (not a single slot) sweeps stragglers: a pin write
+        // skipped at version v-16 (crash between commit and pin, a
+        // swallowed create failure) would otherwise never hit its
+        // retirement slot and orphan the file forever
+        ((v - 20) to (v - 16)).filter(_ > 0)
+          .foreach(ov => f.delete(pinPath(aggPath, ov), false))
         ()
       }
     } catch { case _: java.io.IOException => () }
@@ -438,38 +453,34 @@ object IncrementalAgg {
       // IO) when this JVM committed the version; the persisted sidecar
       // (one driver-side stat+open, no Spark job, no view scan) after
       // a restart — the streaming case that used to pay a view read
-      // per fresh session
+      // per fresh session. The pin serves ONLY this equality skip:
+      // every path that actually diffs dim versions re-derives from
+      // the view below, so a corrupt/stale sidecar can cost a wasted
+      // probe but can never pick the wrong versions to diff
       val pinned = dimPinCache.get((aggPath, vAgg))
         .orElse(readDimPin(spark, aggPath, vAgg).map { p =>
           cacheDimPin(aggPath, vAgg, p); p
         })
       if (pinned.exists(_ == vDim)) return StaticDim
-      if (pinned.exists(_ > vDim)) return Declined("dim_restore")
-      if (pinned.isEmpty) {
-        // legacy view (pre-sidecar) or lost pin: one view-read probe,
-        // then persist what it finds so the next restart skips it
-        val current = VersionedTable.read(spark, aggPath, Some(vAgg))
-        if (!current.columns.contains(DimVCol) ||
-            !current.columns.contains(BaseVCol))
-          return Declined("no_bookkeeping")
-        val head = current.select(max(col(BaseVCol)), max(col(DimVCol)))
-          .collect().head
-        if (head.isNullAt(0) || head.isNullAt(1))
-          return Declined("no_bookkeeping")
-        val vD0 = head.get(1).toString.toInt
-        recordDimPin(spark, aggPath, vAgg, vD0)
-        if (vD0 == vDim) return StaticDim
-        if (vD0 > vDim) return Declined("dim_restore")
-      }
-      val vD0 = dimPinCache((aggPath, vAgg))
-      // the repair path reads the view anyway (it merges into it), so
-      // from here the view read is the work, not a probe tax
+      // the dim moved (or the pin is missing): the repair path reads
+      // the view anyway (it merges into it), so derive BOTH reflected
+      // versions from the view's own bookkeeping in ONE metadata job —
+      // the authoritative source the sidecar merely caches
       val current = VersionedTable.read(spark, aggPath, Some(vAgg))
-      if (!current.columns.contains(BaseVCol))
+      if (!current.columns.contains(DimVCol) ||
+          !current.columns.contains(BaseVCol))
         return Declined("no_bookkeeping")
-      val headB = current.select(max(col(BaseVCol))).collect().head
-      if (headB.isNullAt(0)) return Declined("no_bookkeeping")
-      val vB0 = headB.get(0).toString.toInt
+      val head = current.select(max(col(BaseVCol)), max(col(DimVCol)))
+        .collect().head
+      if (head.isNullAt(0) || head.isNullAt(1))
+        return Declined("no_bookkeeping")
+      val vB0 = head.get(0).toString.toInt
+      val vD0 = head.get(1).toString.toInt
+      // heal the sidecar with what the view says (a lost/corrupt pin
+      // re-persists here, so the next restart's probe is free again)
+      recordDimPin(spark, aggPath, vAgg, vD0)
+      if (vD0 == vDim) return StaticDim
+      if (vD0 > vDim) return Declined("dim_restore")
       // if the base lineage is not append-only from the pinned
       // version, drive() recomputes anyway — don't pay the repair
       val bf0 = VersionedTable.files(spark, basePath, Some(vB0)).toSet

@@ -753,4 +753,65 @@ class IncrementalAggSpec extends SparkTestBase {
       .toSet
     assert(v === Set(("north", 1L, 10L), ("west", 1L, 5L)))
   }
+
+  test("a corrupt pin sidecar can never mis-diff the dim: the repair " +
+    "re-derives the reflected version from the view") {
+    val root = tmp()
+    val (fact, dim, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
+    VersionedTable.commitAppend(
+      Seq((1L, "east"), (2L, "west")).toDF("k", "region"), dim)
+    VersionedTable.commitAppend(
+      Seq((1L, 10L), (2L, 5L)).toDF("k", "v"), fact)
+    IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v") // view pins dim v1
+    VersionedTable.commitOverwrite(
+      Seq((1L, "north"), (2L, "west")).toDF("k", "region"), dim)
+    IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v") // view pins dim v2
+    // corrupt the persisted pin to a VALID-PARSING wrong version ("1"
+    // — the truncated-read shape: the first byte of "12"), and clear
+    // the in-memory tier so the sidecar is the only pin. A repair
+    // that TRUSTED it would diff dim v1→v3 against a view reflecting
+    // v2 and double-count the v1→v2 change — silent corruption
+    val vAgg = VersionedTable.latestVersion(spark, agg)
+    val pin = new org.apache.hadoop.fs.Path(
+      f"$agg%s/_pins/dim-v$vAgg%05d")
+    val fsys = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fsys.create(pin, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    IncrementalAgg.clearDimPinCacheForTest()
+    VersionedTable.commitOverwrite(
+      Seq((1L, "north"), (2L, "south")).toDF("k", "region"), dim)
+    val r = IncrementalAgg.maintainJoined(spark, fact, dim, agg,
+      "k", Seq("region"), "v")
+    assert(r.mode == "dim_delta", r.mode)
+    val view = IncrementalAgg.read(spark, agg)
+      .select("region", "n_rows", "sum_val")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .toSet
+    assert(view === Set(("north", 1L, 10L), ("south", 1L, 5L)),
+      "a trusted corrupt pin would have produced north(2,20)")
+  }
+
+  test("pin retirement sweeps stragglers: a skipped pin write cannot " +
+    "orphan a sidecar file forever") {
+    val root = tmp()
+    val agg = s"$root/agg"
+    // write pins for versions 1..60, SKIPPING version 40 (the crash-
+    // between-commit-and-pin shape). Single-slot retirement (delete
+    // exactly v-16) would leave version 24's pin orphaned forever —
+    // its only retirement slot was version 40's write. The range
+    // sweep (v-20..v-16) gives every pin five chances
+    (1 to 60).filter(_ != 40).foreach { v =>
+      IncrementalAgg.persistDimPin(spark, agg, v, v)
+    }
+    val dir = new org.apache.hadoop.fs.Path(s"$agg/_pins")
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pins = fsys.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("dim-v"))
+    // everything at or below 60-16=44 must be retired despite the gap
+    assert(pins.forall(_.stripPrefix("dim-v").toInt > 44),
+      s"straggler pins survived the sweep: ${pins.sorted.mkString(",")}")
+    assert(pins.length <= 16, s"_pins grew past its bound: ${pins.length}")
+  }
 }

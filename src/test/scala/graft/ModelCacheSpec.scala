@@ -75,6 +75,35 @@ class ModelCacheSpec extends SparkTestBase {
     ModelCache.clear()
   }
 
+  test("eviction releases the evicted artifact's scratch pins; " +
+    "survivors stay pinned") {
+    ModelCache.clear()
+    val oldMax = ModelCache.MaxEntries
+    ModelCache.MaxEntries = 2
+    try {
+      def exists(p: String): Boolean =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+      val df = Seq((1L, "p")).toDF("id", "v")
+      def trainPath(key: String): String =
+        ModelCache.cached(df, key) {
+          graft.core.Scratch.materializeWithPath(df, s"mc_$key")._2
+        }
+      val p1 = trainPath("evict-1")
+      val p2 = trainPath("evict-2")
+      val p3 = trainPath("evict-3") // overflows the 2-slot cache: e1 out
+      graft.core.Scratch.reclaimEphemeral()
+      assert(!exists(p1),
+        "an evicted artifact's scratch must become reclaimable — " +
+          "pinned-forever re-accumulates exactly the footprint the " +
+          "pass-boundary sweep exists to eliminate")
+      assert(exists(p2) && exists(p3), "live artifacts must stay pinned")
+      assert(spark.read.parquet(p3).count() == 1)
+    } finally {
+      ModelCache.MaxEntries = oldMax
+      ModelCache.clear()
+    }
+  }
+
   test("distinct sessions do not share artifacts") {
     // a new session must never inherit another session's state (e.g.
     // scratch paths under a stopped session's cleaned-up temp dir)

@@ -35,6 +35,25 @@ class ScratchSpec extends SparkTestBase {
     assert(!exists(pinnedPath))
   }
 
+  test("a path pinned by nested scopes survives releasing one of them") {
+    val df = Seq((1, "n")).toDF("k", "s")
+    // the nested-cached-train shape: an outer artifact embeds a path
+    // an inner artifact also owns — either eviction alone must not
+    // strand the other
+    val ((path, innerPaths), outerPaths) = Scratch.pinningScopeTracked {
+      Scratch.pinningScopeTracked {
+        Scratch.materializeWithPath(df, "scr_nest")._2
+      }
+    }
+    assert(innerPaths == Set(path) && outerPaths == Set(path))
+    Scratch.releasePins(innerPaths)
+    Scratch.reclaimEphemeral()
+    assert(exists(path), "the outer scope still holds a pin")
+    Scratch.releasePins(outerPaths)
+    Scratch.reclaimEphemeral()
+    assert(!exists(path), "last release makes the path ephemeral again")
+  }
+
   test("artifacts trained under ModelCache survive reclamation") {
     val docs = Seq("alpha", "beta", "gamma").toDF("text")
     // the cached VALUE is a scratch path — the exact shape BPE vocab /
