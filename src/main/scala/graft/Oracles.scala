@@ -4948,7 +4948,9 @@ object Oracles {
         |best AS (SELECT v, tr, tc, gp, row_number() OVER (
         |    ORDER BY gp DESC, v) AS rn FROM gap)
         |SELECT tr AS n_ref, tc AS n_cur, v AS ks_at,
-        |  round(CAST(gp AS DOUBLE) / CAST(tr * tc AS DOUBLE), 6) AS ks
+        |  round(CAST(gp AS DOUBLE) / CAST(tr * tc AS DOUBLE), 6) AS ks,
+        |  round(CAST(gp AS DOUBLE) / CAST(tr * tc AS DOUBLE), 6)
+        |    AS ks_hi
         |FROM best WHERE rn = 1""".stripMargin,
 
     // split conformal replayed exactly: same halves, same
@@ -5134,7 +5136,13 @@ object Oracles {
 
     // q214's KS replay with the guard's coarsening arithmetic replayed
     // exactly: lo over the joint spine, ceil-step to <= 256 buckets,
-    // integer floor-div re-bucketing keyed by lower edge
+    // integer floor-div re-bucketing keyed by lower edge. The guard is
+    // SUPPORT-CONDITIONAL exactly like the Spark side (step = 1, i.e.
+    // the identity bucketing, when the joint distinct support fits) —
+    // the oracle must not rest on an out-of-band "support > 256 at
+    // every sf" assertion. ks_hi replays the two-sided bound: on a
+    // coarse spine, lower bound + the largest one-sided within-bucket
+    // mass, capped at 1; on a fine spine it equals ks
     "q222_ks_coarse" ->
       """WITH vals AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
@@ -5143,8 +5151,9 @@ object Oracles {
         |  WHERE event_type = 'view' GROUP BY 1),
         |cc0 AS (SELECT v, count(*) AS n FROM vals
         |  WHERE event_type = 'click' GROUP BY 1),
-        |st AS (SELECT min(v) AS lo,
-        |    (max(v) - min(v) + 1 + 255) // 256 AS step
+        |st AS (SELECT min(v) AS lo, count(DISTINCT v) AS d,
+        |    CASE WHEN count(DISTINCT v) <= 256 THEN CAST(1 AS BIGINT)
+        |      ELSE (max(v) - min(v) + 1 + 255) // 256 END AS step
         |  FROM (SELECT v FROM rc0 UNION ALL SELECT v FROM cc0)),
         |rc AS (SELECT (r.v - st.lo) // st.step * st.step + st.lo AS v,
         |    CAST(sum(r.n) AS BIGINT) AS n_ref
@@ -5161,12 +5170,19 @@ object Oracles {
         |    CAST(sum(n_ref) OVER (ORDER BY v) AS BIGINT) AS cr,
         |    CAST(sum(n_cur) OVER (ORDER BY v) AS BIGINT) AS cu
         |  FROM j),
-        |gap AS (SELECT v, tr, tc, abs(cr * tc - cu * tr) AS gp FROM g),
-        |best AS (SELECT v, tr, tc, gp, row_number() OVER (
+        |gap AS (SELECT v, tr, tc, abs(cr * tc - cu * tr) AS gp,
+        |    max(greatest(n_ref * tc, n_cur * tr)) OVER () AS bmx
+        |  FROM g),
+        |best AS (SELECT v, tr, tc, gp, bmx, row_number() OVER (
         |    ORDER BY gp DESC, v) AS rn FROM gap)
         |SELECT tr AS n_ref, tc AS n_cur, v AS ks_at,
-        |  round(CAST(gp AS DOUBLE) / CAST(tr * tc AS DOUBLE), 6) AS ks
-        |FROM best WHERE rn = 1""".stripMargin,
+        |  round(CAST(gp AS DOUBLE) / CAST(tr * tc AS DOUBLE), 6) AS ks,
+        |  CASE WHEN st.d <= 256
+        |    THEN round(CAST(gp AS DOUBLE) / CAST(tr * tc AS DOUBLE), 6)
+        |    ELSE least(CAST(1 AS DOUBLE),
+        |      round(CAST(CAST(gp AS HUGEINT) + bmx AS DOUBLE)
+        |        / CAST(tr * tc AS DOUBLE), 6)) END AS ks_hi
+        |FROM best, st WHERE rn = 1""".stripMargin,
 
     // q217's entropy discipline keyed by the bigram state; the >= 5
     // floor applies to the state total computed over the UNfiltered

@@ -3895,8 +3895,11 @@ object Queries {
       // view/click support is > 256 at every sf): ks() refuses the
       // single-task window and re-buckets both sides onto a ≤256-point
       // equal-width spine keyed by lower edge. The oracle replays the
-      // bucketing arithmetic (lo, ceil-step, div) and the KS math
-      // exactly, so a drifted guard breaks the hash
+      // bucketing arithmetic (lo, ceil-step, div), the KS math, AND
+      // the support-conditional guard itself (step = 1 when the spine
+      // fits), so a drifted guard breaks the hash even at an sf where
+      // the support dips under the threshold; ks_hi (lower bound +
+      // largest within-bucket mass) makes the coarse verdict two-sided
       val ev = t(s, d, "events")
         .filter(col("value").isNotNull)
         .withColumn("v", round(col("value") * lit(100), 0).cast("long"))

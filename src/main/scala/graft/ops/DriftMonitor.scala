@@ -151,17 +151,31 @@ object DriftMonitor {
     * construction, so the spine must actually be bounded — a caller
     * who quantizes at 1e-6 over a wide domain would push millions of
     * rows through one partition and discover it as an executor OOM.
-    * The guard counts the joint distinct support (one distributed
-    * aggregation over the already-bounded count tables): above
-    * `maxSupport` it REFUSES with an actionable message unless
-    * `coarsenTo > 0`, in which case both sides re-bucket onto a
-    * ≤ `coarsenTo`-point spine of equal-width buckets (keyed by the
-    * bucket's LOWER EDGE in original units, so `ks_at` stays
-    * interpretable). The coarsened statistic is the exact KS of the
-    * bucket-quantized distributions — evaluating the CDF gap at bucket
-    * edges only, hence a certified LOWER bound on the fine-grained D
-    * (it can under-alarm by at most the largest within-bucket mass,
-    * never false-alarm). */
+    * The guard measures the joint distinct support FROM THE SAME
+    * JOINED SPINE the KS math consumes (a 1-row aggregate subtree
+    * broadcast back over it — no separate probe job per evaluation,
+    * the per-micro-batch tax the streaming sink used to pay): above
+    * `maxSupport` it REFUSES with an actionable error at evaluation
+    * time — raised in the stage BEFORE the single-task window
+    * materializes — unless `coarsenTo > 0`, in which case both sides
+    * re-bucket onto a ≤ `coarsenTo`-point spine of equal-width buckets
+    * (keyed by the bucket's LOWER EDGE in original units, so `ks_at`
+    * stays interpretable). The coarsened statistic is the exact KS of
+    * the bucket-quantized distributions — evaluating the CDF gap at
+    * bucket edges only, hence a certified LOWER bound on the
+    * fine-grained D (it can under-alarm by at most the largest
+    * within-bucket mass, never false-alarm).
+    *
+    * TWO-SIDED verdict: the output carries `ks_hi` alongside — on the
+    * fine spine it equals `ks` (the statistic is exact); on a
+    * coarsened spine it is `min(1, ks + max_b max(p_ref(b), p_cur(b)))`
+    * — inside a bucket the CDF gap can drift from its edge value by at
+    * most that bucket's larger one-sided mass, so the fine-grained D
+    * lies in `[ks, ks_hi]` and a coarsened monitor can certify
+    * NO-drift (`ks_hi < τ`) as well as drift (`ks ≥ τ`), with the
+    * undecided band explicit. Output one row:
+    * (n_ref, n_cur, ks_at, ks, ks_hi) — ks/ks_hi null when a side is
+    * empty. */
   def ks(ref: DataFrame, cur: DataFrame, valueCol: String,
       maxSupport: Int = 1 << 20, coarsenTo: Int = 0): DataFrame = {
     def counts(df: DataFrame): DataFrame = {
@@ -176,40 +190,75 @@ object DriftMonitor {
     ksGuarded(counts(ref), counts(cur), maxSupport, coarsenTo)
   }
 
-  /** [[ksFromCounts]] behind the spine guard — see [[ks]]. */
+  /** The shared joined spine: one row per distinct value across both
+    * count tables, absent sides as zero. */
+  private def joinedCounts(refCounts: DataFrame, curCounts: DataFrame)
+      : DataFrame =
+    refCounts
+      .select(col("v"), col("n").as("n_ref"))
+      .join(curCounts.select(col("v"), col("n").as("n_cur")),
+        Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+
+  /** [[ksFromCounts]] behind the spine guard — see [[ks]]. LAZY like
+    * any other DataFrame: building it runs zero Spark jobs (the old
+    * shape ran an eager countDistinct probe per call — a job per
+    * micro-batch on the streaming path); the guard stats ride the same
+    * action that evaluates the KS, and a refusal surfaces from that
+    * action as a raised error in the pre-window stage. */
   def ksGuarded(refCounts: DataFrame, curCounts: DataFrame,
       maxSupport: Int, coarsenTo: Int): DataFrame = {
     require(maxSupport > 0, s"maxSupport must be > 0, got $maxSupport")
     require(coarsenTo <= maxSupport,
       s"coarsenTo ($coarsenTo) must not exceed maxSupport ($maxSupport)")
-    val spine = refCounts.select(col("v"))
-      .union(curCounts.select(col("v")))
-    val st = spine
-      .agg(countDistinct(col("v")).as("d"), min(col("v")).as("lo"),
-        max(col("v")).as("hi"))
-      .collect().head
-    val support = st.getLong(0)
-    if (support <= maxSupport) return ksFromCounts(refCounts, curCounts)
-    require(coarsenTo > 0,
-      s"KS value spine has $support distinct points (> maxSupport " +
-        s"$maxSupport): the cumulative window would funnel them " +
-        "through one task. Quantize coarser upstream, or pass " +
-        "coarsenTo to let ks() re-bucket (lower-bound statistic)")
-    // equal-width buckets keyed by lower edge; BigInt sidesteps the
-    // (hi - lo) overflow on adversarial extremes
-    val lo = st.getLong(1)
-    val range = BigInt(st.getLong(2)) - BigInt(lo) + 1
-    require(range <= Long.MaxValue,
-      s"KS spine range $range exceeds 2^63 — shift/rescale the " +
-        "quantization upstream")
-    val step = ((range + coarsenTo - 1) / coarsenTo).toLong
-    // `div` (integer division), not `/` (double): the bucket id must
-    // stay an exact BIGINT — doubles lose unit precision past 2^53
-    def coarse(c: DataFrame): DataFrame = c
-      .groupBy((expr(s"(v - ${lo}L) div ${step}L") * lit(step)
-        + lit(lo)).as("v"))
-      .agg(sum(col("n")).as("n"))
-    ksFromCounts(coarse(refCounts), coarse(curCounts))
+    val joined = joinedCounts(refCounts, curCounts)
+    // guard stats from the spine the KS already builds: support is the
+    // joined row count (v is unique per side), lo/hi bound the range.
+    // A 1-row aggregate crossed back over the spine — the join's
+    // shuffle subtree is shared, so the optimizer reuses the exchange
+    // rather than re-scanning the inputs
+    val st = joined.agg(count(lit(1)).as("__d"),
+      min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    // decimal(38,0) sidesteps (hi - lo) long overflow on adversarial
+    // extremes; raised as an in-plan error exactly like the refusal
+    val g = joined.crossJoin(broadcast(st))
+      .withColumn("__range",
+        col("__hi").cast("decimal(38,0)")
+          - col("__lo").cast("decimal(38,0)") + lit(1))
+      // ceil-div in exact integer arithmetic (`div`, never `/`: bucket
+      // ids must stay exact BIGINTs — doubles lose units past 2^53);
+      // max(coarsenTo, 1) only avoids a div-0 in the branch the
+      // refusal makes unreachable when coarsenTo = 0
+      .withColumn("__step", expr(
+        s"CAST((__range + ${math.max(coarsenTo, 1) - 1}) div " +
+          s"${math.max(coarsenTo, 1)} AS BIGINT)"))
+    val refuse = raise_error(concat(
+      lit("KS value spine has "), col("__d").cast("string"),
+      lit(s" distinct points (> maxSupport $maxSupport): the " +
+        "cumulative window would funnel them through one task. " +
+        "Quantize coarser upstream, or pass coarsenTo to let ks() " +
+        "re-bucket (lower-bound statistic)"))).cast("long")
+    val rangeRefuse = raise_error(concat(
+      lit("KS spine range "), col("__range").cast("string"),
+      lit(" exceeds 2^63 — shift/rescale the quantization upstream")))
+      .cast("long")
+    // the guard is PART of the bucket key (not a prunable side
+    // column): fine spine keeps v, an oversized spine raises or
+    // re-buckets by lower edge — branch-lazy, so the coarse
+    // arithmetic only evaluates when actually coarsening
+    val keyed = g.withColumn("__key",
+      when(col("__d") <= lit(maxSupport.toLong), col("v"))
+        .when(lit(coarsenTo) <= 0, refuse)
+        .when(col("__range") > lit(Long.MaxValue), rangeRefuse)
+        .otherwise(expr("(v - __lo) div __step") * col("__step")
+          + col("__lo")))
+    val rebucketed = keyed.groupBy(col("__key").as("v"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+        max(col("__d")).as("__d"))
+    ksMath(rebucketed, fine = col("__d") <= lit(maxSupport.toLong))
+      .select(col("n_ref"), col("n_cur"), col("ks_at"), col("ks"),
+        col("ks_hi"))
   }
 
   /** Streaming KS monitoring: a `foreachBatch` sink that scores each
@@ -250,33 +299,50 @@ object DriftMonitor {
 
   /** KS from PRE-AGGREGATED (v, n) count tables — for monitors whose
     * reference distribution is a persisted histogram (the
-    * psiFromCounts rationale). */
+    * psiFromCounts rationale). Exact spine (no guard), so
+    * `ks_hi == ks`. */
   def ksFromCounts(refCounts: DataFrame, curCounts: DataFrame)
-      : DataFrame = {
-    val joined = refCounts
-      .select(col("v"), col("n").as("n_ref"))
-      .join(curCounts.select(col("v"), col("n").as("n_cur")),
-        Seq("v"), "full_outer")
-      .select(col("v"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      : DataFrame =
+    ksMath(joinedCounts(refCounts, curCounts), fine = lit(true))
+      .select(col("n_ref"), col("n_cur"), col("ks_at"), col("ks"),
+        col("ks_hi"))
+
+  /** The bounded-spine KS window math over a (v, n_ref, n_cur) frame
+    * (plus any bookkeeping columns `fine` needs). `fine` marks an
+    * exact spine: there `ks_hi = ks`; on a coarsened spine
+    * `ks_hi = min(1, ks + max_b max(p_ref(b), p_cur(b)))` — the
+    * within-bucket drift bound, computed from the same cross-
+    * multiplied BIGINTs as the gap (summed in decimal: gap + bucket
+    * mass can graze 2^63 exactly when the documented nRef·nCur < 2^63
+    * contract is near its edge). */
+  private def ksMath(counts: DataFrame, fine: Column): DataFrame = {
     val wAll = Window.partitionBy(lit(1))
     val wCum = wAll.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gaps = joined
+    val gaps = counts
       .withColumn("__tr", sum(col("n_ref")).over(wAll))
       .withColumn("__tc", sum(col("n_cur")).over(wAll))
       .withColumn("__gap", abs(
         sum(col("n_ref")).over(wCum) * col("__tc")
           - sum(col("n_cur")).over(wCum) * col("__tr")))
+      .withColumn("__bmx", max(greatest(
+        col("n_ref") * col("__tc"),
+        col("n_cur") * col("__tr"))).over(wAll))
+    val nonEmpty = col("__tr") > 0 && col("__tc") > 0
+    val tt = (col("__tr") * col("__tc")).cast("double")
     gaps
       .withColumn("__rn", row_number().over(
         wAll.orderBy(col("__gap").desc, col("v"))))
       .filter(col("__rn") === 1)
       .select(col("__tr").as("n_ref"), col("__tc").as("n_cur"),
         col("v").as("ks_at"),
-        when(col("__tr") > 0 && col("__tc") > 0, dround(
-          col("__gap").cast("double")
-            / (col("__tr") * col("__tc")).cast("double"), 6))
-          .as("ks"))
+        when(nonEmpty,
+          dround(col("__gap").cast("double") / tt, 6)).as("ks"),
+        when(fine && nonEmpty,
+          dround(col("__gap").cast("double") / tt, 6))
+          .otherwise(when(nonEmpty, least(lit(1.0), dround(
+            (col("__gap").cast("decimal(38,0)") + col("__bmx"))
+              .cast("double") / tt, 6))))
+          .as("ks_hi"))
   }
 }

@@ -39,6 +39,7 @@ import graft.core.VersionedTable
   *   KEY c1, c2, ... TIME <col> VALUE <col> BUCKET <µs>
   * REFRESH AUC VIEW '<agg>' FROM '<base>' SCORE <col> LABEL <col>
   * REFRESH KS VIEW '<agg>' FROM '<base>' VALUE <col> AGAINST '<ref>'
+  *   [MAX SUPPORT <n>] [COARSEN TO <n>]
   * }}}
   *
   * Tables are [[VersionedTable]] paths as single-quoted string
@@ -135,10 +136,14 @@ object GraftSqlParser {
       """\s+SCORE\s+(\w+)\s+LABEL\s+(\w+)""")
   // the drift-monitoring twin: the current window's value histogram
   // maintained from deltas, KS verdict against a persisted reference
-  // count table computed on the bounded spine
+  // count table computed on the bounded spine. MAX SUPPORT / COARSEN
+  // TO expose the spine-guard knobs to the SQL caller — without them
+  // an oversized histogram's (correct, loud) refusal had no SQL-side
+  // remedy
   private val RefreshKsRe = pat(
     """REFRESH\s+KS\s+VIEW\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
-      """\s+VALUE\s+(\w+)\s+AGAINST\s+'([^']+)'""")
+      """\s+VALUE\s+(\w+)\s+AGAINST\s+'([^']+)'""" +
+      """(?:\s+MAX\s+SUPPORT\s+(\d+))?(?:\s+COARSEN\s+TO\s+(\d+))?""")
 
   private def opt(s: String): Option[String] = Option(s)
 
@@ -209,7 +214,9 @@ object GraftSqlParser {
     val rk = RefreshKsRe.matcher(sql)
     if (rk.matches())
       return Some(RefreshKsViewCommand(rk.group(1), rk.group(2),
-        rk.group(3), rk.group(4)))
+        rk.group(3), rk.group(4),
+        opt(rk.group(5)).map(_.toInt).getOrElse(1 << 20),
+        opt(rk.group(6)).map(_.toInt).getOrElse(0)))
     None
   }
 
@@ -460,17 +467,23 @@ case class RefreshAucViewCommand(aggPath: String, basePath: String,
 }
 
 /** Drift monitoring from SQL: `REFRESH KS VIEW '<agg>' FROM '<base>'
-  * VALUE <col> AGAINST '<ref>'` maintains the current window's value
-  * histogram from deltas ([[graft.ops.IncrementalAgg.maintain]] keyed
-  * on the quantized value — `n_rows` IS the histogram) and returns the
-  * exact two-sample KS verdict against a persisted `(v, n)` reference
-  * count table in the same statement. The histogram is additive under
-  * appends, so the refresh cost is ∝ the batch while the KS math runs
-  * on the quantization-bounded spine ([[graft.ops.DriftMonitor
-  * .ksGuarded]] — the spine guard applies). `ks` is null while either
-  * side is empty. */
+  * VALUE <col> AGAINST '<ref>' [MAX SUPPORT <n>] [COARSEN TO <n>]`
+  * maintains the current window's value histogram from deltas
+  * ([[graft.ops.IncrementalAgg.maintain]] keyed on the quantized
+  * value — `n_rows` IS the histogram) and returns the two-sample KS
+  * verdict against a persisted `(v, n)` reference count table in the
+  * same statement. The histogram is additive under appends, so the
+  * refresh cost is ∝ the batch while the KS math runs on the
+  * quantization-bounded spine ([[graft.ops.DriftMonitor.ksGuarded]]).
+  * The optional clauses are the spine-guard knobs with the library
+  * defaults (2^20, no coarsening): MAX SUPPORT tightens the refusal,
+  * COARSEN TO opts into the bounded lower-edge re-bucketing — the
+  * same refusal message and coarsened `[ks, ks_hi]` verdict the
+  * library caller gets. `ks`/`ks_hi` are null while either side is
+  * empty. */
 case class RefreshKsViewCommand(aggPath: String, basePath: String,
-    valueCol: String, refPath: String) extends LeafRunnableCommand {
+    valueCol: String, refPath: String, maxSupport: Int = 1 << 20,
+    coarsenTo: Int = 0) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     GraftSqlParser.attr("agg_path", StringType),
     GraftSqlParser.attr("mode", StringType),
@@ -479,7 +492,8 @@ case class RefreshKsViewCommand(aggPath: String, basePath: String,
     GraftSqlParser.attr("n_ref", LongType),
     GraftSqlParser.attr("n_cur", LongType),
     GraftSqlParser.attr("ks_at", LongType),
-    GraftSqlParser.attr("ks", DoubleType))
+    GraftSqlParser.attr("ks", DoubleType),
+    GraftSqlParser.attr("ks_hi", DoubleType))
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
     val r = graft.ops.IncrementalAgg.maintain(spark, basePath, aggPath,
@@ -491,17 +505,17 @@ case class RefreshKsViewCommand(aggPath: String, basePath: String,
       .select(col("v").cast("long").as("v"), col("n").cast("long").as("n"))
     // an empty spine yields ZERO rows from the KS math (nothing to
     // rank) — surface the honest null verdict instead of crashing
-    graft.ops.DriftMonitor.ksGuarded(ref, cur, 1 << 20, 0)
+    graft.ops.DriftMonitor.ksGuarded(ref, cur, maxSupport, coarsenTo)
       .collect().headOption match {
       case Some(v) =>
         def cnt(c: String): Long =
           Option(v.getAs[Any](c)).fold(0L)(_.asInstanceOf[Long])
         Seq(Row(aggPath, r.mode, r.aggVersion, r.filesScanned,
           cnt("n_ref"), cnt("n_cur"), v.getAs[Any]("ks_at"),
-          v.getAs[Any]("ks")))
+          v.getAs[Any]("ks"), v.getAs[Any]("ks_hi")))
       case None =>
         Seq(Row(aggPath, r.mode, r.aggVersion, r.filesScanned,
-          0L, 0L, null, null))
+          0L, 0L, null, null, null))
     }
   }
 }

@@ -535,6 +535,57 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark2.stop()
   }
 
+  test("REFRESH KS VIEW exposes the spine-guard knobs: MAX SUPPORT " +
+    "refuses from SQL, COARSEN TO re-buckets from SQL") {
+    val spark2 = sessionWithExtensions
+    try {
+      import graft.core.VersionedTable
+      import spark2.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("sqlksguard").toString
+      val (base, agg, ref) = (s"$root/base", s"$root/agg", s"$root/ref")
+      // 64-point reference, 64-point shifted current: joint support
+      // 96 — over a MAX SUPPORT 50 guard
+      VersionedTable.commitAppend(
+        (1L to 64L).map((_, 1L)).toDF("v", "n"), ref)
+      VersionedTable.commitAppend(
+        (33L to 96L).map(Tuple1(_)).toDF("x"), base)
+      // refusal carries the library's actionable message through SQL
+      val e = intercept[Exception] {
+        spark2.sql(s"REFRESH KS VIEW '$agg' FROM '$base' VALUE x " +
+          s"AGAINST '$ref' MAX SUPPORT 50").collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("distinct points")),
+        s"SQL caller must get the guard's message: ${msgs.mkString(" | ")}")
+      // COARSEN TO takes the same path the library caller gets:
+      // verdict matches ksGuarded with identical knobs, bit for bit
+      val r = spark2.sql(s"REFRESH KS VIEW '$agg' FROM '$base' VALUE x " +
+        s"AGAINST '$ref' MAX SUPPORT 50 COARSEN TO 32").collect().head
+      val lib = graft.ops.DriftMonitor.ksGuarded(
+        VersionedTable.read(spark2, ref)
+          .selectExpr("CAST(v AS BIGINT) AS v", "CAST(n AS BIGINT) AS n"),
+        graft.ops.IncrementalAgg.read(spark2, agg)
+          .selectExpr("CAST(x AS BIGINT) AS v", "n_rows AS n"),
+        maxSupport = 50, coarsenTo = 32).collect().head
+      assert(r.getLong(4) == lib.getAs[Long]("n_ref") &&
+        r.getLong(5) == lib.getAs[Long]("n_cur"))
+      assert(r.getLong(6) == lib.getAs[Long]("ks_at"))
+      assert(r.getDouble(7) == lib.getAs[Double]("ks"))
+      assert(r.getDouble(8) == lib.getAs[Double]("ks_hi"))
+      // the two-sided coarse verdict brackets the exact statistic
+      val exact = graft.ops.DriftMonitor.ks(
+        VersionedTable.read(spark2, ref).selectExpr("v AS x"),
+        VersionedTable.read(spark2, base), "x")
+        .collect().head.getAs[Double]("ks")
+      assert(r.getDouble(7) <= exact + 1e-9 &&
+        r.getDouble(8) >= exact - 1e-9,
+        s"[${r.getDouble(7)}, ${r.getDouble(8)}] must bracket $exact")
+    } finally spark2.stop()
+  }
+
   test("REFRESH AUC VIEW on an empty base returns a null-auc row, " +
     "not an NPE") {
     val spark2 = sessionWithExtensions

@@ -291,26 +291,57 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(once.toSeq == again.toSeq)
   }
 
+  /** Spark jobs started by `body` (the IncrementalAggSpec listener
+    * discipline, drained through the bridge). */
+  private def jobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      org.apache.spark.sql.GraftBridge.waitListenerEmpty(spark)
+    } finally spark.sparkContext.removeSparkListener(l)
+    n.get
+  }
+
+  private def causeChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
   test("ks spine guard: refuses a too-fine spine, coarsens when asked") {
     // 2000 distinct points — far past maxSupport = 100
     val a = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("v")
     val b = (1 to 2000).map(i => Tuple1(i.toLong + 500)).toDF("v")
-    val e = intercept[IllegalArgumentException] {
-      graft.ops.DriftMonitor.ks(a, b, "v", maxSupport = 100)
+    // the refusal is raised AT EVALUATION, in the stage before the
+    // single-task window materializes (the guard rides the KS plan
+    // instead of running its own eager probe job)
+    val e = intercept[Exception] {
+      graft.ops.DriftMonitor.ks(a, b, "v", maxSupport = 100).collect()
     }
-    assert(e.getMessage.contains("distinct points"),
-      "the guard must explain itself, not OOM one task")
+    assert(causeChain(e).exists(_.contains("distinct points")),
+      s"the guard must explain itself, not OOM one task: " +
+        causeChain(e).mkString(" | "))
     // with coarsenTo the guard re-buckets: the statistic is the exact
     // KS of the bucket-quantized distributions — a LOWER bound on the
-    // fine-grained D, never an over-alarm
+    // fine-grained D, never an over-alarm; ks_hi adds the matching
+    // UPPER bound (lower + largest one-sided within-bucket mass) so
+    // the fine-grained D is certified inside [ks, ks_hi]
     val exact = graft.ops.DriftMonitor.ks(a, b, "v")
       .collect().head.getAs[Double]("ks")
     val coarse = graft.ops.DriftMonitor.ks(a, b, "v",
         maxSupport = 100, coarsenTo = 64)
       .collect().head
     val kc = coarse.getAs[Double]("ks")
+    val kcHi = coarse.getAs[Double]("ks_hi")
     assert(kc > 0.0 && kc <= exact + 1e-9,
       s"coarse $kc must lower-bound exact $exact")
+    assert(kcHi >= exact - 1e-9 && kcHi <= 1.0,
+      s"ks_hi $kcHi must upper-bound exact $exact (and never exceed 1)")
     // counts survive re-bucketing intact
     assert(coarse.getAs[Long]("n_ref") == 2000L &&
       coarse.getAs[Long]("n_cur") == 2000L)
@@ -320,11 +351,38 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(same.getAs[Double]("ks") == 0.0)
     // ... and a shift of exactly one bucket width is still seen
     assert(kc >= 500.0 / 2500.0 - 0.1, s"gap visible after coarsening: $kc")
-    // bad parameters fail loudly
+    // on a FINE spine the statistic is exact, so ks_hi collapses to ks
+    val fine = graft.ops.DriftMonitor.ks(a, b, "v").collect().head
+    assert(fine.getAs[Double]("ks_hi") == fine.getAs[Double]("ks"))
+    // bad parameters still fail loudly AT THE CALL (plain validation)
     intercept[IllegalArgumentException] {
       graft.ops.DriftMonitor.ks(a, b, "v", maxSupport = 100,
         coarsenTo = 200)
     }
+  }
+
+  test("ks guard rides the KS action: constructing the frame runs " +
+    "zero Spark jobs") {
+    // the old shape ran an eager countDistinct probe (one job) inside
+    // every ksGuarded CALL — a job per micro-batch on the streaming
+    // sink before the verdict's own action even started. Folded into
+    // the spine, construction is free and the whole evaluation is one
+    // action
+    val a = (1 to 500).map(i => Tuple1((i % 40).toLong)).toDF("v")
+    val b = (1 to 500).map(i => Tuple1((i % 50).toLong)).toDF("v")
+    var frame: org.apache.spark.sql.DataFrame = null
+    val buildJobs = jobs {
+      frame = graft.ops.DriftMonitor.ks(a, b, "v", maxSupport = 100,
+        coarsenTo = 64)
+    }
+    assert(buildJobs == 0,
+      s"building the guarded KS must not run the probe job, ran " +
+        s"$buildJobs")
+    // and the verdict still evaluates correctly from that lazy frame
+    val row = frame.collect().head
+    assert(row.getAs[Long]("n_ref") == 500L &&
+      row.getAs[Long]("n_cur") == 500L)
+    assert(row.getAs[Double]("ks") >= 0.0)
   }
 
   test("madOutliers approx mode: GK at small n reproduces the exact " +

@@ -109,6 +109,9 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q213_period_detect", // 6-row lag-spine broadcast onto the series
       "q218_lead_lag", // 7-row lag-spine broadcast onto the hourly buckets
       "q219_pr_auc", // one-vs-rest explode: |classes|-row broadcast (q208's shape)
+      "q214_ks_drift", // scalar-attach: 1-row spine-guard stats onto the bounded count spine
+      "q222_ks_coarse", // same guard scalar-attach (the coarsening branch consumes it)
+      "q226_incremental_ks", // same guard scalar-attach over the maintained histogram
       "q224_unigram_soft_em") // q182's scalar-attach over the soft-EM kept set
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
@@ -296,7 +299,7 @@ class SqlAndPlanSpec extends SparkTestBase {
         "q209_target_encode" -> 6, // (cat,fold) agg, cat window, fold/global aggs, sort
         "q210_chi2_terms" -> 6, // presence distinct, term agg, totals, top-k sort
         "q212_dp_counts" -> 4, // class agg, rank window, sort
-        "q214_ks_drift" -> 6, // two side counts, spine join, bounded window
+        "q214_ks_drift" -> 7, // two side counts, spine join, bounded window, + the in-plan guard stats subtree (replaced the separate eager probe JOB — one action instead of two per evaluation)
         "q217_markov_transitions" -> 5, // lag window, transition agg, sort
         "q218_lead_lag" -> 7, // two bucket aggs, aligned join, lag agg, sort
         "q220_source_gini" -> 5)) { // mass agg, rank window, group agg, sort
