@@ -25,6 +25,14 @@ import org.apache.spark.sql.SparkSession
   * how noisy this VM was; a per-query swing on byte-identical code
   * reads as measured noise, not a regression. `cold_total_sec` is
   * also reported for transparency.
+  *
+  * The harness REACTS to chaotic windows, not just records them
+  * ([[bestTwoAgree]]): when the two fastest pass totals disagree by
+  * more than 10 %, up to 3 extra shuffled passes run until they agree
+  * — round 11's pair disagreed 13 % on totals purely because two of
+  * three passes landed in a bad VM window ([562, 240, 241] s on
+  * byte-identical code), which per-query min-of-3 cannot shed.
+  * `extra_passes` in the record says whether the policy fired.
   */
 object Bench {
   /** A filter token matches a catalog query by full name
@@ -44,6 +52,20 @@ object Bench {
         "catalog queries — use a full name (q139_bm25_incremental) or " +
         "a bare id (q139)")
     out
+  }
+
+  /** Chaotic-window policy: after the standard warm passes, the run is
+    * trustworthy only if its two FASTEST pass totals agree — those are
+    * the passes least polluted by whatever VM window the others hit
+    * (round 11 measured byte-identical code swinging 2.5× between
+    * passes inside one JVM: [562, 240, 241] s). If they disagree by
+    * more than `bound`, the harness runs additional shuffled warm
+    * passes (capped) until they do: per-query mins then converge even
+    * when several passes land in a bad window, and run-pair agreement
+    * becomes a property of the harness rather than the VM's mood. */
+  def bestTwoAgree(totals: Seq[Double], bound: Double = 0.10): Boolean = {
+    val s = totals.filter(_ > 0).sorted
+    s.size >= 2 && (s(1) - s(0)) / s(0) <= bound
   }
 
   /** An ONLY-filtered run must never clobber a committed
@@ -125,7 +147,7 @@ object Bench {
       .contains("1")
     val warmTimes = collection.mutable.Map.empty[String, List[Double]]
     val passTotals = collection.mutable.ListBuffer.empty[Double]
-    (1 to reps).foreach { rep =>
+    def warmPass(rep: Int): Unit = {
       if (reclaim) graft.core.Scratch.reclaimEphemeral()
       System.gc()
       val order = new scala.util.Random(1000003L * rep).shuffle(okCold)
@@ -134,6 +156,19 @@ object Bench {
         warmTimes(name) = t :: warmTimes.getOrElse(name, Nil)
         math.max(t, 0.0)
       }.sum
+      ()
+    }
+    (1 to reps).foreach(warmPass)
+    // chaotic-window reaction (see bestTwoAgree): min-of-N can't
+    // converge when N-1 passes land in a bad window — take extra
+    // shuffled passes (≤ 3) until the two best pass totals agree
+    // within 10 %, so committed records stay comparable across
+    // windows. The cap keeps a genuinely bistable box from running
+    // forever; extra_passes in the record says the policy fired
+    var extras = 0
+    while (!bestTwoAgree(passTotals.toSeq) && extras < 3) {
+      extras += 1
+      warmPass(reps + extras)
     }
 
     // per query: (warm min across passes, spread = max-min); a failed
@@ -164,6 +199,7 @@ object Bench {
     val header =
       s""""value":${ms(total)},"unit":"sec",""" +
       s""""cold_total_sec":${ms(coldTotal)},"reps":$reps,""" +
+      s""""extra_passes":$extras,""" +
       s""""spread_sec":${ms(spreadTotal)},""" +
       s""""med_spread_over_min":${ms(medRatio)}"""
     println(s"""{"metric":"total",$header,"queries":$qs,""" +

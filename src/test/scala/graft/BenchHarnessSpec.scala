@@ -39,6 +39,24 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(Bench.selectNames(None, names) === names)
   }
 
+  test("chaotic-window policy fires on disagreeing best-two totals") {
+    // round 11's run A: [405, 277, 603] — best two (277, 405) are 46 %
+    // apart: the window polluted two of three passes, min-of-3 can't
+    // converge, extra passes are warranted
+    assert(!Bench.bestTwoAgree(Seq(405.0, 277.0, 603.0)))
+    // round 11's run B: [562, 240, 241] — best two agree to 0.4 %:
+    // the two clean passes are the signal, no extra passes needed
+    assert(Bench.bestTwoAgree(Seq(562.0, 240.0, 241.0)))
+    // exactly at the bound is acceptance, just over is not
+    assert(Bench.bestTwoAgree(Seq(100.0, 110.0)))
+    assert(!Bench.bestTwoAgree(Seq(100.0, 110.1)))
+    // degenerate inputs never divide by zero or loop the harness
+    assert(!Bench.bestTwoAgree(Seq(100.0)))
+    assert(!Bench.bestTwoAgree(Seq(0.0, 0.0)))
+    assert(Bench.bestTwoAgree(Seq(0.0, 100.0, 101.0)),
+      "all-failed passes (0 total) must not poison the comparison")
+  }
+
   test("clobber guard rejects relative and dot-path aliases") {
     intercept[IllegalArgumentException] {
       Bench.guardOutFile(onlySet = true, "BENCH_FULL.json")
