@@ -5363,7 +5363,160 @@ object Oracles {
         |  CAST(round(ln(CAST(cnt AS DOUBLE) / t2) * 1000000.0)
         |    AS BIGINT) AS score
         |FROM kept CROSS JOIN tot2
+        |ORDER BY piece""".stripMargin),
+
+    // the full training loop unrolled: TWO soft-EM lattices (q224's
+    // α/β recursions, round 2 over round 1's renormalized survivors)
+    // each followed by the prune-by-loss ranking — every posterior,
+    // loss product (HUGEINT-exact), and shrink arithmetic replayed;
+    // a drifted prune order or a wrong survivor set breaks the hash
+    "q227_unigram_train" ->
+      ("WITH RECURSIVE " + unigramVocabBody + """,
+        |ws AS MATERIALIZED (SELECT DISTINCT word FROM w),
+        |occ AS MATERIALIZED (
+        |  SELECT ws.word, t.s AS s0, u.l AS l,
+        |    substr(ws.word, CAST(t.s + 1 AS INT), CAST(u.l AS INT))
+        |      AS piece
+        |  FROM ws,
+        |    LATERAL unnest(range(0, len(ws.word))) AS t(s),
+        |    LATERAL unnest(range(1, 5)) AS u(l)
+        |  WHERE t.s + u.l <= len(ws.word)),
+        |""".stripMargin
+        + softEmRoundSql(1, "vocab0", 20) + ",\n"
+        + softEmRoundSql(2, "surv1", 20) + """,
+        |totf AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM surv2)
+        |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000.0)
+        |    AS BIGINT) AS score
+        |FROM surv2 CROSS JOIN totf
         |ORDER BY piece""".stripMargin))
+
+  /** One full soft-EM training round for the q227 oracle, CTE names
+    * suffixed by round number: the α/β lattice E-step (q224's
+    * recursions verbatim, joined to this round's exact-rational
+    * probabilities), the M-step floor/rescore, and the prune-by-loss
+    * ranking — loss = HUGEINT(expected usage) × (score − best
+    * alternative-composition score), keep
+    * max(target − singles, ceil(3n/4)) multis by (loss DESC, piece).
+    * The composition set comes from the SAME
+    * [[graft.operators.Unigram.properCompositions]] enumeration the
+    * Spark-side prune uses — one source of truth for both engines.
+    * Heavily-referenced CTEs are MATERIALIZED (the closure-oracle
+    * lesson: multi-referenced chained CTEs inline exponentially). */
+  private def softEmRoundSql(it: Int, vocabCte: String,
+      targetVocab: Int, maxPieceLen: Int = 4): String = {
+    val compBranches = (2 to maxPieceLen).flatMap { n =>
+      graft.operators.Unigram.properCompositions(n).map { parts =>
+        val joins = parts.zipWithIndex.map { case (l, k) =>
+          val off = parts.take(k).sum
+          s"  JOIN sc$it s${k + 1} ON s${k + 1}.piece = " +
+            s"substr(k.piece, ${off + 1}, $l)"
+        }.mkString("\n")
+        val sumExpr = parts.indices.map(k => s"s${k + 1}.score")
+          .mkString(" + ")
+        s"  SELECT k.piece, $sumExpr AS cs\n  FROM sc$it k\n" +
+          s"$joins\n  WHERE len(k.piece) = $n"
+      }
+    }.mkString("\n  UNION ALL\n")
+    s"""tt$it AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM $vocabCte),
+      |prob$it AS MATERIALIZED (SELECT piece, CAST(cnt AS DOUBLE) / t
+      |    AS p
+      |  FROM $vocabCte CROSS JOIN tt$it),
+      |alpha$it AS (
+      |  SELECT word, CAST(0 AS BIGINT) AS j,
+      |    CAST(1.0 AS DOUBLE) AS a0, CAST(0.0 AS DOUBLE) AS a1,
+      |    CAST(0.0 AS DOUBLE) AS a2, CAST(0.0 AS DOUBLE) AS a3
+      |  FROM ws
+      |  UNION ALL
+      |  SELECT r.word, r.j + 1,
+      |    r.a0 * coalesce(p1.p, 0.0) + r.a1 * coalesce(p2.p, 0.0)
+      |      + r.a2 * coalesce(p3.p, 0.0) + r.a3 * coalesce(p4.p, 0.0),
+      |    r.a0, r.a1, r.a2
+      |  FROM alpha$it r
+      |  LEFT JOIN prob$it p1
+      |    ON p1.piece = substr(r.word, CAST(r.j + 1 AS INT), 1)
+      |  LEFT JOIN prob$it p2 ON r.j >= 1
+      |    AND p2.piece = substr(r.word, CAST(r.j AS INT), 2)
+      |  LEFT JOIN prob$it p3 ON r.j >= 2
+      |    AND p3.piece = substr(r.word, CAST(r.j - 1 AS INT), 3)
+      |  LEFT JOIN prob$it p4 ON r.j >= 3
+      |    AND p4.piece = substr(r.word, CAST(r.j - 2 AS INT), 4)
+      |  WHERE r.j < len(r.word)),
+      |beta$it AS (
+      |  SELECT word, CAST(len(word) AS BIGINT) AS i,
+      |    CAST(1.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+      |    CAST(0.0 AS DOUBLE) AS b2, CAST(0.0 AS DOUBLE) AS b3
+      |  FROM ws
+      |  UNION ALL
+      |  SELECT r.word, r.i - 1,
+      |    coalesce(p1.p, 0.0) * r.b0 + coalesce(p2.p, 0.0) * r.b1
+      |      + coalesce(p3.p, 0.0) * r.b2 + coalesce(p4.p, 0.0) * r.b3,
+      |    r.b0, r.b1, r.b2
+      |  FROM beta$it r
+      |  LEFT JOIN prob$it p1
+      |    ON p1.piece = substr(r.word, CAST(r.i AS INT), 1)
+      |  LEFT JOIN prob$it p2 ON r.i + 1 <= len(r.word)
+      |    AND p2.piece = substr(r.word, CAST(r.i AS INT), 2)
+      |  LEFT JOIN prob$it p3 ON r.i + 2 <= len(r.word)
+      |    AND p3.piece = substr(r.word, CAST(r.i AS INT), 3)
+      |  LEFT JOIN prob$it p4 ON r.i + 3 <= len(r.word)
+      |    AND p4.piece = substr(r.word, CAST(r.i AS INT), 4)
+      |  WHERE r.i > 0),
+      |af$it AS MATERIALIZED (SELECT word, j, a0 FROM alpha$it),
+      |bf$it AS MATERIALIZED (SELECT word, i, b0 FROM beta$it),
+      |zt$it AS MATERIALIZED (SELECT word, a0 AS z FROM alpha$it
+      |  WHERE j = len(word)),
+      |post$it AS (
+      |  SELECT o.word, o.piece,
+      |    CAST(round(a.a0 * pr.p * b.b0 / z.z * 1000000.0)
+      |      AS BIGINT) AS u
+      |  FROM occ o
+      |  JOIN prob$it pr ON pr.piece = o.piece
+      |  JOIN af$it a ON a.word = o.word AND a.j = o.s0
+      |  JOIN bf$it b ON b.word = o.word AND b.i = o.s0 + o.l
+      |  JOIN zt$it z ON z.word = o.word
+      |  WHERE z.z > 0),
+      |pw$it AS (SELECT word, piece, CAST(sum(u) AS BIGINT) AS u
+      |  FROM post$it GROUP BY 1, 2),
+      |usage$it AS MATERIALIZED (SELECT piece,
+      |    CAST(sum(w.n * pw$it.u) AS BIGINT) AS usage_s
+      |  FROM pw$it JOIN w USING (word) GROUP BY piece),
+      |kept$it AS MATERIALIZED (
+      |  SELECT piece, cnt FROM (
+      |    SELECT v.piece,
+      |      CASE WHEN len(v.piece) = 1
+      |        THEN greatest(coalesce(u.usage_s, 0), 1000000)
+      |        ELSE u.usage_s END AS cnt
+      |    FROM $vocabCte v LEFT JOIN usage$it u USING (piece))
+      |  WHERE cnt IS NOT NULL AND cnt > 0),
+      |tot$it AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept$it),
+      |sc$it AS MATERIALIZED (SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000.0)
+      |      AS BIGINT) AS score
+      |  FROM kept$it CROSS JOIN tot$it),
+      |comp$it AS (
+      |$compBranches),
+      |alt$it AS MATERIALIZED (SELECT piece, max(cs) AS alt
+      |  FROM comp$it GROUP BY piece),
+      |cntm$it AS (SELECT
+      |    count(*) FILTER (WHERE len(piece) > 1) AS nm,
+      |    count(*) FILTER (WHERE len(piece) = 1) AS ns
+      |  FROM sc$it),
+      |rank$it AS (SELECT m.piece, m.cnt, row_number() OVER (
+      |    ORDER BY (a.alt IS NULL) DESC,
+      |      CAST(m.cnt AS HUGEINT)
+      |        * CAST(m.score - a.alt AS HUGEINT) DESC,
+      |      m.piece) AS rn
+      |  FROM sc$it m LEFT JOIN alt$it a USING (piece)
+      |  WHERE len(m.piece) > 1),
+      |surv$it AS MATERIALIZED (
+      |  SELECT piece, cnt FROM sc$it WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT r.piece, r.cnt FROM rank$it r, cntm$it c
+      |  WHERE r.rn <= least(c.nm,
+      |    greatest(greatest(0, $targetVocab - c.ns),
+      |      (3 * c.nm + 3) // 4)))""".stripMargin
+  }
 
   /** Unrolled full-batch logistic-GD oracle replicating
     * [[graft.operators.QualityClassifier.scoreDF]] (lr = 0.5, zero

@@ -4033,5 +4033,22 @@ object Queries {
           t(s, d, "documents"), "text", vocabSize = 40,
           maxPieceLen = 4)
         .orderBy(col("piece"))
+    }),
+
+    // ---- tokenizer: soft-EM TRAINING loop (EM + prune-by-loss) ---------
+    "q227_unigram_train" -> ((s, d) => {
+      // two full rounds of Kudo 2018's training loop: q224's soft
+      // E-step + M-step rescore, then prune the multi-char pieces
+      // whose removal costs the least corpus likelihood — loss =
+      // expected_usage × (score − best alternative segmentation
+      // score over proper compositions), exact BigInt ranking — keep
+      // ceil(3/4) per round (never below target), renormalize the
+      // survivors into the next round's exact-rational probabilities.
+      // The oracle unrolls BOTH lattices and BOTH prunes in recursive
+      // CTEs, so every posterior, every loss product, and both
+      // shrink arithmetic rounds replay bit-exact
+      graft.operators.Unigram.trainSoftEm(
+        t(s, d, "documents"), "text", vocabSize = 40,
+        maxPieceLen = 4, iters = 2, targetVocab = 20)
     }))
 }

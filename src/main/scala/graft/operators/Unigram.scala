@@ -180,10 +180,20 @@ object Unigram {
     * score) with `cnt` the 1e6-SCALED expected usage. */
   def pieceVocabEmSoft(df: DataFrame, textCol: String,
       vocabSize: Int = 40, maxPieceLen: Int = 4): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val (pieces, cnts, total) = vocabCountsCached(df, textCol,
       vocabSize, maxPieceLen)
+    emStep(df, textCol, pieces, cnts, total, maxPieceLen)
+  }
+
+  /** One soft E+M step over an explicit (pieces, cnts, total) state:
+    * forward-backward expected usage (E), then the M-step floor/prune
+    * and the Spark-SQL rescore (HALF_UP parity with DuckDB). The unit
+    * [[pieceVocabEmSoft]] runs once and [[trainSoftEm]] loops. */
+  private def emStep(df: DataFrame, textCol: String,
+      pieces: Array[String], cnts: Array[Long], total: Long,
+      maxPieceLen: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val init = pieces.toSeq.toDF("piece")
     val usage = words(df, textCol)
       .select(col("n"), explode(graft.functions.UnigramExpectedUsage
@@ -202,6 +212,134 @@ object Unigram {
       .select(col("piece"), col("cnt"),
         round(log(col("cnt").cast("double") /
           col("__t").cast("double")) * 1e6, 0).cast("long").as("score"))
+  }
+
+  /** Codepoint-indexed substring/length — DuckDB `substr`/`len`
+    * semantics (and [[graft.functions.UnigramSegment.segment]]'s
+    * rationale): the driver-side prune must slice pieces exactly the
+    * way the oracle does, or a surrogate-pair piece would rank under
+    * a different loss. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+  private def cpSubstr(s: String, start: Int, len: Int): String = {
+    val a = s.offsetByCodePoints(0, start)
+    val b = s.offsetByCodePoints(a, len)
+    s.substring(a, b)
+  }
+
+  /** All compositions of `n` into ≥ 2 ordered positive parts — the
+    * proper segmentations of an n-codepoint piece into strictly
+    * smaller pieces (a part can never equal the whole, so the piece
+    * itself is excluded by construction). Bounded: n ≤ maxPieceLen ≤
+    * a handful, so the enumeration is a few dozen rows at most. */
+  private[graft] def properCompositions(n: Int): Seq[Seq[Int]] = {
+    def comps(m: Int): Seq[Seq[Int]] =
+      if (m == 0) Seq(Seq.empty)
+      else (1 to m).flatMap(l => comps(m - l).map(l +: _))
+    comps(n).filter(_.size >= 2)
+  }
+
+  /** The best alternative segmentation score of `piece` using OTHER
+    * kept pieces: max over proper compositions of the summed integer
+    * scores (None when some composition part is missing from the kept
+    * set AND no all-singles fallback exists — can't happen while
+    * single characters are always kept, but a missing alternative
+    * ranks the piece unprunable rather than crashing). */
+  private def altScore(piece: String, score: Map[String, Long])
+      : Option[Long] = {
+    val n = cpLen(piece)
+    val sums = properCompositions(n).flatMap { parts =>
+      val bounds = parts.scanLeft(0)(_ + _)
+      val segs = bounds.zip(parts).map { case (off, l) =>
+        cpSubstr(piece, off, l)
+      }
+      if (segs.forall(score.contains)) Some(segs.map(score).sum)
+      else None
+    }
+    sums.reduceOption(_ max _)
+  }
+
+  /** Kudo 2018's prune step on a scored vocabulary: rank multi-char
+    * pieces by the first-order likelihood LOSS of removing them —
+    * `expected_usage × (score − best_alternative_score)`, i.e. how
+    * much corpus log-probability is paid to re-segment the piece's
+    * occurrences through other pieces (SentencePiece's loss, with the
+    * alternative evaluated over proper compositions of the piece) —
+    * and keep the top `max(targetVocab − |singles|, ceil(3·n/4))`
+    * (the 0.75 shrink factor, floored at the target). Single
+    * characters always survive (segmentation closure). Everything is
+    * exact integer arithmetic (BigInt products, integer ceil-div,
+    * (loss DESC, piece ASC) ranking), so a recursive-CTE oracle
+    * replays the ranking bit for bit. */
+  private[graft] def pruneByLoss(
+      scored: Array[(String, Long, Long)], targetVocab: Int)
+      : Array[(String, Long)] = {
+    val score = scored.map(r => r._1 -> r._3).toMap
+    val (singles, multis) = scored.partition(r => cpLen(r._1) == 1)
+    val nM = multis.length
+    val targetMulti = math.max(0, targetVocab - singles.length)
+    val keepM = math.min(nM, math.max(targetMulti, (3 * nM + 3) / 4))
+    val ranked = multis.map { case (p, c, s) =>
+      (p, c, altScore(p, score).map(a => BigInt(c) * BigInt(s - a)))
+    }
+    def before(a: (String, Long, Option[BigInt]),
+        b: (String, Long, Option[BigInt])): Boolean = (a._3, b._3) match {
+      case (None, None) => a._1 < b._1 // unsplittable: infinite loss
+      case (None, _) => true
+      case (_, None) => false
+      case (Some(x), Some(y)) => if (x != y) x > y else a._1 < b._1
+    }
+    (singles.map(r => (r._1, r._2)) ++
+      ranked.sortWith(before).take(keepM).map(r => (r._1, r._2)))
+      .sortBy(_._1)
+  }
+
+  /** The soft-EM TRAINING LOOP — Kudo 2018's actual algorithm on top
+    * of the single refinement step: alternate the forward-backward
+    * E-step + M-step rescore ([[pieceVocabEmSoft]]'s math, via
+    * [[emStep]]) with [[pruneByLoss]] until `iters` rounds ran,
+    * shrinking the multi-char vocabulary 25 % per round but never
+    * below `targetVocab`. The next round's piece probabilities are
+    * the surviving expected usages renormalized over the survivors —
+    * exact rationals again, so every round's lattice stays
+    * oracle-replayable (q227 unrolls two full rounds in recursive
+    * CTEs).
+    *
+    * Scale shape: each round is ONE distributed pass over DISTINCT
+    * corpus words (vocabulary-sized shuffles only — the [[encode]]
+    * discipline) plus driver work on the ≤ vocab-sized scored rows
+    * (the codebook discipline); `iters` is a small constant, so cost
+    * is `iters` corpus word passes regardless of corpus width.
+    * Output: (piece, cnt, score) over the final vocabulary, scores
+    * re-normalized over the survivors in Spark SQL. */
+  def trainSoftEm(df: DataFrame, textCol: String, vocabSize: Int = 40,
+      maxPieceLen: Int = 4, iters: Int = 2, targetVocab: Int = 20)
+      : DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(targetVocab >= 0, "targetVocab must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var (pieces, cnts, total) = vocabCountsCached(df, textCol,
+      vocabSize, maxPieceLen)
+    var i = 0
+    while (i < iters) {
+      val scored = emStep(df, textCol, pieces, cnts, total, maxPieceLen)
+        .orderBy(col("piece")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val surv = pruneByLoss(scored, targetVocab)
+      pieces = surv.map(_._1)
+      cnts = surv.map(_._2)
+      total = cnts.sum
+      i += 1
+    }
+    // final scores renormalize over the pruned set — ln/round in
+    // Spark SQL for HALF_UP parity with the oracle
+    val out = pieces.zip(cnts).toSeq.toDF("piece", "cnt")
+    val t = out.agg(sum(col("cnt")).as("__t"))
+    out.crossJoin(t)
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") /
+          col("__t").cast("double")) * 1e6, 0).cast("long").as("score"))
+      .orderBy(col("piece"))
   }
 
   /** Per-document encoding summary under a freshly trained vocab:

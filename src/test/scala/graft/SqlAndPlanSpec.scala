@@ -112,7 +112,8 @@ class SqlAndPlanSpec extends SparkTestBase {
       "q214_ks_drift", // scalar-attach: 1-row spine-guard stats onto the bounded count spine
       "q222_ks_coarse", // same guard scalar-attach (the coarsening branch consumes it)
       "q226_incremental_ks", // same guard scalar-attach over the maintained histogram
-      "q224_unigram_soft_em") // q182's scalar-attach over the soft-EM kept set
+      "q224_unigram_soft_em", // q182's scalar-attach over the soft-EM kept set
+      "q227_unigram_train") // q224's scalar-attach per training round + the final vocab-sized rescore
     Queries.all.keys.filterNot(allowed).toSeq.sorted.foreach { name =>
       val cartesian = executedNodes(name).exists {
         case _: CartesianProductExec => true

@@ -314,6 +314,72 @@ class UnigramSpec extends SparkTestBase {
     assert(again === soft)
   }
 
+  test("trainSoftEm: singles always survive, prune drops the " +
+    "lowest-loss multi at the 0.75 shrink, target floors the cut") {
+    // four multi-char candidates: "ab" dominates (4 words), cd/ef/gh
+    // appear once each and tie on loss — the shrink keeps
+    // ceil(3·4/4) = 3, so exactly one of the tied tail (lex-largest
+    // "gh") is pruned, deterministically
+    val docs = Seq((1L, "ab ab ab ab cd ef gh")).toDF("id", "text")
+    val base = Unigram.pieceVocabEmSoft(docs, "text", vocabSize = 20,
+        maxPieceLen = 2)
+      .collect().map(r => r.getString(0)).toSet
+    val singles = base.filter(_.length == 1)
+    val multis = base.filter(_.length > 1)
+    assert(multis == Set("ab", "cd", "ef", "gh"), s"setup: $multis")
+    val one = Unigram.trainSoftEm(docs, "text", vocabSize = 20,
+        maxPieceLen = 2, iters = 1, targetVocab = 0)
+      .collect().map(r => r.getString(0)).toSet
+    assert(singles.subsetOf(one), "single-char closure must survive")
+    assert(one.filter(_.length > 1) == Set("ab", "cd", "ef"),
+      s"keep ceil(3/4): ab (dominant) + lex-smaller of the tie: $one")
+    // a target covering the whole vocab disables the cut
+    val all = Unigram.trainSoftEm(docs, "text", vocabSize = 20,
+        maxPieceLen = 2, iters = 1,
+        targetVocab = singles.size + multis.size)
+      .collect().map(r => r.getString(0)).toSet
+    assert(all.count(_.length > 1) == multis.size,
+      "target >= vocab must disable the cut")
+    // two rounds stay deterministic under partitioning (the per-word
+    // quantization contract carries through the loop)
+    val two = Unigram.trainSoftEm(docs, "text", vocabSize = 20,
+        maxPieceLen = 2, iters = 2, targetVocab = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val twoAgain = Unigram.trainSoftEm(docs.repartition(5), "text",
+        vocabSize = 20, maxPieceLen = 2, iters = 2, targetVocab = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(two.toSeq == twoAgain.toSeq)
+    // scores renormalize over the survivors: exp-sum of probabilities
+    // stays ~1 (scaled-integer scores, so only approximately)
+    val psum = two.map(r => math.exp(r._3 / 1e6)).sum
+    assert(psum > 0.98 && psum < 1.02, s"scores must renormalize: $psum")
+  }
+
+  test("prune loss ranking: a piece cheaper than its own best " +
+    "decomposition is pruned first; equal losses break by piece") {
+    // hand-built scored vocab, 4 singles + 4 multis (shrink keeps 3):
+    // "ab" scores WORSE than its own a+b decomposition with tiny
+    // usage — negative loss, first out; "cd" is heavily used with a
+    // poor decomposition — safest; "ad"/"cb" tie exactly
+    val scored = Array(
+      ("a", 5000000L, -900000L), ("b", 5000000L, -900000L),
+      ("c", 1000000L, -2000000L), ("d", 1000000L, -2000000L),
+      ("ab", 1000000L, -2500000L), // alt a+b = -1800000: loss < 0
+      ("cd", 9000000L, -1200000L), // alt c+d = -4000000: largest loss
+      ("ad", 2000000L, -1500000L), // alt a+d = -2900000
+      ("cb", 2000000L, -1500000L)) // alt c+b = -2900000: ties "ad"
+    val surv = Unigram.pruneByLoss(scored, targetVocab = 0)
+      .map(_._1).toSet
+    assert(surv.filter(_.length == 1) == Set("a", "b", "c", "d"),
+      "singles are never pruned")
+    assert(surv.filter(_.length > 1) == Set("cd", "ad", "cb"),
+      s"'ab' (negative loss) must be the pruned one: $surv")
+    // the target floor overrides the shrink: 4 singles + target 8
+    // keeps every multi
+    val all = Unigram.pruneByLoss(scored, targetVocab = 8).map(_._1)
+    assert(all.count(_.length > 1) == 4)
+  }
+
   test("encode: word counts and segment sums line up") {
     val docs = Seq((1L, "abab ab"), (2L, "abab cd")).toDF("id", "text")
     val rows = Unigram.encode(docs, "id", "text", vocabSize = 3,
