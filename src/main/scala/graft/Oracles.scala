@@ -3404,6 +3404,94 @@ object Oracles {
         |FROM ranked WHERE rn <= 5
         |ORDER BY query_id, rn""".stripMargin),
 
+    // q39: the mixed-modality feature surface re-derived from the
+    // generator's closed-form pixel/sample/byte formulas (the
+    // q127/q128/q161 discipline applied to the whole table): BMP and
+    // PNG red-channel means, WAV PCM means, noise byte-histogram
+    // mass, container sizes where the container is a content function
+    // (BMP geometry, WAV PCM length, raw noise), header dims/rates
+    // for every sniffable format. The float32 feature quantization is
+    // replayed with an explicit CAST(AS FLOAT) round-trip. Encoder-
+    // sized bytes (PNG deflate, JPEG) and the lossy JPEG mean are
+    // NULL on both sides by construction.
+    "q39_multimodal_features" ->
+      """WITH a AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 300) t(i)),
+        |bmp AS (SELECT i, 8 + i % 9 AS w, 6 + i % 7 AS h
+        |  FROM a WHERE i % 5 = 0),
+        |bmppx AS (
+        |  SELECT i, w, h, x, unnest(range(0, h)) AS y
+        |  FROM (SELECT i, w, h, unnest(range(0, w)) AS x FROM bmp)),
+        |bmpf AS (
+        |  SELECT i AS asset_id, 'image' AS modality,
+        |    CAST(54 + ((any_value(w) * 3 + 3) // 4 * 4)
+        |      * any_value(h) AS BIGINT) AS n_bytes,
+        |    CAST(1 AS BIGINT) AS decoded_flag,
+        |    round(CAST(CAST(CAST(sum((i*7 + x*3 + y*5) % 256)
+        |        AS DOUBLE) / (255.0 * count(*)) AS FLOAT) AS DOUBLE)
+        |      * 10000.0) / 10000.0 + 0 AS mean_ch1,
+        |    'bmp' AS sniffed_format,
+        |    CAST(any_value(w) AS INT) AS sniffed_width,
+        |    CAST(NULL AS INT) AS sniffed_sample_rate
+        |  FROM bmppx GROUP BY i),
+        |png AS (SELECT i, 8 + i % 9 AS w, 6 + i % 7 AS h
+        |  FROM a WHERE i % 5 = 1),
+        |pngpx AS (
+        |  SELECT i, w, h, x, unnest(range(0, h)) AS y
+        |  FROM (SELECT i, w, h, unnest(range(0, w)) AS x FROM png)),
+        |pngf AS (
+        |  SELECT i AS asset_id, 'image' AS modality,
+        |    CAST(NULL AS BIGINT) AS n_bytes,
+        |    CAST(1 AS BIGINT) AS decoded_flag,
+        |    round(CAST(CAST(CAST(sum((i*7 + x*3 + y*5) % 256)
+        |        AS DOUBLE) / (255.0 * count(*)) AS FLOAT) AS DOUBLE)
+        |      * 10000.0) / 10000.0 + 0 AS mean_ch1,
+        |    'png' AS sniffed_format,
+        |    CAST(any_value(w) AS INT) AS sniffed_width,
+        |    CAST(NULL AS INT) AS sniffed_sample_rate
+        |  FROM pngpx GROUP BY i),
+        |jpgf AS (
+        |  SELECT i AS asset_id, 'image' AS modality,
+        |    CAST(NULL AS BIGINT) AS n_bytes,
+        |    CAST(1 AS BIGINT) AS decoded_flag,
+        |    CAST(NULL AS DOUBLE) AS mean_ch1,
+        |    'jpeg' AS sniffed_format,
+        |    CAST(16 + i % 17 AS INT) AS sniffed_width,
+        |    CAST(NULL AS INT) AS sniffed_sample_rate
+        |  FROM a WHERE i % 5 = 2),
+        |wav AS (SELECT i, 60 + (i % 50) * 3 AS m
+        |  FROM a WHERE i % 5 = 3),
+        |wavs AS (SELECT i, m, unnest(range(0, m)) AS t FROM wav),
+        |wavf AS (
+        |  SELECT i AS asset_id, 'audio' AS modality,
+        |    CAST(44 + 2 * any_value(m) AS BIGINT) AS n_bytes,
+        |    CAST(1 AS BIGINT) AS decoded_flag,
+        |    round(CAST(CAST(CAST(sum((i*37 + t*101) % 65536 - 32768)
+        |        AS DOUBLE) / (32768.0 * count(*)) AS FLOAT) AS DOUBLE)
+        |      * 10000.0) / 10000.0 + 0 AS mean_ch1,
+        |    'wav' AS sniffed_format,
+        |    CAST(NULL AS INT) AS sniffed_width,
+        |    CAST(8600 AS INT) AS sniffed_sample_rate
+        |  FROM wavs GROUP BY i),
+        |vidb AS (SELECT i, unnest(range(0, 96)) AS j
+        |  FROM a WHERE i % 5 = 4),
+        |vidf AS (
+        |  SELECT i AS asset_id, 'video' AS modality,
+        |    CAST(96 AS BIGINT) AS n_bytes,
+        |    CAST(0 AS BIGINT) AS decoded_flag,
+        |    round(CAST(CAST(CAST(sum(CASE WHEN (i*31 + j*7) % 251 < 32
+        |          THEN 1 ELSE 0 END) AS DOUBLE) / 96.0 AS FLOAT)
+        |        AS DOUBLE)
+        |      * 10000.0) / 10000.0 + 0 AS mean_ch1,
+        |    CAST(NULL AS VARCHAR) AS sniffed_format,
+        |    CAST(NULL AS INT) AS sniffed_width,
+        |    CAST(NULL AS INT) AS sniffed_sample_rate
+        |  FROM vidb GROUP BY i)
+        |SELECT * FROM (
+        |  SELECT * FROM bmpf UNION ALL SELECT * FROM pngf
+        |  UNION ALL SELECT * FROM jpgf UNION ALL SELECT * FROM wavf
+        |  UNION ALL SELECT * FROM vidf)
+        |ORDER BY asset_id""".stripMargin,
+
     // q127/q128: the engine decodes REAL container bytes (BMP pixel
     // rows / WAV PCM samples); the oracle re-derives the expected
     // stats from the generator's closed-form pixel/sample formulas —

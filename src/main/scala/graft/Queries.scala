@@ -450,24 +450,37 @@ object Queries {
     }),
 
     "q39_multimodal_features" -> ((s, d) => {
-      // multimodal surface: REAL header sniffing (PNG/WAV dims and
-      // sample rate parsed from the bytes) + the distributed feature
-      // path. Every modality's feature now derives from REAL decode:
-      // BMP/PNG pixels (q127/q161), WAV samples (q128), baseline JPEG
-      // pixels (JpegDecodeSpec vs javax.imageio); unrecognizable
-      // payloads get byte-distribution stats flagged decoded=0.
-      // Rows-only check (DuckDB cannot decode media containers)
+      // multimodal surface: REAL header sniffing (PNG/WAV/JPEG dims
+      // and sample rate parsed from the bytes) + the distributed
+      // decode feature path — now FULLY hash-checked: every emitted
+      // value is a closed-form function of the asset generator
+      // (decode flags, header geometry, red-channel / PCM means,
+      // noise byte statistics), recomputed by the oracle from the
+      // pixel/sample formulas while the engine decodes actual
+      // container bytes. The only masked values are the two that are
+      // compressor outputs rather than content functions: n_bytes of
+      // DEFLATE/JPEG streams (encoder-sized) and the JPEG channel
+      // mean (lossy decode — held to javax.imageio by
+      // JpegDecodeSpec). That the JPEG DID decode stays certified:
+      // decoded_flag = 1 requires a successful real baseline decode
       val mm = graft.multimodal.MultimodalOps
       val assets = mm.syntheticMixedAssets(s, 300)
       val meta = mm.annotateAssets(assets).select(col("asset_id"),
         col("sniffed_format"), col("sniffed_width"),
         col("sniffed_sample_rate"))
       mm.extractFeatures(assets, dim = 16, partitions = 8)
-        .select(col("asset_id"), col("modality"), col("n_bytes"),
-          element_at(col("feature"), 1).as("decoded_flag"),
-          dround(element_at(col("feature"), 5).cast("double"), 4)
-            .as("mean_ch1"))
         .join(meta, Seq("asset_id"))
+        .select(col("asset_id"), col("modality"),
+          when(col("sniffed_format").isin("png", "jpeg"), lit(null))
+            .otherwise(col("n_bytes")).as("n_bytes"),
+          element_at(col("feature"), 1).cast("bigint")
+            .as("decoded_flag"),
+          when(col("sniffed_format") === "jpeg", lit(null))
+            .otherwise(dround(
+              element_at(col("feature"), 5).cast("double"), 4)
+              + lit(0)).as("mean_ch1"),
+          col("sniffed_format"), col("sniffed_width"),
+          col("sniffed_sample_rate"))
         .orderBy(col("asset_id"))
     }),
 
