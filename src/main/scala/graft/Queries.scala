@@ -4010,8 +4010,13 @@ object Queries {
       // the statistic from the raw tables and pins mode='incremental'
       val ev = t(s, d, "events").filter(col("value").isNotNull)
         .withColumn("v", round(col("value") * lit(100), 0).cast("long"))
-      val ref = ev.filter(col("event_type") === "view")
-        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      // materialized reference counts: the guarded KS plan consumes
+      // the count table twice (guard stats + the math), and a raw
+      // events aggregation would scan the corpus twice — a persisted
+      // reference histogram is also what a production monitor holds
+      val ref = graft.core.Scratch.materialize(
+        ev.filter(col("event_type") === "view")
+          .groupBy(col("v")).agg(count(lit(1)).as("n")), "ksref")
       val clicks = ev.filter(col("event_type") === "click").select("v")
       val root = s"${graft.core.Scratch.root(ev)}/ksview_" +
         java.util.UUID.randomUUID()

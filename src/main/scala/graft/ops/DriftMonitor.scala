@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Scratch
 import graft.functions.Rounding.dround
 
 /** Distribution-drift monitoring between a REFERENCE corpus slice and
@@ -183,9 +184,20 @@ object DriftMonitor {
       require(Seq("bigint", "int", "smallint", "tinyint").contains(dt),
         s"ks needs an integral (quantized) value column; $valueCol is " +
           s"$dt — scale doubles to a fixed-point long first")
-      df.filter(col(valueCol).isNotNull)
-        .groupBy(col(valueCol).cast("long").as("v"))
-        .agg(count(lit(1)).as("n"))
+      // materialize the bounded (v, n) table: the guarded plan below
+      // consumes the spine TWICE (once for the guard stats, once for
+      // the KS math), and Catalyst cannot reuse the exchanges across
+      // the two subtrees (column pruning narrows the stats copy, so
+      // they stop canonicalizing equal — measured as q222 doubling
+      // when the counts derive from a raw corpus scan). One scratch
+      // write makes the corpus scan happen ONCE per side, full stop —
+      // at 100 TB the count table is quantization-bounded while the
+      // corpus is not, so this is the only defensible trade
+      Scratch.materialize(
+        df.filter(col(valueCol).isNotNull)
+          .groupBy(col(valueCol).cast("long").as("v"))
+          .agg(count(lit(1)).as("n")),
+        "ks_counts")
     }
     ksGuarded(counts(ref), counts(cur), maxSupport, coarsenTo)
   }
@@ -215,9 +227,13 @@ object DriftMonitor {
     val joined = joinedCounts(refCounts, curCounts)
     // guard stats from the spine the KS already builds: support is the
     // joined row count (v is unique per side), lo/hi bound the range.
-    // A 1-row aggregate crossed back over the spine — the join's
-    // shuffle subtree is shared, so the optimizer reuses the exchange
-    // rather than re-scanning the inputs
+    // A 1-row aggregate crossed back over the spine. NOTE the plan
+    // consumes `refCounts`/`curCounts` twice (here and in the KS math
+    // below) and column pruning narrows this copy, so the exchanges
+    // do NOT reuse: callers whose count tables derive from an
+    // expensive scan should hand in materialized tables ([[ks]] does;
+    // a persisted reference histogram — the streaming case — already
+    // is one).
     val st = joined.agg(count(lit(1)).as("__d"),
       min(col("v")).as("__lo"), max(col("v")).as("__hi"))
     // decimal(38,0) sidesteps (hi - lo) long overflow on adversarial

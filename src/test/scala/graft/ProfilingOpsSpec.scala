@@ -361,28 +361,31 @@ class ProfilingOpsSpec extends SparkTestBase {
     }
   }
 
-  test("ks guard rides the KS action: constructing the frame runs " +
-    "zero Spark jobs") {
+  test("ks guard rides the KS action: constructing the guarded frame " +
+    "runs zero Spark jobs") {
     // the old shape ran an eager countDistinct probe (one job) inside
     // every ksGuarded CALL — a job per micro-batch on the streaming
     // sink before the verdict's own action even started. Folded into
     // the spine, construction is free and the whole evaluation is one
-    // action
-    val a = (1 to 500).map(i => Tuple1((i % 40).toLong)).toDF("v")
-    val b = (1 to 500).map(i => Tuple1((i % 50).toLong)).toDF("v")
+    // action. (ks() additionally materializes its count tables — that
+    // is the reusable aggregation itself, not a probe; the guard
+    // proper is this lazy ksGuarded path, the one every micro-batch
+    // hits.)
+    val rc = (0 to 40).map(v => (v.toLong, 12L)).toDF("v", "n")
+    val cc = (0 to 50).map(v => (v.toLong, 10L)).toDF("v", "n")
     var frame: org.apache.spark.sql.DataFrame = null
     val buildJobs = jobs {
-      frame = graft.ops.DriftMonitor.ks(a, b, "v", maxSupport = 100,
-        coarsenTo = 64)
+      frame = graft.ops.DriftMonitor.ksGuarded(rc, cc,
+        maxSupport = 100, coarsenTo = 64)
     }
     assert(buildJobs == 0,
       s"building the guarded KS must not run the probe job, ran " +
         s"$buildJobs")
     // and the verdict still evaluates correctly from that lazy frame
     val row = frame.collect().head
-    assert(row.getAs[Long]("n_ref") == 500L &&
-      row.getAs[Long]("n_cur") == 500L)
-    assert(row.getAs[Double]("ks") >= 0.0)
+    assert(row.getAs[Long]("n_ref") == 492L &&
+      row.getAs[Long]("n_cur") == 510L)
+    assert(row.getAs[Double]("ks") > 0.0)
   }
 
   test("madOutliers approx mode: GK at small n reproduces the exact " +
