@@ -68,6 +68,47 @@ object Bench {
     s.size >= 2 && (s(1) - s(0)) / s(0) <= bound
   }
 
+  /** Whether to run one more chaotic-window extra pass: only while the
+    * two best totals still disagree, the count cap (≤ 3 extras) holds,
+    * AND the extras' elapsed wall time is inside `budgetSec`. The
+    * wall-clock budget exists because the count cap alone let a bad
+    * window add ~45 min (each extra pass can take 6–15+ min) — round
+    * 12's driver bench invocation timed out (`BENCH_r12.json` rc 124)
+    * exactly because extras had no time bound. The budget is checked
+    * BEFORE starting a pass, so worst case overshoots by one pass,
+    * never by the whole cap. */
+  def shouldRunExtra(totals: Seq[Double], extrasRun: Int,
+      elapsedExtraSec: Double, budgetSec: Double): Boolean =
+    !bestTwoAgree(totals) && extrasRun < 3 && elapsedExtraSec < budgetSec
+
+  /** MD5 over every .class file (relative path + bytes) on the running
+    * main's code-source directory — stamped into the record so a run
+    * PAIR can prove it benched byte-identical code (round 12's pair
+    * straddled an in-round plan fix, making one query's delta a code
+    * diff instead of noise; `tools/bench_pair.py` now refuses such a
+    * pair). "unknown" when the code source isn't a directory. */
+  def classesSha(): String = try {
+    val loc = Bench.getClass.getProtectionDomain.getCodeSource.getLocation
+    val root = java.nio.file.Paths.get(loc.toURI)
+    if (!java.nio.file.Files.isDirectory(root)) "unknown"
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        walk.iterator().asScala
+          .filter(_.toString.endsWith(".class"))
+          .map(p => (root.relativize(p).toString, p))
+          .toSeq.sortBy(_._1)
+          .foreach { case (rel, p) =>
+            md.update(rel.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(p))
+          }
+      } finally walk.close()
+      md.digest().map("%02x".format(_)).mkString
+    }
+  } catch { case _: Throwable => "unknown" }
+
   /** An ONLY-filtered run must never clobber a committed
     * full-catalog record; compare canonicalized paths AND (when both
     * exist) filesystem identity, so `./BENCH_FULL.json`, an absolute
@@ -163,13 +204,26 @@ object Bench {
     // converge when N-1 passes land in a bad window — take extra
     // shuffled passes (≤ 3) until the two best pass totals agree
     // within 10 %, so committed records stay comparable across
-    // windows. The cap keeps a genuinely bistable box from running
-    // forever; extra_passes in the record says the policy fired
+    // windows. The count cap keeps a genuinely bistable box from
+    // running forever, and the WALL-CLOCK budget ([[shouldRunExtra]])
+    // keeps the extras inside whatever limit the driver runs the
+    // bench under — round 12's driver record was rc 124 because a
+    // 923-s chaos pass plus unbudgeted extras blew it. extra_passes /
+    // extras_skipped_for_budget in the record say what happened
+    val extraBudget = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA_SEC", "600").toDouble
+    val extrasT0 = System.nanoTime()
     var extras = 0
-    while (!bestTwoAgree(passTotals.toSeq) && extras < 3) {
+    def elapsedExtra = (System.nanoTime() - extrasT0) / 1e9
+    while (shouldRunExtra(passTotals.toSeq, extras, elapsedExtra,
+        extraBudget)) {
       extras += 1
       warmPass(reps + extras)
     }
+    val extrasSkipped =
+      if (!bestTwoAgree(passTotals.toSeq) && extras < 3 &&
+        elapsedExtra >= extraBudget) 3 - extras
+      else 0
 
     // per query: (warm min across passes, spread = max-min); a failed
     // warm run must read as a failure, not a fast time
@@ -180,6 +234,17 @@ object Bench {
       else (name, ts.min, ts.max - ts.min)
     }
     val spreadTotal = results.map(_._3).sum
+    // total of per-query min over only the FIRST `reps` passes (lists
+    // are built newest-first, so takeRight = the earliest passes):
+    // extra passes lower min-of-N, so a record where the policy fired
+    // reads systematically faster than a fixed-3-pass record — this
+    // field keeps cross-round comparisons apples-to-apples (compare
+    // first_reps totals against first_reps totals)
+    val firstRepsTotal = catalog.map { case (name, _) =>
+      val ts = warmTimes.getOrElse(name, Nil).takeRight(reps)
+      if (cold(name) < 0 || ts.isEmpty || ts.contains(-1.0)) 0.0
+      else ts.min
+    }.sum
     val ratios = results.collect {
       case (_, m, s) if m > 0 => s / m
     }.sorted
@@ -200,6 +265,9 @@ object Bench {
       s""""value":${ms(total)},"unit":"sec",""" +
       s""""cold_total_sec":${ms(coldTotal)},"reps":$reps,""" +
       s""""extra_passes":$extras,""" +
+      s""""extras_skipped_for_budget":$extrasSkipped,""" +
+      s""""first_reps_total_sec":${ms(firstRepsTotal)},""" +
+      s""""classes_sha":"${classesSha()}",""" +
       s""""spread_sec":${ms(spreadTotal)},""" +
       s""""med_spread_over_min":${ms(medRatio)}"""
     println(s"""{"metric":"total",$header,"queries":$qs,""" +

@@ -93,6 +93,19 @@ object ModelCache {
     cache.remove(k).map { v => cache.put(k, v); v._1 }
   }
 
+  /** Memoized train — see the object doc for keying. LIFETIME
+    * CONTRACT for values that embed a scratch path (BPE vocab tables,
+    * IVF assignments, clustermaps): the path is pinned only while the
+    * cache holds the entry. Eviction (MaxEntries LRU churn) releases
+    * the pin, after which the next [[Scratch.reclaimEphemeral]]
+    * deletes the files — so a caller must treat the returned value as
+    * valid for the CURRENT unit of work only and re-fetch via
+    * `cached()` (a hit refreshes recency; a miss retrains) across
+    * reclaim boundaries, never stash it across passes/batches. The
+    * alternative — pinning while any returned reference is live — is
+    * unknowable from here (the JVM can't see caller liveness), and a
+    * permanent pin is exactly the footprint leak refcounting exists
+    * to stop. */
   def cached[T](df: DataFrame, key: String)(train: => T): T = {
     val k: Key = (sessionId(df),
       df.queryExecution.analyzed.canonicalized, fileSnapshot(df), key)

@@ -286,10 +286,22 @@ object IncrementalAgg {
         val tmp = new org.apache.hadoop.fs.Path(
           f"$aggPath%s/_pins/.tmp-v$v%05d-${
             java.util.UUID.randomUUID()}%s")
-        val out = f.create(tmp, false)
-        try out.write(vDim.toString.getBytes("UTF-8"))
-        finally out.close()
-        if (!f.rename(tmp, p)) f.delete(tmp, false)
+        // an IOException between create and rename must not strand the
+        // temp: nothing ever retires `.tmp-*` names by slot (they
+        // carry a UUID), so without this delete repeated IO errors
+        // would grow _pins forever. Best-effort — a JVM crash can
+        // still leak one temp, which the glob sweep below retires
+        try {
+          val out = f.create(tmp, false)
+          try out.write(vDim.toString.getBytes("UTF-8"))
+          finally out.close()
+          if (!f.rename(tmp, p)) f.delete(tmp, false)
+        } catch {
+          case e: java.io.IOException =>
+            try f.delete(tmp, false)
+            catch { case _: java.io.IOException => () }
+            throw e
+        }
         // only the LATEST version's pin is ever read — retire a SMALL
         // RANGE of old pins per write (still no listing) so the dir
         // stays ~16 files deep instead of growing one file per commit.
@@ -299,6 +311,19 @@ object IncrementalAgg {
         // retirement slot and orphan the file forever
         ((v - 20) to (v - 16)).filter(_ > 0)
           .foreach(ov => f.delete(pinPath(aggPath, ov), false))
+        // crash-leaked `.tmp-*` files can't be retired by slot (UUID
+        // names) — one glob over the ~16-file _pins dir per successful
+        // pin write sweeps any temp at least 16 versions stale (never
+        // a temp a concurrent writer may still be about to rename)
+        f.globStatus(new org.apache.hadoop.fs.Path(
+            s"$aggPath/_pins/.tmp-v*")) match {
+          case null => ()
+          case sts => sts.foreach { s =>
+            val stale = s.getPath.getName.stripPrefix(".tmp-v")
+              .takeWhile(_.isDigit).toIntOption.exists(_ <= v - 16)
+            if (stale) f.delete(s.getPath, false)
+          }
+        }
         ()
       }
     } catch { case _: java.io.IOException => () }

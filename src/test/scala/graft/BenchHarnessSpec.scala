@@ -57,6 +57,35 @@ class BenchHarnessSpec extends AnyFunSuite {
       "all-failed passes (0 total) must not poison the comparison")
   }
 
+  test("extras respect both the count cap and the wall-clock budget") {
+    val chaos = Seq(405.0, 277.0, 603.0) // best-two disagree
+    // inside budget + under cap + disagreement → run one more
+    assert(Bench.shouldRunExtra(chaos, 0, 0.0, 600.0))
+    assert(Bench.shouldRunExtra(chaos, 2, 599.9, 600.0))
+    // count cap: never a 4th extra, however bad the window
+    assert(!Bench.shouldRunExtra(chaos, 3, 0.0, 600.0))
+    // wall-clock budget: round 12's driver bench timed out (rc 124)
+    // because a 923-s chaos pass plus unbudgeted extras blew the
+    // driver's limit — elapsed at/over budget stops the extras even
+    // with disagreement remaining
+    assert(!Bench.shouldRunExtra(chaos, 1, 600.0, 600.0))
+    assert(!Bench.shouldRunExtra(chaos, 0, 1200.0, 600.0))
+    // agreement stops extras regardless of budget headroom
+    assert(!Bench.shouldRunExtra(Seq(562.0, 240.0, 241.0), 0, 0.0, 600.0))
+  }
+
+  test("classesSha fingerprints the running code deterministically") {
+    // same JVM, same classes → same sha; a pair record carrying two
+    // different shas benched different code and bench_pair.py refuses
+    val a = Bench.classesSha()
+    val b = Bench.classesSha()
+    assert(a == b)
+    assert(a == "unknown" || a.matches("[0-9a-f]{32}"),
+      s"sha must be an MD5 hex or the documented fallback: $a")
+    // under sbt the code source IS a directory, so the real path runs
+    assert(a != "unknown", "expected a directory code source under sbt")
+  }
+
   test("clobber guard rejects relative and dot-path aliases") {
     intercept[IllegalArgumentException] {
       Bench.guardOutFile(onlySet = true, "BENCH_FULL.json")

@@ -367,10 +367,8 @@ class ProfilingOpsSpec extends SparkTestBase {
     // every ksGuarded CALL — a job per micro-batch on the streaming
     // sink before the verdict's own action even started. Folded into
     // the spine, construction is free and the whole evaluation is one
-    // action. (ks() additionally materializes its count tables — that
-    // is the reusable aggregation itself, not a probe; the guard
-    // proper is this lazy ksGuarded path, the one every micro-batch
-    // hits.)
+    // action. The spine cache (persist, not a scratch write) is lazy
+    // too, so ks()/ksGuarded construction runs zero jobs AND zero IO.
     val rc = (0 to 40).map(v => (v.toLong, 12L)).toDF("v", "n")
     val cc = (0 to 50).map(v => (v.toLong, 10L)).toDF("v", "n")
     var frame: org.apache.spark.sql.DataFrame = null
@@ -386,6 +384,109 @@ class ProfilingOpsSpec extends SparkTestBase {
     assert(row.getAs[Long]("n_ref") == 492L &&
       row.getAs[Long]("n_cur") == 510L)
     assert(row.getAs[Double]("ks") > 0.0)
+  }
+
+  /** Source rows read by `body` (file scans + cached blocks; shuffle
+    * reads don't count — they land in shuffleRead metrics). */
+  private def recordsRead(body: => Unit): Long = {
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null)
+          n.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      org.apache.spark.sql.GraftBridge.waitListenerEmpty(spark)
+    } finally spark.sparkContext.removeSparkListener(l)
+    n.get
+  }
+
+  test("ks single-scan contract: a raw-corpus input scans its source " +
+    "once per side, for ANY caller") {
+    // the guarded plan consumes the joined spine twice (guard stats +
+    // KS math) and pruning divergence kills exchange reuse — without
+    // the in-plan spine cache each side's corpus would scan TWICE
+    // (measured as q222 doubling in round 12). The contract is now
+    // enforced inside ksGuarded, so a caller handing in raw
+    // aggregations (not pre-materialized tables) still pays one scan
+    val dir = java.nio.file.Files
+      .createTempDirectory("ks_scan").toString
+    val n = 100000L
+    spark.range(n).selectExpr("id % 10 AS v")
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val read = recordsRead {
+      val row = graft.ops.DriftMonitor
+        .ks(corpus, corpus.filter(col("v") >= 1), "v")
+        .collect().head
+      assert(row.getAs[Long]("n_ref") == n)
+    }
+    // one scan per side ≈ 2n rows from parquet (+ a ≤ 20-row spine
+    // re-read from cache); the pre-cache shape read ~4n
+    assert(read >= (1.8 * n).toLong && read < 3 * n,
+      s"expected ~${2 * n} source rows (one scan per side), read " +
+        s"$read — the spine cache is not collapsing the double scan")
+    graft.core.Scratch.drop(spark, dir)
+  }
+
+  test("ks leaves no scratch behind and bounds live cache entries " +
+    "across many calls in one session") {
+    import spark.implicits._
+    val scratchRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-scratch")
+    def scratchCount: Int =
+      if (!java.nio.file.Files.isDirectory(scratchRoot)) 0
+      else {
+        val s = java.nio.file.Files.list(scratchRoot)
+        try s.count().toInt finally s.close()
+      }
+    val a = (1 to 50).map(i => Tuple1((i % 7).toLong)).toDF("v")
+    val b = (1 to 50).map(i => Tuple1((i % 5).toLong)).toDF("v")
+    val before = scratchCount
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    (1 to 20).foreach { _ =>
+      assert(graft.ops.DriftMonitor.ks(a, b, "v")
+        .collect().head.getAs[Double]("ks") > 0.0)
+    }
+    // ks() used to write two scratch parquet tables per call and
+    // reclaim only at bench pass boundaries / JVM exit — a long
+    // interactive session looping ks() accumulated files forever.
+    // The persist-based spine cache writes nothing...
+    assert(scratchCount == before,
+      s"ks() must not grow scratch: $before -> $scratchCount")
+    // ...and the FIFO caps live persisted spines (oldest unpersisted;
+    // an evicted frame that is re-acted on recomputes — still correct)
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedAfter - cachedBefore <= 16,
+      s"live ks cache entries must stay bounded: " +
+        s"$cachedBefore -> $cachedAfter")
+  }
+
+  test("ks range refusal stays actionable under ANSI mode") {
+    import spark.implicits._
+    // an over-2^63 spine range must raise the friendly refusal, not a
+    // cast-overflow from the __step projection (CaseWhen guards the
+    // BIGINT cast) — ANSI is exactly the mode where the unguarded
+    // projection threw first
+    val rc = Seq((Long.MinValue, 5L), (Long.MaxValue, 5L), (0L, 5L))
+      .toDF("v", "n")
+    val cc = Seq((0L, 5L)).toDF("v", "n")
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val e = intercept[Exception] {
+        graft.ops.DriftMonitor
+          .ksGuarded(rc, cc, maxSupport = 2, coarsenTo = 2).collect()
+      }
+      assert(causeChain(e).exists(_.contains("exceeds 2^63")),
+        s"want the rangeRefuse message, got: " +
+          causeChain(e).mkString(" | "))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
   test("madOutliers approx mode: GK at small n reproduces the exact " +

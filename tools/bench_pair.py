@@ -18,6 +18,8 @@ import sys
 def load(p):
     d = json.load(open(p))
     out = {}
+    out_sha = d.get("classes_sha")
+    load.shas.append(out_sha)
     for k, v in d["queries"].items():
         if isinstance(v, dict):
             out[k] = (float(v["sec"]), float(v.get("spread_sec", 0)))
@@ -26,9 +28,25 @@ def load(p):
     return out
 
 
+load.shas = []
+
+
 def main():
     a = load(sys.argv[1])
     b = load(sys.argv[2])
+    # a pair is only meaningful on byte-identical code: round 12's pair
+    # straddled an in-round plan fix, so one query's "regression" was a
+    # code diff, not noise. Records carry an MD5 over every .class file.
+    sa, sb = load.shas
+    if sa and sb and sa != sb:
+        print(f"REFUSING pair: classes_sha mismatch ({sa[:12]}... vs "
+              f"{sb[:12]}...) — the two runs benched different code; "
+              "re-run both from one classes snapshot")
+        sys.exit(1)
+    if not (sa and sb):
+        print("warning: classes_sha missing from a record — cannot "
+              "prove the pair benched identical code (pre-round-13 "
+              "record?)")
     common = sorted(set(a) & set(b))
     ok = [k for k in common if a[k][0] >= 0 and b[k][0] >= 0]
     if not ok:
