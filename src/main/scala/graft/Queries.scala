@@ -4046,10 +4046,11 @@ object Queries {
       // rationals, the α/β op order is pinned, and posteriors quantize
       // per word, so the DuckDB oracle replays the whole lattice with
       // recursive CTEs and the hash is exact — see
-      // functions.UnigramExpectedUsage
-      graft.operators.Unigram.pieceVocabEmSoft(
+      // functions.UnigramExpectedUsage. iters=1/prune=false is the
+      // single-refinement mode of the one trainSoftEm entry point
+      graft.operators.Unigram.trainSoftEm(
           t(s, d, "documents"), "text", vocabSize = 40,
-          maxPieceLen = 4)
+          maxPieceLen = 4, iters = 1, prune = false)
         .orderBy(col("piece"))
     }),
 

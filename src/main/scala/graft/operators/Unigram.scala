@@ -154,17 +154,18 @@ object Unigram {
         rows.map(_.getLong(1)).sum)
     }
 
-  /** One SOFT-EM refinement iteration — Kudo 2018's actual E-step
-    * (forward-backward expected counts over every word's segmentation
-    * lattice) in place of [[pieceVocabEm]]'s hard Viterbi assignment,
-    * WITHOUT giving up oracle replay. The trick is in
-    * [[graft.functions.UnigramExpectedUsage]]: piece probabilities are
-    * exact rationals (`cnt / total` — no transcendental enters the
-    * lattice), the α/β recursions pin their op order, and each
-    * occurrence posterior quantizes to a 1e6-scaled long per word, so
-    * the only cross-row arithmetic is exact integer sums
-    * (`Σ_w n_w · u_w,piece`) — partition-order-free, replayable by a
-    * recursive-CTE oracle running the identical recursions (q224).
+  /** One soft E+M step over an explicit (pieces, cnts, total) state —
+    * Kudo 2018's actual E-step (forward-backward expected counts over
+    * every word's segmentation lattice) in place of [[pieceVocabEm]]'s
+    * hard Viterbi assignment, WITHOUT giving up oracle replay. The
+    * trick is in [[graft.functions.UnigramExpectedUsage]]: piece
+    * probabilities are exact rationals (`cnt / total` — no
+    * transcendental enters the lattice), the α/β recursions pin their
+    * op order, and each occurrence posterior quantizes to a 1e6-scaled
+    * long per word, so the only cross-row arithmetic is exact integer
+    * sums (`Σ_w n_w · u_w,piece`) — partition-order-free, replayable
+    * by a recursive-CTE oracle running the identical recursions
+    * (q224).
     *
     *  - E-step: expected usage per piece =
     *    `Σ_words n · round(Σ_occurrences α·p·β/Z · 10⁶)` — soft credit
@@ -177,18 +178,9 @@ object Unigram {
     *
     * Scale shape identical to [[pieceVocabEm]]: one pass over DISTINCT
     * words, vocabulary-sized shuffles only. Output: (piece, cnt,
-    * score) with `cnt` the 1e6-SCALED expected usage. */
-  def pieceVocabEmSoft(df: DataFrame, textCol: String,
-      vocabSize: Int = 40, maxPieceLen: Int = 4): DataFrame = {
-    val (pieces, cnts, total) = vocabCountsCached(df, textCol,
-      vocabSize, maxPieceLen)
-    emStep(df, textCol, pieces, cnts, total, maxPieceLen)
-  }
-
-  /** One soft E+M step over an explicit (pieces, cnts, total) state:
-    * forward-backward expected usage (E), then the M-step floor/prune
-    * and the Spark-SQL rescore (HALF_UP parity with DuckDB). The unit
-    * [[pieceVocabEmSoft]] runs once and [[trainSoftEm]] loops. */
+    * score) with `cnt` the 1e6-SCALED expected usage. [[trainSoftEm]]
+    * is the ONE public entry point — `iters = 1, prune = false` runs
+    * exactly this step once. */
   private def emStep(df: DataFrame, textCol: String,
       pieces: Array[String], cnts: Array[Long], total: Long,
       maxPieceLen: Int): DataFrame = {
@@ -295,8 +287,8 @@ object Unigram {
 
   /** The soft-EM TRAINING LOOP — Kudo 2018's actual algorithm on top
     * of the single refinement step: alternate the forward-backward
-    * E-step + M-step rescore ([[pieceVocabEmSoft]]'s math, via
-    * [[emStep]]) with [[pruneByLoss]] until `iters` rounds ran,
+    * E-step + M-step rescore ([[emStep]]) with [[pruneByLoss]]
+    * until `iters` rounds ran,
     * shrinking the multi-char vocabulary 25 % per round but never
     * below `targetVocab`. The next round's piece probabilities are
     * the surviving expected usages renormalized over the survivors —
@@ -310,10 +302,16 @@ object Unigram {
     * (the codebook discipline); `iters` is a small constant, so cost
     * is `iters` corpus word passes regardless of corpus width.
     * Output: (piece, cnt, score) over the final vocabulary, scores
-    * re-normalized over the survivors in Spark SQL. */
+    * re-normalized over the survivors in Spark SQL.
+    *
+    * Knobs: `iters` rounds of E+M; `prune = false` skips the loss
+    * ranking (every surviving piece carries into the next round; the
+    * M-step's zero-usage drop still applies) — `iters = 1, prune =
+    * false` is the single-refinement mode (q224), returned as the
+    * step's own LAZY frame with no driver collect at all. */
   def trainSoftEm(df: DataFrame, textCol: String, vocabSize: Int = 40,
-      maxPieceLen: Int = 4, iters: Int = 2, targetVocab: Int = 20)
-      : DataFrame = {
+      maxPieceLen: Int = 4, iters: Int = 2, targetVocab: Int = 20,
+      prune: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(targetVocab >= 0, "targetVocab must be >= 0")
     val spark = df.sparkSession
@@ -322,10 +320,16 @@ object Unigram {
       vocabSize, maxPieceLen)
     var i = 0
     while (i < iters) {
-      val scored = emStep(df, textCol, pieces, cnts, total, maxPieceLen)
-        .orderBy(col("piece")).collect()
+      val step = emStep(df, textCol, pieces, cnts, total, maxPieceLen)
+      // unpruned final round: the step's own M-step rescore IS the
+      // result — hand back the lazy frame (zero collects, the exact
+      // plan the retired pieceVocabEmSoft entry point built)
+      if (!prune && i == iters - 1) return step
+      val scored = step.orderBy(col("piece")).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val surv = pruneByLoss(scored, targetVocab)
+      val surv =
+        if (prune) pruneByLoss(scored, targetVocab)
+        else scored.map(r => (r._1, r._2))
       pieces = surv.map(_._1)
       cnts = surv.map(_._2)
       total = cnts.sum

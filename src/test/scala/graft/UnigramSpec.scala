@@ -287,14 +287,14 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
-  test("pieceVocabEmSoft: soft credit keeps what hard EM prunes, " +
-    "stays deterministic under partitioning") {
+  test("soft E-step (trainSoftEm iters=1, no prune): soft credit " +
+    "keeps what hard EM prunes, stays deterministic under partitioning") {
     // hard EM pruned "ba" (its only word segments cheaper as b+a);
     // soft EM gives every consistent path probability mass, so "ba"
     // survives with sub-unit expected usage — the Kudo-true behavior
     val docs = Seq((1L, "ab ba ab ab")).toDF("id", "text")
-    val soft = Unigram.pieceVocabEmSoft(docs, "text", vocabSize = 10,
-        maxPieceLen = 2)
+    val soft = Unigram.trainSoftEm(docs, "text", vocabSize = 10,
+        maxPieceLen = 2, iters = 1, prune = false)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(soft.keySet === Set("a", "b", "ab", "ba"))
@@ -307,8 +307,8 @@ class UnigramSpec extends SparkTestBase {
     assert(soft("a")._1 >= 1000000L && soft("b")._1 >= 1000000L)
     // partition-proof: the per-word quantization makes the corpus
     // aggregation exact integer arithmetic
-    val again = Unigram.pieceVocabEmSoft(docs.repartition(7), "text",
-        vocabSize = 10, maxPieceLen = 2)
+    val again = Unigram.trainSoftEm(docs.repartition(7), "text",
+        vocabSize = 10, maxPieceLen = 2, iters = 1, prune = false)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(again === soft)
@@ -321,8 +321,8 @@ class UnigramSpec extends SparkTestBase {
     // ceil(3·4/4) = 3, so exactly one of the tied tail (lex-largest
     // "gh") is pruned, deterministically
     val docs = Seq((1L, "ab ab ab ab cd ef gh")).toDF("id", "text")
-    val base = Unigram.pieceVocabEmSoft(docs, "text", vocabSize = 20,
-        maxPieceLen = 2)
+    val base = Unigram.trainSoftEm(docs, "text", vocabSize = 20,
+        maxPieceLen = 2, iters = 1, prune = false)
       .collect().map(r => r.getString(0)).toSet
     val singles = base.filter(_.length == 1)
     val multis = base.filter(_.length > 1)
