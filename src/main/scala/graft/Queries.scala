@@ -2477,12 +2477,22 @@ object Queries {
         java.util.UUID.randomUUID()
       graft.core.Scratch.registerForCleanup(root)
       val (base, bm, ivf) = (s"$root/base", s"$root/bm25", s"$root/ivf")
-      graft.core.VersionedTable.commitAppend(docs, base)
-      graft.operators.Bm25Index.publish(docs, "doc_id", "text", bm)
-      graft.operators.IvfIndex.publish(
-        graft.operators.HashingVectorizer.denseVectors(
-          docs, "doc_id", "text", dim = 64),
-        "doc_id", "vec", ivf)
+      // the three surfaces are independent builds over the same corpus
+      // (distinct table roots) — overlap them (guide §2.6)
+      graft.core.Par.run[Unit](Seq(
+        () => { graft.core.VersionedTable.commitAppend(docs, base); () },
+        () => {
+          graft.operators.Bm25Index.publish(docs, "doc_id", "text", bm)
+          ()
+        },
+        () => {
+          graft.operators.IvfIndex.publish(
+            graft.operators.HashingVectorizer.denseVectors(
+              docs, "doc_id", "text", dim = 64),
+            "doc_id", "vec", ivf)
+          ()
+        }
+      ))
       val deleted = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
         .select(col("doc_id"))
       val control = docs.filter(pmod(col("doc_id"), lit(10)) === 4)
@@ -2515,8 +2525,14 @@ object Queries {
         java.util.UUID.randomUUID()
       graft.core.Scratch.registerForCleanup(root)
       val (base, bm) = (s"$root/base", s"$root/bm25")
-      graft.core.VersionedTable.commitAppend(docs, base)
-      graft.operators.Bm25Index.publish(docs, "doc_id", "text", bm)
+      // two independent surface builds (distinct roots) — overlap
+      graft.core.Par.run[Unit](Seq(
+        () => { graft.core.VersionedTable.commitAppend(docs, base); () },
+        () => {
+          graft.operators.Bm25Index.publish(docs, "doc_id", "text", bm)
+          ()
+        }
+      ))
       val deleted = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
         .select(col("doc_id"))
       graft.ops.Takedown.forget(s, deleted, "doc_id", opId = 1L,

@@ -83,12 +83,30 @@ object Scratch {
   private def record(path: String): Unit = {
     created.add(path)
     // one pin count per ACTIVE scope: each enclosing artifact holds
-    // its own claim on the path (released independently on eviction)
+    // its own claim on the path (released independently on eviction).
+    // Synchronized per set: [[Par]] workers share the spawning
+    // thread's scopes, so two parallel tasks may record concurrently
     scopeStack.get.foreach { s =>
-      if (s.add(path)) pinned.merge(path, 1, (a, b) => a + b)
+      if (s.synchronized(s.add(path)))
+        pinned.merge(path, 1, (a, b) => a + b)
       ()
     }
     ()
+  }
+
+  /** The calling thread's active pinning scopes — captured by
+    * [[Par.run]] so worker threads inherit them. */
+  private[core] def currentScopes
+      : List[scala.collection.mutable.Set[String]] = scopeStack.get
+
+  /** Run `body` with the given scopes installed on THIS thread (a
+    * [[Par]] worker standing in for the spawning thread). */
+  private[core] def withScopes[T](
+      scopes: List[scala.collection.mutable.Set[String]])(body: => T)
+      : T = {
+    val prev = scopeStack.get
+    scopeStack.set(scopes)
+    try body finally scopeStack.set(prev)
   }
 
   /** Delete every scratch path NOT pinned by a session-cached artifact

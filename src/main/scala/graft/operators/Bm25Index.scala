@@ -49,18 +49,25 @@ object Bm25Index {
   def publish(docs: DataFrame, idCol: String, textCol: String,
       path: String): Int = {
     val p = Bm25.buildPostings(docs, idCol, textCol)
-    val v = VersionedTable.commitOverwrite(p.tf, postingsPath(path))
-    VersionedTable.commitOverwrite(p.dl, doclenPath(path))
-    VersionedTable.commitOverwrite(p.dfreq, termstatsPath(path))
-    VersionedTable.commitOverwrite(
-      p.dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("sum_dl")),
-      statsPath(path))
-    // empty tombstone table (schema-bearing zero-row commit): it must
-    // EXIST before any journal pins it — see [[forget]]
-    VersionedTable.commitOverwrite(
-      docs.select(col(idCol)).filter(lit(false)), deletesPath(path))
-    v
+    // the five component commits touch DISTINCT tables and all derive
+    // from the already-materialized postings artifact — overlap them
+    // (guide §2.6): wall time becomes the slowest commit instead of
+    // the sum of five, and at scale each commit's straggler tail
+    // back-fills with the next commit's tasks. Crash contract is
+    // unchanged: publish is all-overwrites and replays re-publish.
+    graft.core.Par.run[Int](Seq(
+      () => VersionedTable.commitOverwrite(p.tf, postingsPath(path)),
+      () => VersionedTable.commitOverwrite(p.dl, doclenPath(path)),
+      () => VersionedTable.commitOverwrite(p.dfreq, termstatsPath(path)),
+      () => VersionedTable.commitOverwrite(
+        p.dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl")),
+        statsPath(path)),
+      // empty tombstone table (schema-bearing zero-row commit): it
+      // must EXIST before any journal pins it — see [[forget]]
+      () => VersionedTable.commitOverwrite(
+        docs.select(col(idCol)).filter(lit(false)), deletesPath(path))
+    )).head
   }
 
   /** Fold a batch of NEW documents into the index. Only the batch is
@@ -69,27 +76,37 @@ object Bm25Index {
       path: String): Int = {
     val spark = batch.sparkSession
     val b = Bm25.buildPostings(batch, idCol, textCol)
-    val v = VersionedTable.commitAppend(b.tf, postingsPath(path))
-    VersionedTable.commitAppend(b.dl, doclenPath(path))
-    // vocabulary-sized add-merge: tokens seen in either side survive
-    val oldDf = VersionedTable.read(spark, termstatsPath(path))
-      .withColumnRenamed("df", "df_old")
-    val merged = oldDf.join(
-        b.dfreq.withColumnRenamed("df", "df_new"),
-        Seq("token"), "full_outer")
-      .select(col("token"),
-        (coalesce(col("df_old"), lit(0L))
-          + coalesce(col("df_new"), lit(0L))).as("df"))
-    VersionedTable.commitOverwrite(merged, termstatsPath(path))
-    val oldStats = VersionedTable.read(spark, statsPath(path))
-    val bStats = b.dl.agg(count(lit(1)).as("bn"),
-      coalesce(sum(col("dl")), lit(0L)).as("bs"))
-    VersionedTable.commitOverwrite(
-      oldStats.crossJoin(bStats).select(
-        (col("n_docs") + col("bn")).as("n_docs"),
-        (col("sum_dl") + col("bs")).as("sum_dl")),
-      statsPath(path))
-    v
+    // the four component updates touch DISTINCT tables; each task
+    // reads only its own table's pre-batch state plus the batch's
+    // materialized postings — overlap them (guide §2.6; same
+    // single-maintenance-writer discipline as before, the
+    // parallelism is WITHIN one update)
+    graft.core.Par.run[Int](Seq(
+      () => VersionedTable.commitAppend(b.tf, postingsPath(path)),
+      () => VersionedTable.commitAppend(b.dl, doclenPath(path)),
+      () => {
+        // vocabulary-sized add-merge: tokens in either side survive
+        val oldDf = VersionedTable.read(spark, termstatsPath(path))
+          .withColumnRenamed("df", "df_old")
+        val merged = oldDf.join(
+            b.dfreq.withColumnRenamed("df", "df_new"),
+            Seq("token"), "full_outer")
+          .select(col("token"),
+            (coalesce(col("df_old"), lit(0L))
+              + coalesce(col("df_new"), lit(0L))).as("df"))
+        VersionedTable.commitOverwrite(merged, termstatsPath(path))
+      },
+      () => {
+        val oldStats = VersionedTable.read(spark, statsPath(path))
+        val bStats = b.dl.agg(count(lit(1)).as("bn"),
+          coalesce(sum(col("dl")), lit(0L)).as("bs"))
+        VersionedTable.commitOverwrite(
+          oldStats.crossJoin(bStats).select(
+            (col("n_docs") + col("bn")).as("n_docs"),
+            (col("sum_dl") + col("bs")).as("sum_dl")),
+          statsPath(path))
+      }
+    )).head
   }
 
   /** Streaming ingestion: a `foreachBatch` sink folding every
@@ -272,25 +289,38 @@ object Bm25Index {
           .join(existing, Seq(idCol), "left_anti"),
         "bm25_forget")
       try {
-        val dfDel = VersionedTable.read(spark, postingsPath(path))
-          .join(broadcast(newDel), Seq(idCol), "left_semi")
-          .groupBy(col("token")).agg(count(lit(1)).as("__df_del"))
-        val newTs = VersionedTable.read(spark, termstatsPath(path))
-          .join(dfDel, Seq("token"), "left_outer")
-          .select(col("token"),
-            (col("df") - coalesce(col("__df_del"), lit(0L))).as("df"))
-          .filter(col("df") > 0)
-        VersionedTable.commitOverwrite(newTs, termstatsPath(path))
-        val shed = dl.join(broadcast(newDel), Seq(idCol), "left_semi")
-          .agg(count(lit(1)).as("__dn"),
-            coalesce(sum(col("dl")), lit(0L)).as("__ds"))
-        val oldStats = VersionedTable.read(spark, statsPath(path))
-        VersionedTable.commitOverwrite(
-          oldStats.crossJoin(shed).select(
-            (col("n_docs") - col("__dn")).as("n_docs"),
-            (col("sum_dl") - col("__ds")).as("sum_dl")),
-          statsPath(path))
-        VersionedTable.commitAppend(newDel, dp)
+        // three independent writes off the materialized tombstone
+        // set (distinct tables, each reading only pre-op state +
+        // newDel) — overlapped like [[publish]]'s commits
+        graft.core.Par.run[Unit](Seq(
+          () => {
+            val dfDel = VersionedTable.read(spark, postingsPath(path))
+              .join(broadcast(newDel), Seq(idCol), "left_semi")
+              .groupBy(col("token")).agg(count(lit(1)).as("__df_del"))
+            val newTs = VersionedTable.read(spark, termstatsPath(path))
+              .join(dfDel, Seq("token"), "left_outer")
+              .select(col("token"),
+                (col("df") - coalesce(col("__df_del"), lit(0L)))
+                  .as("df"))
+              .filter(col("df") > 0)
+            VersionedTable.commitOverwrite(newTs, termstatsPath(path))
+            ()
+          },
+          () => {
+            val shed = dl
+              .join(broadcast(newDel), Seq(idCol), "left_semi")
+              .agg(count(lit(1)).as("__dn"),
+                coalesce(sum(col("dl")), lit(0L)).as("__ds"))
+            val oldStats = VersionedTable.read(spark, statsPath(path))
+            VersionedTable.commitOverwrite(
+              oldStats.crossJoin(shed).select(
+                (col("n_docs") - col("__dn")).as("n_docs"),
+                (col("sum_dl") - col("__ds")).as("sum_dl")),
+              statsPath(path))
+            ()
+          },
+          () => { VersionedTable.commitAppend(newDel, dp); () }
+        ))
         ()
       } finally graft.core.Scratch.drop(spark, ndPath)
     }
@@ -324,9 +354,17 @@ object Bm25Index {
             .join(broadcast(dels), Seq(idCol), "left_anti"), sub)
         ()
       }
-      scrub(postingsPath(path))
-      scrub(doclenPath(path))
-      VersionedTable.commitOverwrite(dels.filter(lit(false)), dp)
+      // three distinct tables; `dels` pinned its file list at read
+      // time and an overwrite never unlinks old files (vacuum does),
+      // so the reset racing the scrubs is safe — overlap them
+      graft.core.Par.run[Unit](Seq(
+        () => scrub(postingsPath(path)),
+        () => scrub(doclenPath(path)),
+        () => {
+          VersionedTable.commitOverwrite(dels.filter(lit(false)), dp)
+          ()
+        }
+      ))
       ()
     }
   }

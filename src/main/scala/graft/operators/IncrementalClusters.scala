@@ -62,12 +62,15 @@ object IncrementalClusters {
         DedupClusters.clusters(
           docs.select(col(idCol)), idCol, pairs, "id_a", "id_b")
       }
-    val v = VersionedTable.commitOverwrite(cl, clustersPath(path))
-    VersionedTable.commitOverwrite(
-      DedupOps.signatureStore(docs, idCol, textCol, shingleN, bands,
-        rowsPerBand),
-      signaturesPath(path))
-    v
+    // two distinct component tables (map + signature store), both
+    // session-artifact-backed — overlap the commits (guide §2.6)
+    graft.core.Par.run[Int](Seq(
+      () => VersionedTable.commitOverwrite(cl, clustersPath(path)),
+      () => VersionedTable.commitOverwrite(
+        DedupOps.signatureStore(docs, idCol, textCol, shingleN, bands,
+          rowsPerBand),
+        signaturesPath(path))
+    )).head
   }
 
   /** Fold `batch` into the published map. `corpus` is the previously
@@ -112,13 +115,17 @@ object IncrementalClusters {
       .join(comp, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("cluster_id"))
-    val v = VersionedTable.commitOverwrite(
-      relabeled.unionByName(batchLabels), clustersPath(path))
-    VersionedTable.commitAppend(
-      DedupOps.signatureStore(batch, idCol, textCol, shingleN, bands,
-        rowsPerBand),
-      signaturesPath(path))
-    v
+    // the relabel overwrite and the signature append touch distinct
+    // tables; the relabel reads only the PRE-update store (already
+    // resolved into `edges`' lineage) — overlap them (guide §2.6)
+    graft.core.Par.run[Int](Seq(
+      () => VersionedTable.commitOverwrite(
+        relabeled.unionByName(batchLabels), clustersPath(path)),
+      () => VersionedTable.commitAppend(
+        DedupOps.signatureStore(batch, idCol, textCol, shingleN,
+          bands, rowsPerBand),
+        signaturesPath(path))
+    )).head
   }
 
   /** The current (or pinned) cluster map. */

@@ -47,13 +47,19 @@ object IvfIndex {
     val cbDf = codebook.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
-    VersionedTable.commitOverwrite(cbDf, codebookPath(path))
-    // empty tombstone table (schema-bearing zero-row commit): it must
-    // exist before the drift journal pins it — see [[forget]]
-    VersionedTable.commitOverwrite(
-      corpus.select(col(idCol)).filter(lit(false)), deletesPath(path))
-    VersionedTable.commitOverwrite(
-      assign(corpus, idCol, vecCol, codebook), assignedPath(path))
+    // three DISTINCT component tables, all derived from the in-memory
+    // codebook / the corpus frame — overlap the commits (guide §2.6);
+    // replay-safety unchanged (all overwrites)
+    graft.core.Par.run[Int](Seq(
+      () => VersionedTable.commitOverwrite(
+        assign(corpus, idCol, vecCol, codebook), assignedPath(path)),
+      () => VersionedTable.commitOverwrite(cbDf, codebookPath(path)),
+      // empty tombstone table (schema-bearing zero-row commit): it
+      // must exist before the drift journal pins it — see [[forget]]
+      () => VersionedTable.commitOverwrite(
+        corpus.select(col(idCol)).filter(lit(false)),
+        deletesPath(path))
+    )).head
   }
 
   /** Admit a batch of NEW vectors against the frozen codebook: one
@@ -314,11 +320,15 @@ object IvfIndex {
       journalPaths(path)) {
       val dels = VersionedTable.read(spark, dp)
       val idCol = dels.columns.head
-      VersionedTable.commitOverwrite(
-        VersionedTable.read(spark, assignedPath(path))
-          .join(broadcast(dels), Seq(idCol), "left_anti"),
-        assignedPath(path))
-      VersionedTable.commitOverwrite(dels.filter(lit(false)), dp)
+      // distinct tables; dels pinned its file list at read time and
+      // an overwrite never unlinks old files — overlap the commits
+      graft.core.Par.run[Int](Seq(
+        () => VersionedTable.commitOverwrite(
+          VersionedTable.read(spark, assignedPath(path))
+            .join(broadcast(dels), Seq(idCol), "left_anti"),
+          assignedPath(path)),
+        () => VersionedTable.commitOverwrite(dels.filter(lit(false)), dp)
+      ))
       ()
     }
   }

@@ -101,16 +101,25 @@ object MmrRerank {
 
     // round 1: relevance argmax (score λ·rel — the selected set is
     // empty, so the diversity term is 0)
-    var (selected, selPath) = graft.core.Scratch.materializeWithPath(
+    var selected: DataFrame =
       graft.functions.TopKByScore.explodeTopK(
           cand.withColumn("__m0", lit(lambda) * col("__rel")),
           Seq("query_id"), col("__m0"), col("neighbor_id"), 1,
           outId = "neighbor_id", outScore = "__mmr")
         .select(col("query_id"), col("neighbor_id"), col("__mmr"),
-          lit(1).as("rn")),
-      "mmr_sel")
-    // a failed round must drop every live scratch table, not just the
-    // success path's — wrap the greedy loop so pairs/sel never leak
+          lit(1).as("rn"))
+    // k−1 greedy rounds with ZERO per-round Spark jobs. The old shape
+    // wrote/read/dropped a scratch parquet per round (write job + FS
+    // listing each — at 48 jobs/call the dominant cost of a rerank);
+    // but the per-round result only needs LINEAGE TRUNCATION, not
+    // durability: wrapping the round's RDD in a fresh LogicalRDD
+    // (`createDataFrame(df.rdd, schema)`) keeps the logical plan O(1)
+    // per round while the rounds share one physical DAG — each
+    // round's shuffle is computed once and re-read by the three
+    // references the next round makes (Spark reuses shuffle outputs
+    // of a shared RDD as skipped stages), and fault tolerance stays
+    // full lineage-recompute (unlike localCheckpoint). Everything
+    // evaluates in the single action the caller runs.
     try {
       for (step <- 2 to k) {
         val remaining = cand.join(
@@ -131,24 +140,18 @@ object MmrRerank {
             outId = "neighbor_id", outScore = "__mmr")
           .select(col("query_id"), col("neighbor_id"), col("__mmr"),
             lit(step).as("rn"))
-        // materialize the new round, then drop the superseded one (the
-        // DedupClusters/PageRank per-round discipline — no scratch leak)
-        val (nextSel, nextPath) = graft.core.Scratch.materializeWithPath(
-          selected.union(pick), "mmr_sel")
-        graft.core.Scratch.drop(spark, selPath)
-        selected = nextSel
-        selPath = nextPath
+        val next = selected.union(pick)
+        selected = spark.createDataFrame(next.rdd, next.schema)
       }
-    } catch {
-      case e: Throwable =>
-        graft.core.Scratch.drop(spark, selPath)
-        if (pairsPath != null) graft.core.Scratch.drop(spark, pairsPath)
-        throw e
+      // ONE materialization of the (queries×k)-sized final selection —
+      // the single action that evaluates the whole greedy chain — so
+      // the shortlist and pair-sim scratch can still be dropped
+      // eagerly before returning (the pre-existing lifetime contract)
+      selected = graft.core.Scratch.materialize(selected, "mmr_sel")
+    } finally {
+      graft.core.Scratch.drop(spark, candPath)
+      if (pairsPath != null) graft.core.Scratch.drop(spark, pairsPath)
     }
-    // the final selected table is materialized — the shortlist and
-    // pair-sim scratch tables are no longer referenced
-    graft.core.Scratch.drop(spark, candPath)
-    if (pairsPath != null) graft.core.Scratch.drop(spark, pairsPath)
     selected.select(col("query_id"), col("neighbor_id"),
       (dround(col("__mmr"), 4) + lit(0)).as("mmr_score"), col("rn"))
   }

@@ -236,9 +236,22 @@ object DriftMonitor {
     val cached = joined.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ksCacheFifo.synchronized {
+      // entries whose SparkContext has since STOPPED hold no blocks
+      // and cannot be unpersisted (the block-manager endpoint is gone
+      // — unpersist NPEs); purge them so a long-lived JVM running
+      // many sessions (the test harness, a notebook server) never
+      // trips over a dead session's spine
+      val it = ksCacheFifo.iterator()
+      while (it.hasNext) {
+        if (it.next().sparkSession.sparkContext.isStopped) it.remove()
+      }
       ksCacheFifo.addLast(cached)
       while (ksCacheFifo.size > KsCacheEntries) {
-        ksCacheFifo.removeFirst().unpersist(false)
+        val evicted = ksCacheFifo.removeFirst()
+        // an eviction must never fail a KS evaluation: a session that
+        // stopped between the purge above and here just loses blocks
+        try evicted.unpersist(false)
+        catch { case _: Throwable => () }
         ()
       }
     }

@@ -76,15 +76,25 @@ object PageRank {
     val (outw, outwPath) = Scratch.materializeWithPath(
       e.groupBy(col("src")).agg(sum(col("w")).as("out_w")),
       "pagerank_outw")
-    val nCnt = nodes.agg(count(lit(1)).as("n_nodes"))
+    // node count: ONE bounded 1-row collect off the materialized node
+    // table, inlined as a literal — the old in-plan broadcast subtree
+    // re-ran the count per round (separate actions never share a
+    // BroadcastExchange), a job per iteration for a constant
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+      .collect()(0).getLong(0)
+    val nD = lit(nNodes).cast("double")
 
-    val nD = col("n_nodes").cast("double")
     var (ranks, path) = Scratch.materializeWithPath(
-      nodes.crossJoin(broadcast(nCnt))
-        .select(col("node"),
-          round(lit(Scale) / nD).cast("long").as("rank_s")),
+      nodes.select(col("node"),
+        round(lit(Scale) / nD).cast("long").as("rank_s")),
       "pagerank_r0")
 
+    // (measured dead end, round 13: replacing the per-round scratch
+    // materialization with LogicalRDD lineage truncation
+    // (`createDataFrame(df.rdd, schema)`) made q136 ~25% SLOWER —
+    // AQE materializes each round's query stages eagerly at `.rdd`
+    // and the chained InternalRow↔Row conversions break codegen
+    // across rounds. The scratch write per round stays.)
     for (i <- 1 to iters) {
       val contribs = ranks
         .join(e, ranks("node") === e("src"))
@@ -101,7 +111,6 @@ object PageRank {
       val next = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .crossJoin(broadcast(nCnt))
         .select(col("node"),
           round(lit((1.0 - damping) * Scale) / nD
             + lit(damping) * (coalesce(col("in_s"), lit(0L)).cast("double")

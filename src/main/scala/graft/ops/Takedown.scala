@@ -45,9 +45,16 @@ object Takedown {
     // failure, so the write side refuses it (the audits already do)
     require(basePath.nonEmpty || bm25Path.nonEmpty || ivfPath.nonEmpty,
       "forget needs at least one surface (basePath/bm25Path/ivfPath)")
-    bm25Path.foreach(p =>
-      Bm25Index.forget(spark, p, ids, idCol, opId))
-    ivfPath.foreach(p => IvfIndex.forget(spark, p, ids, idCol))
+    // the two INDEX deletions are independent surfaces — overlap them
+    // (guide §2.6); the base delete stays strictly LAST to preserve
+    // the reader-visible ordering contract (indexes first, base last)
+    graft.core.Par.run[Unit](
+      bm25Path.map(p => () => {
+        Bm25Index.forget(spark, p, ids, idCol, opId); ()
+      }).toSeq ++
+      ivfPath.map(p => () => {
+        IvfIndex.forget(spark, p, ids, idCol); ()
+      }).toSeq)
     basePath.map(p =>
       VersionedTable.commitDelete(spark, p, ids, Seq(idCol)))
   }
@@ -129,17 +136,28 @@ object Takedown {
       graceMs: Long = 15 * 60 * 1000L): Unit = {
     require(basePath.nonEmpty || bm25Path.nonEmpty || ivfPath.nonEmpty,
       "erase needs at least one surface (basePath/bm25Path/ivfPath)")
-    bm25Path.foreach(p => Bm25Index.purgeForgotten(spark, p, opId))
-    ivfPath.foreach(p => IvfIndex.purgeForgotten(spark, p, opId))
+    // purges are per-index (distinct journals); vacuums are per-table
+    // metadata+delete work — both phases overlap across surfaces
+    // (guide §2.6). Purges complete before any vacuum starts, so a
+    // vacuum never retires a version a purge still reads.
+    graft.core.Par.run[Unit](
+      bm25Path.map(p => () => {
+        Bm25Index.purgeForgotten(spark, p, opId); ()
+      }).toSeq ++
+      ivfPath.map(p => () => {
+        IvfIndex.purgeForgotten(spark, p, opId); ()
+      }).toSeq)
     val tables =
       basePath.toSeq ++
       bm25Path.toSeq.flatMap(Bm25Index.componentPaths) ++
       ivfPath.toSeq.flatMap(IvfIndex.journalPaths)
-    tables.foreach { t =>
+    graft.core.Par.run[Unit](tables.map(t => () => {
       if (VersionedTable.latestVersion(spark, t) > 0)
         VersionedTable.vacuum(spark, t, retainLast = 1,
           graceMs = graceMs)
-    }
+      ()
+    }))
+    ()
   }
 
   /** BYTE-LEVEL erasure audit — the physical counterpart of

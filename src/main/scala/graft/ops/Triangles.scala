@@ -55,13 +55,20 @@ object Triangles {
     val withDeg = e
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
-    val oriented = withDeg.select(
+    // materialized like `e`: the plan references `oriented` THREE
+    // times (both wedge sides + the closing join) and Spark re-executes
+    // the degree aggregation + two attach joins per reference — the
+    // round-13 before-plan showed the whole deg⋈e⋈deg subtree inlined
+    // 3× (97-node plan). One edge-list-sized scratch write replaces
+    // two redundant recomputes; same bounded-object argument as `e`.
+    val oriented = graft.core.Scratch.materialize(withDeg.select(
       when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
         col("u")).otherwise(col("v")).as("src"),
       when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
         col("v")).otherwise(col("u")).as("dst"),
       when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-        col("dv")).otherwise(col("du")).as("ddst"))
+        col("dv")).otherwise(col("du")).as("ddst")),
+      "triangle_oriented")
 
     // wedges at apex s: out-neighbors a ≺ b under (deg, id); the closing
     // edge, if present, is oriented a→b under the same order
