@@ -2665,8 +2665,10 @@ object Queries {
         java.util.UUID.randomUUID()
       graft.core.Scratch.registerForCleanup(root)
       val (fact, dimP, agg) = (s"$root/fact", s"$root/dim", s"$root/agg")
-      graft.core.VersionedTable.commitAppend(dim, dimP)
-      graft.core.VersionedTable.commitAppend(orders, fact)
+      // two independent table builds (distinct roots) — overlap
+      graft.core.Par.run[Int](Seq(
+        () => graft.core.VersionedTable.commitAppend(dim, dimP),
+        () => graft.core.VersionedTable.commitAppend(orders, fact)))
       graft.ops.IncrementalAgg.maintainJoined(s, fact, dimP, agg,
         "o_custkey", Seq("c_nationkey"), "oop")
       graft.core.VersionedTable.commitOverwrite(

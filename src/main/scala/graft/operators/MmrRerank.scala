@@ -19,15 +19,15 @@ import graft.functions.Rounding.dround
   * break by candidate id.
   *
   * Shape at scale: works on a SHORTLIST (queries×n rows from any
-  * retriever — brute-force, IVF, IVF-PQ), never the corpus. The
-  * candidate-candidate similarity frame is queries×n² but n is the
-  * shortlist cut (20–100): bounded, corpus-size-independent. The
-  * shortlist and pair-sim frames are scratch-materialized ONCE; the k
-  * greedy rounds then join only (queries×n)-sized frames, with the
-  * tiny selected set re-materialized per round so lineage stays O(1)
-  * (the DedupClusters/PageRank iterative discipline). The selection is
-  * itself a per-query bounded-heap argmax — per round, one row per
-  * query crosses the exchange.
+  * retriever — brute-force, IVF, IVF-PQ), never the corpus. One
+  * left join attaches the shortlist ids' vectors, one aggregation
+  * packs each query's shortlist (n ≤ [[MaxShortlistPerQuery]] rows of
+  * id/rel/vec) into a single row, and the whole k-round greedy loop
+  * runs in-task inside the codegen'd [[graft.functions.MmrSelect]]
+  * expression — k·n cosines per query, no queries×n² pair frame, no
+  * per-round global barrier. (The previous formulation ran k−1
+  * sequential distributed rounds over a materialized pair frame:
+  * measured at 48 Spark jobs per call, it was action-count bound.)
   *
   * Determinism across engines: rel and sim are the CosineSim doubles
   * the oracles already replicate with `list_cosine_similarity`; the
@@ -50,109 +50,25 @@ object MmrRerank {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, lambda: Double = 0.7): DataFrame = {
     require(k >= 1, "mmr: k must be >= 1")
-    val spark = candidates.sparkSession
-    val vecs = corpus.select(col(idCol).cast("long").as("__vid"),
+    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__v"))
-    val (cand, candPath) = graft.core.Scratch.materializeWithPath(
-      candidates.select(col("query_id"),
-        col("neighbor_id").cast("long").as("neighbor_id"),
-        col(relCol).cast("double").as("__rel")),
-      "mmr_cand")
-    try rerankOn(spark, cand, candPath, vecs, k, lambda)
-    catch {
-      case e: Throwable =>
-        // a failed greedy round must not leak the materialized scratch
-        // dirs for the rest of the session
-        graft.core.Scratch.drop(spark, candPath)
-        throw e
-    }
-  }
-
-  private def rerankOn(spark: org.apache.spark.sql.SparkSession,
-      cand: DataFrame, candPath: String, vecs: DataFrame,
-      k: Int, lambda: Double): DataFrame = {
-    val worst = cand.groupBy("query_id").count()
-      .agg(max("count")).collect()(0)
-    if (!worst.isNullAt(0)) {
-      val n = worst.getLong(0)
-      require(n <= MaxShortlistPerQuery,
-        s"mmr: a query has a $n-row shortlist (max " +
-          s"$MaxShortlistPerQuery); the pair frame is n^2 per query — " +
-          "cut the retriever's candidate list before reranking")
-    }
-    // candidate-candidate cosines within each query's shortlist:
-    // queries×n² rows, n = shortlist size — bounded by the require
-    // above. k == 1 never consults the diversity term — skip the frame
-    val ids = cand.select(col("query_id"), col("neighbor_id"))
-    val (pairs, pairsPath) =
-      if (k == 1) (null: DataFrame, null: String)
-      else graft.core.Scratch.materializeWithPath(
-        ids.join(ids.withColumnRenamed("neighbor_id", "__other"),
-            Seq("query_id"))
-          .filter(col("neighbor_id") =!= col("__other"))
-          .join(vecs.withColumnRenamed("__vid", "neighbor_id"),
-            Seq("neighbor_id"))
-          .join(vecs.select(col("__vid").as("__other"),
-            col("__v").as("__v2")), Seq("__other"))
-          .select(col("query_id"), col("neighbor_id"), col("__other"),
-            graft.functions.CosineSim.column(col("__v"), col("__v2"))
-              .as("__sim")),
-        "mmr_pairs")
-
-    // round 1: relevance argmax (score λ·rel — the selected set is
-    // empty, so the diversity term is 0)
-    var selected: DataFrame =
-      graft.functions.TopKByScore.explodeTopK(
-          cand.withColumn("__m0", lit(lambda) * col("__rel")),
-          Seq("query_id"), col("__m0"), col("neighbor_id"), 1,
-          outId = "neighbor_id", outScore = "__mmr")
-        .select(col("query_id"), col("neighbor_id"), col("__mmr"),
-          lit(1).as("rn"))
-    // k−1 greedy rounds with ZERO per-round Spark jobs. The old shape
-    // wrote/read/dropped a scratch parquet per round (write job + FS
-    // listing each — at 48 jobs/call the dominant cost of a rerank);
-    // but the per-round result only needs LINEAGE TRUNCATION, not
-    // durability: wrapping the round's RDD in a fresh LogicalRDD
-    // (`createDataFrame(df.rdd, schema)`) keeps the logical plan O(1)
-    // per round while the rounds share one physical DAG — each
-    // round's shuffle is computed once and re-read by the three
-    // references the next round makes (Spark reuses shuffle outputs
-    // of a shared RDD as skipped stages), and fault tolerance stays
-    // full lineage-recompute (unlike localCheckpoint). Everything
-    // evaluates in the single action the caller runs.
-    try {
-      for (step <- 2 to k) {
-        val remaining = cand.join(
-          selected.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_anti")
-        val maxSim = pairs
-          .join(selected.select(col("query_id"),
-            col("neighbor_id").as("__other")),
-            Seq("query_id", "__other"))
-          .groupBy(col("query_id"), col("neighbor_id"))
-          .agg(max(col("__sim")).as("__maxsim"))
-        val scored = remaining
-          .join(maxSim, Seq("query_id", "neighbor_id"), "left")
-          .withColumn("__mmr", lit(lambda) * col("__rel") -
-            lit(1.0 - lambda) * coalesce(col("__maxsim"), lit(0.0)))
-        val pick = graft.functions.TopKByScore.explodeTopK(scored,
-            Seq("query_id"), col("__mmr"), col("neighbor_id"), 1,
-            outId = "neighbor_id", outScore = "__mmr")
-          .select(col("query_id"), col("neighbor_id"), col("__mmr"),
-            lit(step).as("rn"))
-        val next = selected.union(pick)
-        selected = spark.createDataFrame(next.rdd, next.schema)
-      }
-      // ONE materialization of the (queries×k)-sized final selection —
-      // the single action that evaluates the whole greedy chain — so
-      // the shortlist and pair-sim scratch can still be dropped
-      // eagerly before returning (the pre-existing lifetime contract)
-      selected = graft.core.Scratch.materialize(selected, "mmr_sel")
-    } finally {
-      graft.core.Scratch.drop(spark, candPath)
-      if (pairsPath != null) graft.core.Scratch.drop(spark, pairsPath)
-    }
-    selected.select(col("query_id"), col("neighbor_id"),
-      (dround(col("__mmr"), 4) + lit(0)).as("mmr_score"), col("rn"))
+    val cand = candidates.select(col("query_id"),
+      col("neighbor_id").cast("long").as("neighbor_id"),
+      col(relCol).cast("double").as("__rel"))
+    // left join: a candidate without a corpus vector still competes on
+    // relevance and contributes no sim — the old pair frame's
+    // coalesce(max_sim, 0) semantics. The shortlist-size ceiling is
+    // enforced inside MmrSelect (it sees the packed row's true size).
+    val packed = cand.join(vecs, Seq("neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("__rel"),
+        col("__v"))).as("__cs"))
+    packed.select(col("query_id"),
+        explode(graft.functions.MmrSelect.column(
+          col("__cs"), k, lambda)).as("__s"))
+      .select(col("query_id"),
+        col("__s").getField("neighbor_id").as("neighbor_id"),
+        (dround(col("__s").getField("mmr"), 4) + lit(0)).as("mmr_score"),
+        col("__s").getField("rn").as("rn"))
   }
 }

@@ -69,13 +69,16 @@ object PageRank {
         col(weightCol).cast("long").as("w"))
         .filter(col("w") > 0),
       "pagerank_edges")
-    val (nodes, nodesPath) = Scratch.materializeWithPath(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct(),
-      "pagerank_nodes")
-    val (outw, outwPath) = Scratch.materializeWithPath(
-      e.groupBy(col("src")).agg(sum(col("w")).as("out_w")),
-      "pagerank_outw")
+    // nodes and out-weights both derive from the already-materialized
+    // edge table — independent builds, overlapped (guide §2.6)
+    val ((nodes, nodesPath), (outw, outwPath)) = graft.core.Par.run2(
+      () => Scratch.materializeWithPath(
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct(),
+        "pagerank_nodes"),
+      () => Scratch.materializeWithPath(
+        e.groupBy(col("src")).agg(sum(col("w")).as("out_w")),
+        "pagerank_outw"))
     // node count: ONE bounded 1-row collect off the materialized node
     // table, inlined as a literal — the old in-plan broadcast subtree
     // re-ran the count per round (separate actions never share a
