@@ -143,10 +143,26 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // AQE partition-coalescing floor (guide §2.2/§2.5): the default
+    // 1 MB floor sizes post-shuffle partitions by BYTES, which on a
+    // many-core box running CPU-per-row-heavy stages over small-byte
+    // frames (hashing, shingling, similarity verify) coalesces a
+    // 600 ms stage onto 1–2 tasks while the other cores idle —
+    // measured −13 % warm total on the ten most CPU-bound catalog
+    // queries at sf0.1 with a 64k floor, zero regressions. At
+    // production scale post-shuffle partitions are ≫1 MB, so the
+    // floor never binds — the setting is inert there (production
+    // keeps the 1 MB default; OPTIMIZATION_r14.md justifies both).
+    // Env-tunable so the driver's bench stays comparable across core
+    // counts (the ceiling on tasks per stage is still
+    // spark.sql.shuffle.partitions = $cpus).
+    val aqeMinPart = sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        aqeMinPart)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

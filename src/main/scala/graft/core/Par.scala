@@ -37,10 +37,19 @@ object Par {
           override def call(): T = Scratch.withScopes(scopes)(t())
         })
       }
-      // collect all outcomes before throwing: every sibling settles
+      // collect all outcomes before throwing: every sibling settles.
+      // Driver-thread interruption is NOT an ordinary task failure:
+      // swallowing it would clear the interrupt flag and keep blocking
+      // on every remaining future, deferring cancellation until all
+      // parallel Spark actions finish. Cancel the siblings and
+      // propagate the interruption itself.
       val outcomes = futures.map { f =>
         try Right(f.get())
         catch {
+          case e: InterruptedException =>
+            futures.foreach(_.cancel(true))
+            Thread.currentThread().interrupt()
+            throw e
           case e: java.util.concurrent.ExecutionException =>
             Left(e.getCause)
           case e: Throwable => Left(e)

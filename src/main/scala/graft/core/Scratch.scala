@@ -150,7 +150,11 @@ object Scratch {
       : (DataFrame, String) = {
     hookInstalled
     val path = s"${root(df)}/${tag}_${java.util.UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(path)
+    val sc = df.sparkSession.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"scratch $tag")
+    try df.write.mode("overwrite").parquet(path)
+    finally sc.setJobDescription(prevDesc)
     record(path)
     (df.sparkSession.read.parquet(path), path)
   }

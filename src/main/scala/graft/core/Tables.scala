@@ -15,6 +15,26 @@ object Tables {
   // one normalized-events scratch copy per (session, sfDir) — see load()
   private val normalizedEvents =
     scala.collection.mutable.Map[String, String]()
+  // (session, sfDir) keys confirmed µs/NTZ layout — no scratch copy
+  // needed, but the probe that detects the layout (a throwaway child
+  // session + footer read) must still run only once per key
+  private val ntzEvents = scala.collection.mutable.Set[String]()
+
+  // Parquet schema per input path, memoized: the driver-provided
+  // table files are immutable for a run, and footer inference over a
+  // fixed path is deterministic, so a hit returns exactly what
+  // inference would have produced. Every load() used to pay a
+  // driver-side footer read; a full bench pass issues thousands.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    var s = schemaCache.get(path)
+    if (s == null) {
+      s = spark.read.parquet(path).schema
+      schemaCache.put(path, s)
+    }
+    spark.read.schema(s).parquet(path)
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet has shipped as TIMESTAMP(NANOS) (which Spark's
@@ -38,7 +58,10 @@ object Tables {
     if (name == "events") Tables.synchronized {
       val key = s"${System.identityHashCode(spark)}:$sfDir"
       normalizedEvents.get(key) match {
-        case Some(path) => spark.read.parquet(path)
+        case Some(path) => readCached(spark, path)
+        case None if ntzEvents.contains(key) =>
+          readCached(spark, s"$sfDir/$name.parquet")
+            .withColumn("ts", col("ts").cast("timestamp"))
         case None =>
           // the legacy conf is set on a THROWAWAY child session only
           // (own SQLConf, shared SparkContext): the main session's
@@ -61,16 +84,17 @@ object Tables {
                     expr("timestamp_micros(ts div 1000)")),
                   "events_us"))
               normalizedEvents(key) = path
-              spark.read.parquet(path)
+              readCached(spark, path)
             case _ =>
               // µs/NTZ layout: no legacy conf involved — serve it
               // from the MAIN session (frames must not cross sessions)
-              spark.read.parquet(s"$sfDir/$name.parquet")
+              ntzEvents += key
+              readCached(spark, s"$sfDir/$name.parquet")
                 .withColumn("ts", col("ts").cast("timestamp"))
           }
       }
     } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      readCached(spark, s"$sfDir/$name.parquet")
     }
   }
 }

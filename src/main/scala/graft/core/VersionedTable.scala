@@ -70,6 +70,41 @@ object VersionedTable {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Parquet schema for an exact (file list, mergeSchema) pair,
+    * memoized. Sound because committed data files are immutable (new
+    * files always land under fresh commit-UUID dirs; vacuum/erase only
+    * delete or value-scrub, never retype) and Spark's footer inference
+    * over a FIXED file list is deterministic — a hit returns exactly
+    * what inference would have produced. Every versioned read used to
+    * pay a driver-side footer read (merge-read ALL footers on evolved
+    * tables); maintenance pipelines re-read the same snapshot several
+    * times per call, so this is pure per-action overhead removed
+    * (guide §1.2 step 2). Bounded: cleared when it outgrows its cap
+    * (file lists are scratch-UUID-heavy, so entries don't repeat
+    * across bench passes). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[String], Boolean), org.apache.spark.sql.types.StructType]()
+  private def inferredSchema(spark: SparkSession, fl: Seq[String],
+      merge: Boolean): org.apache.spark.sql.types.StructType = {
+    val key = (fl, merge)
+    val hit = schemaCache.get(key)
+    if (hit != null) return hit
+    if (schemaCache.size > 4096) schemaCache.clear()
+    val s = (if (merge) spark.read.option("mergeSchema", "true")
+      else spark.read).parquet(fl: _*).schema
+    schemaCache.put(key, s)
+    s
+  }
+
+  /** Parquet read of `fl` with the table's evolved-schema discipline,
+    * schema served from [[inferredSchema]]'s cache. */
+  private def readFiles(spark: SparkSession, fl: Seq[String],
+      merge: Boolean): DataFrame = {
+    val s = inferredSchema(spark, fl, merge)
+    (if (merge) spark.read.option("mergeSchema", "true")
+      else spark.read).schema(s).parquet(fl: _*)
+  }
+
   private def manifestDir(path: String) = s"$path/_manifests"
   private def manifestPath(path: String, v: Int) =
     new Path(manifestDir(path), f"v$v%05d.json")
@@ -238,9 +273,7 @@ object VersionedTable {
     val fl = files(spark, path, version)
     require(fl.nonEmpty, s"$path has no committed data" +
       version.fold("")(v => s" at version $v"))
-    if (fs(spark, path).exists(evolvedMarker(path)))
-      spark.read.option("mergeSchema", "true").parquet(fl: _*)
-    else spark.read.parquet(fl: _*)
+    readFiles(spark, fl, fs(spark, path).exists(evolvedMarker(path)))
   }
 
   /** Append a batch whose schema MATCHES the table's (names and
@@ -291,8 +324,8 @@ object VersionedTable {
     // later); unevolved tables read one footer
     val prev =
       if (fs(spark, path).exists(evolvedMarker(path)))
-        spark.read.option("mergeSchema", "true").parquet(fl: _*).schema
-      else spark.read.parquet(fl.head).schema
+        inferredSchema(spark, fl, merge = true)
+      else inferredSchema(spark, Seq(fl.head), merge = false)
     val prevT = prev.fields.map(f => f.name -> f.dataType).toMap
     val curT = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val retyped = curT.keySet.intersect(prevT.keySet)
@@ -604,11 +637,9 @@ object VersionedTable {
 
   /** Read a specific subset of a version's files with the table's
     * evolved-schema discipline. */
-  private def readFileSubset(spark: SparkSession, path: String,
+  private[graft] def readFileSubset(spark: SparkSession, path: String,
       subset: Seq[String]): DataFrame =
-    if (fs(spark, path).exists(evolvedMarker(path)))
-      spark.read.option("mergeSchema", "true").parquet(subset: _*)
-    else spark.read.parquet(subset: _*)
+    readFiles(spark, subset, fs(spark, path).exists(evolvedMarker(path)))
 
   /** Claim EXACTLY version `vPrev + 1` with `manifestFiles`. True =
     * published and ownership-verified; false = lost the version race
@@ -687,7 +718,12 @@ object VersionedTable {
     val f = fs(spark, path)
     // 1. write the immutable data files for this commit
     val commitDir = s"$path/data/${java.util.UUID.randomUUID()}"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
+    val prevDesc = spark.sparkContext.getLocalProperty(
+      "spark.job.description")
+    spark.sparkContext.setJobDescription(
+      s"commit ${new Path(path).getName}")
+    try df.write.mode(SaveMode.ErrorIfExists).parquet(commitDir)
+    finally spark.sparkContext.setJobDescription(prevDesc)
     val newFiles = f.listStatus(new Path(commitDir))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .map(_.getPath.toString).toSeq

@@ -42,24 +42,38 @@ object DedupClusters {
     // action. Write+read resets lineage to a scan AND keeps every round
     // durable — executor loss mid-algorithm recomputes one round, not
     // the whole history.
-    var (cur, curPath) = graft.core.Scratch.materializeWithPath(
+    // row counts ride the materialize action itself (Observation /
+    // CollectMetrics): the separate count() job per round was pure
+    // fixed overhead — the metric is exact (computed by the same
+    // tasks that write the round), so convergence decisions are
+    // unchanged
+    def materializeCounted(df: DataFrame, tag: String)
+        : (DataFrame, String, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val (m, p) = graft.core.Scratch.materializeWithPath(
+        df.observe(obs, count(lit(1)).as("n")), tag)
+      (m, p, obs.get("n").asInstanceOf[Long])
+    }
+    var (cur, curPath, curCount) = materializeCounted(
       edges
         .select(greatest(col(srcCol), col(dstCol)).as("src"),
           least(col(srcCol), col(dstCol)).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct(),
       "cc_input")
-    var curCount = cur.count()
     var converged = curCount == 0
     var iter = 0
     while (!converged && iter < maxIter) {
-      val (next, nextPath) = graft.core.Scratch.materializeWithPath(
+      val (next, nextPath, nextCount) = materializeCounted(
         smallStar(largeStar(cur)), s"cc_round$iter")
       // both sides are distinct sets, so equal cardinality + empty
-      // one-way difference ⇒ set equality; the count (a cheap scan of
-      // the just-written round) usually short-circuits the except join
-      val nextCount = next.count()
-      converged = nextCount == curCount && next.except(cur).isEmpty
+      // one-way difference ⇒ set equality; the count (free — observed
+      // on the round's own write) usually short-circuits the
+      // difference join. Both sides are distinct by construction, so
+      // a left-anti probe is equivalent to except() minus its
+      // re-deduplication of the left side.
+      converged = nextCount == curCount &&
+        next.join(cur, Seq("src", "dst"), "left_anti").isEmpty
       // the superseded round was last read by the except above — drop
       // its files eagerly so long chains don't accumulate scratch
       graft.core.Scratch.drop(cur.sparkSession, curPath)

@@ -55,11 +55,22 @@ object MmrRerank {
     val cand = candidates.select(col("query_id"),
       col("neighbor_id").cast("long").as("neighbor_id"),
       col(relCol).cast("double").as("__rel"))
+    // Corpus ids are expected UNIQUE (documented precondition). Defend
+    // anyway: restrict the vecs side to the shortlist ids (semi join —
+    // the corpus is never shuffled by the dedup) and collapse any
+    // duplicate id to one deterministic vector (max) BEFORE the left
+    // join, so a duplicated corpus id can neither inflate the packed
+    // size past the [[MaxShortlistPerQuery]] cap nor enter the greedy
+    // loop twice. On a unique-id corpus this is a no-op.
+    val wanted = cand.select(col("neighbor_id")).distinct()
+    val vecsU = vecs.join(wanted, Seq("neighbor_id"), "left_semi")
+      .groupBy(col("neighbor_id")).agg(max(col("__v")).as("__v"))
     // left join: a candidate without a corpus vector still competes on
     // relevance and contributes no sim — the old pair frame's
     // coalesce(max_sim, 0) semantics. The shortlist-size ceiling is
-    // enforced inside MmrSelect (it sees the packed row's true size).
-    val packed = cand.join(vecs, Seq("neighbor_id"), "left")
+    // enforced inside MmrSelect (it sees the packed row's true size,
+    // which after the dedup equals the pre-join candidate count).
+    val packed = cand.join(vecsU, Seq("neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(collect_list(struct(col("neighbor_id"), col("__rel"),
         col("__v"))).as("__cs"))

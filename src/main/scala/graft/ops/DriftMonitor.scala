@@ -249,9 +249,15 @@ object DriftMonitor {
       while (ksCacheFifo.size > KsCacheEntries) {
         val evicted = ksCacheFifo.removeFirst()
         // an eviction must never fail a KS evaluation: a session that
-        // stopped between the purge above and here just loses blocks
+        // stopped between the purge above and here just loses blocks.
+        // Only non-fatal failures are absorbed — an OutOfMemoryError
+        // or interruption must still surface (interrupt re-set).
         try evicted.unpersist(false)
-        catch { case _: Throwable => () }
+        catch {
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e
+          case scala.util.control.NonFatal(_) => ()
+        }
         ()
       }
     }

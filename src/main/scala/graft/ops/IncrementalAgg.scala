@@ -165,11 +165,8 @@ object IncrementalAgg {
         // boundary (mixed-schema files): merge footers exactly when
         // VersionedTable.read would, so the delta path resolves the
         // evolved column the same way the full-recompute path does
-        val rd =
-          if (VersionedTable.isEvolved(spark, basePath))
-            spark.read.option("mergeSchema", "true")
-          else spark.read
-        mergeDelta(current.drop(BaseVCol), rd.parquet(newFiles: _*))
+        mergeDelta(current.drop(BaseVCol),
+          VersionedTable.readFileSubset(spark, basePath, newFiles))
           .withColumn(BaseVCol, lit(vBase))
       }
     val v = VersionedTable.commitOverwrite(merged, aggPath)
@@ -186,38 +183,32 @@ object IncrementalAgg {
     * recompute, which is precisely where a retired extremum would
     * otherwise go stale. */
   /** Merge two already-aggregated frames of the (n_rows, sum_val
-    * [, min_val, max_val]) shape with one keys-sized null-safe
-    * full-outer join. */
+    * [, min_val, max_val]) shape. The state is an additive monoid, so
+    * merging IS re-aggregation of the UNION: one keys-sized exchange
+    * + hash aggregate, instead of the previous two exchanges + a
+    * null-safe full-outer sort-merge join (guide §2.4 — remove
+    * shuffles outright). Identical algebra: sums add (the dim-repair
+    * path's NEGATIVE deltas cancel exactly as before), min/max over
+    * the union equals the pairwise least/greatest null-skipping
+    * merge, NULL-keyed groups are real GROUP BY groups on both
+    * shapes, and groups whose count reaches zero drop out via the
+    * same n_rows > 0 filter. (This is also the shape
+    * [[maintainSketch]]'s merge already uses.) */
   private def mergeAggFrames(keys: Seq[String], minMax: Boolean)(
       current: DataFrame, deltaAgg: DataFrame): DataFrame = {
-    val d0 = deltaAgg
-      .withColumnRenamed("n_rows", "__dn")
-      .withColumnRenamed("sum_val", "__dsum")
-    val d1 = if (minMax)
-      d0.withColumnRenamed("min_val", "__dmin")
-        .withColumnRenamed("max_val", "__dmax")
-    else d0
-    val delta = keys.foldLeft(d1)((f, k) =>
-      f.withColumnRenamed(k, s"__k_$k"))
-    // null-safe key match: a NULL-keyed group is a real group for
-    // GROUP BY, but plain join equality would never match it and
-    // the merge would emit it twice
-    val cond = keys.map(k => col(k) <=> col(s"__k_$k"))
-      .reduce(_ && _)
-    current.join(delta, cond, "full_outer")
-      .select(keys.map(k =>
-        when(col("n_rows").isNotNull, col(k))
-          .otherwise(col(s"__k_$k")).as(k)) ++ Seq(
-        (coalesce(col("n_rows"), lit(0L)) +
-          coalesce(col("__dn"), lit(0L))).as("n_rows"),
-        (coalesce(col("sum_val"), lit(0L)) +
-          coalesce(col("__dsum"), lit(0L))).as("sum_val")) ++
-        (if (minMax) Seq(
-          // least/greatest skip nulls (all-null -> null), which
-          // is exactly min/max's merge algebra
-          least(col("min_val"), col("__dmin")).as("min_val"),
-          greatest(col("max_val"), col("__dmax")).as("max_val"))
-        else Nil): _*)
+    val cols = Seq("n_rows", "sum_val") ++
+      (if (minMax) Seq("min_val", "max_val") else Nil)
+    val proj = (keys ++ cols).map(col)
+    val u = current.select(proj: _*)
+      .unionByName(deltaAgg.select(proj: _*))
+    val aggs = Seq(
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("sum_val")).as("sum_val")) ++
+      (if (minMax) Seq(
+        min(col("min_val")).as("min_val"),
+        max(col("max_val")).as("max_val")) else Nil)
+    u.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .filter(col("n_rows") > 0)
   }
 

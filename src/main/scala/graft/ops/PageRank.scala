@@ -98,6 +98,14 @@ object PageRank {
     // AQE materializes each round's query stages eagerly at `.rdd`
     // and the chained InternalRow↔Row conversions break codegen
     // across rounds. The scratch write per round stays.)
+    // (second measured dead end, round 14: chaining rounds IN-PLAN
+    // with a checkpoint every 3rd round — one action per checkpoint —
+    // made q136 5.5 → 6.5 s and q145 2.6 → 2.9 s: the rank subtree
+    // has three consumers per round (contribs, dangling, next-join)
+    // and AQE does not reuse its exchanges across those consumers
+    // once the tree is re-optimized per stage, so each un-
+    // materialized level re-executes the previous level ~3×. The
+    // per-round materialization IS the exchange reuse.)
     for (i <- 1 to iters) {
       val contribs = ranks
         .join(e, ranks("node") === e("src"))
