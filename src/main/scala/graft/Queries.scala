@@ -26,6 +26,17 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  // (measured dead end, round 14: hash-repartitioning the documents
+  // scan right after the read — guide §2.5's unsplittable-input remedy
+  // for the driver's single-row-group parquet files — REGRESSED every
+  // pilot query (q110 1.75→2.52 s, q122 1.46→2.08, q71 1.85→2.35,
+  // q26 0.34→0.49; only q107 flat): with the 64k AQE coalescing floor
+  // the heavy per-row work is already parallel after each pipeline's
+  // first NATURAL exchange, so the extra shuffle of raw text plus the
+  // lost scan-stage fusion outweigh the single-task scan it replaces.
+  // Revisit only if a future testdata layout ships row groups larger
+  // than one core can chew AND a pipeline has no early exchange.)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- aggregation (SURVEY §2.5) ------------------------------------

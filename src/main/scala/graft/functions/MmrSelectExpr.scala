@@ -90,23 +90,36 @@ object MmrSelect {
   /** The greedy loop; see the class doc for the exact semantics. */
   def select(cands: ArrayData, k: Int, lambda: Double): ArrayData = {
     val n = cands.numElements()
-    require(n <= graft.operators.MmrRerank.MaxShortlistPerQuery,
-      s"mmr: a query has a $n-row shortlist (max " +
-        s"${graft.operators.MmrRerank.MaxShortlistPerQuery}); the " +
-        "in-task selection is O(k·n) per query — cut the retriever's " +
-        "candidate list before reranking")
+    val cap = graft.operators.MmrRerank.MaxShortlistPerQuery
+    // hard physical bound first: a duplicated-corpus-id join fan-out
+    // (precondition violation, see MmrRerank) must not buy an
+    // unbounded O(k·n) loop before the distinct-id check below can
+    // even count
+    require(n <= 16 * cap,
+      s"mmr: a query packed $n rows (hard bound ${16 * cap}) — the " +
+        "corpus side of the rerank join has duplicated ids " +
+        "(MmrRerank's documented precondition is a unique-id corpus)")
     val ids = new Array[Long](n)
     val rels = new Array[Double](n)
     val relNull = new Array[Boolean](n)
     val vecs = new Array[ArrayData](n)
+    val distinctIds = new java.util.HashSet[java.lang.Long]()
     var i = 0
     while (i < n) {
       val row = cands.getStruct(i, 3)
       ids(i) = row.getLong(0)
+      distinctIds.add(ids(i))
       if (row.isNullAt(1)) relNull(i) = true else rels(i) = row.getDouble(1)
       if (!row.isNullAt(2)) vecs(i) = row.getArray(2)
       i += 1
     }
+    // the shortlist ceiling counts CANDIDATES (distinct ids), not
+    // packed rows, so corpus-side join fan-out can never spuriously
+    // fail a legal shortlist
+    require(distinctIds.size <= cap,
+      s"mmr: a query has a ${distinctIds.size}-candidate shortlist " +
+        s"(max $cap); the in-task selection is O(k·n) per query — " +
+        "cut the retriever's candidate list before reranking")
     val maxsim = new Array[Double](n)
     val hasSim = new Array[Boolean](n)
     val taken = new Array[Boolean](n)
