@@ -64,8 +64,16 @@ object DedupClusters {
     var converged = curCount == 0
     var iter = 0
     while (!converged && iter < maxIter) {
+      // round writes sized from the PREVIOUS round's observed edge
+      // count (guide §6; star rounds never grow the edge set by more
+      // than ~2x): an (src, dst) row is ~16 bytes, so ~4M rows/file.
+      // Byte-blind AQE coalescing otherwise writes a few-thousand-row
+      // round as one file per core — per-round task commits and
+      // listings dominate small graphs.
+      val parts = math.max(1L, math.min(10000L, curCount / 4000000L))
+        .toInt
       val (next, nextPath, nextCount) = materializeCounted(
-        smallStar(largeStar(cur)), s"cc_round$iter")
+        smallStar(largeStar(cur)).repartition(parts), s"cc_round$iter")
       // both sides are distinct sets, so equal cardinality + empty
       // one-way difference ⇒ set equality; the count (free — observed
       // on the round's own write) usually short-circuits the

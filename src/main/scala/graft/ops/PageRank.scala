@@ -86,10 +86,20 @@ object PageRank {
     val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
       .collect()(0).getLong(0)
     val nD = lit(nNodes).cast("double")
+    // rank-table writes sized from the KNOWN node count (guide §6):
+    // a (node, rank_s) row is ~16 bytes, so ~4M rows/file lands in
+    // the recommended output-file range. Without this, byte-blind AQE
+    // coalescing writes a 2k-row round table as one file PER CORE —
+    // at 32 cores that is 32 task commits + 32-file listings per
+    // round for kilobytes of data (measured +1.3 s on q136 when the
+    // 64k coalescing floor landed).
+    val rankParts = math.max(1L, math.min(10000L, nNodes / 4000000L))
+      .toInt
 
     var (ranks, path) = Scratch.materializeWithPath(
       nodes.select(col("node"),
-        round(lit(Scale) / nD).cast("long").as("rank_s")),
+        round(lit(Scale) / nD).cast("long").as("rank_s"))
+        .repartition(rankParts),
       "pagerank_r0")
 
     // (measured dead end, round 13: replacing the per-round scratch
@@ -127,7 +137,8 @@ object PageRank {
             + lit(damping) * (coalesce(col("in_s"), lit(0L)).cast("double")
               + col("dangling_s").cast("double") / nD))
             .cast("long").as("rank_s"))
-      val (m, p) = Scratch.materializeWithPath(next, s"pagerank_r$i")
+      val (m, p) = Scratch.materializeWithPath(
+        next.repartition(rankParts), s"pagerank_r$i")
       Scratch.drop(spark, path)
       ranks = m; path = p
     }
