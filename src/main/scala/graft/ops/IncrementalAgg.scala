@@ -194,7 +194,7 @@ object IncrementalAgg {
     * shapes, and groups whose count reaches zero drop out via the
     * same n_rows > 0 filter. (This is also the shape
     * [[maintainSketch]]'s merge already uses.) */
-  private def mergeAggFrames(keys: Seq[String], minMax: Boolean)(
+  private[graft] def mergeAggFrames(keys: Seq[String], minMax: Boolean)(
       current: DataFrame, deltaAgg: DataFrame): DataFrame = {
     val cols = Seq("n_rows", "sum_val") ++
       (if (minMax) Seq("min_val", "max_val") else Nil)

@@ -814,4 +814,39 @@ class IncrementalAggSpec extends SparkTestBase {
       s"straggler pins survived the sweep: ${pins.sorted.mkString(",")}")
     assert(pins.length <= 16, s"_pins grew past its bound: ${pins.length}")
   }
+
+  test("mergeAggFrames: union-reagg algebra (negative deltas cancel, " +
+    "null keys merge once, minMax null-skips) in a single exchange") {
+    // current: two groups, one NULL-keyed — the GROUP BY semantics the
+    // old null-safe full-outer join existed to preserve
+    val current = Seq(
+      (Option("a"), 3L, 30L, Option(1L), Option(9L)),
+      (Option.empty[String], 2L, 20L, Option(2L), Option(8L)))
+      .toDF("k", "n_rows", "sum_val", "min_val", "max_val")
+    val delta = Seq(
+      (Option("a"), -3L, -30L, Option.empty[Long], Option.empty[Long]),
+      (Option.empty[String], 1L, 5L, Option(0L), Option(99L)),
+      (Option("b"), 4L, 40L, Option(4L), Option(4L)))
+      .toDF("k", "n_rows", "sum_val", "min_val", "max_val")
+    val merged = IncrementalAgg.mergeAggFrames(Seq("k"), minMax = true)(
+      current, delta)
+    val rows = merged.orderBy(col("k").asc_nulls_first)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4))))
+    // group "a" reached zero rows (repair-path negative delta): gone;
+    // NULL key merged ONCE (2+1 rows, 20+5 sum, min/max across both
+    // sides with the delta's extrema winning); "b" is delta-only
+    assert(rows.toSeq == Seq(
+      (None, 3L, 25L, Some(0L), Some(99L)),
+      (Some("b"), 4L, 40L, Some(4L), Some(4L))), rows.mkString(", "))
+    // plan shape: ONE exchange (the re-aggregation), no join — the
+    // old merge planned two exchanges + a null-safe full-outer
+    // sort-merge join
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      s"merge should not plan a join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"merge should plan exactly one exchange, got $exchanges:\n$plan")
+  }
 }
